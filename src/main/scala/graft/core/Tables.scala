@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Design note for 100 TB: every loader returns a plain parquet scan so
+  * Catalyst predicate pushdown / column pruning reach the file source
+  * (`PushedFilters` / `ReadSchema` in explain). At cluster scale these
+  * paths would be partitioned directories (e.g. orders by o_orderdate
+  * month) — the query code below never assumes a single file.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read it as a long (nanos since epoch) and
+    * truncate to microseconds — the same truncation DuckDB applies — so the
+    * oracle sees identical instants.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = loadEvents(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Injected "as of" clock (SURVEY.md §7.4.3): all recency/freshness math
+    * uses these fixed instants instead of wall-clock so the DuckDB oracle
+    * hash-matches deterministically. Orders span 1995-01-01..2001-08-01;
+    * events span 2024-01-01..2024-01-30.
+    */
+  val OrdersAsOf = "2001-09-01 00:00:00"
+  val EventsAsOf = "2024-02-01 00:00:00"
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY.md §2.4 aggregation operators (A1–A12), re-expressed over the
+  * testdata star schema. Reference shapes: per-customer metric rollup
+  * (customer_360_view.py:48-92), conditional 30/90-day sums (:77-90),
+  * multi-dim revenue (revenue_analytics.py:40-57), KPI scalars (:269-277),
+  * HAVING duplicate detection (sql_alerts_monitoring.py:93-99), z-score
+  * anomaly (:147-171), freshness (quality_monitoring.py:59-84), quality
+  * metrics (expectations.py:162-242).
+  *
+  * Scale notes: all are single-shuffle hash aggregates with map-side
+  * partial aggregation; countDistinct rewrites to expand+two-phase agg
+  * (fine at 100 TB when keyed by a high-cardinality group key). Global
+  * (no-key) aggregates reduce to one row via partial aggs — no data
+  * concentration. A12 uses approx_count_distinct, the 100 TB substitute
+  * for exact distinct over heavy keys.
+  */
+object Aggregates extends QueryGroup {
+
+  def defs: Map[String, QueryDef] = Map(
+    // A1: hash group-by with many aggregates (count, countDistinct, sum,
+    // avg, max, min, stddev) — the customer-360 per-customer rollup.
+    "a1_customer_order_profile" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("order_cnt"),
+            countDistinct(col("o_orderstatus")).as("status_cnt"),
+            Exact.moneySum("o_totalprice").as("sum_d"),
+            Exact.moneySumCents("o_totalprice").as("sum_cents"),
+            Exact.moneySumSq("o_totalprice").as("sumsq_d"),
+            round(max("o_totalprice"), 4).as("max_spend"),
+            round(min("o_totalprice"), 4).as("min_spend"))
+          .select(
+            col("o_custkey"), col("order_cnt"), col("status_cnt"),
+            round(col("sum_d"), 4).as("total_spend"),
+            Exact.avg4FromCents(col("sum_cents"), col("order_cnt")).as("avg_spend"),
+            col("max_spend"), col("min_spend"),
+            round(Exact.stddevFrom(col("sum_d"), col("sumsq_d"), col("order_cnt")), 4)
+              .as("spend_stddev"))
+      },
+      oracle = Some(s"""
+        SELECT o_custkey, order_cnt, status_cnt,
+               round(sum_d, 4) AS total_spend,
+               ${Exact.sqlAvg4FromCents("sum_cents", "order_cnt")} AS avg_spend,
+               max_spend, min_spend,
+               round(${Exact.sqlStddevFrom("sum_d", "sumsq_d", "order_cnt")}, 4) AS spend_stddev
+        FROM (
+          SELECT o_custkey,
+                 count(*) AS order_cnt,
+                 count(DISTINCT o_orderstatus) AS status_cnt,
+                 ${Exact.sqlMoneySum("o_totalprice")} AS sum_d,
+                 ${Exact.sqlMoneySumCents("o_totalprice")} AS sum_cents,
+                 ${Exact.sqlMoneySumSq("o_totalprice")} AS sumsq_d,
+                 round(max(o_totalprice), 4) AS max_spend,
+                 round(min(o_totalprice), 4) AS min_spend
+          FROM orders GROUP BY o_custkey)"""),
+      bench = true),
+
+    // A2: conditional aggregation — recency-window sums in one pass
+    // (sum(when(date >= asOf-N, x).otherwise(0))), injected clock.
+    "a2_conditional_window_sums" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val asOf = to_timestamp(lit(Tables.OrdersAsOf))
+        o.groupBy("o_custkey")
+          .agg(
+            round(sum(when(col("o_orderdate") >= asOf - expr("INTERVAL 90 DAYS"),
+              expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).cast("double"), 4).as("spend_90d"),
+            round(sum(when(col("o_orderdate") >= asOf - expr("INTERVAL 365 DAYS"),
+              expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).cast("double"), 4).as("spend_365d"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fulfilled_cnt"))
+      },
+      oracle = Some(s"""
+        SELECT o_custkey,
+               round(CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 90 DAY
+                              THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS spend_90d,
+               round(CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 365 DAY
+                              THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS spend_365d,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled_cnt
+        FROM orders GROUP BY o_custkey""")),
+
+    // A3: countDistinct on a derived expression — active months per customer.
+    "a3_active_months" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(countDistinct(date_format(col("o_orderdate"), "yyyy-MM")).as("active_months")),
+      oracle = Some("""
+        SELECT o_custkey,
+               count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS active_months
+        FROM orders GROUP BY o_custkey""")),
+
+    // A4: multi-dimensional group-by (5 keys) — revenue rollup by
+    // month × returnflag × segment × nation × priority.
+    "a4_multidim_revenue" -> QueryDef(
+      build = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+            col("l_returnflag"), col("c_mktsegment"), col("n_name"),
+            col("o_orderpriority"))
+          .agg(
+            round(Exact.netRevenueSum("l_extendedprice", "l_discount"), 4).as("net_revenue"),
+            count(lit(1)).as("line_cnt"),
+            round(Exact.moneySum("l_quantity"), 4).as("total_qty"))
+      },
+      oracle = Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               l_returnflag, c_mktsegment, n_name, o_orderpriority,
+               round(${Exact.sqlNetRevenueSum("l_extendedprice", "l_discount")}, 4) AS net_revenue,
+               count(*) AS line_cnt,
+               round(${Exact.sqlMoneySum("l_quantity")}, 4) AS total_qty
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3, 4, 5"""),
+      bench = true),
+
+    // A6: whole-table KPI scalars, incl. COUNT(DISTINCT CASE WHEN ...).
+    "a6_global_kpis" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        o.agg(
+          count(lit(1)).as("total_orders"),
+          countDistinct(col("o_custkey")).as("active_customers"),
+          Exact.moneySum("o_totalprice").as("sum_d"),
+          Exact.moneySumCents("o_totalprice").as("sum_cents"),
+          countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("customers_with_fulfilled"))
+          .select(
+            col("total_orders"), col("active_customers"),
+            round(col("sum_d"), 4).as("gross_revenue"),
+            Exact.avg4FromCents(col("sum_cents"), col("total_orders")).as("avg_order_value"),
+            col("customers_with_fulfilled"))
+      },
+      oracle = Some(s"""
+        SELECT total_orders, active_customers,
+               round(sum_d, 4) AS gross_revenue,
+               ${Exact.sqlAvg4FromCents("sum_cents", "total_orders")} AS avg_order_value,
+               customers_with_fulfilled
+        FROM (
+          SELECT count(*) AS total_orders,
+                 count(DISTINCT o_custkey) AS active_customers,
+                 ${Exact.sqlMoneySum("o_totalprice")} AS sum_d,
+                 ${Exact.sqlMoneySumCents("o_totalprice")} AS sum_cents,
+                 count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS customers_with_fulfilled
+          FROM orders)""")),
+
+    // A7: distribution (groupBy count) over a low-cardinality key.
+    "a7_status_distribution" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt")),
+      oracle = Some(
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus")),
+
+    // A8: HAVING-style post-aggregation filter (heavy-customer detection,
+    // shape of the duplicate-detection alert).
+    "a8_having_heavy_customers" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("order_cnt"))
+          .filter(col("order_cnt") > 12),
+      oracle = Some("""
+        SELECT o_custkey, count(*) AS order_cnt
+        FROM orders GROUP BY o_custkey HAVING count(*) > 12""")),
+
+    // A9: statistical aggregate + z-score anomaly over daily order counts.
+    // The scalar (mu, sigma) side is a 1-row aggregate cross-joined back —
+    // at scale this is a broadcast of one row, not a shuffle.
+    "a9_daily_volume_zscore" -> QueryDef(
+      build = (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+          .agg(count(lit(1)).as("n_orders"))
+        // Exact integer sums → deterministic mu/sigma in double (see Exact).
+        val stats = daily.agg(
+          count(lit(1)).cast("double").as("n_days"),
+          sum("n_orders").cast("double").as("s"),
+          sum(col("n_orders") * col("n_orders")).cast("double").as("ss"))
+        daily.crossJoin(broadcast(stats))
+          .withColumn("mu", col("s") / col("n_days"))
+          .withColumn("sigma",
+            sqrt(greatest((col("ss") - col("s") * col("s") / col("n_days")) / (col("n_days") - 1), lit(0.0))))
+          .select(
+            col("order_day"), col("n_orders"),
+            round((col("n_orders") - col("mu")) / col("sigma"), 4).as("zscore"))
+          .filter(abs((col("n_orders") - col("mu")) / col("sigma")) > 2.0)
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, count(*) AS n_orders
+          FROM orders GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_days,
+                         CAST(sum(n_orders) AS DOUBLE) AS s,
+                         CAST(sum(n_orders * n_orders) AS DOUBLE) AS ss
+                  FROM daily),
+        scored AS (
+          SELECT order_day, n_orders,
+                 s / n_days AS mu,
+                 sqrt(greatest((ss - s * s / n_days) / (n_days - 1), 0.0)) AS sigma
+          FROM daily CROSS JOIN stats)
+        SELECT order_day, n_orders,
+               round((n_orders - mu) / sigma, 4) AS zscore
+        FROM scored
+        WHERE abs((n_orders - mu) / sigma) > 2.0""")),
+
+    // A10: freshness aggregate — max timestamp per stream key vs the
+    // injected clock.
+    "a10_event_freshness" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d).groupBy("event_type")
+          .agg(
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("latest_ts"),
+            count(lit(1)).as("event_cnt"),
+            round((unix_micros(to_timestamp(lit(Tables.EventsAsOf))).cast("double") -
+              unix_micros(max(col("ts"))).cast("double")) / 3.6e9, 4).as("age_hours")),
+      oracle = Some(s"""
+        SELECT event_type,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+               count(*) AS event_cnt,
+               round((epoch_us(TIMESTAMP '${Tables.EventsAsOf}') - epoch_us(max(ts))) / 3600000000.0, 4) AS age_hours
+        FROM events GROUP BY event_type""")),
+
+    // A11: quality-metrics collection — one-pass pass/fail counts per rule
+    // (our fused version of the reference's per-rule filter().count()).
+    "a11_quality_metrics" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        o.agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("custkey_not_null"),
+          sum(when(col("o_totalprice") > 0.0, 1L).otherwise(0L)).as("price_positive"),
+          sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("status_valid"),
+          sum(when(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")), 1L)
+            .otherwise(0L)).as("date_in_range"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS total_rows,
+               sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS custkey_not_null,
+               sum(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS price_positive,
+               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS status_valid,
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END) AS date_in_range
+        FROM orders""")),
+
+    // A12: approximate distinct (HLL) — the 100 TB substitute for exact
+    // countDistinct on heavy keys. HLL estimates differ across engines, so
+    // no SQL oracle (driver records rows-only check).
+    "a12_approx_distinct" -> QueryDef(
+      build = (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey")).as("approx_suppliers")),
+      oracle = None)
+  )
+}

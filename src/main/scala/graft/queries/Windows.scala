@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY.md §2.5 window operators (W1–W8). Reference shapes: latest-wins
+  * dedup (transform_customers.py:49-59), sessionization lag+cumsum
+  * (transform_clickstream.py:63-88), cumulative revenue
+  * (revenue_analytics.py:59-66), RFM ntile (customer_segmentation.py:42-60),
+  * moving averages (sql_queries_and_dashboards.py:117-136), percent-of-total
+  * (:82-93).
+  *
+  * Scale notes: every window here is partitioned by a high-cardinality key
+  * (user_id / custkey / returnflag+month) — one hash-partition shuffle, no
+  * global sort — EXCEPT w5/w6/w7 which the reference defines over a global
+  * ordering. Those are inherently single-partition in any engine; our RFM
+  * scoring ships an additional percent_rank formulation (gold/Rfm.scala)
+  * for the 100 TB path, and w6/w7 operate on already-aggregated inputs
+  * (days / segments — tiny by construction).
+  */
+object Windows extends QueryGroup {
+
+  def defs: Map[String, QueryDef] = Map(
+    // W1: row_number latest-wins dedup with a total deterministic order
+    // (ts DESC, event_id DESC tiebreak — the reference's bare ts ordering
+    // is non-deterministic; SURVEY §7.4.3).
+    "w1_dedup_latest_event" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            round(col("value"), 4).as("value"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               round(value, 4) AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1""")),
+
+    // W2: lag — previous event timestamp per user, gap in microseconds.
+    "w2_lag_event_gap" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .select(
+            col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events""")),
+
+    // W3: gaps-and-islands sessionization — running sum of new-session
+    // flags (gap > 30 min) per user; the reference's clickstream algorithm.
+    "w3_sessionize" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val withGap = Tables.events(s, d)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        withGap.groupBy(col("user_id"), col("session_idx"))
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_event_types"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT *,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000000
+                        OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sessions AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_event_types,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM sessions GROUP BY user_id, session_idx"""),
+      bench = true),
+
+    // W4: cumulative (running) revenue per returnflag over ship months.
+    "w4_running_revenue" -> QueryDef(
+      build = (s, d) => {
+        // Both the monthly sum and the running sum stay DECIMAL (exact) and
+        // only convert to double at the end — window-sum order differs
+        // between engines, so double accumulation would be unstable.
+        val monthly = Tables.lineitem(s, d)
+          .groupBy(
+            col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(sum(expr(
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .as("rev"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("ship_month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        monthly.select(
+          col("l_returnflag"), col("ship_month"),
+          round(col("rev").cast("double"), 4).as("month_revenue"),
+          round(sum(col("rev")).over(w).cast("double"), 4).as("cumulative_revenue"))
+      },
+      oracle = Some("""
+        WITH monthly AS (
+          SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, ship_month,
+               round(CAST(rev AS DOUBLE), 4) AS month_revenue,
+               round(CAST(sum(rev) OVER (PARTITION BY l_returnflag ORDER BY ship_month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cumulative_revenue
+        FROM monthly""")),
+
+    // W5: ntile quintile scoring (RFM) — global window with deterministic
+    // unique-key tiebreaks. (percent_rank variant for scale lives in
+    // graft.gold.Rfm.)
+    "w5_rfm_ntile" -> QueryDef(
+      build = (s, d) => {
+        val rfm = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(
+            datediff(
+              to_date(to_timestamp(lit(Tables.OrdersAsOf))),
+              to_date(max(col("o_orderdate")))).cast("long").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            round(Exact.moneySum("o_totalprice"), 4).as("monetary"))
+        rfm.select(
+          col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          (lit(6L) - ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))).cast("long")).as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey"))).cast("long").as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey"))).cast("long").as("m_score"))
+      },
+      oracle = Some(s"""
+        WITH rfm AS (
+          SELECT o_custkey,
+                 datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS recency_days,
+                 count(*) AS frequency,
+                 round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS monetary
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, recency_days, frequency, monetary,
+               6 - ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM rfm""")),
+
+    // W6: moving average over a row frame (7-day window over daily revenue).
+    "w6_moving_avg_revenue" -> QueryDef(
+      build = (s, d) => {
+        // Moving average as exact-decimal frame sum / frame count — engines
+        // disagree on double accumulation order inside window frames, and
+        // DuckDB's avg(DECIMAL) returns double while Spark's stays decimal.
+        val daily = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+          .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("rev"))
+        val w = Window.orderBy(col("order_day")).rowsBetween(-6, 0)
+        daily.select(
+          col("order_day"),
+          round(col("rev").cast("double"), 4).as("day_revenue"),
+          round(sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w), 4)
+            .as("revenue_7d_ma"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1)
+        SELECT order_day, round(CAST(rev AS DOUBLE), 4) AS day_revenue,
+               round(CAST(sum(rev) OVER w AS DOUBLE)
+                     / count(*) OVER w, 4) AS revenue_7d_ma
+        FROM daily
+        WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")),
+
+    // W7: percent-of-total via an empty-frame window.
+    "w7_segment_pct_of_total" -> QueryDef(
+      build = (s, d) => {
+        val seg = Tables.customer(s, d).groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        seg.select(
+          col("c_mktsegment"), col("cnt"),
+          round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 4).as("pct_of_total"))
+      },
+      oracle = Some("""
+        WITH seg AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1)
+        SELECT c_mktsegment, cnt,
+               round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct_of_total
+        FROM seg""")),
+
+    // W8: rank / dense_rank top-N per group — top-3 parts per supplier by
+    // shipped quantity (deterministic tiebreak on partkey).
+    "w8_rank_top_parts" -> QueryDef(
+      build = (s, d) => {
+        val qty = Tables.lineitem(s, d).groupBy("l_suppkey", "l_partkey")
+          .agg(round(Exact.moneySum("l_quantity"), 4).as("total_qty"))
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("total_qty").desc, col("l_partkey"))
+        qty.withColumn("part_rank", rank().over(w).cast("long"))
+          .withColumn("part_dense_rank", dense_rank().over(w).cast("long"))
+          .filter(col("part_rank") <= 3)
+      },
+      oracle = Some(s"""
+        WITH qty AS (
+          SELECT l_suppkey, l_partkey, round(${Exact.sqlMoneySum("l_quantity")}, 4) AS total_qty
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_suppkey, l_partkey, total_qty,
+               rank() OVER (PARTITION BY l_suppkey ORDER BY total_qty DESC, l_partkey) AS part_rank,
+               dense_rank() OVER (PARTITION BY l_suppkey ORDER BY total_qty DESC, l_partkey) AS part_dense_rank
+        FROM qty QUALIFY part_rank <= 3"""),
+      bench = true)
+  )
+}
