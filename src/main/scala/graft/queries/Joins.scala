@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY.md §2.3 join operators (J1–J11), re-expressed over the testdata
+  * star schema. Reference shapes: customer-360 multi-way left join
+  * (customer_360_view.py:201-205), fact→dim enrich (revenue_analytics.py:
+  * 32-37), broadcast hint (performance_optimization.py:379-391), SCD2
+  * change-detect (transform_customers.py:246-262), MERGE upsert/delete
+  * (transform_customers.py:171-202, transform_support_tickets.py:133-144),
+  * cross-join scalar combine (sql_queries_and_dashboards.py:66-73), as-of /
+  * point-in-time join (feature_store.py:187-201).
+  *
+  * Scale notes: dimension sides are broadcast (explicitly or via AQE);
+  * the customer-360 join pre-aggregates each fact side to one row per key
+  * BEFORE joining, so the join input is |customers|, not |facts|. The as-of
+  * join avoids a range-join blowup by a single partitioned sort + running
+  * `last(ignoreNulls)` — one shuffle on user_id, linear in events. MERGE
+  * is latest-wins row_number over (key, version) — same single shuffle as
+  * the dedup it generalizes.
+  */
+object Joins extends QueryGroup {
+
+  private val Cutoff = "1998-01-01 00:00:00"
+
+  def defs: Map[String, QueryDef] = Map(
+    // J1: the customer-360 core — dim left-joined with pre-aggregated fact
+    // sides (orders, events), nulls coalesced to zero.
+    "j1_customer_360" -> QueryDef(
+      build = (s, d) => {
+        val c = Tables.customer(s, d)
+        val orderAgg = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("order_cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("total_spend"),
+            date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_order_day"))
+        val eventAgg = Tables.events(s, d).groupBy("user_id")
+          .agg(
+            count(lit(1)).as("event_cnt"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase_events"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_event_ts"))
+        c.join(orderAgg, c("c_custkey") === orderAgg("o_custkey"), "left")
+          .join(eventAgg, c("c_custkey") === eventAgg("user_id"), "left")
+          .select(
+            col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+            coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+            col("last_order_day"),
+            coalesce(col("event_cnt"), lit(0L)).as("event_cnt"),
+            coalesce(col("purchase_events"), lit(0L)).as("purchase_events"),
+            col("last_event_ts"))
+      },
+      oracle = Some(s"""
+        WITH order_agg AS (
+          SELECT o_custkey, count(*) AS order_cnt,
+                 round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS total_spend,
+                 strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_day
+          FROM orders GROUP BY o_custkey),
+        event_agg AS (
+          SELECT user_id, count(*) AS event_cnt,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+                 strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event_ts
+          FROM events GROUP BY user_id)
+        SELECT c_custkey, c_name, c_mktsegment,
+               coalesce(order_cnt, 0) AS order_cnt,
+               coalesce(total_spend, 0.0) AS total_spend,
+               last_order_day,
+               coalesce(event_cnt, 0) AS event_cnt,
+               coalesce(purchase_events, 0) AS purchase_events,
+               last_event_ts
+        FROM customer
+        LEFT JOIN order_agg ON c_custkey = o_custkey
+        LEFT JOIN event_agg ON c_custkey = user_id"""),
+      bench = true),
+
+    // J2: fact→dim enrichment (row-level left join, no aggregation) with
+    // derived money columns — exact decimal products.
+    "j2_fact_dim_enrich" -> QueryDef(
+      build = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+          .join(c, o("o_custkey") === c("c_custkey"), "left")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("o_orderpriority"), col("c_mktsegment"),
+            round(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE)"), 4).as("discount_amount"),
+            round(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"), 4).as("net_amount"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, o_orderpriority, c_mktsegment,
+               round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE), 4) AS discount_amount,
+               round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS net_amount
+        FROM lineitem
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN customer ON o_custkey = c_custkey""")),
+
+    // J3: inner equi-join + aggregation (top-at-risk shape).
+    "j3_inner_join_segments" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("order_cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("segment_revenue"))
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment, count(*) AS order_cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS segment_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment""")),
+
+    // J4: explicit broadcast join of a small dimension.
+    "j4_broadcast_brand_revenue" -> QueryDef(
+      build = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("line_cnt"),
+            round(Exact.netRevenueSum("l_extendedprice", "l_discount"), 4).as("brand_revenue"))
+      },
+      oracle = Some(s"""
+        SELECT p_brand, count(*) AS line_cnt,
+               round(${Exact.sqlNetRevenueSum("l_extendedprice", "l_discount")}, 4) AS brand_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")),
+
+    // J5: SCD2-style change detection — current snapshot vs new snapshot,
+    // keep keys that are new or whose tracked value changed.
+    "j5_change_detection" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val target = o.filter(col("o_orderdate") < lit(Cutoff).cast("timestamp"))
+          .groupBy(col("o_custkey").as("t_custkey"))
+          .agg(count(lit(1)).as("t_orders"))
+        val source = o.groupBy(col("o_custkey").as("s_custkey"))
+          .agg(count(lit(1)).as("s_orders"))
+        source.join(target, col("s_custkey") === col("t_custkey"), "left")
+          .filter(col("t_orders").isNull || col("s_orders") =!= col("t_orders"))
+          .select(
+            col("s_custkey").as("custkey"), col("s_orders"),
+            col("t_orders"),
+            when(col("t_orders").isNull, "new").otherwise("changed").as("change_type"))
+      },
+      oracle = Some(s"""
+        WITH target AS (
+          SELECT o_custkey AS t_custkey, count(*) AS t_orders
+          FROM orders WHERE o_orderdate < TIMESTAMP '$Cutoff' GROUP BY 1),
+        source AS (
+          SELECT o_custkey AS s_custkey, count(*) AS s_orders
+          FROM orders GROUP BY 1)
+        SELECT s_custkey AS custkey, s_orders, t_orders,
+               CASE WHEN t_orders IS NULL THEN 'new' ELSE 'changed' END AS change_type
+        FROM source LEFT JOIN target ON s_custkey = t_custkey
+        WHERE t_orders IS NULL OR s_orders <> t_orders""")),
+
+    // J6: MERGE upsert semantics as a batch operator — updates override the
+    // base snapshot, latest (orderdate, orderkey) wins per customer.
+    "j6_merge_upsert" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val base = o.filter(col("o_orderdate") < lit(Cutoff).cast("timestamp"))
+          .withColumn("src_rank", lit(0))
+        val updates = o.filter(col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+          .withColumn("src_rank", lit(1))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("src_rank").desc, col("o_orderdate").desc, col("o_orderkey").desc)
+        base.unionByName(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 4).as("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      },
+      oracle = Some(s"""
+        WITH staged AS (
+          SELECT *, CASE WHEN o_orderdate >= TIMESTAMP '$Cutoff' THEN 1 ELSE 0 END AS src_rank
+          FROM orders),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY src_rank DESC, o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM staged)
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               round(o_totalprice, 4) AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM ranked WHERE rn = 1""")),
+
+    // J7: MERGE soft-delete — keys present in the delete set get status
+    // 'deleted' instead of being removed.
+    "j7_merge_soft_delete" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val deletes = o.filter(
+          col("o_orderstatus") === "F" && col("o_orderdate") >= lit(Cutoff).cast("timestamp"))
+          .select(col("o_custkey").as("del_custkey")).distinct()
+        val current = o.groupBy("o_custkey")
+          .agg(count(lit(1)).as("order_cnt"))
+        current.join(deletes, col("o_custkey") === col("del_custkey"), "left")
+          .select(
+            col("o_custkey"), col("order_cnt"),
+            when(col("del_custkey").isNotNull, "deleted").otherwise("active").as("status"))
+      },
+      oracle = Some(s"""
+        WITH deletes AS (
+          SELECT DISTINCT o_custkey AS del_custkey FROM orders
+          WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '$Cutoff'),
+        current AS (
+          SELECT o_custkey, count(*) AS order_cnt FROM orders GROUP BY 1)
+        SELECT o_custkey, order_cnt,
+               CASE WHEN del_custkey IS NOT NULL THEN 'deleted' ELSE 'active' END AS status
+        FROM current LEFT JOIN deletes ON o_custkey = del_custkey""")),
+
+    // J8: cross join of one-row aggregates — period-over-period revenue.
+    "j8_period_over_period" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val asOf = to_timestamp(lit(Tables.OrdersAsOf))
+        val cur = o.filter(col("o_orderdate") >= asOf - expr("INTERVAL 365 DAYS"))
+          .agg(Exact.moneySum("o_totalprice").as("cur_rev"))
+        val prev = o.filter(
+          col("o_orderdate") >= asOf - expr("INTERVAL 730 DAYS") &&
+            col("o_orderdate") < asOf - expr("INTERVAL 365 DAYS"))
+          .agg(Exact.moneySum("o_totalprice").as("prev_rev"))
+        cur.crossJoin(prev).select(
+          round(col("cur_rev"), 4).as("cur_rev"),
+          round(col("prev_rev"), 4).as("prev_rev"),
+          round((col("cur_rev") - col("prev_rev")) * 100.0 / col("prev_rev"), 4).as("pct_change"))
+      },
+      oracle = Some(s"""
+        WITH cur AS (
+          SELECT ${Exact.sqlMoneySum("o_totalprice")} AS cur_rev FROM orders
+          WHERE o_orderdate >= TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 365 DAY),
+        prev AS (
+          SELECT ${Exact.sqlMoneySum("o_totalprice")} AS prev_rev FROM orders
+          WHERE o_orderdate >= TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 730 DAY
+            AND o_orderdate < TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 365 DAY)
+        SELECT round(cur_rev, 4) AS cur_rev, round(prev_rev, 4) AS prev_rev,
+               round((cur_rev - prev_rev) * 100.0 / prev_rev, 4) AS pct_change
+        FROM cur CROSS JOIN prev""")),
+
+    // J9: left-semi join — customers that have at least one purchase event.
+    "j9_semi_join_purchasers" -> QueryDef(
+      build = (s, d) => {
+        val c = Tables.customer(s, d)
+        val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+        c.join(purchases, c("c_custkey") === purchases("user_id"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM events
+                      WHERE user_id = c_custkey AND event_type = 'purchase')""")),
+
+    // J10: as-of (point-in-time) join — for every purchase event, the
+    // latest 'view' event of the same user at or before it. Implemented
+    // Spark-first as a single partitioned sort + running last(ignoreNulls)
+    // — no range-join blowup, one shuffle, linear in events.
+    "j10_asof_join" -> QueryDef(
+      build = (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+        // Views sort before purchases at equal ts so ASOF `<=` semantics
+        // (a same-instant view is visible to the purchase) hold exactly.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"),
+            when(col("event_type") === "view", 0).otherwise(1), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("view_us",
+            when(col("event_type") === "view", unix_micros(col("ts"))))
+          .withColumn("asof_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            date_format(timestamp_micros(col("asof_view_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_view_ts"),
+            (unix_micros(col("ts")) - col("asof_view_us")).as("staleness_us"))
+      },
+      oracle = Some("""
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_view_ts,
+               epoch_us(p.ts) - epoch_us(v.ts) AS staleness_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts"""),
+      bench = true),
+
+    // J11: anti join — customers with no orders at all (GDPR orphan check).
+    "j11_anti_join_orphans" -> QueryDef(
+      build = (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+  )
+}
