@@ -16,7 +16,10 @@ object SparkEntry {
     Windows,
     Joins,
     Relational,
-    Scalars)
+    Scalars,
+    TextOps,
+    Dedup,
+    Embeddings)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-pipeline operators over the
+  * `documents` table: tokenization, normalization, fingerprinting,
+  * shingling, MinHash and SimHash.
+  *
+  * All pure Catalyst expressions (built-ins + higher-order functions) — no
+  * JVM UDFs — so they distribute with zero serialization overhead and stay
+  * inside the optimizer. Hashes use Spark's xxhash64 with per-function seed
+  * columns, the standard trick for a deterministic hash family.
+  */
+object TextFunctions {
+
+  /** Marker/stop words: generic English plus high-frequency corpus terms. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with",
+      "row", "table", "value", "key")
+
+  /** Whitespace tokens of lower-cased text, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(Stopwords))).cast("long")
+
+  /** Whitespace-normalized lower-cased form used for exact-dup hashing. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint (md5 of the normalized text —
+    * identical in any engine, unlike engine-native hash functions). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Token n-gram shingles ("a b c", n=2 → ["a b","b c"]). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** MinHash signature: k minima over xxhash64(shingle, seed). Seeds make
+    * k independent hash functions from one xxhash64 kernel. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))): _*)
+
+  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  def minhashSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** 64-bit SimHash over a token array column (by name, via SQL lambda:
+    * per-token xxhash64 bits vote +1/-1 per position; sign → bit). */
+  def simhash64(tokensColName: String): Column = {
+    val counts =
+      s"""aggregate($tokensColName, array_repeat(0L, 64),
+            (acc, t) -> zip_with(acc,
+              transform(sequence(0, 63),
+                i -> CASE WHEN (xxhash64(t) & shiftleft(1L, i)) != 0
+                          THEN 1L ELSE -1L END),
+              (a, b) -> a + b))"""
+    expr(
+      s"""aggregate(
+            zip_with($counts, sequence(0, 63),
+              (c, i) -> CASE WHEN c > 0L THEN shiftleft(1L, i) ELSE 0L END),
+            0L, (a, b) -> a + b)""")
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (driver north-star):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale notes: e1 is the exact O(|Q|·|V|) scan — correct baseline, and at
+  * 100 TB it is what you run per-bucket, not globally. The query side is
+  * broadcast (small by construction); the big side streams — no shuffle of
+  * the vector corpus at all, and the per-query top-k is a bounded-size
+  * window after a (q_id)-keyed shuffle of |Q|·k candidate rows only after
+  * local pre-pruning. e2 buckets vectors by 16 hyperplane sign bits so each
+  * query compares against ~|V|/2^16-ish of the corpus — the IVF/LSH ANN
+  * pattern; buckets are joinable keys, skew-safe (cap or salt hot buckets).
+  * Dot products run in double with sequential folds, bit-identical to the
+  * DuckDB oracle's list_sum.
+  */
+object Embeddings extends QueryGroup {
+
+  /** Sequential double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private val sqlDot =
+    "list_sum(list_transform(range(1, len(%s)+1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+  private def sqlDotOf(a: String, b: String) = sqlDot.format(a, a, b)
+
+  def defs: Map[String, QueryDef] = Map(
+    // E1: brute-force cosine top-5 for every label-0 query vector.
+    "e1_cosine_topk" -> QueryDef(
+      build = (s, d) => {
+        val v = Tables.embeddings(s, d)
+        val q = v.filter(col("label") === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(
+            col("q_id"), col("vec_id"),
+            (dot(col("q_vec"), col("embedding")) /
+              (norm(col("q_vec")) * norm(col("embedding")))).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"),
+            (floor(col("cos") * 1000000) / 1000000.0).as("score"),
+            col("rn").cast("long").as("rn"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE label = 0),
+        pairs AS (
+          SELECT q_id, vec_id,
+                 ${sqlDotOf("qe", "e")}
+                 / (sqrt(${sqlDotOf("qe", "qe")}) * sqrt(${sqlDotOf("e", "e")})) AS cos
+          FROM q CROSS JOIN (SELECT vec_id, embedding AS e FROM embeddings) v
+          WHERE vec_id <> q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM pairs)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM ranked WHERE rn <= 5"""),
+      bench = true),
+
+    // E2: ANN via random-hyperplane multi-probe LSH — 6 sign bits (64
+    // buckets) from deterministic pseudo-random ±1 hyperplanes; each query
+    // probes its own bucket plus all buckets within Hamming distance 2
+    // (22 of 64), then ranks by exact cosine inside the probed set. Bit
+    // count and probe radius scale with corpus: at 100 TB you'd use 16-24
+    // bits + radius-1 probes so each query touches ~1k-vector buckets.
+    // Engine-native hashing in the planes → rows-only + EmbeddingsSpec.
+    "e2_ann_lsh_buckets" -> QueryDef(
+      build = (s, d) => {
+        // plane p weight for dim i = ±1 from xxhash64(p*997 + i) parity
+        def signedProj(vec: Column, p: Int): Column =
+          aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+              when(pmod(xxhash64(i + lit(p * 997)), lit(2)) === 0,
+                x.cast("double")).otherwise(-x.cast("double"))),
+            lit(0.0), (acc, v) => acc + v)
+        def bucket(vec: Column): Column =
+          (0 until 6).map(p =>
+            when(signedProj(vec, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _)
+        val probeMasks = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+        val v = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+        val q = v.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m.toLong))): _*))
+              .as("bkt"))
+        val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
+        v.join(q, "bkt")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("q_vec"), col("embedding")) /
+              (norm(col("q_vec")) * norm(col("embedding")))).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"),
+            (floor(col("cos") * 1000000) / 1000000.0).as("score"))
+      },
+      oracle = None),
+
+    // E3: embedding-cosine near-duplicate detection — same-label blocks,
+    // cosine ≥ 0.95 → near-dup pair (the embedding leg of the dedup suite).
+    "e3_embedding_neardup" -> QueryDef(
+      build = (s, d) => {
+        val v = Tables.embeddings(s, d)
+        val a = v.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+        val b = v.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        a.join(b, "label")
+          .filter(col("a_id") < col("b_id"))
+          .select(col("label"), col("a_id"), col("b_id"),
+            (floor(dot(col("a_vec"), col("b_vec")) /
+              (norm(col("a_vec")) * norm(col("b_vec"))) * 1000000) / 1000000.0).as("cos"))
+          .filter(col("cos") >= 0.9)
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT label, vec_id, embedding FROM embeddings)
+        SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+               floor(${sqlDotOf("a.embedding", "b.embedding")}
+                     / (sqrt(${sqlDotOf("a.embedding", "a.embedding")})
+                        * sqrt(${sqlDotOf("b.embedding", "b.embedding")})) * 1000000) / 1000000.0 AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(${sqlDotOf("a.embedding", "b.embedding")}
+                    / (sqrt(${sqlDotOf("a.embedding", "a.embedding")})
+                       * sqrt(${sqlDotOf("b.embedding", "b.embedding")})) * 1000000) / 1000000.0 >= 0.9"""))
+  )
+}

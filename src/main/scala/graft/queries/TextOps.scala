@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** LLM-training-pipeline text analysis over the `documents` table
+  * (driver north-star; no reference counterpart — designed Spark-first):
+  * per-document stats, quality scoring, language ID heuristic,
+  * fingerprinting, and corpus token frequency.
+  *
+  * Scale notes: t1–t4 are row-local projections (zero shuffles — at 100 TB
+  * these run at scan speed and partition-prune on any date/source layout).
+  * t5 is the classic explode+count: one shuffle keyed by token; its top-k
+  * is TakeOrderedAndProject, never a global sort. Ratios are floor-scaled
+  * (never round()) for engine-independence.
+  */
+object TextOps extends QueryGroup {
+
+  private val sqlTokens =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+  private val sqlStop =
+    "('the','a','of','to','and','in','is','for','on','with','row','table','value','key')"
+
+  def defs: Map[String, QueryDef] = Map(
+    // T1: per-document stats — token count, char count, punctuation count,
+    // stopword count/ratio, average token length.
+    "t1_text_stats" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.documents(s, d)
+        doc.select(
+          col("doc_id"),
+          nTokens(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          punctCount(col("text")).as("punct_cnt"),
+          stopwordCount(col("text")).as("stopword_cnt"),
+          (floor(stopwordCount(col("text")).cast("double") /
+            nTokens(col("text")).cast("double") * 10000) / 10000.0).as("stopword_ratio"),
+          (floor(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            nTokens(col("text")).cast("double") * 10000) / 10000.0).as("avg_token_len"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               len($sqlTokens) AS n_tokens,
+               length(text) AS n_chars_calc,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+               len(list_filter($sqlTokens, x -> x IN $sqlStop)) AS stopword_cnt,
+               floor(CAST(len(list_filter($sqlTokens, x -> x IN $sqlStop)) AS DOUBLE)
+                     / len($sqlTokens) * 10000) / 10000.0 AS stopword_ratio,
+               floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / len($sqlTokens) * 10000) / 10000.0 AS avg_token_len
+        FROM documents""")),
+
+    // T2: quality score — integer-unit weighted combination of the t1
+    // signals, with a keep/flag verdict (the training-data filter shape).
+    "t2_quality_score" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.documents(s, d)
+        val nt = nTokens(col("text"))
+        // score: +2 per token up to 50, −5 per punct char, +1 per distinct
+        // token up to 40 — all integer, then a length-band bonus.
+        val score =
+          least(nt * 2L, lit(100L)) +
+            greatest(lit(0L) - punctCount(col("text")) * 5L, lit(-50L)) +
+            least(size(tokenSet(col("text"))).cast("long"), lit(40L)) +
+            when(col("n_chars").between(200, 400), 20L).otherwise(0L)
+        doc.select(
+          col("doc_id"), score.as("quality_score"),
+          when(score >= 120, "keep").when(score >= 60, "review")
+            .otherwise("drop").as("verdict"))
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id,
+                 least(len($sqlTokens) * 2, 100)
+                 + greatest(0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 5, -50)
+                 + least(len(list_distinct($sqlTokens)), 40)
+                 + CASE WHEN n_chars BETWEEN 200 AND 400 THEN 20 ELSE 0 END AS quality_score
+          FROM documents)
+        SELECT doc_id, quality_score,
+               CASE WHEN quality_score >= 120 THEN 'keep'
+                    WHEN quality_score >= 60 THEN 'review'
+                    ELSE 'drop' END AS verdict
+        FROM scored""")),
+
+    // T3: language-ID heuristic — marker-word hit counts per language,
+    // argmax with a fixed precedence on ties.
+    "t3_lang_id" -> QueryDef(
+      build = (s, d) => {
+        def hits(markers: Seq[String]) =
+          size(filter(tokens(col("text")), t => t.isInCollection(markers))).cast("long")
+        val en = hits(Seq("the", "a", "of", "and", "is", "to"))
+        val de = hits(Seq("der", "die", "und", "das", "ist", "ein"))
+        val fr = hits(Seq("le", "la", "et", "les", "des", "est"))
+        Tables.documents(s, d).select(
+          col("doc_id"), en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+          when(en >= de && en >= fr, "en")
+            .when(de >= fr, "de").otherwise("fr").as("lang_pred"),
+          col("lang").as("lang_label"))
+      },
+      oracle = Some(s"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+                 len(list_filter($sqlTokens, x -> x IN ('the','a','of','and','is','to'))) AS en_hits,
+                 len(list_filter($sqlTokens, x -> x IN ('der','die','und','das','ist','ein'))) AS de_hits,
+                 len(list_filter($sqlTokens, x -> x IN ('le','la','et','les','des','est'))) AS fr_hits
+          FROM documents)
+        SELECT doc_id, en_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred,
+               lang AS lang_label
+        FROM hits""")),
+
+    // T4: document fingerprint (md5 of normalized text) + duplicate-group
+    // size per fingerprint.
+    "t4_fingerprint" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val groups = doc.groupBy("fp").agg(count(lit(1)).as("dup_cnt"))
+        doc.join(groups, "fp").select("doc_id", "fp", "dup_cnt")
+      },
+      oracle = Some("""
+        WITH fps AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_cnt
+        FROM fps""")),
+
+    // T5: corpus token frequency — explode + count + top-k (wordcount).
+    "t5_token_topk" -> QueryDef(
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), asc("token"))
+          .limit(20),
+      oracle = Some(s"""
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest($sqlTokens) AS token FROM documents)
+        GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"""),
+      bench = true)
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Semantics tests for the engine-native-hash dedup operators (d2/d3/d5),
+  * which have no DuckDB oracle: planted duplicates must be found, unrelated
+  * documents must not collide.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val nearDup = base.replace("kappa", "kappa2") // 1-token change
+  private val unrelated = "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("minhash signatures: identical texts agree, unrelated disagree") {
+    val sigs = docs
+      .select(col("doc_id"), minhashSignature(shingles(col("text"), 2), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L), "identical docs must have identical signatures")
+    val estNear = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b } / 16.0
+    val estFar = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b } / 16.0
+    assert(estNear > estFar, s"near-dup est $estNear must exceed unrelated est $estFar")
+    assert(estFar < 0.3, s"unrelated docs should share few minhashes, got $estFar")
+  }
+
+  test("minhashSimilarity matches manual signature agreement") {
+    val row = docs.filter(col("doc_id").isin(0L, 2L))
+      .agg(collect_list(struct(col("doc_id"), minhashSignature(shingles(col("text"), 2), 16).as("sig"))))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val bySig = row.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val manual = bySig(0L).zip(bySig(2L)).count { case (a, b) => a == b } / 16.0
+    val viaFn = docs.filter(col("doc_id") === 0L)
+      .crossJoin(docs.filter(col("doc_id") === 2L).select(col("text").as("text_b")))
+      .select(minhashSimilarity(
+        minhashSignature(shingles(col("text"), 2), 16),
+        minhashSignature(shingles(col("text_b"), 2), 16)).as("est"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaFn - manual) < 1e-9)
+  }
+
+  test("simhash: identical → hamming 0; near-dup closer than unrelated") {
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), simhash64("toks").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)),
+      s"near-dup hamming ${ham(sh(0L), sh(2L))} !< unrelated ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("d3 LSH candidates find the planted near-dup pair on testdata shapes") {
+    val df = docs.withColumn("source", lit("s"))
+    df.createOrReplaceTempView("planted")
+    // run the d3 pipeline inline on the planted frame
+    val sigs = df.select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), 16).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        xxhash64(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*)).as(Seq("bi", "bh")))
+    val a = banded.select(col("bi"), col("bh"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("bi"), col("bh"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val pairs = a.join(b, Seq("bi", "bh")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be an LSH candidate")
+    assert(!pairs.contains((0L, 3L)), "unrelated pair should not collide in any band")
+  }
+
+  test("d1 exact dedup keeps lowest doc_id per normalized text") {
+    val messy = Seq((10L, "Hello  World"), (11L, "hello world"), (12L, "bye"))
+      .toDF("doc_id", "text")
+    val survivors = messy
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(10L, 12L))
+  }
+}

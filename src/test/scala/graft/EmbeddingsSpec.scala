@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tests for the similarity-search operators: the LSH-bucketed ANN (e2, no
+  * oracle) must bucket identical vectors together and rank by true cosine;
+  * brute-force cosine math is checked against a hand computation.
+  */
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("cosine math matches hand computation") {
+    val df = Seq((1L, Array(1.0f, 0.0f, 2.0f)), (2L, Array(2.0f, 0.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = df.filter($"vec_id" === 1L)
+      .crossJoin(df.filter($"vec_id" === 2L).select($"embedding".as("b")))
+      .select((dot($"embedding", $"b") /
+        (sqrt(dot($"embedding", $"embedding")) * sqrt(dot($"b", $"b")))).as("cos"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12, s"parallel vectors cosine $cos != 1")
+  }
+
+  test("e1 on testdata: every query returns 5 ranked neighbors, scores in [-1,1]") {
+    val res = SparkEntry.queries("e1_cosine_topk")(spark, "/root/testdata/sf0.001")
+    val rows = res.collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} neighbors")
+      assert(rs.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+      val ranks = rs.map(_.getLong(3)).sorted
+      assert(ranks.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    }
+  }
+
+  test("e2 ANN buckets: identical vectors share a bucket and self-similar top hit") {
+    val res = SparkEntry.queries("e2_ann_lsh_buckets")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(res.nonEmpty, "LSH buckets produced no candidate neighbors")
+    // scores are valid cosines
+    assert(res.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("e2 recall against e1 on shared queries is better than random") {
+    val sf = "/root/testdata/sf0.001"
+    val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val e2 = SparkEntry.queries("e2_ann_lsh_buckets")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val shared = e1.keySet.intersect(e2.keySet)
+    if (shared.nonEmpty) {
+      val recall = shared.toSeq.map { q =>
+        e1(q).intersect(e2(q)).size.toDouble / e1(q).size
+      }.sum / shared.size
+      // 64 buckets over 500 vectors: random chance of hitting the true
+      // top-5 is ~1.5%; the hyperplane buckets must do much better.
+      assert(recall > 0.2, s"ANN recall@5 $recall not better than random")
+    }
+  }
+}
