@@ -1,0 +1,172 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.streaming.Streams
+
+/** SURVEY.md §2.9 streaming operators (ST1–ST11), executed with
+  * Trigger.AvailableNow so each declared query drains to a comparable
+  * batch result. Reference shapes: watermark + tumbling windows
+  * (stream_clickstream.py:60-100), stateful dedup (stream_transactions
+  * .py:65), sliding windows (stream_clickstream.py:37-43), session
+  * windows (transform_clickstream.py:47-126), foreachBatch MERGE
+  * (transform_transactions.py:98-146).
+  *
+  * Scale notes: state is keyed by (window × type) / event_id / session —
+  * bounded by watermarks on an unbounded run. The MERGE sink rewrites
+  * only the merged state per batch (with Delta it would rewrite only
+  * touched files); dedup state TTLs out at the watermark. Money/value
+  * sums inside windows use floor-scaled integer units — exact under any
+  * merge order.
+  */
+object Streaming extends QueryGroup {
+
+  def defs: Map[String, QueryDef] = Map(
+    // ST1+ST3: watermarked tumbling-window aggregation (1h windows per
+    // event type), complete mode (ST9) for batch-equivalent output.
+    "st1_tumbling_window_agg" -> QueryDef(
+      build = (s, d) => {
+        val stream = Streams.tableStream(s, d, "events")
+          .withWatermark("ts", "15 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 10000).cast("long")).as("value_e4"))
+        Streams.runToMemory(stream, "complete")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"), col("value_e4"))
+      },
+      oracle = Some("""
+        SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               sum(CAST(floor(value * 10000) AS BIGINT)) AS value_e4
+        FROM events GROUP BY 1, 2""")),
+
+    // ST2: stateful streaming dedup within watermark — first-seen row per
+    // event_id survives from a doubled input.
+    "st2_stream_dedup" -> QueryDef(
+      build = (s, d) => {
+        val e = Streams.tableStream(s, d, "events")
+        val doubled = e.unionByName(e) // planted duplicates
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+        Streams.runToMemory(doubled, "append")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      },
+      oracle = Some("""
+        SELECT DISTINCT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events""")),
+
+    // ST4: sliding windows (2h window, 1h slide) — each event lands in two
+    // windows.
+    "st4_sliding_window_agg" -> QueryDef(
+      build = (s, d) => {
+        val stream = Streams.tableStream(s, d, "events")
+          .withWatermark("ts", "15 minutes")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n_events"))
+        Streams.runToMemory(stream, "complete")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n_events"))
+      },
+      oracle = Some("""
+        WITH slid AS (
+          SELECT make_timestamp(((epoch_us(ts) // 3600000000) - k) * 3600000000) AS window_start
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n_events
+        FROM slid GROUP BY 1""")),
+
+    // ST5: true streaming session windows (30-min gap) per user, update
+    // mode via foreachBatch. session_window starts a NEW session at
+    // gap >= 30 min (strict '<' containment), mirrored in the oracle.
+    "st5_session_window" -> QueryDef(
+      build = (s, d) => {
+        val stream = Streams.tableStream(s, d, "events")
+          .withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        Streams.runViaForeachBatch(stream, "append")
+          .select(
+            col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            col("n_events"))
+      },
+      // Append mode emits a session once the watermark (here: max event
+      // time, 0s delay) passes session_end = last_event + gap; the final
+      // still-open session per trailing user stays in state — the oracle
+      // applies the same cutoff.
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged),
+        agg AS (
+          SELECT user_id,
+                 strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                 max(ts) AS last_ts,
+                 count(*) AS n_events
+          FROM sessions GROUP BY user_id, session_idx)
+        SELECT user_id, session_start, n_events
+        FROM agg, (SELECT max(ts) AS watermark_ts FROM events)
+        WHERE epoch_us(last_ts) + 30*60*1000000 < epoch_us(watermark_ts)""")),
+
+    // ST6+ST10+ST11: foreachBatch MERGE sink — post-cutoff orders streamed
+    // and upserted (latest per customer wins) into the pre-cutoff snapshot.
+    "st6_foreach_batch_merge" -> QueryDef(
+      build = (s, d) => {
+        val cutoff = "1998-01-01 00:00:00"
+        val base = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        val scratch = Files.createTempDirectory("graft_merge_").toString
+        // Seed the target with the latest pre-cutoff row per customer.
+        graft.streaming.MergeOps
+          .upsertLatestWins(base.limit(0), base, Seq("o_custkey"), "o_orderdate",
+            tiebreak = Seq("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$scratch/current")
+        val updates = Streams.tableStream(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        Streams.runMergeSink(updates, scratch, Seq("o_custkey"), "o_orderdate",
+          Files.createTempDirectory("graft_ck_").toString, tiebreak = Seq("o_orderkey"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      },
+      // Latest-wins upsert across snapshot + stream ≡ latest order per
+      // customer overall (orderkey tiebreak — pre/post-cutoff dates are
+      // disjoint so source-over-target never decides).
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1""")),
+
+    // ST12-adjacent: stream monitoring — per-type input counts from the
+    // drained stream (progress accounting parity, batch-checkable).
+    "st7_stream_counts" -> QueryDef(
+      build = (s, d) => {
+        val stream = Streams.tableStream(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("input_rows"))
+        Streams.runToMemory(stream, "complete")
+      },
+      oracle = Some(
+        "SELECT event_type, count(*) AS input_rows FROM events GROUP BY event_type"))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming plumbing (reference: src/streaming modules, bronze
+  * ingestion streams): file-source streams over the testdata parquet,
+  * executed with Trigger.AvailableNow and drained into a batch DataFrame.
+  *
+  * Scale notes: the same pipelines run unbounded with processing-time
+  * triggers on a cluster — AvailableNow is the batch-parity harness the
+  * reference itself uses for backfills (ingest_crm_customers.py:136). State
+  * stores are bounded by watermarks; sinks are idempotent (foreachBatch
+  * MERGE keyed on business ids), so replays are no-ops — the exactly-once
+  * contract (checkpoint + idempotent sink) is tested in StreamingSpec.
+  */
+object Streams {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Streaming scan of one testdata parquet table (explicit schema, as the
+    * OSS equivalent of Auto Loader's file discovery + checkpointed offsets).
+    */
+  def tableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    // The file source wants a directory to watch; expose the (read-only)
+    // table file through a scratch dir symlink.
+    val streamDir = Files.createTempDirectory("graft_src_")
+    Files.createSymbolicLink(
+      streamDir.resolve(s"$name.parquet"),
+      java.nio.file.Paths.get(path))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    if (name == "events") raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Run a streaming DF to completion (AvailableNow) into an in-memory
+    * table; returns the drained result as a batch DataFrame. */
+  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Run a streaming DF through foreachBatch, appending every micro-batch
+    * to a scratch parquet dir; returns the accumulated rows. */
+  def runViaForeachBatch(df: DataFrame, outputMode: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_fb_").toString + "/out"
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    df.sparkSession.read.parquet(out)
+  }
+
+  /** The canonical Silver streaming sink (ST6/J9/M1): per-micro-batch MERGE
+    * into a parquet-backed target — latest (version, key) wins, replays
+    * idempotent because merging the same batch twice is a no-op.
+    *
+    * @param checkpoint pass the same dir across restarts for exactly-once.
+    * @return final target contents.
+    */
+  def runMergeSink(
+      updates: DataFrame,
+      targetDir: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      checkpoint: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val target = s"$targetDir/current"
+        val existing =
+          if (new java.io.File(target).exists()) s.read.parquet(target)
+          else batch.limit(0)
+        val merged = MergeOps.upsertLatestWins(existing, batch, keyCols, versionCol, tiebreak)
+        // Stage-then-swap so a failed write never corrupts the target
+        // (the parquet stand-in for a transactional commit).
+        val staged = s"$targetDir/staged"
+        merged.write.mode("overwrite").parquet(staged)
+        s.read.parquet(staged).write.mode("overwrite").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$targetDir/current")
+  }
+}
+
+/** Batch MERGE semantics without a transactional table format: the upsert
+  * itself is a pure DataFrame operator (reference DeltaTable.merge usage,
+  * transform_customers.py:171-202). */
+object MergeOps {
+  /** Union target+source, keep the latest row per key: version desc, then
+    * source-over-target, then `tiebreak` columns desc — a total order, so
+    * the merge result is deterministic (and replay-idempotent). */
+  def upsertLatestWins(
+      target: DataFrame, source: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = target.withColumn("_src_rank", lit(0))
+    val s = source.select(target.columns.map(col).toSeq: _*).withColumn("_src_rank", lit(1))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc +: col("_src_rank").desc +:
+        tiebreak.map(col(_).desc): _*)
+    t.unionByName(s)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src_rank")
+  }
+}

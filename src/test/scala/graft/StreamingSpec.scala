@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{MergeOps, Streams}
+
+/** Exactly-once contract of the streaming MERGE sink: checkpointed offsets
+  * make restarts no-ops, and the merge itself is idempotent (replaying a
+  * batch cannot change the target).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("MergeOps.upsertLatestWins is idempotent and deterministic") {
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "ver")
+    val source = Seq((2L, "b2", 25L), (3L, "c", 5L)).toDF("k", "v", "ver")
+    val once = MergeOps.upsertLatestWins(target, source, Seq("k"), "ver")
+    val twice = MergeOps.upsertLatestWins(once, source, Seq("k"), "ver")
+    val got = twice.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("merge sink replay with same checkpoint is a no-op (exactly-once)") {
+    val scratch = Files.createTempDirectory("graft_eo_").toString
+    val ck = Files.createTempDirectory("graft_eo_ck_").toString
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    MergeOps.upsertLatestWins(base.limit(0), base, Seq("o_custkey"), "o_orderdate",
+      tiebreak = Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$scratch/current")
+
+    // One source dir for both runs: the second start() resumes from the
+    // checkpoint, finds no new files, and must leave the target untouched.
+    val updates = Streams.tableStream(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    def run() = Streams.runMergeSink(
+      updates, scratch, Seq("o_custkey"), "o_orderdate", ck, tiebreak = Seq("o_orderkey"))
+
+    val first = run().collect().toSet
+    val second = run().collect().toSet // same checkpoint → no new input
+    assert(first == second, "replay with the same checkpoint must not change the target")
+    assert(first.nonEmpty)
+  }
+
+  test("streaming dedup equals batch distinct") {
+    val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
+    val batch = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(res.count() == batch)
+  }
+}
