@@ -20,7 +20,8 @@ object SparkEntry {
     TextOps,
     Dedup,
     Embeddings,
-    Streaming)
+    Streaming,
+    Governance)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

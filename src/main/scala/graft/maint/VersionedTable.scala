@@ -1,0 +1,116 @@
+package graft.maint
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet table — the engine's stand-in for the reference's
+  * Delta maintenance surface (SURVEY.md §2.11: DESCRIBE HISTORY M2,
+  * time-travel S6, RESTORE M3, VACUUM M4, OPTIMIZE compaction M5,
+  * Z-ORDER clustering M6, DESCRIBE DETAIL M12) in an environment without
+  * a transactional table format on the classpath.
+  *
+  * Layout: `<root>/v=<N>/part-*.parquet` + `<root>/_manifest` (one JSON
+  * line per committed version, append-only). Writers stage into the new
+  * version dir and commit by appending the manifest line LAST — readers
+  * resolve versions only through the manifest, so a torn write is
+  * invisible (the parquet stand-in for a log-ordered commit). At cluster
+  * scale the manifest append would be a conditional put; everything else
+  * is unchanged.
+  */
+final class VersionedTable(spark: SparkSession, root: String) {
+
+  private def manifestPath: Path = Paths.get(root, "_manifest")
+
+  private def manifestLines: Seq[String] =
+    if (Files.exists(manifestPath))
+      Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala.toSeq
+    else Seq.empty
+
+  private def parse(line: String): (Long, String, Long) = {
+    // {"version":N,"operation":"...","rows":N}
+    val v = """"version":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+    val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    (v, op, rows)
+  }
+
+  def versions: Seq[Long] = manifestLines.map(parse(_)._1)
+
+  def latestVersion: Option[Long] = versions.maxOption
+
+  /** Commit a new version; returns its number. */
+  def write(df: DataFrame, operation: String = "write"): Long = {
+    val next = latestVersion.map(_ + 1).getOrElse(0L)
+    val dir = s"$root/v=$next"
+    df.write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(
+      manifestPath,
+      s"""{"version":$next,"operation":"$operation","rows":$rows}""" + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    next
+  }
+
+  /** Time-travel read (S6): latest version, or `VERSION AS OF v`. */
+  def read(versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(
+      latestVersion.getOrElse(sys.error(s"empty table at $root")))
+    require(versions.contains(v), s"version $v not in ${versions.mkString(",")}")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** DESCRIBE HISTORY (M2). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    manifestLines.map(parse).toDF("version", "operation", "rows")
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF (M3): re-commits an old version
+    * as the new head (history preserved, like Delta RESTORE). */
+  def restore(version: Long): Long = write(read(Some(version)), s"restore_v$version")
+
+  /** OPTIMIZE small-file compaction (M5): rewrite head into ~targetFiles
+    * files. */
+  def compact(targetFiles: Int = 1): Long =
+    write(read().coalesce(targetFiles), "compact")
+
+  /** Z-ORDER substitute (M6): range-partition + sort the head by the
+    * clustering keys so min/max file stats become selective for them. */
+  def cluster(cols: Seq[String], numFiles: Int = 4): Long = {
+    val df = read()
+    val clustered = df
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    write(clustered, s"cluster_${cols.mkString("_")}")
+  }
+
+  /** VACUUM (M4): physically delete version dirs older than the last
+    * `keepLast` commits (manifest keeps the audit trail). */
+  def vacuum(keepLast: Int = 1): Seq[Long] = {
+    val keep = versions.takeRight(keepLast).toSet
+    val removed = versions.filterNot(keep)
+    removed.foreach { v =>
+      val dir = Paths.get(s"$root/v=$v")
+      if (Files.exists(dir)) {
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    removed
+  }
+
+  /** DESCRIBE DETAIL (M12): file/byte statistics of the head version. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion.getOrElse(sys.error("empty table"))
+    val files = Files.list(Paths.get(s"$root/v=$v")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    Seq((root, v, files.size.toLong, files.map(Files.size).sum))
+      .toDF("location", "version", "num_files", "size_bytes")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD Type 2 as reusable DataFrame operators (reference: the two-phase
+  * close-and-insert in transform_customers.py:220-287 — whose phase-2
+  * re-insert join re-reads the just-updated table and is subtly wrong;
+  * SURVEY.md §2.11 M14. This implementation replaces it with (a) a
+  * history rebuild via lead(), and (b) a union-staged single-pass merge.)
+  *
+  * Scale notes: both paths are one hash-partition shuffle on the business
+  * key + a per-key sort — no self-join of the full table, no second pass
+  * over history. Invariants (exactly one current row per key; interval
+  * endpoints chain) are property-tested in Scd2Spec.
+  */
+object Scd2 {
+
+  /** Rebuild the full SCD2 history from a change log: one row per
+    * (key, version) with effective range and currency flag. Consecutive
+    * duplicate values of `tracked` are collapsed (no-op changes ignored).
+    */
+  def fromHistory(
+      changes: DataFrame, key: String, ts: String, tracked: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    changes
+      .withColumn("_prev", lag(col(tracked), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(tracked))
+      .withColumn("effective_start", col(ts))
+      .withColumn("effective_end", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_end").isNull)
+      .drop("_prev", ts)
+  }
+
+  /** Union-staged single-pass SCD2 merge: apply a batch of updates to an
+    * existing SCD2 table. Changed keys get their current row closed and a
+    * new current row appended; unchanged keys pass through untouched.
+    *
+    * @param current  SCD2 table (key, tracked, effective_start,
+    *                 effective_end, is_current)
+    * @param updates  new observations (key, tracked, ts)
+    */
+  def applyUpdates(
+      current: DataFrame, updates: DataFrame,
+      key: String, ts: String, tracked: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc)
+    val latestUpdate = updates
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      .select(col(key), col(tracked).as("_new_val"), col(ts).as("_new_ts"))
+
+    val joined = current.join(latestUpdate, Seq(key), "left")
+    val changedCurrent = col("is_current") && col("_new_val").isNotNull &&
+      col("_new_val") =!= col(tracked)
+
+    // Existing rows: close the current row of changed keys, keep the rest.
+    val kept = joined.select(
+      col(key), col(tracked),
+      col("effective_start"),
+      when(changedCurrent, col("_new_ts")).otherwise(col("effective_end"))
+        .as("effective_end"),
+      when(changedCurrent, lit(false)).otherwise(col("is_current")).as("is_current"))
+
+    // New version rows for changed keys + first-ever rows for new keys.
+    val currentVals = current.filter(col("is_current"))
+      .select(col(key), col(tracked).as("_cur_val"))
+    val inserts = latestUpdate.join(currentVals, Seq(key), "left")
+      .filter(col("_cur_val").isNull || col("_cur_val") =!= col("_new_val"))
+      .select(
+        col(key), col("_new_val").as(tracked),
+        col("_new_ts").as("effective_start"),
+        lit(null).cast(current.schema("effective_end").dataType).as("effective_end"),
+        lit(true).as("is_current"))
+
+    kept.unionByName(inserts)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{CdcApply, Scd2}
+import graft.pipeline.Pipeline
+import graft.quality.Quality
+
+/** SURVEY.md §2.11/§2.12 framework operators exercised as declared
+  * queries: SCD2 history build (M14), CDC apply (ST11), the quality
+  * engine (F3/A11), the declarative pipeline runner (DLT substitute), and
+  * GDPR cascade erasure (M10).
+  *
+  * Scale notes: SCD2/CDC are single key-shuffle window passes (no
+  * self-joins over history); the quality engine computes all rule metrics
+  * in ONE aggregation scan; GDPR erasure is broadcast-able anti joins
+  * keyed on the erased ids.
+  */
+object Governance extends QueryGroup {
+
+  def defs: Map[String, QueryDef] = Map(
+    // M14: SCD2 history rebuilt from a change log (per-customer order
+    // status over time; same-day ties pre-deduped latest-orderkey-wins).
+    "m1_scd2_history" -> QueryDef(
+      build = (s, d) => {
+        val changes = Tables.orders(s, d)
+          .withColumn("_day_rn", row_number().over(
+            Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+              .orderBy(col("o_orderkey").desc)))
+          .filter(col("_day_rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderstatus"))
+        Scd2.fromHistory(changes, "o_custkey", "o_orderdate", "o_orderstatus")
+          .select(
+            col("o_custkey"), col("o_orderstatus"),
+            date_format(col("effective_start"), "yyyy-MM-dd").as("effective_start"),
+            date_format(col("effective_end"), "yyyy-MM-dd").as("effective_end"),
+            col("is_current"))
+      },
+      oracle = Some("""
+        WITH dedup AS (
+          SELECT o_custkey, o_orderdate, o_orderstatus
+          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                  ORDER BY o_orderkey DESC) AS rn FROM orders)
+          WHERE rn = 1),
+        collapsed AS (
+          SELECT * FROM (
+            SELECT o_custkey, o_orderdate, o_orderstatus,
+                   lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+            FROM dedup)
+          WHERE prev IS NULL OR prev <> o_orderstatus)
+        SELECT o_custkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d') AS effective_start,
+               strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                        '%Y-%m-%d') AS effective_end,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL AS is_current
+        FROM collapsed""")),
+
+    // ST11: CDC apply — event ops (signup=insert, click/view/purchase=
+    // update, error=delete) reduced to current per-user state.
+    "m2_cdc_apply" -> QueryDef(
+      build = (s, d) => {
+        val changes = Tables.events(s, d)
+          .withColumn("op",
+            when(col("event_type") === "signup", "insert")
+              .when(col("event_type") === "error", "delete")
+              .otherwise("update"))
+        CdcApply.latestState(changes, "user_id", "op", Seq("ts", "event_id"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1 AND event_type <> 'error'""")),
+
+    // F3/A11: the quality engine's one-pass metrics table.
+    "q1_quality_engine_metrics" -> QueryDef(
+      build = (s, d) => {
+        val rules = Seq(
+          Quality.Rule("price_positive", "o_totalprice > 0", Quality.Warn),
+          Quality.Rule("status_valid", "o_orderstatus IN ('F','O','P')", Quality.Drop),
+          Quality.Rule("custkey_present", "o_custkey IS NOT NULL", Quality.Fail),
+          Quality.Rule("date_in_range",
+            "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'", Quality.Quarantine))
+        Quality.apply(Tables.orders(s, d), rules).metrics
+      },
+      oracle = Some("""
+        SELECT 'price_positive' AS rule_name, 'warn' AS action,
+               sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS failed_rows,
+               count(*) AS total_rows FROM orders
+        UNION ALL
+        SELECT 'status_valid', 'drop',
+               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END), count(*) FROM orders
+        UNION ALL
+        SELECT 'custkey_present', 'fail',
+               sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END), count(*) FROM orders
+        UNION ALL
+        SELECT 'date_in_range', 'quarantine',
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 0 ELSE 1 END), count(*) FROM orders""")),
+
+    // DLT substitute: a mini medallion DAG through the pipeline runner —
+    // bronze (drop rule) → silver derivation → gold rollup.
+    "pl1_pipeline_gold" -> QueryDef(
+      build = (s, d) => {
+        val pipe = new Pipeline(s)
+        pipe.table("bronze_orders",
+          rules = Seq(Quality.Rule("price_positive", "o_totalprice > 0", Quality.Drop))) {
+          _ => Tables.orders(s, d)
+        }
+        pipe.table("silver_orders", deps = Seq("bronze_orders")) { in =>
+          in("bronze_orders")
+            .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+            .filter(col("o_orderstatus").isin("F", "O", "P"))
+        }
+        pipe.table("gold_yearly_revenue", deps = Seq("silver_orders")) { in =>
+          in("silver_orders").groupBy("order_year", "o_orderstatus")
+            .agg(
+              count(lit(1)).as("order_cnt"),
+              round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+        }
+        pipe.run()("gold_yearly_revenue")
+      },
+      oracle = Some(s"""
+        SELECT year(o_orderdate) AS order_year, o_orderstatus,
+               count(*) AS order_cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue
+        FROM orders
+        WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')
+        GROUP BY 1, 2""")),
+
+    // S6/M2/M3: time travel + history over the versioned parquet table —
+    // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
+    "v1_time_travel" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        val o = Tables.orders(s, d)
+        t.write(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+        t.write(o)
+        val v0 = t.read(Some(0)).agg(count(lit(1)).as("c"))
+        val v1 = t.read(Some(1)).agg(count(lit(1)).as("c"))
+        val added = t.read(Some(1)).select("o_orderkey")
+          .except(t.read(Some(0)).select("o_orderkey"))
+          .agg(count(lit(1)).as("c"))
+        v0.select(col("c").as("v0_rows"))
+          .crossJoin(v1.select(col("c").as("v1_rows")))
+          .crossJoin(added.select(col("c").as("added_rows")))
+          .withColumn("n_versions", lit(2L))
+      },
+      oracle = Some("""
+        SELECT (SELECT count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS v0_rows,
+               (SELECT count(*) FROM orders) AS v1_rows,
+               (SELECT count(DISTINCT o_orderkey) FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                         WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')) AS added_rows,
+               2 AS n_versions""")),
+
+    // M10: GDPR cascade erasure — delete requested subjects across the
+    // table graph (customer → orders → lineitem), report remaining counts.
+    "g1_gdpr_erasure" -> QueryDef(
+      build = (s, d) => {
+        val erase = Tables.customer(s, d)
+          .filter(col("c_acctbal") < 0).select(col("c_custkey").as("erase_key"))
+        val customers = Tables.customer(s, d)
+          .join(erase, col("c_custkey") === col("erase_key"), "left_anti")
+        val orders = Tables.orders(s, d)
+          .join(erase, col("o_custkey") === col("erase_key"), "left_anti")
+        val lineitem = Tables.lineitem(s, d)
+          .join(orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        customers.agg(count(lit(1)).as("cnt")).select(lit("customer").as("table_name"), col("cnt"))
+          .unionByName(orders.agg(count(lit(1)).as("cnt")).select(lit("orders").as("table_name"), col("cnt")))
+          .unionByName(lineitem.agg(count(lit(1)).as("cnt")).select(lit("lineitem").as("table_name"), col("cnt")))
+      },
+      oracle = Some("""
+        WITH erase AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0),
+        kept_orders AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT k FROM erase))
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM erase)) AS cnt
+        UNION ALL
+        SELECT 'orders', (SELECT count(*) FROM kept_orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM kept_orders))"""))
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.maint.VersionedTable
+
+/** Maintenance-surface tests: time travel, history, restore, compaction,
+  * clustering, vacuum on the versioned parquet table.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable() =
+    new VersionedTable(spark, Files.createTempDirectory("graft_vt_").toString + "/t")
+
+  test("write/read/time-travel/history") {
+    val t = freshTable()
+    val v0 = t.write(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val v1 = t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    assert(v0 == 0 && v1 == 1)
+    assert(t.read().count() == 3)
+    assert(t.read(Some(0)).count() == 2)
+    val hist = t.history().orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(hist.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+  }
+
+  test("restore brings back an old version as new head") {
+    val t = freshTable()
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.write(Seq((1, "CHANGED")).toDF("id", "v"))
+    t.restore(0)
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(t.latestVersion.contains(2L))
+  }
+
+  test("compact reduces file count; data unchanged") {
+    val t = freshTable()
+    t.write(spark.range(1000).toDF("id").repartition(8))
+    assert(t.detail().collect()(0).getAs[Long]("num_files") == 8)
+    t.compact(1)
+    assert(t.detail().collect()(0).getAs[Long]("num_files") == 1)
+    assert(t.read().count() == 1000)
+  }
+
+  test("cluster sorts within range partitions (selective min/max per file)") {
+    val t = freshTable()
+    t.write(spark.range(1000).select((rand(seed = 7) * 1000).cast("long").as("k")))
+    t.cluster(Seq("k"), numFiles = 4)
+    assert(t.read().count() == 1000)
+    // within every partition file, k must be sorted
+    val perPart = t.read()
+      .withColumn("part", spark_partition_id())
+      .groupBy("part")
+      .agg(collect_list("k").as("ks"))
+      .collect()
+    perPart.foreach { r =>
+      val ks = r.getSeq[Long](1)
+      assert(ks == ks.sorted, "keys not sorted within clustered file")
+    }
+  }
+
+  test("vacuum removes old version dirs but keeps history + head") {
+    val t = freshTable()
+    t.write(Seq(1).toDF("id"))
+    t.write(Seq(1, 2).toDF("id"))
+    t.write(Seq(1, 2, 3).toDF("id"))
+    val removed = t.vacuum(keepLast = 1)
+    assert(removed == Seq(0L, 1L))
+    assert(t.read().count() == 3)
+    assert(t.history().count() == 3)
+    intercept[Exception](t.read(Some(0)).count())
+  }
+}
