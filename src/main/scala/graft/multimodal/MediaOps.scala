@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators (driver north-star): image/audio/video
+  * treated as opaque `binary` columns + typed metadata, with
+  * decode / feature-extract / resize / frame-sample plumbing.
+  *
+  * The Spark side — schema, partitioning, batch shape, metadata
+  * extraction — is real and tested. The codec itself is STUBBED (this
+  * container ships no image/audio libraries): [[StubCodec.decode]] returns
+  * a deterministic fake derived from the payload bytes, clearly marked. On
+  * a real cluster you swap StubCodec for a JNI/ffmpeg/ImageIO call — the
+  * operator shape (mapPartitions over micro-batches of byte arrays, one
+  * codec call per batch, constant memory) is exactly what survives 100 TB:
+  * payloads never pass through a shuffle, only their extracted features do.
+  */
+object MediaOps {
+
+  /** Magic-number format sniffing over the first payload bytes — a pure
+    * column expression (runs at scan, codegen'd). */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(hex(payload), 1, 8) === "89504E47", "png")
+      .when(substring(hex(payload), 1, 8) === "52494646", "riff")
+      .when(substring(hex(payload), 1, 8) === "66747970", "mp4")
+      .otherwise("unknown")
+
+  /** Typed metadata for a media column: byte size + sniffed container. */
+  def withMediaMetadata(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      length(col(payloadCol)).cast("long").as("n_bytes"),
+      sniffFormat(col(payloadCol)).as("format")))
+
+  final case class MediaFeatures(
+      width: Int, height: Int, n_frames: Int, mean_luma: Double)
+
+  /** STUB codec — deterministic fake decode so the pipeline is testable
+    * without native media libraries. Every field is a pure function of the
+    * payload bytes; swap this object for a real decoder in production. */
+  object StubCodec {
+    def decode(payload: Array[Byte]): MediaFeatures = {
+      // ??? real implementation would decode the container here ???
+      val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+      MediaFeatures(
+        width = 16 + math.floorMod(h, 64).toInt * 16,
+        height = 16 + math.floorMod(h >> 8, 64).toInt * 16,
+        n_frames = 1 + math.floorMod(h >> 16, 30).toInt,
+        mean_luma = math.floorMod(h >> 24, 256).toInt / 255.0)
+    }
+
+    /** Stubbed resize: returns the would-be output dims (no pixels). */
+    def resizePlan(f: MediaFeatures, maxDim: Int): (Int, Int) = {
+      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      (math.max(1, (f.width * scale).toInt), math.max(1, (f.height * scale).toInt))
+    }
+
+    /** Stubbed frame sampling: deterministic frame indices. */
+    def sampleFrames(f: MediaFeatures, k: Int): Seq[Int] =
+      if (f.n_frames <= k) 0 until f.n_frames
+      else (0 until k).map(i => i * f.n_frames / k)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("resized_w", IntegerType),
+    StructField("resized_h", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sampled_frames", ArrayType(IntegerType)),
+    StructField("mean_luma", DoubleType)))
+
+  /** Decode + feature-extract + resize-plan + frame-sample, executed as
+    * mapPartitions over fixed-size batches — the vectorized-codec call
+    * shape (batch boundary = where a real codec amortizes setup).
+    *
+    * @param df (id: long, payload: binary) rows
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      maxDim: Int = 256, framesPerClip: Int = 4, batchSize: Int = 64): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(payloadCol), sniffFormat(col(payloadCol)))
+    val rows: Dataset[Row] = input.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "codec call" per batch
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt = r.getString(2)
+          val f = StubCodec.decode(payload)
+          val (rw, rh) = StubCodec.resizePlan(f, maxDim)
+          Row(id, fmt, f.width, f.height, rw, rh, f.n_frames,
+            StubCodec.sampleFrames(f, framesPerClip), f.mean_luma)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(featureSchema))
+    rows
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.MediaOps
+
+/** Multimodal-column queries (driver north-star): the documents table
+  * stands in for a media corpus — payload = container magic bytes + the
+  * text bytes, media kind assigned round-robin. mm1 (metadata: sizes +
+  * format sniffing) is pure column work and oracle-checked; mm2 runs the
+  * stub-codec mapPartitions pipeline (rows-only + MultimodalSpec).
+  */
+object Multimodal extends QueryGroup {
+
+  /** payload = magic header for the row's media kind ++ utf8(text). */
+  private def withPayload(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("media_kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("payload",
+        when(col("media_kind") === "image",
+          concat(expr("X'89504E47'"), col("text").cast("binary")))
+          .when(col("media_kind") === "audio",
+            concat(expr("X'52494646'"), col("text").cast("binary")))
+          .otherwise(concat(expr("X'66747970'"), col("text").cast("binary"))))
+
+  def defs: Map[String, QueryDef] = Map(
+    // MM1: binary columns + typed metadata — sizes and magic-number format
+    // sniffing, all at scan time.
+    "mm1_media_metadata" -> QueryDef(
+      build = (s, d) => {
+        val media = withPayload(Tables.documents(s, d))
+        MediaOps.withMediaMetadata(media, "payload")
+          .select(
+            col("doc_id"), col("media_kind"),
+            col("media_meta.n_bytes").as("n_bytes"),
+            col("media_meta.format").as("format"))
+      },
+      oracle = Some("""
+        WITH media AS (
+          SELECT doc_id,
+                 ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_kind,
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
+                   WHEN 1 THEN 'RIFF'::BLOB || encode(text)
+                   ELSE 'ftyp'::BLOB || encode(text) END AS payload
+          FROM documents)
+        SELECT doc_id, media_kind,
+               octet_length(payload) AS n_bytes,
+               CASE substring(hex(payload), 1, 8)
+                 WHEN '89504E47' THEN 'png'
+                 WHEN '52494646' THEN 'riff'
+                 WHEN '66747970' THEN 'mp4'
+                 ELSE 'unknown' END AS format
+        FROM media""")),
+
+    // MM2: decode → feature-extract → resize-plan → frame-sample through
+    // the batched mapPartitions stub codec (no oracle: stubbed decode).
+    "mm2_media_features" -> QueryDef(
+      build = (s, d) => {
+        val media = withPayload(Tables.documents(s, d))
+        MediaOps.extractFeatures(media, "doc_id", "payload")
+          .select(col("id"), col("format"), col("width"), col("height"),
+            col("resized_w"), col("resized_h"), col("n_frames"),
+            size(col("sampled_frames")).as("n_sampled"),
+            (floor(col("mean_luma") * 10000) / 10000.0).as("mean_luma"))
+      },
+      oracle = None)
+  )
+}
