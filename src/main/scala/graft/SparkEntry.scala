@@ -22,11 +22,12 @@ object SparkEntry {
     Embeddings,
     Streaming,
     Governance,
-    Multimodal)
+    Multimodal,
+    Gold)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Aggregates.defs("a4_multidim_revenue").build(spark, "/root/testdata/sf0.001")
+    Joins.defs("j1_customer_360").build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -204,6 +204,34 @@ object Windows extends QueryGroup {
                round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct_of_total
         FROM seg""")),
 
+    // W9: the 100 TB replacement for w5's global ntile — percent_rank
+    // buckets computed per nation partition (no single-partition global
+    // sort; each partition sorts independently after one hash shuffle).
+    "w9_percent_rank_scores" -> QueryDef(
+      build = (s, d) => {
+        val spend = Tables.orders(s, d).join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("o_custkey"))
+          .agg(round(Exact.moneySum("o_totalprice"), 4).as("monetary"))
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("monetary"), col("o_custkey"))
+        spend.select(
+          col("c_nationkey"), col("o_custkey"), col("monetary"),
+          (floor(percent_rank().over(w) * 10000) / 10000.0).as("pct_rank"),
+          least(floor(percent_rank().over(w) * 5).cast("long") + 1, lit(5L)).as("m_quintile"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT c_nationkey, o_custkey,
+                 round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS monetary
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey, o_custkey)
+        SELECT c_nationkey, o_custkey, monetary,
+               floor(percent_rank() OVER w * 10000) / 10000.0 AS pct_rank,
+               least(CAST(floor(percent_rank() OVER w * 5) AS BIGINT) + 1, 5) AS m_quintile
+        FROM spend
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY monetary, o_custkey)""")),
+
     // W8: rank / dense_rank top-N per group — top-3 parts per supplier by
     // shipped quantity (deterministic tiebreak on partkey).
     "w8_rank_top_parts" -> QueryDef(
