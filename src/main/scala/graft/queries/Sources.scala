@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.sources.Ingest
+
+/** SURVEY.md §2.1 source/sink operators as declared queries. Bronze
+  * ingestion is exercised by round-tripping the parquet testdata through
+  * JSON/CSV files in a scratch dir, then reading them back with the
+  * rescue-column readers — schema enforcement, malformed-row capture, and
+  * metadata columns all on the read path (S1/S2/S9/S11/S12/S13 shapes).
+  *
+  * Scale notes: the readers are plain file sources — schema is explicit
+  * (no inference scan), rescue adds no second pass, and metadata columns
+  * are constant-folded per file. At 100 TB ingestion parallelism = file
+  * count; nothing here serializes through the driver.
+  */
+object Sources extends QueryGroup {
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  def defs: Map[String, QueryDef] = Map(
+    // S1: JSON scan with schema + rescue + metadata; one malformed line is
+    // planted and must land in _rescued_data, not kill the batch.
+    "src1_json_rescue" -> QueryDef(
+      build = (s, d) => {
+        val scratch = Files.createTempDirectory("graft_json_").toString
+        Tables.customer(s, d).write.mode("overwrite").json(scratch)
+        // plant a malformed record
+        Files.writeString(java.nio.file.Paths.get(scratch, "bad.json"),
+          """{"c_custkey": "not-a-number", "c_name": 12}""" + "\n")
+        val df = Ingest.json(s, scratch, customerSchema)
+        df.agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("_rescued_data").isNotNull, 1L).otherwise(0L)).as("rescued_rows"),
+          sum(when(col("_ingest_file").isNotNull, 1L).otherwise(0L)).as("with_file_meta"),
+          countDistinct(col("c_custkey")).as("distinct_keys"))
+      },
+      oracle = Some("""
+        SELECT count(*) + 1 AS total_rows,
+               1 AS rescued_rows,
+               count(*) + 1 AS with_file_meta,
+               count(DISTINCT c_custkey) AS distinct_keys
+        FROM customer""")),
+
+    // S2: CSV scan with header/delimiter/null options + rescue.
+    "src2_csv_ingest" -> QueryDef(
+      build = (s, d) => {
+        val scratch = Files.createTempDirectory("graft_csv_").toString
+        Tables.customer(s, d).write.mode("overwrite")
+          .option("header", "true").option("sep", "|").csv(scratch)
+        Ingest.csv(s, scratch, customerSchema, delimiter = "|")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            round(Exact.moneySum("c_acctbal"), 4).as("balance_sum"))
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment, count(*) AS cnt,
+               round(${Exact.sqlMoneySum("c_acctbal")}, 4) AS balance_sum
+        FROM customer GROUP BY c_mktsegment""")),
+
+    // S12: JSON export sink (DSAR per-segment export) then read-back.
+    "src3_json_export_roundtrip" -> QueryDef(
+      build = (s, d) => {
+        val scratch = Files.createTempDirectory("graft_dsar_").toString
+        Ingest.exportJson(
+          Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+          scratch, "c_mktsegment")
+        s.read.json(scratch)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some(
+        "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment")),
+
+    // S13: generated in-memory source (createDataFrame) joined against a
+    // file table — the test-fixture path.
+    "src4_inmemory_source" -> QueryDef(
+      build = (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("BUILDING", 1L), ("AUTOMOBILE", 2L), ("MACHINERY", 3L),
+          ("HOUSEHOLD", 4L), ("FURNITURE", 5L))
+          .toDF("segment", "tier")
+        Tables.customer(s, d)
+          .join(broadcast(tiers), col("c_mktsegment") === col("segment"), "left")
+          .groupBy("tier").agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some("""
+        WITH tiers(segment, tier) AS (VALUES
+          ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3),
+          ('HOUSEHOLD', 4), ('FURNITURE', 5))
+        SELECT tier, count(*) AS cnt
+        FROM customer LEFT JOIN tiers ON c_mktsegment = segment
+        GROUP BY tier"""))
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.queries.Exact
+import graft.streaming.MergeOps
+
+/** Property-style invariant tests over seeded random inputs (SURVEY.md §5):
+  * sessionization structure, merge idempotence/latest-wins, and exact
+  * decimal-sum equivalence with BigDecimal arithmetic.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val GapUs = 30L * 60 * 1000000
+
+  test("sessionization: gaps within a session < 30min; session count = long gaps + users") {
+    val rnd = new Random(42)
+    val events = (1 to 2000).map { i =>
+      val user = rnd.nextInt(20).toLong
+      val ts = math.abs(rnd.nextLong() % (30L * 24 * 3600 * 1000000))
+      (i.toLong, user, ts)
+    }
+    val df = events.toDF("event_id", "user_id", "ts_us")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val sessions = df
+      .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+      .withColumn("is_new", when($"gap".isNull || $"gap" > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+
+    // invariant 1: within a session, every gap ≤ 30 min
+    val badGaps = sessions.filter($"is_new" === 0 && $"gap" > GapUs).count()
+    assert(badGaps == 0)
+
+    // invariant 2: #sessions == #users + #gaps > 30min
+    val nSessions = sessions.select("user_id", "sid").distinct().count()
+    val nUsers = df.select("user_id").distinct().count()
+    val nLongGaps = sessions.filter($"gap" > GapUs).count()
+    assert(nSessions == nUsers + nLongGaps)
+
+    // invariant 3: session row counts partition the input
+    assert(sessions.count() == events.size)
+  }
+
+  test("merge latest-wins: result keys = union of keys; winning version = max") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 5) {
+      val target = (1 to 50).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(100).toLong, "t"))
+        .toDF("k", "ver", "src")
+        .groupBy("k").agg(max("ver").as("ver"), first("src").as("src"))
+      val source = (1 to 30).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong, "s"))
+        .toDF("k", "ver", "src")
+        .groupBy("k").agg(max("ver").as("ver"), first("src").as("src"))
+      val merged = MergeOps.upsertLatestWins(target, source, Seq("k"), "ver")
+
+      val expectKeys = (target.select("k").collect().map(_.getLong(0)) ++
+        source.select("k").collect().map(_.getLong(0))).toSet
+      assert(merged.select("k").collect().map(_.getLong(0)).toSet == expectKeys)
+      assert(merged.groupBy("k").count().filter($"count" > 1).count() == 0)
+
+      val tv = target.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sv = source.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      merged.collect().foreach { r =>
+        val (k, ver) = (r.getLong(0), r.getLong(1))
+        assert(ver == math.max(tv.getOrElse(k, Long.MinValue), sv.getOrElse(k, Long.MinValue)))
+      }
+    }
+  }
+
+  test("Exact.moneySum equals BigDecimal ground truth for random cents") {
+    val rnd = new Random(13)
+    val vals = (1 to 5000).map(_ => math.round(rnd.nextDouble() * 1e7 - 5e6) / 100.0)
+    val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val got = vals.toDF("x").repartition(13)
+      .agg(Exact.moneySum("x").as("s")).collect()(0).getDouble(0)
+    assert(got == expected, s"decimal sum $got != BigDecimal $expected")
+  }
+
+  test("quality split partitions the input exactly") {
+    import graft.quality.Quality
+    val rnd = new Random(99)
+    val df = (1 to 500).map(_ => (rnd.nextInt(1000).toLong, rnd.nextDouble() * 200 - 50))
+      .toDF("id", "price")
+    val rules = Seq(
+      Quality.Rule("price_positive", "price > 0", Quality.Quarantine),
+      Quality.Rule("price_small", "price < 100", Quality.Drop))
+    val res = Quality.apply(df, rules)
+    val dropped = df.filter(!expr("price < 100")).filter(expr("price > 0")).count()
+    assert(res.clean.count() + res.quarantined.count() + dropped == 500)
+  }
+}
