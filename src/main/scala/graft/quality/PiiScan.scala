@@ -1,0 +1,54 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+
+/** PII discovery (reference: governance/data_classification.py:141-207 —
+  * driver-side regex over column names plus a bounded value sample; F4 in
+  * SURVEY.md §2.10).
+  *
+  * Deliberately driver-side: it inspects |columns| names and a ≤`sampleN`
+  * row sample — never a full scan — so it is O(schema), not O(data), at
+  * any table size.
+  */
+object PiiScan {
+
+  final case class Finding(column: String, kind: String, via: String)
+
+  private val namePatterns: Seq[(String, String)] = Seq(
+    "email" -> "(?i).*(email|e_mail).*",
+    "phone" -> "(?i).*(phone|mobile|msisdn).*",
+    "name" -> "(?i).*(first_?name|last_?name|full_?name|^name$|_name$).*",
+    "address" -> "(?i).*(address|street|zip|postal).*",
+    "national_id" -> "(?i).*(ssn|passport|national_id|tax_id).*")
+
+  private val valuePatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\+?\d[\d\s().-]{7,}\d""",
+    "ipv4" -> """\b(\d{1,3}\.){3}\d{1,3}\b""")
+
+  /** Scan column names, then regex a small collected sample of string
+    * columns for value-shaped PII. */
+  def scan(df: DataFrame, sampleN: Int = 100): Seq[Finding] = {
+    val byName = df.schema.fields.flatMap { f =>
+      namePatterns.collect {
+        case (kind, re) if f.name.matches(re) => Finding(f.name, kind, "column_name")
+      }
+    }
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    val byValue: Seq[Finding] =
+      if (stringCols.isEmpty) Seq.empty
+      else {
+        val sample = df.select(stringCols.map(org.apache.spark.sql.functions.col): _*)
+          .limit(sampleN).collect()
+        stringCols.toSeq.zipWithIndex.flatMap { case (c, i) =>
+          val values = sample.toSeq.map(_.getString(i)).filter(_ != null)
+          valuePatterns.collectFirst {
+            case (kind, re) if values.exists(_.matches(s".*$re.*")) =>
+              Finding(c, kind, "value_sample")
+          }
+        }
+      }
+    (byName.toSeq ++ byValue).distinct
+  }
+}

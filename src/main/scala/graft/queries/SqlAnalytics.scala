@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.core.Tables
+
+/** SURVEY.md §3 entry-point 3: SQL-text analytics (the dashboard/alert
+  * query set, sql_queries_and_dashboards.py) — queries arrive as ANSI SQL
+  * strings through spark.sql over registered views, exercising the parser
+  * path rather than the DataFrame DSL. The window-over-aggregate plans as
+  * agg-then-window exactly as the reference's daily-revenue trend.
+  */
+object SqlAnalytics extends QueryGroup {
+
+  private def register(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+    Tables.customer(s, d).createOrReplaceTempView("customer_sql")
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    // The daily-revenue dashboard: CTE + aggregate + window-over-aggregate
+    // moving average, as pure SQL text.
+    "sql1_revenue_dashboard" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        s.sql("""
+          WITH daily AS (
+            SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   count(*) AS n_orders
+            FROM orders_sql GROUP BY 1)
+          SELECT order_day, n_orders,
+                 round(CAST(rev AS DOUBLE), 4) AS day_revenue,
+                 round(CAST(sum(rev) OVER (ORDER BY order_day
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / count(*) OVER (ORDER BY order_day
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS revenue_30d_ma
+          FROM daily""")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1)
+        SELECT order_day, n_orders,
+               round(CAST(rev AS DOUBLE), 4) AS day_revenue,
+               round(CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 4) AS revenue_30d_ma
+        FROM daily
+        WINDOW w AS (ORDER BY order_day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""")),
+
+    // Alert query: scalar-subquery threshold comparison as SQL text (the
+    // sql_alerts_monitoring.py shape).
+    "sql2_alert_threshold" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        s.sql("""
+          WITH seg AS (
+            SELECT c_mktsegment, count(*) AS n
+            FROM customer_sql GROUP BY c_mktsegment)
+          SELECT c_mktsegment, n,
+                 n < (SELECT avg(n) * 0.8 FROM seg) AS under_threshold
+          FROM seg""")
+      },
+      oracle = Some("""
+        WITH seg AS (
+          SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+               n < (SELECT avg(n) * 0.8 FROM seg) AS under_threshold
+        FROM seg"""))
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.ChurnModel
+import graft.quality.PiiScan
+
+/** Parity-optional surfaces: PII discovery (F4) and ML churn training
+  * (§2.13) — plus CACHE/ANALYZE maintenance (M8/M9).
+  */
+class MlAndPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PiiScan flags PII-shaped column names and sampled values") {
+    val df = Seq(
+      ("alice", "alice@example.com", "+1 (555) 123-4567", 12.0),
+      ("bob", "bob@test.org", "555 987 6543", 5.0))
+      .toDF("first_name", "contact", "contact_phone", "balance")
+    val findings = PiiScan.scan(df)
+    val kinds = findings.map(f => f.column -> f.kind).toSet
+    assert(kinds.contains("first_name" -> "name"))
+    assert(kinds.contains("contact_phone" -> "phone"))
+    assert(kinds.contains("contact" -> "email"), s"got $findings")
+    assert(!findings.exists(_.column == "balance"))
+  }
+
+  test("churn model trains on the cf1 features and separates the planted signal") {
+    val feats = SparkEntry.queries("cf1_churn_features")(spark, "/root/testdata/sf0.001")
+    val trained = ChurnModel.train(
+      feats,
+      Seq("frequency", "monetary", "recency_days", "event_cnt", "error_cnt",
+        "days_dormant", "freq_capped"),
+      labelCol = "churn_risk")
+    // churn_risk is a deterministic function of two features — the tree
+    // must learn it near-perfectly on held-out rows.
+    assert(trained.aucRoc > 0.9, s"AUC ${trained.aucRoc}")
+    assert(trained.featureImportances.values.sum > 0.99)
+  }
+
+  test("CACHE TABLE and ANALYZE TABLE statistics (M8/M9)") {
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("orders_v")
+    spark.sql("CACHE TABLE orders_v")
+    assert(spark.catalog.isCached("orders_v"))
+    assert(spark.table("orders_v").count() == 1500)
+    spark.sql("UNCACHE TABLE orders_v")
+    assert(!spark.catalog.isCached("orders_v"))
+  }
+}
