@@ -80,6 +80,33 @@ object Sources extends QueryGroup {
       oracle = Some(
         "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment")),
 
+    // S8: federated JDBC scan — the dimension lives in a relational store
+    // (embedded Derby) and is read back over JDBC with filter pushdown,
+    // then joined against the lakehouse fact table (the
+    // lakehouse_federation.py shape; Spark pushes the predicate to the
+    // remote engine, visible as PushedFilters on the JDBCRelation).
+    "src5_jdbc_federated" -> QueryDef(
+      build = (s, d) => {
+        val url = s"jdbc:derby:memory:graft_${System.identityHashCode(d)};create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        Tables.nation(s, d).write.mode("overwrite")
+          .jdbc(url, "nation_dim", props)
+        val nationJdbc = s.read.jdbc(url, "nation_dim", props)
+          .filter(col("n_regionkey") < 3)
+        Tables.customer(s, d)
+          .join(broadcast(nationJdbc), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("customer_cnt"),
+            round(Exact.moneySum("c_acctbal"), 4).as("balance_sum"))
+      },
+      oracle = Some(s"""
+        SELECT n_name, count(*) AS customer_cnt,
+               round(${Exact.sqlMoneySum("c_acctbal")}, 4) AS balance_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey < 3
+        GROUP BY n_name""")),
+
     // S13: generated in-memory source (createDataFrame) joined against a
     // file table — the test-fixture path.
     "src4_inmemory_source" -> QueryDef(

@@ -27,11 +27,8 @@ object Windows extends QueryGroup {
     // is non-deterministic; SURVEY §7.4.3).
     "w1_dedup_latest_event" -> QueryDef(
       build = (s, d) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        Tables.events(s, d)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        graft.ops.Dedup.latestWins(
+          Tables.events(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")))
           .select(
             col("user_id"), col("event_id"), col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
@@ -63,14 +60,9 @@ object Windows extends QueryGroup {
     // flags (gap > 30 min) per user; the reference's clickstream algorithm.
     "w3_sessionize" -> QueryDef(
       build = (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val withGap = Tables.events(s, d)
-          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-          .withColumn("is_new",
-            when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
-          .withColumn("session_idx",
-            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        withGap.groupBy(col("user_id"), col("session_idx"))
+        graft.ops.Sessionize
+          .assign(Tables.events(s, d), "user_id", "ts", "event_id", gapMinutes = 30)
+          .groupBy(col("user_id"), col("session_idx"))
           .agg(
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
             date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
