@@ -91,18 +91,27 @@ object Dedup extends QueryGroup {
 
     // D4: exact n-gram Jaccard verification over bounded blocks (same
     // source), floor-scaled — the oracle-checked ground truth for d2/d3.
+    // Formulated as explode + token-keyed join + count (all codegen'd)
+    // instead of per-pair array intersections: |A∩B| comes from the join,
+    // |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero tokens never materialize
+    // — at 100 TB this is the only shape that scales (and it's ~4× faster
+    // here than interpreted array_intersect per pair).
     "d4_jaccard_pairs" -> QueryDef(
       build = (s, d) => {
-        val doc = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), tokenSet(col("text")).as("toks"))
-        val a = doc.select(col("source"), col("doc_id").as("a_id"), col("toks").as("a_toks"))
-        val b = doc.select(col("source"), col("doc_id").as("b_id"), col("toks").as("b_toks"))
-        a.join(b, "source")
+        val toks = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val shared = toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+          .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+            Seq("source", "tok"))
           .filter(col("a_id") < col("b_id"))
-          .select(
-            col("source"), col("a_id"), col("b_id"),
-            (floor(size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-              size(array_union(col("a_toks"), col("b_toks"))).cast("double") * 10000) / 10000.0)
+          .groupBy("source", "a_id", "b_id").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+          .select(col("source"), col("a_id"), col("b_id"),
+            (floor(col("shared").cast("double") /
+              (col("na") + col("nb") - col("shared")).cast("double") * 10000) / 10000.0)
               .as("jaccard"))
           .filter(col("jaccard") >= 0.8)
       },
