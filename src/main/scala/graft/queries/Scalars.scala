@@ -179,6 +179,25 @@ object Scalars extends QueryGroup {
                     least(spend_cents // 500, 200000) AS DOUBLE) / 10000.0 AS engagement_score
         FROM metrics""")),
 
+    // S7: JSON functions — schema-full from_json and path-based
+    // get_json_object over the events.props JSON payload column.
+    "s7_json_funcs" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k_parsed"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+          .withColumn("k_bucket", floor(col("k_parsed") / 10).cast("long")),
+      oracle = Some("""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_parsed,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+               CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket
+        FROM events""")),
+
     // F2: masking functions applied as a governed view projection.
     "s6_masking_funcs" -> QueryDef(
       build = (s, d) =>

@@ -45,4 +45,17 @@ class MlAndPiiSpec extends SparkSpec {
     spark.sql("UNCACHE TABLE orders_v")
     assert(!spark.catalog.isCached("orders_v"))
   }
+
+  test("ANALYZE TABLE computes catalog statistics (M8)") {
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode("overwrite").saveAsTable("nation_stats_t")
+    spark.sql("ANALYZE TABLE nation_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val stats = spark.sql("DESCRIBE EXTENDED nation_stats_t n_nationkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats.get("distinct_count").exists(_.toLong >= 25L))
+    val tableStats = spark.sql("DESCRIBE EXTENDED nation_stats_t")
+      .filter(col("col_name") === "Statistics").collect()
+    assert(tableStats.nonEmpty && tableStats(0).getString(1).contains("rows"))
+    spark.sql("DROP TABLE nation_stats_t")
+  }
 }

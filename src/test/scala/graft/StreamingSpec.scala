@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("rate-limited multi-batch run: maxFilesPerTrigger honored, progress observable") {
+    import java.nio.file.Files
+    // split events into 4 files, stream them 1 file per micro-batch
+    val srcDir = Files.createTempDirectory("graft_mb_").toString
+    graft.core.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .groupBy().count()
+    val q = stream.writeStream
+      .format("memory").queryName("mb_counts").outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("graft_mb_ck_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress
+    assert(batches.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 data micro-batches, saw ${batches.length}")
+    assert(batches.map(_.numInputRows).sum == 1000)
+    val finalCount = spark.table("mb_counts").collect()(0).getLong(0)
+    assert(finalCount == 1000)
+  }
+
   test("streaming dedup equals batch distinct") {
     val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
     val batch = spark.read.parquet(s"$sf/events.parquet").count()
