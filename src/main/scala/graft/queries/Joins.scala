@@ -233,7 +233,8 @@ object Joins extends QueryGroup {
         cur.crossJoin(prev).select(
           round(col("cur_rev"), 4).as("cur_rev"),
           round(col("prev_rev"), 4).as("prev_rev"),
-          round((col("cur_rev") - col("prev_rev")) * 100.0 / col("prev_rev"), 4).as("pct_change"))
+          (floor((col("cur_rev") - col("prev_rev")) * 100.0 / col("prev_rev") * 10000) / 10000.0)
+            .as("pct_change"))
       },
       oracle = Some(s"""
         WITH cur AS (
@@ -244,7 +245,7 @@ object Joins extends QueryGroup {
           WHERE o_orderdate >= TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 730 DAY
             AND o_orderdate < TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 365 DAY)
         SELECT round(cur_rev, 4) AS cur_rev, round(prev_rev, 4) AS prev_rev,
-               round((cur_rev - prev_rev) * 100.0 / prev_rev, 4) AS pct_change
+               floor((cur_rev - prev_rev) * 100.0 / prev_rev * 10000) / 10000.0 AS pct_change
         FROM cur CROSS JOIN prev""")),
 
     // J9: left-semi join — customers that have at least one purchase event.
