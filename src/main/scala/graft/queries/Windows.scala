@@ -196,6 +196,41 @@ object Windows extends QueryGroup {
                round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct_of_total
         FROM seg""")),
 
+    // W10/A5: session aggregates with the reference's bounce/conversion
+    // flags (transform_clickstream.py:121-123) on top of the shared
+    // sessionizer.
+    "w10_session_flags" -> QueryDef(
+      build = (s, d) => {
+        graft.ops.Sessionize
+          .assign(Tables.events(s, d), "user_id", "ts", "event_id", gapMinutes = 30)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_event_types"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+          .select(
+            col("user_id"), col("session_idx"), col("n_events"),
+            (col("n_events") === 1).as("is_bounce"),
+            (col("purchases") > 0).as("has_conversion"))
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, event_type,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               count(*) = 1 AS is_bounce,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS has_conversion
+        FROM sessions GROUP BY user_id, session_idx""")),
+
     // W9: the 100 TB replacement for w5's global ntile — percent_rank
     // buckets computed per nation partition (no single-partition global
     // sort; each partition sorts independently after one hash shuffle).
