@@ -20,7 +20,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a fixed path: sbt/Spark log noise buries the stdout
+    // line, so the driver parses this file instead (VERDICT r1 item 2).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath))
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

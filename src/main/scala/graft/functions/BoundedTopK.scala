@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One scored candidate: ranking is (score DESC, id ASC). */
+case class Scored(score: Double, id: Long)
+
+/** Bounded top-k aggregator: the partial-aggregation buffer never holds
+  * more than k entries, so the map-side combine emits at most k candidates
+  * per (group, map-partition) and only |groups|·partitions·k rows cross the
+  * shuffle — the scale-correct shape for per-query top-k over a scored
+  * cross product. A `row_number()` window over the scored pairs (the naive
+  * formulation) shuffles every |Q|·|V| pair instead; at 100 TB that shuffle
+  * is the bottleneck, this one is noise.
+  *
+  * Deterministic: total order (score DESC, id ASC) with a unique id
+  * tiebreak, so the result is independent of partitioning and merge order.
+  */
+class BoundedTopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  def zero: Seq[Scored] = Vector.empty
+
+  def reduce(buf: Seq[Scored], v: Scored): Seq[Scored] =
+    if (buf.size >= k && !better(v, buf.last)) buf
+    else (buf :+ v).sortWith(better).take(k)
+
+  def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    (a ++ b).sortWith(better).take(k)
+
+  def finish(buf: Seq[Scored]): Seq[Scored] = buf
+
+  def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}
+
+object BoundedTopK {
+  /** `topK(5)(scoreCol, idCol)` → array<struct<score,id>> of the group's
+    * top 5 by (score DESC, id ASC), with bounded shuffle. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new BoundedTopK(k), ExpressionEncoder[Scored]())
+    (score, id) => fn(score, id)
+  }
+}

@@ -42,12 +42,16 @@ object TextFunctions {
     * identical in any engine, unlike engine-native hash functions). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Token n-gram shingles ("a b c", n=2 → ["a b","b c"]). */
+  /** Token n-gram shingles ("a b c", n=2 → ["a b","b c"]). Documents with
+    * fewer than n tokens yield an empty array — `sequence(1, stop)` must
+    * never see stop < 1 (Spark then DESCENDS, emitting index 0, which
+    * makes 1-based `slice` throw at runtime). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** MinHash signature: k minima over xxhash64(shingle, seed). Seeds make

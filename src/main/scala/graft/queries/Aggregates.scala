@@ -83,7 +83,7 @@ object Aggregates extends QueryGroup {
                               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS spend_90d,
                round(CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '${Tables.OrdersAsOf}' - INTERVAL 365 DAY
                               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS spend_365d,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled_cnt
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_cnt
         FROM orders GROUP BY o_custkey""")),
 
     // A3: countDistinct on a derived expression — active months per customer.
@@ -248,10 +248,10 @@ object Aggregates extends QueryGroup {
       },
       oracle = Some("""
         SELECT count(*) AS total_rows,
-               sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS custkey_not_null,
-               sum(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS price_positive,
-               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS status_valid,
-               sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END) AS date_in_range
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_not_null,
+               CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+               CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_valid,
+               CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS date_in_range
         FROM orders""")),
 
     // A12: approximate distinct (HLL) — the 100 TB substitute for exact

@@ -54,12 +54,16 @@ object Embeddings extends QueryGroup {
           .select(col("q_id"), col("vec_id"),
             aggregate(zip_with(col("q_ne"), col("ne"), (x, y) => x * y),
               lit(0.0), (acc, v) => acc + v).as("cos"))
-        val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("vec_id"),
-            (floor(col("cos") * 1000000) / 1000000.0).as("score"),
-            col("rn").cast("long").as("rn"))
+        // Map-side bounded top-k: only |Q|·partitions·5 candidates shuffle
+        // (vs every scored pair through a row_number window — the r1
+        // scale-killer). Rank order (cos DESC, vec_id ASC) is total, so the
+        // result is deterministic and identical to the window formulation.
+        scored.groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(s"""
         WITH n AS (
@@ -108,16 +112,16 @@ object Embeddings extends QueryGroup {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(lit(m.toLong))): _*))
               .as("bkt"))
-        val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("vec_id"))
         v.join(q, "bkt")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             (dot(col("q_vec"), col("embedding")) /
               (norm(col("q_vec")) * norm(col("embedding")))).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("vec_id"),
-            (floor(col("cos") * 1000000) / 1000000.0).as("score"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), explode(col("top")).as("sv"))
+          .select(col("q_id"), col("sv.id").as("vec_id"),
+            (floor(col("sv.score") * 1000000) / 1000000.0).as("score"))
       },
       oracle = None),
 

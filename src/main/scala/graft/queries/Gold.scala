@@ -52,7 +52,7 @@ object Gold extends QueryGroup {
           FROM orders GROUP BY o_custkey),
         ef AS (
           SELECT user_id, count(*) AS event_cnt,
-                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_cnt
+                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt
           FROM events GROUP BY user_id)
         SELECT c_custkey,
                coalesce(frequency, 0) AS frequency,

@@ -89,17 +89,17 @@ object Governance extends QueryGroup {
       },
       oracle = Some("""
         SELECT 'price_positive' AS rule_name, 'warn' AS action,
-               sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS failed_rows,
+               CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS failed_rows,
                count(*) AS total_rows FROM orders
         UNION ALL
         SELECT 'status_valid', 'drop',
-               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END), count(*) FROM orders
+               CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM orders
         UNION ALL
         SELECT 'custkey_present', 'fail',
-               sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END), count(*) FROM orders
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM orders
         UNION ALL
         SELECT 'date_in_range', 'quarantine',
-               sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 0 ELSE 1 END), count(*) FROM orders""")),
+               CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM orders""")),
 
     // DLT substitute: a mini medallion DAG through the pipeline runner —
     // bronze (drop rule) → silver derivation → gold rollup.

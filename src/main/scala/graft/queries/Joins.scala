@@ -60,7 +60,7 @@ object Joins extends QueryGroup {
           FROM orders GROUP BY o_custkey),
         event_agg AS (
           SELECT user_id, count(*) AS event_cnt,
-                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
                  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event_ts
           FROM events GROUP BY user_id)
         SELECT c_custkey, c_name, c_mktsegment,

@@ -204,10 +204,19 @@ object Relational extends QueryGroup {
         SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""")),
 
-    // O3: limit sampling — row set is engine-dependent, so rows-only check.
+    // O3: limit sampling — deterministic (ordered) limit so the DuckDB
+    // oracle can hash-check the exact row set (VERDICT r1 item 4).
     "o3_limit_sample" -> QueryDef(
-      build = (s, d) => Tables.orders(s, d).limit(100),
-      oracle = None),
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(asc("o_orderkey"))
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 4).as("o_totalprice")),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 4) AS o_totalprice
+        FROM orders ORDER BY o_orderkey ASC LIMIT 100""")),
 
     // U1: UNION ALL metric stack (freshness/row-count dashboard shape).
     "u1_union_all_metrics" -> QueryDef(

@@ -43,7 +43,7 @@ object Streaming extends QueryGroup {
         SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
                         '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n_events,
-               sum(CAST(floor(value * 10000) AS BIGINT)) AS value_e4
+               CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         FROM events GROUP BY 1, 2""")),
 
     // ST2: stateful streaming dedup within watermark — first-seen row per

@@ -80,15 +80,15 @@ object Windows extends QueryGroup {
                       THEN 1 ELSE 0 END AS is_new
           FROM events),
         sessions AS (
-          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           FROM flagged)
         SELECT user_id, session_idx,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                count(*) AS n_events,
                count(DISTINCT event_type) AS n_event_types,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
                epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         FROM sessions GROUP BY user_id, session_idx"""),
       bench = true),
@@ -223,8 +223,8 @@ object Windows extends QueryGroup {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sessions AS (
           SELECT user_id, event_type,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           FROM flagged)
         SELECT user_id, session_idx, count(*) AS n_events,
                count(*) = 1 AS is_bounce,
