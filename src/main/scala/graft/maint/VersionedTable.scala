@@ -57,6 +57,45 @@ final class VersionedTable(spark: SparkSession, root: String) {
     next
   }
 
+  /** Commit a new version AND its change feed (S4/M13 structural parity —
+    * Delta CDF rows with `_change_type`, `_commit_version`,
+    * `_commit_timestamp`). The feed for version N is derived as the
+    * keyed diff against version N-1 (one key shuffle; v0 is all-insert)
+    * and staged under `_changes/v=N` BEFORE the manifest line commits,
+    * so feed and data become visible atomically.
+    *
+    * @param commitTs injected commit timestamp (deterministic pipelines
+    *                 pass a fixed clock, like `Tables.OrdersAsOf`)
+    */
+  def writeWithChangeFeed(
+      df: DataFrame, keyCols: Seq[String],
+      operation: String = "write",
+      commitTs: String = "2001-09-01 00:00:00"): Long = {
+    val next = latestVersion.map(_ + 1).getOrElse(0L)
+    val feed = latestVersion match {
+      case None => graft.ops.ChangeFeed.allInserts(df)
+      case Some(v) => graft.ops.ChangeFeed.diff(read(Some(v)), df, keyCols)
+    }
+    feed
+      .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(next))
+      .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
+        to_timestamp(lit(commitTs)))
+      .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
+    val committed = write(df, operation)
+    assert(committed == next, s"concurrent write detected at $root")
+    committed
+  }
+
+  /** Read the change feed from `fromVersion` to head (M13 / S4:
+    * `table_changes(...)` equivalent; also consumable as a file stream for
+    * the streaming-CDC path). */
+  def changeFeed(fromVersion: Long = 0L): DataFrame = {
+    val vs = versions.filter(_ >= fromVersion)
+      .filter(v => Files.exists(Paths.get(s"$root/_changes/v=$v")))
+    require(vs.nonEmpty, s"no change-feed versions >= $fromVersion at $root")
+    spark.read.parquet(vs.map(v => s"$root/_changes/v=$v"): _*)
+  }
+
   /** Time-travel read (S6): latest version, or `VERSION AS OF v`. */
   def read(versionAsOf: Option[Long] = None): DataFrame = {
     val v = versionAsOf.getOrElse(

