@@ -54,11 +54,30 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: k minima over xxhash64(shingle, seed). Seeds make
-    * k independent hash functions from one xxhash64 kernel. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+  /** Cross-engine-portable 60-bit hash: the decimal value of the first 15
+    * hex chars of md5(prefix ++ s). Bit-identical in Spark
+    * (`conv(substr(md5(..),1,15),16,10)`) and DuckDB
+    * (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`) — the hash family that
+    * lets MinHash/LSH/SimHash results be oracle-verified across engines.
+    * ~20× slower than xxhash64 per call; at 100 TB flip the kernel
+    * argument below back to the engine-native default. */
+  def portableHash(s: Column, prefix: String): Column =
+    conv(substring(md5(concat(lit(prefix), s)), 1, 15), 16, 10).cast("long")
+
+  /** The default (engine-native, fastest) MinHash kernel. */
+  val xxhashKernel: (Column, Int) => Column = (s, seed) => xxhash64(s, lit(seed))
+
+  /** Portable kernel: seeds become md5 prefixes ("<seed>:"). */
+  val portableKernel: (Column, Int) => Column =
+    (s, seed) => portableHash(s, s"$seed:")
+
+  /** MinHash signature: k minima over kernel(shingle, seed). Seeds make
+    * k independent hash functions from one hash kernel. */
+  def minhashSignature(
+      shingleCol: Column, k: Int,
+      kernel: (Column, Int) => Column = xxhashKernel): Column =
     array((0 until k).map(seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))): _*)
+      array_min(transform(shingleCol, s => kernel(s, seed)))): _*)
 
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =
@@ -78,6 +97,26 @@ object TextFunctions {
     expr(
       s"""aggregate(
             zip_with($counts, sequence(0, 63),
+              (c, i) -> CASE WHEN c > 0L THEN shiftleft(1L, i) ELSE 0L END),
+            0L, (a, b) -> a + b)""")
+  }
+
+  /** 60-bit SimHash over a token array column using the portable md5
+    * kernel — same vote semantics as [[simhash64]] but reproducible in
+    * DuckDB for oracle checks (60 bits because the portable hash is 15
+    * hex chars). */
+  def simhashPortable60(tokensColName: String): Column = {
+    val ph = "CAST(conv(substr(md5(concat('t:', t)), 1, 15), 16, 10) AS BIGINT)"
+    val counts =
+      s"""aggregate($tokensColName, array_repeat(0L, 60),
+            (acc, t) -> zip_with(acc,
+              transform(sequence(0, 59),
+                i -> CASE WHEN ($ph & shiftleft(1L, i)) != 0
+                          THEN 1L ELSE -1L END),
+              (a, b) -> a + b))"""
+    expr(
+      s"""aggregate(
+            zip_with($counts, sequence(0, 59),
               (c, i) -> CASE WHEN c > 0L THEN shiftleft(1L, i) ELSE 0L END),
             0L, (a, b) -> a + b)""")
   }

@@ -21,17 +21,30 @@ import graft.functions.TextFunctions._
   *    genuinely hot buckets can be salted or capped.
   *  - d4 verifies candidates exactly but only same-source pairs (bounded
   *    blocks), never all-pairs.
-  *  - d5 SimHash gives a single 64-bit signature per doc; near-dup =
+  *  - d5 SimHash gives a single compact signature per doc; near-dup =
   *    small Hamming distance, joinable on rotated prefixes at scale.
-  * MinHash/SimHash signatures use engine-native xxhash64, so d2/d3/d5
-  * carry no SQL oracle (rows-only check); their semantics are unit-tested
-  * against planted duplicates in DedupSpec, and d4's exact Jaccard is
-  * oracle-checked.
+  * d2/d3/d5 run on the PORTABLE md5 hash kernel
+  * (TextFunctions.portableHash), which DuckDB reproduces bit-for-bit — so
+  * every signature, band bucket, and Hamming pair below is fully
+  * oracle-checked, not just rows-counted. The kernel is one argument: at
+  * 100 TB you'd flip it back to engine-native xxhash64 (~20× faster per
+  * hash, same operator shapes), with DedupSpec's planted-duplicate tests
+  * still covering that path.
   */
 object Dedup extends QueryGroup {
 
   private val sqlTokenSet =
     "list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))"
+
+  /** DuckDB twins of TextFunctions' portable hashing pipeline. */
+  private val sqlToks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val sqlShingles2 =
+    "list_transform(range(1, greatest(len(toks),1)), i -> concat(toks[i], ' ', toks[i+1]))"
+  private def sqlPortableHash(arg: String, prefix: String) =
+    s"CAST(concat('0x', substr(md5(concat('$prefix', $arg)),1,15)) AS BIGINT)"
+  private def sqlMinhash(i: Int) =
+    s"CAST(list_min(list_transform(shingles, s -> ${sqlPortableHash("s", s"$i:")})) AS BIGINT) AS h$i"
 
   def defs: Map[String, QueryDef] = Map(
     // D1: exact dedup — md5 of normalized text, lowest doc_id survives.
@@ -50,17 +63,23 @@ object Dedup extends QueryGroup {
         FROM documents
         GROUP BY fp""")),
 
-    // D2: MinHash signatures (16 hashes over token 2-gram shingles).
-    // Engine-native hashing → rows-only check + DedupSpec unit tests.
+    // D2: MinHash signatures (16 hashes over token 2-gram shingles),
+    // portable kernel → every signature value is oracle-checked.
     "d2_minhash_signature" -> QueryDef(
       build = (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
           .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), minhashSignature(col("sh"), 16).as("sig"))
+          .select(col("doc_id"),
+            minhashSignature(col("sh"), 16, portableKernel).as("sig"))
           .select(col("doc_id") +:
             (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*),
-      oracle = None),
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        sh AS (SELECT doc_id, $sqlShingles2 AS shingles FROM t)
+        SELECT doc_id,
+               ${(0 until 16).map(sqlMinhash).mkString(",\n               ")}
+        FROM sh WHERE len(shingles) > 0""")),
 
     // D3: LSH candidate pairs — 16 minhashes banded 4×4; docs sharing any
     // band bucket become candidates; estimated similarity = matching
@@ -70,11 +89,16 @@ object Dedup extends QueryGroup {
         val sigs = Tables.documents(s, d)
           .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
           .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), minhashSignature(col("sh"), 16).as("sig"))
+          .select(col("doc_id"),
+            minhashSignature(col("sh"), 16, portableKernel).as("sig"))
+        // band hash = portable hash of the band's 4 sig values as a
+        // canonical "v,v,v,v" string (reproducible in any engine)
+        def bandHash(b: Int) = portableHash(
+          concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
+            x => x.cast("string"))), s"b$b:")
         val banded = sigs.select(
           col("doc_id"), col("sig"),
-          posexplode(array((0 until 4).map(b =>
-            xxhash64(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*))
+          posexplode(array((0 until 4).map(bandHash): _*))
             .as(Seq("band_idx", "band_hash")))
         val a = banded.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("a_id"), col("sig").as("a_sig"))
@@ -87,7 +111,36 @@ object Dedup extends QueryGroup {
           .distinct()
           .filter(col("est_sim") >= 0.5)
       },
-      oracle = None),
+      // The oracle forms candidates by band equality directly (the bucket
+      // join and "equal band hash" coincide because the hash is portable
+      // and collision-free at this scale).
+      oracle = Some {
+        val bandExpr = (0 until 4).map { b =>
+          val vals = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ',', ")
+          s"${sqlPortableHash(s"concat($vals)", s"b$b:")} AS b$b"
+        }.mkString(",\n               ")
+        val simExpr = (0 until 16)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        shg AS (SELECT doc_id, $sqlShingles2 AS shingles FROM t),
+        sigs AS (
+          SELECT doc_id,
+               ${(0 until 16).map(sqlMinhash).mkString(",\n               ")}
+          FROM shg WHERE len(shingles) > 0),
+        withb AS (
+          SELECT *,
+               $bandExpr
+          FROM sigs)
+        SELECT * FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 ($simExpr) / 16.0 AS est_sim
+          FROM withb a JOIN withb b
+            ON a.doc_id < b.doc_id
+           AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        WHERE est_sim >= 0.5"""
+      }),
 
     // D4: exact n-gram Jaccard verification over bounded blocks (same
     // source), floor-scaled — the oracle-checked ground truth for d2/d3.
@@ -125,14 +178,14 @@ object Dedup extends QueryGroup {
                     / len(list_distinct(list_concat(a.t, b.t))) * 10000) / 10000.0 >= 0.8"""),
       bench = true),
 
-    // D5: SimHash near-dup pairs — 64-bit signature, Hamming ≤ 6 within
-    // same-source blocks. Engine-native hashing → rows-only + DedupSpec.
+    // D5: SimHash near-dup pairs — 60-bit portable signature, Hamming ≤ 6
+    // within same-source blocks; signatures and distances oracle-checked.
     "d5_simhash_pairs" -> QueryDef(
       build = (s, d) => {
         val doc = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .filter(size(col("toks")) > 0)
-          .select(col("doc_id"), col("source"), simhash64("toks").as("sh"))
+          .select(col("doc_id"), col("source"), simhashPortable60("toks").as("sh"))
         val a = doc.select(col("source"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
         val b = doc.select(col("source"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
         a.join(b, "source")
@@ -140,6 +193,20 @@ object Dedup extends QueryGroup {
           .select(col("a_id"), col("b_id"), hamming64(col("a_sh"), col("b_sh")).as("hamming"))
           .filter(col("hamming") <= 6)
       },
-      oracle = None)
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, $sqlToks AS toks FROM documents),
+        s AS (
+          SELECT doc_id, source,
+                 CAST(list_sum(list_transform(range(60), i ->
+                   CASE WHEN list_sum(list_transform(toks, tk ->
+                     CASE WHEN (${sqlPortableHash("tk", "t:")} >> i) & 1 = 1
+                          THEN 1 ELSE -1 END)) > 0
+                        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+          FROM t WHERE len(toks) > 0)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6"""))
   )
 }
