@@ -46,6 +46,33 @@ object Dedup extends QueryGroup {
   private def sqlMinhash(i: Int) =
     s"CAST(list_min(list_transform(shingles, s -> ${sqlPortableHash("s", s"$i:")})) AS BIGINT) AS h$i"
 
+  /** D4's exact-Jaccard pair computation, shared with d6's clustering. */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("source", "a_id", "b_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("source"), col("a_id"), col("b_id"),
+        (floor(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double") * 10000) / 10000.0)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** The d4 pair predicate as a DuckDB CTE body (edge set for d6). */
+  private val sqlJaccardPairs = s"""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE floor(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.t, b.t))) * 10000) / 10000.0 >= 0.8"""
+
   def defs: Map[String, QueryDef] = Map(
     // D1: exact dedup — md5 of normalized text, lowest doc_id survives.
     "d1_exact_dedup" -> QueryDef(
@@ -150,24 +177,7 @@ object Dedup extends QueryGroup {
     // — at 100 TB this is the only shape that scales (and it's ~4× faster
     // here than interpreted array_intersect per pair).
     "d4_jaccard_pairs" -> QueryDef(
-      build = (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val shared = toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-          .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
-            Seq("source", "tok"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy("source", "a_id", "b_id").agg(count(lit(1)).as("shared"))
-        shared
-          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-          .select(col("source"), col("a_id"), col("b_id"),
-            (floor(col("shared").cast("double") /
-              (col("na") + col("nb") - col("shared")).cast("double") * 10000) / 10000.0)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-      },
+      build = (s, d) => jaccardPairs(s, d),
       oracle = Some(s"""
         WITH toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents)
         SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
@@ -207,6 +217,36 @@ object Dedup extends QueryGroup {
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 6"""))
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6""")),
+
+    // D6: duplicate-cluster resolution — near-dup PAIRS (d4's oracle-
+    // checked exact-Jaccard edges) collapsed into duplicate CLUSTERS via
+    // min-label connected components; the smallest doc_id per cluster is
+    // the canonical survivor. This is the step that turns pair detection
+    // into an actual dedup decision for a training corpus.
+    "d6_dup_clusters" -> QueryDef(
+      build = (s, d) => {
+        val edges = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+        val nodes = Tables.documents(s, d).select(col("doc_id"))
+        graft.ops.ConnectedComponents
+          .minLabel(edges, "a_id", "b_id", nodes, "doc_id")
+          .select(col("doc_id"), col("cluster").as("cluster_id"),
+            (col("doc_id") === col("cluster")).as("is_canonical"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents),
+        pairs AS ($sqlJaccardPairs),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a)
+        SELECT d.doc_id,
+               CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id,
+               least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id"""))
   )
 }

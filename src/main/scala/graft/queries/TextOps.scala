@@ -22,6 +22,23 @@ object TextOps extends QueryGroup {
   private val sqlStop =
     "('the','a','of','to','and','in','is','for','on','with','row','table','value','key')"
 
+  /** t2's quality score, shared with the t6 training-mix sampler:
+    * +2/token (cap 100), −5/punct char (floor −50), +1/distinct token
+    * (cap 40), +20 length-band bonus — all integer arithmetic. */
+  private def qualityScore: org.apache.spark.sql.Column = {
+    val nt = nTokens(col("text"))
+    least(nt * 2L, lit(100L)) +
+      greatest(lit(0L) - punctCount(col("text")) * 5L, lit(-50L)) +
+      least(size(tokenSet(col("text"))).cast("long"), lit(40L)) +
+      when(col("n_chars").between(200, 400), 20L).otherwise(0L)
+  }
+
+  private val sqlQualityScore =
+    s"""least(len($sqlTokens) * 2, 100)
+        + greatest(0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 5, -50)
+        + least(len(list_distinct($sqlTokens)), 40)
+        + CASE WHEN n_chars BETWEEN 200 AND 400 THEN 20 ELSE 0 END"""
+
   def defs: Map[String, QueryDef] = Map(
     // T1: per-document stats — token count, char count, punctuation count,
     // stopword count/ratio, average token length.
@@ -56,14 +73,7 @@ object TextOps extends QueryGroup {
     "t2_quality_score" -> QueryDef(
       build = (s, d) => {
         val doc = Tables.documents(s, d)
-        val nt = nTokens(col("text"))
-        // score: +2 per token up to 50, −5 per punct char, +1 per distinct
-        // token up to 40 — all integer, then a length-band bonus.
-        val score =
-          least(nt * 2L, lit(100L)) +
-            greatest(lit(0L) - punctCount(col("text")) * 5L, lit(-50L)) +
-            least(size(tokenSet(col("text"))).cast("long"), lit(40L)) +
-            when(col("n_chars").between(200, 400), 20L).otherwise(0L)
+        val score = qualityScore
         doc.select(
           col("doc_id"), score.as("quality_score"),
           when(score >= 120, "keep").when(score >= 60, "review")
@@ -71,11 +81,7 @@ object TextOps extends QueryGroup {
       },
       oracle = Some(s"""
         WITH scored AS (
-          SELECT doc_id,
-                 least(len($sqlTokens) * 2, 100)
-                 + greatest(0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 5, -50)
-                 + least(len(list_distinct($sqlTokens)), 40)
-                 + CASE WHEN n_chars BETWEEN 200 AND 400 THEN 20 ELSE 0 END AS quality_score
+          SELECT doc_id, $sqlQualityScore AS quality_score
           FROM documents)
         SELECT doc_id, quality_score,
                CASE WHEN quality_score >= 120 THEN 'keep'
@@ -139,6 +145,63 @@ object TextOps extends QueryGroup {
         SELECT token, count(*) AS freq
         FROM (SELECT unnest($sqlTokens) AS token FROM documents)
         GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"""),
-      bench = true)
+      bench = true),
+
+    // T6: stratified training-mix sampler — per (source, lang) stratum,
+    // keep the top-`quota` docs by quality score (t2's scoring) with a
+    // doc_id tiebreak. One partitioned window after a key shuffle; at
+    // 100 TB each stratum sorts independently (no global sort), and a
+    // stratum bigger than memory would switch to per-stratum
+    // TakeOrderedAndProject or a sampled threshold — same output contract.
+    "t6_training_mix" -> QueryDef(
+      build = (s, d) => {
+        val quota = 25
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("lang"))
+          .orderBy(desc("quality_score"), asc("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            qualityScore.as("quality_score"))
+          .withColumn("mix_rank", row_number().over(w).cast("long"))
+          .filter(col("mix_rank") <= quota)
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source, lang, $sqlQualityScore AS quality_score
+          FROM documents)
+        SELECT doc_id, source, lang, quality_score, mix_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY source, lang
+                ORDER BY quality_score DESC, doc_id ASC) AS mix_rank
+              FROM scored)
+        WHERE mix_rank <= 25""")),
+
+    // T7: document chunking — fixed-size token windows (50 tokens, stride
+    // 40 → 10-token overlap), the training-example splitter. Pure row-local
+    // explode: zero shuffles, runs at scan speed at any scale.
+    "t7_chunks" -> QueryDef(
+      build = (s, d) => {
+        val chunk = 50
+        val stride = 40
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+          .select(
+            col("doc_id"),
+            floor(col("start") / stride.toDouble).cast("long").as("chunk_idx"),
+            least(lit(chunk.toLong), (size(col("toks")) - col("start")).cast("long"))
+              .as("n_chunk_tokens"),
+            concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunk)))
+              .as("chunk_text"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents
+                   WHERE len($sqlTokens) > 0)
+        SELECT doc_id,
+               CAST(start // 40 AS BIGINT) AS chunk_idx,
+               CAST(least(50, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 50), ' ') AS chunk_text
+        FROM t, unnest(range(0, len(toks), 40)) AS u(start)"""))
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ConnectedComponents
+
+/** Cluster-resolution semantics: planted components must collapse to their
+  * min id, singletons stay themselves, and chains converge (worst-case
+  * diameter for label propagation).
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted clusters resolve to min-id labels; singletons survive") {
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; singleton 99
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val got = ConnectedComponents.minLabel(edges, "a", "b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("a long chain converges (diameter-bound rounds)") {
+    val n = 15
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val got = ConnectedComponents.minLabel(edges, "a", "b", nodes, "id", maxIter = n + 1)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(0L), "whole chain must collapse to label 0")
+  }
+
+  test("non-convergence within maxIter is an error, not a wrong answer") {
+    val edges = (0 until 9).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val nodes = (0 until 10).map(_.toLong).toDF("id")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.minLabel(edges, "a", "b", nodes, "id", maxIter = 2)
+    }
+  }
+}
