@@ -46,6 +46,22 @@ object Streaming extends QueryGroup {
                CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         FROM events GROUP BY 1, 2""")),
 
+    // ST5/ST13: typed arbitrary-state streaming — mapGroupsWithState keeps
+    // a per-user running profile in the state store; after draining, the
+    // emitted profiles must equal the batch groupBy (single-batch input →
+    // exactly one emission per key).
+    "st8_stateful_user_profile" -> QueryDef(
+      build = (s, d) => {
+        val stream = graft.streaming.Stateful
+          .userProfile(Streams.tableStream(s, d, "events"))
+          .toDF()
+        Streams.runToMemory(stream, "update")
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        FROM events GROUP BY user_id""")),
+
     // ST2: stateful streaming dedup within watermark — first-seen row per
     // event_id survives from a doubled input.
     "st2_stream_dedup" -> QueryDef(

@@ -101,6 +101,36 @@ class StreamingSpec extends SparkSpec {
     assert(batches.filter(_.numInputRows > 0).forall(_.batchId >= 0))
   }
 
+  test("mapGroupsWithState carries state ACROSS micro-batches") {
+    // 4 files × 1 per trigger → users span batches; the per-key profile
+    // must keep counting where the previous batch left off. In update
+    // mode the memory sink appends every emission, so the max n_events
+    // per key (counts are monotone) is the final state.
+    val srcDir = Files.createTempDirectory("graft_st_").toString
+    graft.core.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val profiles = graft.streaming.Stateful.userProfile(stream).toDF()
+    val q = profiles.writeStream
+      .format("memory").queryName("st_profiles").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st_ck_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "state must span >=4 batches")
+    val got = spark.table("st_profiles")
+      .groupBy("user_id").agg(max("n_events").as("n_events"), max("purchases").as("purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "final per-key state must equal the batch aggregation")
+  }
+
   test("streaming dedup equals batch distinct") {
     val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
     val batch = spark.read.parquet(s"$sf/events.parquet").count()
