@@ -45,6 +45,17 @@ class EmbeddingsSpec extends SparkSpec {
     assert(res.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("e1 plan: top-k aggregates map-side (partial mode) before the shuffle") {
+    // the scale property that made e1 134s→1.5s: the BoundedTopK buffer
+    // must run in Partial mode below the exchange so only |Q|·partitions·k
+    // candidate rows shuffle — guard it against plan regressions
+    val plan = SparkEntry.queries("e1_cosine_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partial_boundedtopk") || plan.contains("partial_topk")
+      || (plan.contains("objecthashaggregate") && plan.contains("partial")),
+      s"e1 plan lost its map-side partial top-k aggregation:\n$plan")
+  }
+
   test("e2 recall gate: >= 0.5 against oracle-checked e1 exact top-k at sf0.01") {
     // Quantitative correctness bar for the no-oracle ANN operator: its
     // recall@5 is measured against e1 (which IS hash-checked against

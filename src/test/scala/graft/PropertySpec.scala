@@ -81,6 +81,49 @@ class PropertySpec extends SparkSpec {
     assert(got == expected, s"decimal sum $got != BigDecimal $expected")
   }
 
+  test("ChangeFeed.diff + CdcApply roundtrip reconstructs any random snapshot pair") {
+    val rnd = new Random(7)
+    def snap(n: Int) = (1 to n).flatMap { _ =>
+      val k = rnd.nextInt(300).toLong
+      if (rnd.nextBoolean()) Some((k, rnd.nextInt(10).toString)) else None
+    }.distinctBy(_._1)
+    val v0 = snap(200).toDF("k", "v")
+    val v1 = snap(200).toDF("k", "v")
+    val feed = graft.ops.ChangeFeed.allInserts(v0).withColumn("_commit_version", lit(0L))
+      .unionByName(graft.ops.ChangeFeed.diff(v0, v1, Seq("k"))
+        .withColumn("_commit_version", lit(1L)))
+    val rebuilt = graft.ops.CdcApply.latestState(
+      feed.filter($"_change_type" =!= "update_preimage")
+        .withColumn("op", when($"_change_type" === "update_postimage", "update")
+          .otherwise($"_change_type")),
+      "k", "op", Seq("_commit_version"))
+      .select("k", "v")
+    assert(rebuilt.exceptAll(v1).isEmpty && v1.exceptAll(rebuilt).isEmpty,
+      "feed replay must reconstruct the target snapshot exactly")
+    // feed emits nothing for unchanged keys
+    val unchanged = v0.as("a").join(v1.as("b"), "k")
+      .filter($"a.v" === $"b.v").select("k")
+    val touched = graft.ops.ChangeFeed.diff(v0, v1, Seq("k")).select("k").distinct()
+    assert(touched.join(unchanged, Seq("k"), "left_semi").count() == 0)
+  }
+
+  test("BoundedTopK equals global sort-take for random scores with ties") {
+    val rnd = new Random(21)
+    val rows = (1 to 4000).map(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(50) / 10.0, i.toLong)) // few groups, many ties
+    val df = rows.toDF("g", "score", "id").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.BoundedTopK.topK(5)($"score", $"id").as("top"))
+      .select($"g", explode($"top").as("sv"))
+      .select($"g", $"sv.score", $"sv.id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, s, id) => (-s, id) }.take(5)
+        .map { case (_, s, id) => (g, s, id) }
+    }.toSet
+    assert(got == want, "bounded top-k must equal exact sort-take under ties")
+  }
+
   test("quality split partitions the input exactly") {
     import graft.quality.Quality
     val rnd = new Random(99)
