@@ -125,6 +125,95 @@ object Embeddings extends QueryGroup {
       },
       oracle = None),
 
+    // E4: ANN via IVF (inverted file index) — the OTHER standard ANN scale
+    // path next to e2's LSH. Centroids are a deterministic corpus sample
+    // (every 20th vector — production IVF trains them offline; the index
+    // shape is identical), every vector is assigned to its nearest
+    // centroid (one broadcast scoring pass + one keyed argmax shuffle),
+    // and each query probes its 3 nearest centroids' buckets only. Every
+    // step is deterministic arithmetic, so unlike most ANN indexes this
+    // one is FULLY oracle-checked. At 100 TB: more centroids (~sqrt(N)),
+    // same probe join keyed on centroid id, hot buckets salt like any
+    // skewed key.
+    "e4_ann_ivf" -> QueryDef(
+      build = (s, d) => {
+        val vn = Tables.embeddings(s, d)
+          .repartition(16)
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val cents = vn.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("cid"), col("ne").as("ce"))
+        // nearest centroid per vector: argmax by (cos, -cid) — ties to
+        // the lowest centroid id, same as the oracle's row_number order
+        val assign = vn.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            struct(
+              aggregate(zip_with(col("ne"), col("ce"), (x, y) => x * y),
+                lit(0.0), (acc, v) => acc + v).as("cos"),
+              (-col("cid")).as("negcid")).as("sc"))
+          .groupBy("vec_id").agg(max(col("sc")).as("best"))
+          .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+        val q = vn.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+        val probes = q.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("q_ne"),
+            aggregate(zip_with(col("q_ne"), col("ce"), (x, y) => x * y),
+              lit(0.0), (acc, v) => acc + v).as("cos"), col("cid"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(3)(col("cos"), col("cid")).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("cid"))
+        probes
+          .join(assign, "cid")
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(q, "q_id")
+          .join(vn.select(col("vec_id"), col("ne")), "vec_id")
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("q_ne"), col("ne"), (x, y) => x * y),
+              lit(0.0), (acc, v) => acc + v).as("cos"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id % 20 = 0),
+        avb AS (
+          SELECT n.vec_id, c.cid,
+                 list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
+          FROM n CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM avb) WHERE rnk = 1),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
+        qc AS (
+          SELECT q.q_id, c.cid,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ce[i])) AS cos
+          FROM q CROSS JOIN c),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qc) WHERE rnk <= 3),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5""")),
+
     // E3: embedding-cosine near-duplicate detection — same-label blocks,
     // cosine ≥ 0.3 → similar pair (threshold sized to the synthetic corpus).
     "e3_embedding_neardup" -> QueryDef(

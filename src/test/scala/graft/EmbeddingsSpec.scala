@@ -56,6 +56,21 @@ class EmbeddingsSpec extends SparkSpec {
       s"e1 plan lost its map-side partial top-k aggregation:\n$plan")
   }
 
+  test("e4 IVF recall gate: >= 0.5 against exact top-k on shared queries at sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val e4 = SparkEntry.queries("e4_ann_ivf")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val shared = e1.keySet.intersect(e4.keySet)
+    assert(shared.nonEmpty)
+    val recall = shared.toSeq.map { q =>
+      e1(q).intersect(e4(q)).size.toDouble / e1(q).size
+    }.sum / shared.size
+    info(f"IVF recall@5 vs exact top-k: $recall%.3f over ${shared.size} shared queries")
+    assert(recall >= 0.5, f"IVF recall@5 $recall%.3f below the 0.5 gate")
+  }
+
   test("e2 recall gate: >= 0.5 against oracle-checked e1 exact top-k at sf0.01") {
     // Quantitative correctness bar for the no-oracle ANN operator: its
     // recall@5 is measured against e1 (which IS hash-checked against

@@ -91,6 +91,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(state == Set((1L, "a"), (2L, "B2"), (4L, "d")))
   }
 
+  test("cluster enables parquet row-group skipping on the cluster key") {
+    // Plain Spark prunes parquet at ROW-GROUP granularity via footer
+    // min/max (file-level listing stays full — file pruning needs a table
+    // format's stats, which VersionedTable's manifest doesn't model), so
+    // the observable effect of clustering is the scan emitting only the
+    // row groups whose [min,max] overlaps the predicate.
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val t = freshTable()
+    t.write(spark.range(100000).select((rand(seed = 11) * 100000).cast("long").as("k"))
+      .repartition(8))
+    val unclustered = scanRows(t.read().filter(col("k").between(10L, 20L)))
+    t.cluster(Seq("k"), numFiles = 8)
+    val clustered = scanRows(t.read().filter(col("k").between(10L, 20L)))
+    assert(clustered * 4 <= unclustered,
+      s"clustered scan emitted $clustered rows vs $unclustered unclustered — " +
+        "row-group min/max stats are not pruning")
+  }
+
   test("vacuum removes old version dirs but keeps history + head") {
     val t = freshTable()
     t.write(Seq(1).toDF("id"))
