@@ -1,0 +1,25 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VecDot
+
+/** Engine extension point (the `SparkSessionExtensions` registration path
+  * for custom Catalyst surface): native functions injected into the
+  * session's FunctionRegistry so both SQL text and `call_function` resolve
+  * them. Install with `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` — done by [[GraftSession.local]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot expects exactly 2 arguments")
+        VecDot(children.head, children(1))
+      }))
+  }
+}

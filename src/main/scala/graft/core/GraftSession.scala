@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def local(cores: Int): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -22,11 +22,14 @@ import graft.core.Tables
   */
 object Embeddings extends QueryGroup {
 
-  /** Sequential double dot product of two float-array columns. */
+  /** Sequential double dot product — the native codegen `vec_dot`
+    * expression (functions/VecDot.scala): same left-to-right fold as the
+    * `aggregate(zip_with(...))` formulation and DuckDB's `list_sum`
+    * (bit-identical), but compiled to a primitive loop inside whole-stage
+    * codegen instead of per-element lambda interpretation. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -52,8 +55,7 @@ object Embeddings extends QueryGroup {
         val scored = vn.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            aggregate(zip_with(col("q_ne"), col("ne"), (x, y) => x * y),
-              lit(0.0), (acc, v) => acc + v).as("cos"))
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
         // Map-side bounded top-k: only |Q|·partitions·5 candidates shuffle
         // (vs every scored pair through a row_number window — the r1
         // scale-killer). Rank order (cos DESC, vec_id ASC) is total, so the
@@ -149,8 +151,7 @@ object Embeddings extends QueryGroup {
         val assign = vn.crossJoin(broadcast(cents))
           .select(col("vec_id"),
             struct(
-              aggregate(zip_with(col("ne"), col("ce"), (x, y) => x * y),
-                lit(0.0), (acc, v) => acc + v).as("cos"),
+              call_function("vec_dot", col("ne"), col("ce")).as("cos"),
               (-col("cid")).as("negcid")).as("sc"))
           .groupBy("vec_id").agg(max(col("sc")).as("best"))
           .select(col("vec_id"), (-col("best.negcid")).as("cid"))
@@ -158,8 +159,7 @@ object Embeddings extends QueryGroup {
           .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
         val probes = q.crossJoin(broadcast(cents))
           .select(col("q_id"), col("q_ne"),
-            aggregate(zip_with(col("q_ne"), col("ce"), (x, y) => x * y),
-              lit(0.0), (acc, v) => acc + v).as("cos"), col("cid"))
+            call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(3)(col("cos"), col("cid")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("cid"))
@@ -169,8 +169,7 @@ object Embeddings extends QueryGroup {
           .join(q, "q_id")
           .join(vn.select(col("vec_id"), col("ne")), "vec_id")
           .select(col("q_id"), col("vec_id"),
-            aggregate(zip_with(col("q_ne"), col("ne"), (x, y) => x * y),
-              lit(0.0), (acc, v) => acc + v).as("cos"))
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -228,8 +227,7 @@ object Embeddings extends QueryGroup {
         a.join(b, "label")
           .filter(col("a_id") < col("b_id"))
           .select(col("label"), col("a_id"), col("b_id"),
-            (floor(aggregate(zip_with(col("a_ne"), col("b_ne"), (x, y) => x * y),
-              lit(0.0), (acc, v) => acc + v) * 1000000) / 1000000.0).as("cos"))
+            (floor(call_function("vec_dot", col("a_ne"), col("b_ne")) * 1000000) / 1000000.0).as("cos"))
           .filter(col("cos") >= 0.3)
       },
       oracle = Some(s"""

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for specs (one per suite; cheap at local[4]). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.core.GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
