@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests for the scale properties the engine
+  * relies on: projection pruning and predicate pushdown must reach the
+  * parquet scan, dimension joins must broadcast, top-k must never global-
+  * sort, and aggregations must combine map-side. These are the plan shapes
+  * that decide whether a query survives a 100× scale-up — asserted here so
+  * a refactor can't silently regress them.
+  */
+class PushdownSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("projection pruning: p1's parquet scan reads only the projected columns") {
+    val p = plan("p1_schema_projection")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(readSchema.isDefined, s"no ReadSchema in plan:\n$p")
+    val cols = readSchema.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(!cols.exists(_.startsWith("o_comment")) && cols.size <= 6,
+      s"scan reads too many columns: $cols")
+  }
+
+  test("predicate pushdown: a key filter reaches the scan as PushedFilters") {
+    val df = graft.core.Tables.orders(spark, sf).filter(col("o_custkey") === 42L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(o_custkey,42)"),
+      s"filter not pushed to parquet scan:\n$p")
+  }
+
+  test("dimension join broadcasts: j4's plan contains BroadcastHashJoin") {
+    assert(plan("j4_broadcast_brand_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k never global-sorts: o2 uses TakeOrderedAndProject") {
+    val p = plan("o2_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"o2 plan:\n$p")
+  }
+
+  test("aggregation combines map-side: a1 has partial HashAggregate below the exchange") {
+    val p = plan("a1_customer_order_profile")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0, s"no hash exchange in a1 plan:\n$p")
+    assert(p.indexOf("HashAggregate", exchangeIdx) >= 0 &&
+      p.substring(exchangeIdx).contains("HashAggregate"),
+      "no partial aggregate below the shuffle")
+    assert(p.contains("partial") || p.contains("merge_"),
+      s"no partial-mode aggregation in a1 plan:\n$p")
+  }
+}
