@@ -61,14 +61,15 @@ object Dedup extends QueryGroup {
     val toks = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
     val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // rank each doc's tokens rarest-first; prefix = n - ceil(0.8n) + 1
     // (integer form: ceil(4n/5) = (4n+4) div 5 — no float, no 0.8*5
-    // rounding trap)
+    // rounding trap). Doc size n comes from a count window over the SAME
+    // partition key as the rank — one doc_id shuffle serves both, instead
+    // of a separate groupBy + join round-trip.
+    val wDoc = Window.partitionBy(col("doc_id"))
     val prefix = toks.join(docFreq, "tok")
-      .withColumn("_pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
-      .join(sizes, "doc_id")
+      .withColumn("_pos", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
       .filter(col("_pos") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
       .select(col("source"), col("doc_id"), col("tok"), col("n"), col("_pos"))
     // candidate pairs: prefix-token join + two provably-lossless prunes —
