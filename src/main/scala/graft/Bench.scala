@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // clear any previous run's metrics file up front — a crash mid-run
+    // must leave NO file, not a stale one the driver would misattribute
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPath))
+    catch { case _: Throwable => () }
     val spark = graft.core.GraftSession.local(cpus)
     // Untimed warmup at the smallest SF: pays JIT/codegen/parquet-footer
     // costs once so the timed runs measure the engine, not JVM warmup.
@@ -24,7 +29,6 @@ object Bench {
     println(line)
     // Also persist to a fixed path: sbt/Spark log noise buries the stdout
     // line, so the driver parses this file instead (VERDICT r1 item 2).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath))
       try w.println(line) finally w.close()

@@ -20,8 +20,14 @@ case class Scored(score: Double, id: Long)
   * tiebreak, so the result is independent of partitioning and merge order.
   */
 class BoundedTopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare gives Spark's total double order (NaN greater
+  // than everything, -0.0 < 0.0) — primitive `>` would silently DROP NaN
+  // scores where a desc-ordered window ranks them first, diverging from
+  // the row_number formulation this aggregator replaces.
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   def zero: Seq[Scored] = Vector.empty
 

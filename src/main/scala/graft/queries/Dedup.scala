@@ -214,11 +214,12 @@ object Dedup extends QueryGroup {
 
     // D4: exact n-gram Jaccard verification over bounded blocks (same
     // source), floor-scaled — the oracle-checked ground truth for d2/d3.
-    // Formulated as explode + token-keyed join + count (all codegen'd)
-    // instead of per-pair array intersections: |A∩B| comes from the join,
-    // |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero tokens never materialize
-    // — at 100 TB this is the only shape that scales (and it's ~4× faster
-    // here than interpreted array_intersect per pair).
+    // PPJoin-style (see jaccardPairs above): candidates from a rarest-
+    // first prefix-token join with length + positional filters, then
+    // exact in-row array-intersect verification per surviving candidate —
+    // the prune makes the per-pair intersect cheap because there are few
+    // pairs left, where intersecting ALL pairs (or token-joining all
+    // tokens) grows quadratically with corpus size.
     "d4_jaccard_pairs" -> QueryDef(
       build = (s, d) => jaccardPairs(s, d),
       oracle = Some(s"""

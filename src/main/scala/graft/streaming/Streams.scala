@@ -101,21 +101,35 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val existing = resolveCurrent(targetDir)
-          .map(s.read.parquet(_)).getOrElse(batch.limit(0))
-        val merged = MergeOps.upsertLatestWins(existing, batch, keyCols, versionCol, tiebreak)
-        // Versioned commit: write the merged snapshot to a NEW dir, then
-        // flip the pointer with an atomic rename — a crash mid-write
-        // leaves the previous snapshot intact and readable (an in-place
-        // overwrite would delete it first). Replays rewrite the same
-        // v=<batchId> dir, so the commit is also idempotent.
         val snapDir = s"v=$batchId"
-        merged.write.mode("overwrite").parquet(s"$targetDir/$snapDir")
-        val tmp = java.nio.file.Paths.get(targetDir, "_current.tmp")
-        Files.writeString(tmp, snapDir)
-        Files.move(tmp, java.nio.file.Paths.get(targetDir, "_current"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val current = resolveCurrent(targetDir)
+        // Replay after a crash BETWEEN pointer flip and checkpoint commit:
+        // the pointer already names this batch's snapshot — the merge
+        // committed, so the replay is a no-op (re-merging would read and
+        // overwrite the same dir).
+        if (!current.contains(s"$targetDir/$snapDir")) {
+          val existing = current.map(s.read.parquet(_)).getOrElse(batch.limit(0))
+          val merged = MergeOps.upsertLatestWins(existing, batch, keyCols, versionCol, tiebreak)
+          // Versioned commit: write the merged snapshot to a NEW dir, then
+          // flip the pointer with an atomic rename — a crash mid-write
+          // leaves the previous snapshot intact and readable (an in-place
+          // overwrite would delete it first).
+          merged.write.mode("overwrite").parquet(s"$targetDir/$snapDir")
+          val tmp = java.nio.file.Paths.get(targetDir, "_current.tmp")
+          Files.writeString(tmp, snapDir)
+          Files.move(tmp, java.nio.file.Paths.get(targetDir, "_current"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // the pointer makes deleting the superseded snapshot safe —
+          // bounds on-disk copies at ~2 instead of one per micro-batch
+          current.foreach { prev =>
+            val dir = java.nio.file.Paths.get(prev)
+            if (Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            }
+          }
+        }
         ()
       }
       .start()

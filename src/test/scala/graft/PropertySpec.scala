@@ -107,6 +107,18 @@ class PropertySpec extends SparkSpec {
     assert(touched.join(unchanged, Seq("k"), "left_semi").count() == 0)
   }
 
+  test("BoundedTopK ranks NaN scores first, matching Spark's desc double order") {
+    val df = Seq((1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, Double.NaN, 9L),
+      (1L, 7.0, 12L), (1L, 1.0, 13L))
+      .toDF("g", "score", "id").repartition(3)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.BoundedTopK.topK(3)($"score", $"id").as("top"))
+      .select(explode($"top.id").as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    // NaN > everything in Spark's total order; ties break by id asc
+    assert(got == Seq(9L, 10L, 12L), s"got $got")
+  }
+
   test("BoundedTopK equals global sort-take for random scores with ties") {
     val rnd = new Random(21)
     val rows = (1 to 4000).map(i =>

@@ -45,10 +45,11 @@ class PushdownSpec extends SparkSpec {
     val p = plan("a1_customer_order_profile")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")
     assert(exchangeIdx >= 0, s"no hash exchange in a1 plan:\n$p")
-    assert(p.indexOf("HashAggregate", exchangeIdx) >= 0 &&
-      p.substring(exchangeIdx).contains("HashAggregate"),
-      "no partial aggregate below the shuffle")
-    assert(p.contains("partial") || p.contains("merge_"),
+    // final-mode aggregate above the exchange...
+    assert(p.indexOf("HashAggregate", exchangeIdx) >= 0,
+      "no merge aggregate above the shuffle")
+    // ...and a partial-mode aggregate somewhere (map-side combine ran)
+    assert(p.contains("partial_") || p.contains("partial "),
       s"no partial-mode aggregation in a1 plan:\n$p")
   }
 }

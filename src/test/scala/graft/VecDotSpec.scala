@@ -32,13 +32,16 @@ class VecDotSpec extends SparkSpec {
     val df = Seq(
       (1L, Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
       (2L, None, Some(Array(1.0))),
-      (3L, Some(Array.empty[Double]), Some(Array.empty[Double])))
+      (3L, Some(Array.empty[Double]), Some(Array.empty[Double])),
+      (4L, Some(Array(1.0, 2.0, 3.0)), Some(Array(1.0, 2.0))))
       .toDF("id", "a", "b")
     val got = df.select($"id", call_function("vec_dot", $"a", $"b").as("d"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got(1L).contains(11.0))
     assert(got(2L).isEmpty, "null input must produce null")
     assert(got(3L).contains(0.0))
+    assert(got(4L).isEmpty,
+      "length mismatch must produce null (aggregate(zip_with) parity), not a truncated dot")
   }
 
   test("vec_dot resolves from SQL text and stays inside whole-stage codegen") {
