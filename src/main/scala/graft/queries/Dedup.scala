@@ -58,55 +58,16 @@ object Dedup extends QueryGroup {
     * candidate join shrinks from stopword-quadratic to near-linear.
     */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val toks = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // rank each doc's tokens rarest-first; prefix = n - ceil(0.8n) + 1
-    // (integer form: ceil(4n/5) = (4n+4) div 5 — no float, no 0.8*5
-    // rounding trap). Doc size n comes from a count window over the SAME
-    // partition key as the rank — one doc_id shuffle serves both, instead
-    // of a separate groupBy + join round-trip.
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val prefix = toks.join(docFreq, "tok")
-      .withColumn("_pos", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .filter(col("_pos") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
-      .select(col("source"), col("doc_id"), col("tok"), col("n"), col("_pos"))
-    // candidate pairs: prefix-token join + two provably-lossless prunes —
-    // length filter (J ≥ 0.8 ⟹ 5·min(|A|,|B|) ≥ 4·max(|A|,|B|)) and the
-    // PPJoin positional filter (overlap ≤ 1 + min(remaining tokens after
-    // the match) must reach ceil(t/(1+t)·(na+nb)) = ceil(4(na+nb)/9))
-    val candidates = prefix
-      .select(col("source"), col("doc_id").as("a_id"), col("tok"),
-        col("n").as("na"), col("_pos").as("pa"))
-      .join(prefix
-        .select(col("source"), col("doc_id").as("b_id"), col("tok"),
-          col("n").as("nb"), col("_pos").as("pb")),
-        Seq("source", "tok"))
-      .filter(col("a_id") < col("b_id") &&
-        col("nb") * 5 >= col("na") * 4 && col("na") * 5 >= col("nb") * 4 &&
-        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-          expr("((na + nb) * 4 + 8) div 9"))
-      .select("source", "a_id", "b_id")
-      .distinct()
-    // exact verification: join the (tiny, broadcastable) per-doc sorted
-    // token arrays to each candidate and intersect in-row — no shuffle of
-    // per-token rows. At 100 TB the dim join stays keyed on doc_id and
-    // Catalyst picks broadcast vs shuffle from stats.
-    val tokArrs = Tables.documents(s, d)
-      .select(col("doc_id"), tokenSet(col("text")).as("ts"),
-        size(tokenSet(col("text"))).cast("long").as("n"))
-    candidates
-      .join(tokArrs.select(col("doc_id").as("a_id"), col("ts").as("a_ts"),
-        col("n").as("na")), "a_id")
-      .join(tokArrs.select(col("doc_id").as("b_id"), col("ts").as("b_ts"),
-        col("n").as("nb")), "b_id")
+    // the reusable PPJoin operator (ops/SimilarityJoin) at t = 4/5; output
+    // floor-scaled for cross-engine hashing (exact J ≥ 0.8 ⟺ floored
+    // J ≥ 0.8, so the op's integer threshold equals the oracle's filter)
+    graft.ops.SimilarityJoin
+      .jaccardSelfJoin(
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks")),
+        "source", "doc_id", "toks", p = 4, q = 5)
       .select(col("source"), col("a_id"), col("b_id"),
-        (floor(size(array_intersect(col("a_ts"), col("b_ts"))).cast("double") /
-          (col("na") + col("nb") -
-            size(array_intersect(col("a_ts"), col("b_ts")))).cast("double") * 10000)
-          / 10000.0).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+        (floor(col("jaccard") * 10000) / 10000.0).as("jaccard"))
   }
 
   /** The d4 pair predicate as a DuckDB CTE body (edge set for d6). */
