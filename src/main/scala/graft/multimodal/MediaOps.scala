@@ -38,16 +38,24 @@ object MediaOps {
 
   /** STUB codec — deterministic fake decode so the pipeline is testable
     * without native media libraries. Every field is a pure function of the
-    * payload bytes; swap this object for a real decoder in production. */
+    * payload bytes — specifically of the portable 60-bit md5 hash of the
+    * payload's hex form, which DuckDB reproduces bit-for-bit, so even the
+    * STUBBED feature pipeline is oracle-checked end to end. Swap this
+    * object for a real decoder in production. */
   object StubCodec {
     def decode(payload: Array[Byte]): MediaFeatures = {
       // ??? real implementation would decode the container here ???
-      val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+      // fake features from md5(hex(payload)) — h is 60-bit non-negative
+      val hexPayload = payload.map(b => f"$b%02X").mkString
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(hexPayload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = java.lang.Long.parseLong(
+        digest.take(8).map(b => f"$b%02x").mkString.take(15), 16)
       MediaFeatures(
-        width = 16 + math.floorMod(h, 64).toInt * 16,
-        height = 16 + math.floorMod(h >> 8, 64).toInt * 16,
-        n_frames = 1 + math.floorMod(h >> 16, 30).toInt,
-        mean_luma = math.floorMod(h >> 24, 256).toInt / 255.0)
+        width = 16 + (h % 64).toInt * 16,
+        height = 16 + ((h >> 8) % 64).toInt * 16,
+        n_frames = 1 + ((h >> 16) % 30).toInt,
+        mean_luma = ((h >> 24) % 256).toInt / 255.0)
     }
 
     /** Stubbed resize: returns the would-be output dims (no pixels). */

@@ -55,7 +55,10 @@ object Multimodal extends QueryGroup {
         FROM media""")),
 
     // MM2: decode → feature-extract → resize-plan → frame-sample through
-    // the batched mapPartitions stub codec (no oracle: stubbed decode).
+    // the batched mapPartitions stub codec. The stub derives its fake
+    // features from the portable md5 hash of the payload, so even the
+    // stubbed pipeline is fully oracle-checked (the real-codec swap point
+    // stays clearly marked in MediaOps.StubCodec).
     "mm2_media_features" -> QueryDef(
       build = (s, d) => {
         val media = withPayload(Tables.documents(s, d))
@@ -65,6 +68,38 @@ object Multimodal extends QueryGroup {
             size(col("sampled_frames")).as("n_sampled"),
             (floor(col("mean_luma") * 10000) / 10000.0).as("mean_luma"))
       },
-      oracle = None)
+      oracle = Some("""
+        WITH media AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
+                   WHEN 1 THEN 'RIFF'::BLOB || encode(text)
+                   ELSE 'ftyp'::BLOB || encode(text) END AS payload
+          FROM documents),
+        hashed AS (
+          SELECT doc_id,
+                 CASE substring(hex(payload), 1, 8)
+                   WHEN '89504E47' THEN 'png'
+                   WHEN '52494646' THEN 'riff'
+                   WHEN '66747970' THEN 'mp4'
+                   ELSE 'unknown' END AS format,
+                 CAST(concat('0x', substr(md5(hex(payload)), 1, 15)) AS BIGINT) AS hv
+          FROM media),
+        feats AS (
+          SELECT doc_id, format,
+                 CAST(16 + (hv % 64) * 16 AS INT) AS width,
+                 CAST(16 + ((hv >> 8) % 64) * 16 AS INT) AS height,
+                 CAST(1 + ((hv >> 16) % 30) AS INT) AS n_frames,
+                 ((hv >> 24) % 256) / 255.0 AS luma
+          FROM hashed),
+        scaled AS (
+          SELECT *, least(1.0, 256.0 / greatest(width, height)) AS scale FROM feats)
+        SELECT doc_id AS id, format, width, height,
+               CAST(greatest(1, CAST(trunc(width * scale) AS INT)) AS INT) AS resized_w,
+               CAST(greatest(1, CAST(trunc(height * scale) AS INT)) AS INT) AS resized_h,
+               n_frames,
+               CAST(least(n_frames, 4) AS INT) AS n_sampled,
+               floor(luma * 10000) / 10000.0 AS mean_luma
+        FROM scaled"""))
   )
 }
