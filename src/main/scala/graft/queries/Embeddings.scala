@@ -37,6 +37,20 @@ object Embeddings extends QueryGroup {
     "list_sum(list_transform(range(1, len(%s)+1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
   private def sqlDotOf(a: String, b: String) = sqlDot.format(a, a, b)
 
+  private val LshBits = 6
+
+  /** e2's fixed ±1 hyperplane weights — md5 parity of "p:i", computed at
+    * plan-build time and embedded as LITERAL arrays in both the Spark plan
+    * and the DuckDB oracle (the weights depend only on (plane, dim), so
+    * hashing per row would be waste). */
+  private def planeWeights(p: Int): Seq[Double] =
+    (0 until 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(md.take(15), 16) % 2 == 0) 1.0 else -1.0
+    }
+
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
     // Vectors are L2-normalized ONCE up front (cosine = plain dot after),
@@ -88,26 +102,25 @@ object Embeddings extends QueryGroup {
       bench = true),
 
     // E2: ANN via random-hyperplane multi-probe LSH — 6 sign bits (64
-    // buckets) from deterministic pseudo-random ±1 hyperplanes; each query
-    // probes its own bucket plus all buckets within Hamming distance 2
-    // (22 of 64), then ranks by exact cosine inside the probed set. Bit
-    // count and probe radius scale with corpus: at 100 TB you'd use 16-24
-    // bits + radius-1 probes so each query touches ~1k-vector buckets.
-    // Engine-native hashing in the planes → rows-only + EmbeddingsSpec.
+    // buckets) from fixed ±1 hyperplanes; each query probes its own bucket
+    // plus all buckets within Hamming distance 2 (22 of 64), then ranks by
+    // exact cosine inside the probed set. Bit count and probe radius scale
+    // with corpus: at 100 TB you'd use 16-24 bits + radius-1 probes so
+    // each query touches ~1k-vector buckets. The plane weights depend only
+    // on (plane, dim), so they are PRECOMPUTED md5-parity literals
+    // embedded in both the Spark plan and the DuckDB oracle — the whole
+    // index is deterministic arithmetic and fully hash-checked (recall
+    // additionally gated vs exact in EmbeddingsSpec).
     "e2_ann_lsh_buckets" -> QueryDef(
       build = (s, d) => {
-        // plane p weight for dim i = ±1 from xxhash64(p*997 + i) parity
         def signedProj(vec: Column, p: Int): Column =
-          aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-              when(pmod(xxhash64(i + lit(p * 997)), lit(2)) === 0,
-                x.cast("double")).otherwise(-x.cast("double"))),
-            lit(0.0), (acc, v) => acc + v)
+          call_function("vec_dot", vec.cast("array<double>"),
+            array(planeWeights(p).map(lit): _*))
         def bucket(vec: Column): Column =
-          (0 until 6).map(p =>
+          (0 until LshBits).map(p =>
             when(signedProj(vec, p) > 0, lit(1L << p)).otherwise(lit(0L)))
             .reduce(_ + _)
-        val probeMasks = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+        val probeMasks = (0 until (1 << LshBits)).filter(m => Integer.bitCount(m) <= 2)
         val v = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
         val q = v.filter(col("vec_id") % 10 === 0)
@@ -121,11 +134,39 @@ object Embeddings extends QueryGroup {
               (norm(col("q_vec")) * norm(col("embedding")))).as("cos"))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
-          .select(col("q_id"), explode(col("top")).as("sv"))
-          .select(col("q_id"), col("sv.id").as("vec_id"),
-            (floor(col("sv.score") * 1000000) / 1000000.0).as("score"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
       },
-      oracle = None),
+      oracle = Some {
+        def wlit(p: Int) = planeWeights(p).mkString("[", ", ", "]")
+        def sqlProj(vecExpr: String, p: Int) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($vecExpr[i] AS DOUBLE) * (${wlit(p)})[i]))"
+        val sqlBucket = (0 until LshBits).map(p =>
+          s"CASE WHEN ${sqlProj("embedding", p)} > 0 THEN ${1L << p} ELSE 0 END")
+          .mkString(" + ")
+        val masks = (0 until (1 << LshBits)).filter(m => Integer.bitCount(m) <= 2)
+          .mkString("[", ", ", "]")
+        s"""
+        WITH v AS (
+          SELECT vec_id, embedding, CAST($sqlBucket AS BIGINT) AS bkt
+          FROM embeddings),
+        q AS (
+          SELECT v.vec_id AS q_id, v.embedding AS q_vec, xor(v.bkt, m.msk) AS bkt
+          FROM v, unnest($masks) AS m(msk)
+          WHERE v.vec_id % 10 = 0),
+        scored AS (
+          SELECT q.q_id, v.vec_id,
+                 ${sqlDotOf("q.q_vec", "v.embedding")} /
+                 (sqrt(${sqlDotOf("q.q_vec", "q.q_vec")}) * sqrt(${sqlDotOf("v.embedding", "v.embedding")})) AS cos
+          FROM q JOIN v USING (bkt)
+          WHERE v.vec_id <> q.q_id)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5"""
+      }),
 
     // E4: ANN via IVF (inverted file index) — the OTHER standard ANN scale
     // path next to e2's LSH. Centroids are a deterministic corpus sample
