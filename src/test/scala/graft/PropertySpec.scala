@@ -136,6 +136,24 @@ class PropertySpec extends SparkSpec {
     assert(got == want, "bounded top-k must equal exact sort-take under ties")
   }
 
+  test("a12 HLL estimates stay within 10% of exact distinct counts") {
+    // the one query with no DuckDB oracle (HLL registers are engine-
+    // specific) gets a quantitative accuracy bar instead: Spark's default
+    // rsd is 0.05, so 10% relative error is a comfortable-but-real gate
+    val sf = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("a12_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.core.Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_suppkey").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (p, s)) =>
+      val (ap, as_) = approx(flag)
+      assert(math.abs(ap - p).toDouble / p <= 0.10, s"$flag parts: approx $ap vs exact $p")
+      assert(math.abs(as_ - s).toDouble / s <= 0.10, s"$flag suppliers: approx $as_ vs exact $s")
+    }
+  }
+
   test("quality split partitions the input exactly") {
     import graft.quality.Quality
     val rnd = new Random(99)
