@@ -64,6 +64,18 @@ object TextFunctions {
   def portableHash(s: Column, prefix: String): Column =
     conv(substring(md5(concat(lit(prefix), s)), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side scalar twin of [[portableHash]] — the SAME md5-first-15-hex
+    * kernel for plan-build-time constants (LSH plane weights) and
+    * driver/executor Scala code (stub codec). Keep all three forms (Column,
+    * SQL string, scalar) in lockstep: oracle parity depends on it.
+    * Pass a reusable digest in hot loops (digest() resets it). */
+  def portableHash60(s: String,
+      md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): Long = {
+    val digest = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      digest.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** The default (engine-native, fastest) MinHash kernel. */
   val xxhashKernel: (Column, Int) => Column = (s, seed) => xxhash64(s, lit(seed))
 

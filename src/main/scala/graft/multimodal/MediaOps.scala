@@ -43,14 +43,20 @@ object MediaOps {
     * STUBBED feature pipeline is oracle-checked end to end. Swap this
     * object for a real decoder in production. */
   object StubCodec {
-    def decode(payload: Array[Byte]): MediaFeatures = {
+    private val HexDigits = "0123456789ABCDEF".toCharArray
+
+    /** @param md reusable digest — hoisted per batch by extractFeatures so
+      *           the per-row cost is the hash itself, not provider lookup */
+    def decode(payload: Array[Byte],
+        md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): MediaFeatures = {
       // ??? real implementation would decode the container here ???
-      // fake features from md5(hex(payload)) — h is 60-bit non-negative
-      val hexPayload = payload.map(b => f"$b%02X").mkString
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(hexPayload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = java.lang.Long.parseLong(
-        digest.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+      // fake features from the shared portable kernel over hex(payload)
+      // (uppercase, matching both engines' hex()) — h is 60-bit non-negative
+      val sb = new java.lang.StringBuilder(payload.length * 2)
+      payload.foreach { b =>
+        sb.append(HexDigits((b >> 4) & 0xf)); sb.append(HexDigits(b & 0xf))
+      }
+      val h = graft.functions.TextFunctions.portableHash60(sb.toString, md)
       MediaFeatures(
         width = 16 + (h % 64).toInt * 16,
         height = 16 + ((h >> 8) % 64).toInt * 16,
@@ -92,12 +98,14 @@ object MediaOps {
     val input = df.select(col(idCol).cast("long"), col(payloadCol), sniffFormat(col(payloadCol)))
     val rows: Dataset[Row] = input.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one "codec call" per batch
+        // one "codec call" per batch — digest allocated once here, reused
+        // per row (MessageDigest.digest() resets the instance)
+        val md = java.security.MessageDigest.getInstance("MD5")
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
-          val f = StubCodec.decode(payload)
+          val f = StubCodec.decode(payload, md)
           val (rw, rh) = StubCodec.resizePlan(f, maxDim)
           Row(id, fmt, f.width, f.height, rw, rh, f.n_frames,
             StubCodec.sampleFrames(f, framesPerClip), f.mean_luma)

@@ -29,7 +29,10 @@ object SimilarityJoin {
 
   /** @param docs     (blockCol, idCol, tokensCol: array<string>) — pairs
     *                 only form within the same block (pass a constant
-    *                 column to disable blocking)
+    *                 column to disable blocking). Ids must be GLOBALLY
+    *                 unique (not merely unique per block); column names
+    *                 must avoid the internal `_`-prefixed and
+    *                 na/nb/pa/pb/a_id/b_id working names.
     * @param p, q     threshold t = p/q, 0 < p ≤ q
     * @return (blockCol, a_id, b_id, jaccard) with jaccard ≥ p/q exact
     */
@@ -61,13 +64,16 @@ object SimilarityJoin {
         lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= expr(alpha))
       .select(blockCol, "a_id", "b_id")
       .distinct()
-    val dim = docs.select(col(idCol).as("_did"), col(tokensCol).as("_ts"),
-      size(col(tokensCol)).cast("long").as("_dn"))
+    // dim joins keyed on (block, id): ids unique per block suffice here,
+    // though callers should still prefer globally-unique ids (the a < b
+    // candidate ordering compares raw ids)
+    val dim = docs.select(col(blockCol), col(idCol).as("_did"),
+      col(tokensCol).as("_ts"), size(col(tokensCol)).cast("long").as("_dn"))
     candidates
-      .join(dim.select(col("_did").as("a_id"), col("_ts").as("a_ts"),
-        col("_dn").as("na")), "a_id")
-      .join(dim.select(col("_did").as("b_id"), col("_ts").as("b_ts"),
-        col("_dn").as("nb")), "b_id")
+      .join(dim.select(col(blockCol), col("_did").as("a_id"), col("_ts").as("a_ts"),
+        col("_dn").as("na")), Seq(blockCol, "a_id"))
+      .join(dim.select(col(blockCol), col("_did").as("b_id"), col("_ts").as("b_ts"),
+        col("_dn").as("nb")), Seq(blockCol, "b_id"))
       .withColumn("_i", size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
       // threshold test in exact integers (J ≥ p/q ⟺ q·|A∩B| ≥ p·|A∪B|)
       // — a float compare could misround exact-equality pairs

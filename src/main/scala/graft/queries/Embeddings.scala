@@ -39,16 +39,20 @@ object Embeddings extends QueryGroup {
 
   private val LshBits = 6
 
-  /** e2's fixed ±1 hyperplane weights — md5 parity of "p:i", computed at
-    * plan-build time and embedded as LITERAL arrays in both the Spark plan
-    * and the DuckDB oracle (the weights depend only on (plane, dim), so
-    * hashing per row would be waste). */
+  /** Embedding dimensionality, baked into e2's literal hyperplanes. If the
+    * table's actual dimension differed, vec_dot would return null on the
+    * mismatch and every projection sign would read false — EmbeddingsSpec
+    * asserts the data matches this constant so that failure is explicit. */
+  val EmbDim = 64
+
+  /** e2's fixed ±1 hyperplane weights — parity of the shared portable hash
+    * of "p:i" (TextFunctions.portableHash60), computed at plan-build time
+    * and embedded as LITERAL arrays in both the Spark plan and the DuckDB
+    * oracle (the weights depend only on (plane, dim), so hashing per row
+    * would be waste). */
   private def planeWeights(p: Int): Seq[Double] =
-    (0 until 64).map { i =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString
-      if (java.lang.Long.parseLong(md.take(15), 16) % 2 == 0) 1.0 else -1.0
+    (0 until EmbDim).map { i =>
+      if (graft.functions.TextFunctions.portableHash60(s"$p:$i") % 2 == 0) 1.0 else -1.0
     }
 
   def defs: Map[String, QueryDef] = Map(
@@ -142,7 +146,7 @@ object Embeddings extends QueryGroup {
       oracle = Some {
         def wlit(p: Int) = planeWeights(p).mkString("[", ", ", "]")
         def sqlProj(vecExpr: String, p: Int) =
-          s"list_sum(list_transform(range(1, 65), i -> CAST($vecExpr[i] AS DOUBLE) * (${wlit(p)})[i]))"
+          s"list_sum(list_transform(range(1, ${EmbDim + 1}), i -> CAST($vecExpr[i] AS DOUBLE) * (${wlit(p)})[i]))"
         val sqlBucket = (0 until LshBits).map(p =>
           s"CASE WHEN ${sqlProj("embedding", p)} > 0 THEN ${1L << p} ELSE 0 END")
           .mkString(" + ")

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Tests for the similarity-search operators: the LSH-bucketed ANN (e2, no
-  * oracle) must bucket identical vectors together and rank by true cosine;
-  * brute-force cosine math is checked against a hand computation.
+/** Tests for the similarity-search operators. e1/e2/e4 are all DuckDB
+  * oracle-checked (e2's hyperplanes are precomputed literals); these specs
+  * add the quantitative bars the oracle can't express — recall vs exact —
+  * plus plan-shape and cosine-math sanity.
   */
 class EmbeddingsSpec extends SparkSpec {
   import spark.implicits._
@@ -71,11 +72,16 @@ class EmbeddingsSpec extends SparkSpec {
     assert(recall >= 0.5, f"IVF recall@5 $recall%.3f below the 0.5 gate")
   }
 
-  test("e2 recall gate: >= 0.5 against oracle-checked e1 exact top-k at sf0.01") {
-    // Quantitative correctness bar for the no-oracle ANN operator: its
-    // recall@5 is measured against e1 (which IS hash-checked against
-    // DuckDB), on the queries both operators answer.
+  test("e2 recall gate: >= 0.5 against e1 exact top-k at sf0.01") {
+    // The oracle proves e2 computes ITS OWN definition correctly; this
+    // gate measures whether that definition is a GOOD approximation —
+    // recall@5 against the exact top-k on the queries both answer.
     val sf = "/root/testdata/sf0.01"
+    // the literal hyperplanes bake in EmbDim — catch a dim change loudly
+    val dim = graft.core.Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(dim == Seq(graft.queries.Embeddings.EmbDim),
+      s"embedding dim $dim != baked-in ${graft.queries.Embeddings.EmbDim}")
     val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val e2 = SparkEntry.queries("e2_ann_lsh_buckets")(spark, sf).collect()
