@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Typed arbitrary-state streaming (SURVEY §2.9 ST5's
   * `(flatMap)GroupsWithState` option; reference session logic:
@@ -21,6 +22,77 @@ object Stateful {
   case class UserEvent(user_id: Long, event_type: String)
   case class UserState(n_events: Long, purchases: Long)
   case class UserProfile(user_id: Long, n_events: Long, purchases: Long)
+
+  // carries the watermarked TIMESTAMP column through the typed boundary —
+  // projecting it away would drop the watermark EventTimeTimeout needs
+  case class SessEvent(
+      user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_id: Long)
+  case class OpenSession(start_us: Long, end_us: Long, n_events: Long)
+  case class ClosedSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** TRUE streaming sessionization — the cross-batch stateful option the
+    * reference's batch-local lag+cumsum cannot express (SURVEY ST5;
+    * transform_clickstream.py:47-126 splits sessions at micro-batch
+    * boundaries). One open session per user lives in the state store;
+    * events extend it, a gap closes and emits it, and an EVENT-TIME
+    * timeout (watermark passing end + gap) closes idle sessions without
+    * waiting for the user's next event. State is O(users), partitioned by
+    * the key shuffle.
+    *
+    * Requires in-order arrival ACROSS batches up to the watermark (events
+    * within a batch are sorted here): feed it a time-ordered source or a
+    * nonzero watermark delay.
+    *
+    * @param events streaming DF with user_id, a TimestampType `ts` (must
+    *               carry a watermark), event_id
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .select($"user_id".cast("long").as("user_id"), $"ts",
+        unix_micros($"ts").as("ts_us"), $"event_id".cast("long").as("event_id"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no in-time event can extend it
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start_us, s.end_us, s.n_events))
+          } else {
+            // eager fold (state mutations must not hide inside a lazy
+            // iterator): extend/close against the carried open session
+            val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open: Option[OpenSession] = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.end_us <= gapUs =>
+                  open = Some(s.copy(end_us = e.ts_us, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start_us, s.end_us, s.n_events)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+              }
+            }
+            // persist the still-open session + arm its event-time timeout,
+            // clamped above the current watermark (late data can leave the
+            // natural deadline already passed — fire at the next tick
+            // instead of crashing the query)
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max((s.end_us + gapUs) / 1000, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Running (event count, purchase count) per user, maintained in typed
     * state. After draining all input, the emitted profiles equal the

@@ -131,6 +131,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "final per-key state must equal the batch aggregation")
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions match the batch algorithm") {
+    // time-range-partitioned files streamed 1-per-trigger → sessions span
+    // micro-batches; the stateful sessionizer must close exactly the
+    // sessions the batch gaps-and-islands algorithm closes, except those
+    // still within `gap` of the stream's max event time (watermark can't
+    // prove them over — the same cutoff st5's session_window applies).
+    val srcDir = Files.createTempDirectory("graft_fs_").toString
+    val events = graft.core.Tables.events(spark, sf)
+    events.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    // FileStreamSource orders by modification time: stamp part files in
+    // range order (part-0000i = i-th ts range) so batches arrive in-order
+    // and the 0s watermark never sees late data
+    java.nio.file.Files.list(java.nio.file.Paths.get(srcDir)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("part-")) {
+          val idx = name.drop(5).takeWhile(_.isDigit).toLong
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + idx * 60000))
+        }
+      }
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "0 seconds")
+    val sessions = graft.streaming.Stateful.sessionize(stream, gapMinutes = 30).toDF()
+    val got = Streams.runToMemory(sessions, "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val gapUs = 30L * 60 * 1000000
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val batch = graft.ops.Sessionize
+      .assign(events, "user_id", "ts", "event_id", gapMinutes = 30)
+      .groupBy("user_id", "session_idx")
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+        count(lit(1)).as("n"))
+      .filter(col("e") + gapUs <= maxUs) // provably-closed sessions only
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.subsetOf(got),
+      s"stateful sessionizer missed ${(batch -- got).size} provably-closed sessions")
+    // nothing extra beyond sessions the batch algorithm knows about
+    val allBatch = graft.ops.Sessionize
+      .assign(events, "user_id", "ts", "event_id", gapMinutes = 30)
+      .groupBy("user_id", "session_idx")
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+        count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.subsetOf(allBatch), s"emitted ${(got -- allBatch).size} phantom sessions")
+  }
+
   test("streaming dedup equals batch distinct") {
     val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
     val batch = spark.read.parquet(s"$sf/events.parquet").count()
