@@ -62,6 +62,44 @@ object Streaming extends QueryGroup {
                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
         FROM events GROUP BY user_id""")),
 
+    // ST5 (true stateful variant): flatMapGroupsWithState sessionization —
+    // closed sessions from the cross-batch stateful operator. With one
+    // input file (one batch), in-batch gaps close all but each user's last
+    // session; the event-time timeout then closes that last one iff the
+    // final watermark (max ts, 0s delay) passed its end + gap. The oracle
+    // encodes exactly that cutoff over the batch gaps-and-islands algebra.
+    "st9_stateful_sessionize" -> QueryDef(
+      build = (s, d) => {
+        val stream = Streams.tableStream(s, d, "events")
+          .withWatermark("ts", "0 seconds")
+        Streams.runToMemory(
+          graft.streaming.Stateful.sessionize(stream, gapMinutes = 30).toDF(),
+          "append")
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT *,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000000
+                        OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sessions AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flagged),
+        agg AS (
+          SELECT user_id, session_idx,
+                 min(epoch_us(ts)) AS session_start_us,
+                 max(epoch_us(ts)) AS session_end_us,
+                 count(*) AS n_events,
+                 session_idx = max(session_idx) OVER (PARTITION BY user_id) AS is_last
+          FROM sessions GROUP BY user_id, session_idx),
+        mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+        SELECT user_id, session_start_us, session_end_us, n_events
+        FROM agg, mx
+        WHERE NOT is_last OR session_end_us + 30*60*1000000 <= m""")),
+
     // ST2: stateful streaming dedup within watermark — first-seen row per
     // event_id survives from a doubled input.
     "st2_stream_dedup" -> QueryDef(
