@@ -42,13 +42,16 @@ object SimilarityJoin {
     require(p > 0 && q >= p, s"threshold $p/$q must be in (0, 1]")
     val toks = docs.select(
       col(blockCol), col(idCol).as("_id"), explode(col(tokensCol)).as("_tok"))
-    val wDoc = Window.partitionBy(col("_id"))
-    // document frequency from a count window over the token partition —
-    // one tok-keyed shuffle instead of a groupBy + join pair; then the
-    // doc-keyed window computes rank and size together (one more shuffle).
+    // document frequency via groupBy + join, NOT a count window over the
+    // token partition: the aggregate combines map-side and its (tiny)
+    // result can broadcast, and a skewed join is AQE-splittable — a
+    // window would funnel every occurrence of a Zipf stopword into ONE
+    // task's sort buffer, the exact straggler this operator exists to
+    // avoid. The doc-keyed window below computes rank and size together.
     // prefixLen = n − ceil(p·n/q) + 1;  ceil(p·n/q) = (p·n + q − 1) div q
-    val prefix = toks
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_tok"))))
+    val docFreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy(col("_id"))
+    val prefix = toks.join(docFreq, "_tok")
       .withColumn("_pos", row_number().over(wDoc.orderBy(col("_df"), col("_tok"))))
       .withColumn("_n", count(lit(1)).over(wDoc))
       .filter(col("_pos") <= col("_n") - expr(s"(_n * $p + ${q - 1}) div $q") + 1)

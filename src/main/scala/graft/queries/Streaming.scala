@@ -67,7 +67,10 @@ object Streaming extends QueryGroup {
     // input file (one batch), in-batch gaps close all but each user's last
     // session; the event-time timeout then closes that last one iff the
     // final watermark (max ts, 0s delay) passed its end + gap. The oracle
-    // encodes exactly that cutoff over the batch gaps-and-islands algebra.
+    // encodes exactly that cutoff over the batch gaps-and-islands algebra
+    // — in MILLISECOND floor with a STRICT compare, because Spark's
+    // EventTimeTimeout fires only when floor-ms(watermark) strictly
+    // exceeds floor-ms(deadline).
     "st9_stateful_sessionize" -> QueryDef(
       build = (s, d) => {
         val stream = Streams.tableStream(s, d, "events")
@@ -98,7 +101,8 @@ object Streaming extends QueryGroup {
         mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
         SELECT user_id, session_start_us, session_end_us, n_events
         FROM agg, mx
-        WHERE NOT is_last OR session_end_us + 30*60*1000000 <= m""")),
+        WHERE NOT is_last
+           OR (session_end_us + 30*60*1000000) // 1000 < m // 1000""")),
 
     // ST2: stateful streaming dedup within watermark — first-seen row per
     // event_id survives from a doubled input.

@@ -40,9 +40,11 @@ object Stateful {
     * waiting for the user's next event. State is O(users), partitioned by
     * the key shuffle.
     *
-    * Requires in-order arrival ACROSS batches up to the watermark (events
-    * within a batch are sorted here): feed it a time-ordered source or a
-    * nonzero watermark delay.
+    * In-watermark late events that still belong to the OPEN session merge
+    * into it (min/max bounds); late events whose session already closed
+    * and was emitted cannot be merged retroactively — the standard
+    * append-mode limitation, bounded by the watermark delay. Feed a
+    * time-ordered source for exact batch parity.
     *
     * @param events streaming DF with user_id, a TimestampType `ts` (must
     *               carry a watermark), event_id
@@ -72,7 +74,14 @@ object Stateful {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_us - s.end_us <= gapUs =>
-                  open = Some(s.copy(end_us = e.ts_us, n_events = s.n_events + 1))
+                  // min/max, not assignment: a late-but-in-watermark event
+                  // from a later batch may precede the open session's
+                  // bounds — regressing end_us would misread the next
+                  // delta and emit end < contained-event timestamps
+                  open = Some(s.copy(
+                    start_us = math.min(s.start_us, e.ts_us),
+                    end_us = math.max(s.end_us, e.ts_us),
+                    n_events = s.n_events + 1))
                 case Some(s) =>
                   closed += ClosedSession(uid, s.start_us, s.end_us, s.n_events)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1L))

@@ -144,16 +144,12 @@ class StreamingSpec extends SparkSpec {
     // FileStreamSource orders by modification time: stamp part files in
     // range order (part-0000i = i-th ts range) so batches arrive in-order
     // and the 0s watermark never sees late data
-    java.nio.file.Files.list(java.nio.file.Paths.get(srcDir)).iterator()
-      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      .forEachRemaining { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("part-")) {
-          val idx = name.drop(5).takeWhile(_.isDigit).toLong
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + idx * 60000))
-        }
+    new java.io.File(srcDir).listFiles().foreach { f =>
+      if (f.getName.startsWith("part-")) {
+        val idx = f.getName.drop(5).takeWhile(_.isDigit).toLong
+        f.setLastModified(1000000000000L + idx * 60000)
       }
+    }
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -164,17 +160,6 @@ class StreamingSpec extends SparkSpec {
 
     val gapUs = 30L * 60 * 1000000
     val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-    val batch = graft.ops.Sessionize
-      .assign(events, "user_id", "ts", "event_id", gapMinutes = 30)
-      .groupBy("user_id", "session_idx")
-      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
-        count(lit(1)).as("n"))
-      .filter(col("e") + gapUs <= maxUs) // provably-closed sessions only
-      .select("user_id", "s", "e", "n")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(batch.subsetOf(got),
-      s"stateful sessionizer missed ${(batch -- got).size} provably-closed sessions")
-    // nothing extra beyond sessions the batch algorithm knows about
     val allBatch = graft.ops.Sessionize
       .assign(events, "user_id", "ts", "event_id", gapMinutes = 30)
       .groupBy("user_id", "session_idx")
@@ -182,6 +167,12 @@ class StreamingSpec extends SparkSpec {
         count(lit(1)).as("n"))
       .select("user_id", "s", "e", "n")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // provably-closed = deadline strictly below the final watermark at
+    // MILLISECOND floor (EventTimeTimeout's actual firing condition)
+    val batch = allBatch.filter { case (_, _, e, _) => (e + gapUs) / 1000 < maxUs / 1000 }
+    assert(batch.subsetOf(got),
+      s"stateful sessionizer missed ${(batch -- got).size} provably-closed sessions")
+    // nothing extra beyond sessions the batch algorithm knows about
     assert(got.subsetOf(allBatch), s"emitted ${(got -- allBatch).size} phantom sessions")
   }
 
