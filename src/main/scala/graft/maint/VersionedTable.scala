@@ -44,10 +44,25 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def latestVersion: Option[Long] = versions.maxOption
 
   /** Commit a new version; returns its number. */
-  def write(df: DataFrame, operation: String = "write"): Long = {
+  def write(df: DataFrame, operation: String = "write"): Long =
+    commit(df, operation, stageFeed = None)
+
+  /** Single commit path. Order: clear any orphaned `_changes/v=next`
+    * (left by a writeWithChangeFeed that died pre-manifest — a later
+    * plain write() must not adopt a stale feed), write the data files,
+    * stage this commit's feed (if any), and ONLY THEN append the
+    * manifest line. The manifest append is the commit point, so data and
+    * feed become visible together or not at all. */
+  private def commit(df: DataFrame, operation: String,
+      stageFeed: Option[Long => Unit]): Long = {
     val next = latestVersion.map(_ + 1).getOrElse(0L)
+    val staleFeed = Paths.get(s"$root/_changes/v=$next")
+    if (Files.exists(staleFeed))
+      Files.walk(staleFeed).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
     val dir = s"$root/v=$next"
     df.write.mode("overwrite").parquet(dir)
+    stageFeed.foreach(f => f(next))
     val rows = spark.read.parquet(dir).count()
     Files.createDirectories(Paths.get(root))
     Files.writeString(
@@ -71,19 +86,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
       df: DataFrame, keyCols: Seq[String],
       operation: String = "write",
       commitTs: String = "2001-09-01 00:00:00"): Long = {
-    val next = latestVersion.map(_ + 1).getOrElse(0L)
-    val feed = latestVersion match {
-      case None => graft.ops.ChangeFeed.allInserts(df)
-      case Some(v) => graft.ops.ChangeFeed.diff(read(Some(v)), df, keyCols)
-    }
-    feed
-      .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(next))
-      .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
-        to_timestamp(lit(commitTs)))
-      .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
-    val committed = write(df, operation)
-    assert(committed == next, s"concurrent write detected at $root")
-    committed
+    commit(df, operation, stageFeed = Some { next =>
+      val feed =
+        if (next == 0L) graft.ops.ChangeFeed.allInserts(df)
+        else graft.ops.ChangeFeed.diff(read(Some(next - 1)), df, keyCols)
+      feed
+        .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(next))
+        .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
+          to_timestamp(lit(commitTs)))
+        .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
+    })
   }
 
   /** Read the change feed from `fromVersion` to head (M13 / S4:

@@ -15,13 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Content-derived salt in [0, saltFactor): hashing the full row makes
+    * the salt stable under task recompute. A salt from
+    * `monotonically_increasing_id()` (or unseeded rand) changes when a
+    * stage retries after a fetch failure, and a nondeterministic shuffle
+    * key can lose or duplicate rows on partial recompute — the classic
+    * nondeterministic-repartition hazard. Fully identical rows share a
+    * salt, which skews only when a single (key, payload) combination
+    * itself dominates. */
+  private def rowSalt(df: DataFrame, saltFactor: Int) =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor.toLong))
+
   /** Equi-join `large ⋈ small` on `key`, salted `saltFactor` ways.
     * `small` is replicated saltFactor× and broadcast when it fits. */
   def apply(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    val salted = large.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val salted = large.withColumn("_salt", rowSalt(large, saltFactor))
     val replicated = small.withColumn("_salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -44,11 +54,9 @@ object SaltedJoin {
     val hotKeys = large.groupBy(key).count()
       .filter(col("count") > hotThreshold)
       .select(col(key), lit(true).as("_hot"))
+    val hotSalt = rowSalt(large, saltFactor)
     val salted = large.join(broadcast(hotKeys), Seq(key), "left")
-      .withColumn("_salt",
-        when(col("_hot"),
-          pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
-          .otherwise(lit(0L)))
+      .withColumn("_salt", when(col("_hot"), hotSalt).otherwise(lit(0L)))
       .drop("_hot")
     val replicated = small.join(broadcast(hotKeys), Seq(key), "left")
       .withColumn("_salt",

@@ -55,7 +55,15 @@ object Streaming extends QueryGroup {
         val stream = graft.streaming.Stateful
           .userProfile(Streams.tableStream(s, d, "events"))
           .toDF()
+        // update mode re-emits a key's profile every micro-batch that
+        // touches it and the memory sink retains all emissions; the
+        // profile is monotone, so max() per key = final state. This keeps
+        // the oracle correct even if the source splits into multiple
+        // batches (e.g. maxFilesPerTrigger) instead of assuming one batch.
         Streams.runToMemory(stream, "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("purchases")).as("purchases"))
       },
       oracle = Some("""
         SELECT user_id, count(*) AS n_events,

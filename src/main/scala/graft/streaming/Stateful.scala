@@ -40,11 +40,13 @@ object Stateful {
     * waiting for the user's next event. State is O(users), partitioned by
     * the key shuffle.
     *
-    * In-watermark late events that still belong to the OPEN session merge
-    * into it (min/max bounds); late events whose session already closed
-    * and was emitted cannot be merged retroactively — the standard
-    * append-mode limitation, bounded by the watermark delay. Feed a
-    * time-ordered source for exact batch parity.
+    * In-watermark late events that still belong to the OPEN session
+    * (within the gap of its bounds) merge into it (min/max bounds); late
+    * events more than a gap older than the open session's start are
+    * emitted as their own single-event late sessions, and late events
+    * whose session already closed and was emitted cannot be merged
+    * retroactively — the standard append-mode limitation, bounded by the
+    * watermark delay. Feed a time-ordered source for exact batch parity.
     *
     * @param events streaming DF with user_id, a TimestampType `ts` (must
     *               carry a watermark), event_id
@@ -73,6 +75,13 @@ object Stateful {
             var open: Option[OpenSession] = state.getOption
             sorted.foreach { e =>
               open match {
+                case Some(s) if e.ts_us < s.start_us - gapUs =>
+                  // in-watermark straggler more than a gap OLDER than the
+                  // open session: batch semantics would place it in an
+                  // earlier (already emitted) session, so emit it as its
+                  // own late session instead of merging it into a session
+                  // it is separated from by more than the gap
+                  closed += ClosedSession(uid, e.ts_us, e.ts_us, 1L)
                 case Some(s) if e.ts_us - s.end_us <= gapUs =>
                   // min/max, not assignment: a late-but-in-watermark event
                   // from a later batch may precede the open session's
