@@ -1,44 +1,72 @@
 package graft.ml
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 
 /** Churn model training (SURVEY.md §2.13, parity-optional: VectorAssembler
-  * + tree classifier + AUC evaluation + seeded split, the
+  * + tree classifiers + AUC evaluation + seeded split, the
   * mlflow_experiment_tracking.py:57-159 shape without the tracking
-  * service).
+  * service). The reference trains BOTH RandomForest and GBT and compares
+  * AUC; `train` does the same and surfaces the winner as `best`.
   */
 object ChurnModel {
 
-  final case class Trained(
+  final case class ModelResult(
+      name: String,
       model: org.apache.spark.ml.PipelineModel,
       aucRoc: Double,
       featureImportances: Map[String, Double])
 
-  /** Train on a feature frame with a boolean `labelCol`; returns the
-    * fitted pipeline + holdout AUC + per-feature importances. */
+  final case class Trained(models: Seq[ModelResult]) {
+    /** Highest holdout AUC (name tiebreak for determinism). */
+    val best: ModelResult = models.maxBy(m => (m.aucRoc, m.name))
+    def model: org.apache.spark.ml.PipelineModel = best.model
+    def aucRoc: Double = best.aucRoc
+    def featureImportances: Map[String, Double] = best.featureImportances
+    def aucByModel: Map[String, Double] = models.map(m => m.name -> m.aucRoc).toMap
+  }
+
+  /** Train RF + GBT on a feature frame with a boolean `labelCol`; returns
+    * both fitted pipelines with holdout AUC + per-feature importances. */
   def train(features: DataFrame, featureCols: Seq[String], labelCol: String,
       seed: Long = 42L): Trained = {
     val prepared = features.withColumn("label",
       org.apache.spark.sql.functions.col(labelCol).cast("double"))
     val Array(trainDf, testDf) = prepared.randomSplit(Array(0.8, 0.2), seed)
+    trainDf.cache(); testDf.cache()
 
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
     val rf = new RandomForestClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setNumTrees(20).setMaxDepth(5).setSeed(seed)
-    val model = new Pipeline().setStages(Array(assembler, rf)).fit(trainDf)
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(5).setSeed(seed)
+    val evaluator = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setMetricName("areaUnderROC")
 
-    val scored = model.transform(testDf)
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("label").setMetricName("areaUnderROC").evaluate(scored)
-    val importances = model.stages.last
-      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
-      .featureImportances.toArray
-    Trained(model, auc, featureCols.zip(importances).toMap)
+    val results = Seq("random_forest" -> rf, "gbt" -> gbt).map {
+      case (name, clf) =>
+        val model = new Pipeline().setStages(Array(assembler, clf)).fit(trainDf)
+        val auc = evaluator.evaluate(model.transform(testDf))
+        // both tree models expose Gini-based featureImportances
+        val importances = model.stages.last match {
+          case m: org.apache.spark.ml.classification.RandomForestClassificationModel =>
+            m.featureImportances
+          case m: org.apache.spark.ml.classification.GBTClassificationModel =>
+            m.featureImportances
+        }
+        ModelResult(name, model, auc,
+          featureCols.zip(vecToArray(importances)).toMap)
+    }
+    trainDf.unpersist(); testDf.unpersist()
+    Trained(results)
   }
+
+  private def vecToArray(v: Vector): Array[Double] = v.toArray
 }

@@ -43,15 +43,18 @@ object ConnectedComponents {
     while (changed > 0 && i < maxIter) {
       val viaNeighbor = directed
         .join(labels, directed("_src") === labels("_id"))
-        .select(col("_dst").as("_id"), col("_lbl"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("_id").agg(min("_lbl").as("_lbl"))
+        .select(col("_dst").as("_id"), col("_lbl"),
+          lit(null).cast(labels.schema("_lbl").dataType).as("_old"))
+      // carry each node's previous label through the min-aggregation
+      // (every _id occurs exactly once in `labels`, so max(_old) recovers
+      // it) — convergence detection is then a scan of the checkpointed
+      // result, not a second join per round
+      val next = labels.select(col("_id"), col("_lbl"), col("_lbl").as("_old"))
+        .unionByName(viaNeighbor)
+        .groupBy("_id").agg(min("_lbl").as("_lbl"), max("_old").as("_old"))
         .localCheckpoint(true) // cut lineage: O(1) plan depth per round
-      changed = next.as("n")
-        .join(labels.as("o"), col("n._id") === col("o._id"))
-        .filter(col("n._lbl") =!= col("o._lbl"))
-        .count()
-      labels = next
+      changed = next.filter(col("_lbl") =!= col("_old")).count()
+      labels = next.select("_id", "_lbl")
       i += 1
     }
     require(changed == 0, s"not converged after $maxIter rounds")

@@ -72,7 +72,7 @@ class EmbeddingsSpec extends SparkSpec {
     assert(recall >= 0.5, f"IVF recall@5 $recall%.3f below the 0.5 gate")
   }
 
-  test("e2 recall gate: >= 0.5 against e1 exact top-k at sf0.01") {
+  test("e2 recall gate: >= 0.7 against e1 exact top-k at sf0.01") {
     // The oracle proves e2 computes ITS OWN definition correctly; this
     // gate measures whether that definition is a GOOD approximation —
     // recall@5 against the exact top-k on the queries both answer.
@@ -92,9 +92,9 @@ class EmbeddingsSpec extends SparkSpec {
       e1(q).intersect(e2(q)).size.toDouble / e1(q).size
     }.sum / shared.size
     info(f"ANN recall@5 vs exact top-k: $recall%.3f over ${shared.size} shared queries")
-    // radius-2 multi-probe over 6 bits scans ~34% of the corpus; measured
-    // recall runs well above this gate — a drop below it means the
-    // hyperplane bucketing broke, not noise.
-    assert(recall >= 0.5, f"ANN recall@5 $recall%.3f below the 0.5 gate")
+    // radius-4 multi-probe over 8 bits measured recall@5 = 0.889 at this
+    // SF — a drop below this gate means the hyperplane bucketing broke,
+    // not noise (everything in the pipeline is deterministic).
+    assert(recall >= 0.7, f"ANN recall@5 $recall%.3f below the 0.7 gate")
   }
 }

@@ -176,6 +176,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.subsetOf(allBatch), s"emitted ${(got -- allBatch).size} phantom sessions")
   }
 
+  test("sessionize: in-watermark straggler older than open-session-start-minus-gap emits as its own late session") {
+    // Exercises the pre-start-straggler branch (Stateful.scala): batch 1
+    // opens a session [10:00, 10:05]; batch 2 delivers an in-watermark
+    // event at 09:25 — more than the 30-min gap BEFORE the open session's
+    // start — plus a 12:00 event that closes the open session. The 09:25
+    // event must come out as a 1-event late session, NOT merge into (or
+    // regress the bounds of) the [10:00, 10:05] session.
+    val srcDir = Files.createTempDirectory("graft_ls_").toString
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ls_b_").toString
+      rows.toDF("user_id", "ts_s", "event_id")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeBatch("b1.parquet", 1000000000000L,
+      Seq((7L, "2024-01-01 10:00:00", 1L), (7L, "2024-01-01 10:05:00", 2L)))
+    writeBatch("b2.parquet", 1000000060000L,
+      Seq((7L, "2024-01-01 09:25:00", 3L), (7L, "2024-01-01 12:00:00", 4L)))
+    val schema = spark.read.parquet(srcDir).schema
+    // 3h watermark delay keeps the 09:25 event in-watermark after batch 1
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "3 hours")
+    val sessions = graft.streaming.Stateful.sessionize(stream, gapMinutes = 30).toDF()
+    val got = Streams.runToMemory(sessions, "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    val straggler = (7L, us("2024-01-01T09:25:00Z"), us("2024-01-01T09:25:00Z"), 1L)
+    val morning = (7L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:05:00Z"), 2L)
+    assert(got.contains(straggler), s"straggler must emit as its own late session; got $got")
+    assert(got.contains(morning), s"open session bounds must be untouched by the straggler; got $got")
+    // the 12:00 session stays open (watermark never passes its deadline)
+    assert(got == Set(straggler, morning), s"unexpected extra sessions: ${got -- Set(straggler, morning)}")
+  }
+
   test("streaming dedup equals batch distinct") {
     val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
     val batch = spark.read.parquet(s"$sf/events.parquet").count()

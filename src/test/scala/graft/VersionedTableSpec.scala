@@ -113,6 +113,47 @@ class VersionedTableSpec extends SparkSpec {
         "row-group min/max stats are not pruning")
   }
 
+  test("crashed writeWithChangeFeed cannot leak its staged feed into the next commit") {
+    // The hazard the single-commit-path fix addresses: a writeWithChangeFeed
+    // that dies AFTER staging _changes/v=N but BEFORE the manifest append
+    // leaves an orphaned feed dir; the next commit of version N (a plain
+    // write) must clear it rather than silently adopt rows that don't match
+    // its actual diff. Reproduce the exact post-crash state on disk, then
+    // commit over it.
+    val t = freshTable()
+    t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    val root = t.detail().collect()(0).getString(0)
+    // forge the orphan: CDF-shaped rows staged for version 1, no manifest line
+    val orphan = new java.io.File(s"$root/_changes/v=1")
+    Seq((99L, "STALE", "insert"))
+      .toDF("id", "v", graft.ops.ChangeFeed.ChangeTypeCol)
+      .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(1L))
+      .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
+        to_timestamp(lit("2001-09-01 00:00:00")))
+      .write.mode("overwrite").parquet(orphan.toString)
+    assert(t.latestVersion.contains(0L), "orphan must not be a committed version")
+    // plain write() commits version 1 with NO feed: the orphan must be gone
+    val v1 = t.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(v1 == 1L)
+    assert(!orphan.exists(), "stale staged feed must be cleared by the commit")
+    // the feed surface shows only v0's genuine inserts — no phantom STALE row
+    val feed = t.changeFeed(0L)
+    assert(feed.agg(max(col(graft.ops.ChangeFeed.CommitVersionCol))).collect()(0).getLong(0) == 0L)
+    assert(feed.filter(col("v") === "STALE").count() == 0L)
+    // and a REAL writeWithChangeFeed over another forged orphan stages its
+    // own diff, not the leftovers
+    Seq((98L, "STALE2", "insert"))
+      .toDF("id", "v", graft.ops.ChangeFeed.ChangeTypeCol)
+      .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(2L))
+      .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
+        to_timestamp(lit("2001-09-01 00:00:00")))
+      .write.mode("overwrite").parquet(s"$root/_changes/v=2")
+    t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    val v2feed = t.changeFeed(2L).collect()
+    assert(v2feed.map(_.getAs[Long]("id")).toSet == Set(4L),
+      s"v2 feed must be the real diff, got ${v2feed.mkString(",")}")
+  }
+
   test("vacuum removes old version dirs but keeps history + head") {
     val t = freshTable()
     t.write(Seq(1).toDF("id"))
