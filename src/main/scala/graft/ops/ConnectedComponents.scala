@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
   * distributed join + one aggregation (both key shuffles) — the driver
   * only counts changed labels, never materializes them. Rounds are
   * bounded by the cluster diameter, which for near-dup graphs is tiny
-  * (dup clusters are dense). At 100 TB the same loop runs with the
-  * large-star/small-star optimization (alternating conditional joins that
-  * contract paths in O(log n) rounds, Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14); the per-round shape —
-  * join labels to edges, min-aggregate — is identical.
+  * (dup clusters are dense). For high-diameter graphs at 100 TB, use
+  * [[alternatingStar]] — the large-star/small-star path-contraction
+  * variant (O(log n) rounds) behind the same contract, equivalence-tested
+  * in ConnectedComponentsSpec.
   */
 object ConnectedComponents {
 
@@ -59,5 +58,78 @@ object ConnectedComponents {
     }
     require(changed == 0, s"not converged after $maxIter rounds")
     labels.select(col("_id").as(idCol), col("_lbl").as("cluster"))
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round upgrade over per-hop label propagation: each round
+    * CONTRACTS paths instead of advancing labels one hop, so a
+    * diameter-d component needs ~log d rounds, not d. Same contract as
+    * [[minLabel]] (PropertySpec checks equivalence on random graphs).
+    *
+    * Each phase is a per-node min + re-emit — expressed as one
+    * aggregation (per-node min neighbor) joined back to the edges, i.e.
+    * two key shuffles per phase, both map-side combinable, no
+    * collect_list (a hub node's neighborhood never materializes in one
+    * task — the skew-safety property that matters at 100 TB).
+    *
+    *  - large-star: every neighbor LARGER than u re-attaches to u's
+    *    overall min neighbor m(u) = min(N(u) ∪ {u}).
+    *  - small-star: u and its smaller neighbors re-attach to
+    *    m≤(u) = min of that smaller neighborhood.
+    *
+    * Converged when the small-star pass changes nothing: every node then
+    * points directly at its component's min id.
+    */
+  def alternatingStar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // canonical (larger, smaller) orientation, self-loops dropped;
+    // isolated nodes re-enter via the final left join
+    var cur = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("_u"),
+        least(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // large-star over the FULL neighborhood (both orientations):
+      // every neighbor v > u re-attaches to m(u) = min(N(u) ∪ {u});
+      // output keeps (larger, smaller) orientation since m(u) < v
+      val sym = cur
+        .union(cur.select(col("_v").as("_u"), col("_u").as("_v")))
+      val lsMin = sym.groupBy("_u").agg(min("_v").as("_mn"))
+        .select(col("_u"), least(col("_mn"), col("_u")).as("_m"))
+      val large = sym.join(lsMin, "_u")
+        .filter(col("_v") > col("_u"))
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+        .distinct()
+      // small-star: u's smaller neighborhood (ALL of `large`'s edges, by
+      // orientation) plus u itself re-attach to its min
+      val ssMin = large.groupBy("_u").agg(min("_v").as("_m"))
+      val small = large.join(ssMin, "_u")
+      val next = small.select(col("_u"), col("_m").as("_v"))
+        .union(small.select(col("_v").as("_u"), col("_m").as("_v")))
+        .filter(col("_u") =!= col("_v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point = edge set unchanged (both sets are canonical, so a
+      // plain set difference is exact); limit(1) stops at first witness
+      changed = next.join(cur, Seq("_u", "_v"), "left_anti").limit(1).count() +
+        cur.join(next, Seq("_u", "_v"), "left_anti").limit(1).count()
+      cur = next
+      i += 1
+    }
+    require(changed == 0, s"not converged after $maxIter rounds")
+    // fixed point is a star forest: _v is the component min for every _u
+    val roots = cur.select(col("_u").as("_id"), col("_v").as("_lbl"))
+    nodes.select(col(idCol).as("_id"))
+      .join(roots, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_lbl"), col("_id")).as("cluster"))
   }
 }
