@@ -203,5 +203,102 @@ object TextOps extends QueryGroup {
                CAST(least(50, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
                array_to_string(list_slice(toks, start + 1, start + 50), ' ') AS chunk_text
         FROM t, unnest(range(0, len(toks), 40)) AS u(start)"""))
+      ,
+
+    // T8: benchmark decontamination — the training-corpus hygiene step
+    // every LLM pipeline runs before training: flag corpus documents that
+    // share any exact token 5-gram with a held-out benchmark set (here:
+    // doc_id % 50 == 0, the deterministic stand-in for an eval suite).
+    // Shape: explode distinct 5-gram shingles on both sides, inner-join on
+    // the shingle, per-doc aggregate, left-join back so every corpus doc
+    // reports (clean docs hash-check too). At 100 TB the benchmark side is
+    // tiny by construction — broadcast it; the corpus side is one explode
+    // + one map-side-combinable aggregate, never an all-pairs comparison.
+    "t8_decontaminate" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.documents(s, d)
+        val sh = doc.select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), 5))).as("g"))
+        val benchSh = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("g"))
+        val hits = sh.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(benchSh), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct("g").as("shared"),
+            countDistinct("bench_id").as("bench"))
+        doc.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("shared"), lit(0L)).as("n_shared_5grams"),
+            coalesce(col("bench"), lit(0L)).as("n_bench_docs"),
+            (coalesce(col("shared"), lit(0L)) > 0L).as("contaminated"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+          FROM toks),
+        hits AS (
+          SELECT c.doc_id,
+                 count(DISTINCT c.g) AS shared,
+                 count(DISTINCT b.doc_id) AS bench
+          FROM sh c JOIN sh b USING (g)
+          WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+          GROUP BY c.doc_id)
+        SELECT d.doc_id,
+               coalesce(shared, 0) AS n_shared_5grams,
+               coalesce(bench, 0) AS n_bench_docs,
+               coalesce(shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)
+        WHERE d.doc_id % 50 <> 0""")),
+
+    // T9: boilerplate detection via corpus-common n-grams (the
+    // MassiveText/Gopher-style repetition filter): a 3-gram is boilerplate
+    // when it appears in >= 5 distinct documents; each doc reports what
+    // fraction of its distinct 3-grams are boilerplate. Shape: one explode,
+    // document-frequency via map-side-combinable groupBy, broadcast-able
+    // join back (only 3-grams with df >= threshold matter — at 100 TB,
+    // semi-join the tiny hot-gram set instead of the full df table).
+    "t9_boilerplate_ngrams" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.documents(s, d)
+        val sh = doc.select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), 3))).as("g"))
+        val dfreq = sh.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+        val per = sh.join(dfreq, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n3"),
+            sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("nc"))
+        doc.select("doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n3"), lit(0L)).as("n_3grams"),
+            coalesce(col("nc"), lit(0L)).as("n_boilerplate"),
+            coalesce(
+              floor(col("nc").cast("double") / col("n3").cast("double") * 10000) / 10000.0,
+              lit(0.0)).as("boilerplate_ratio"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+          FROM toks),
+        dfq AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g),
+        per AS (
+          SELECT doc_id, count(*) AS n3,
+                 CAST(sum(CASE WHEN nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          FROM sh JOIN dfq USING (g)
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(n3, 0) AS n_3grams,
+               coalesce(nc, 0) AS n_boilerplate,
+               coalesce(floor(CAST(nc AS DOUBLE) / n3 * 10000) / 10000.0, 0.0) AS boilerplate_ratio
+        FROM documents d LEFT JOIN per USING (doc_id)"""))
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the corpus-hygiene ops: t8 benchmark
+  * decontamination and t9 boilerplate detection. The fixtures write a
+  * crafted documents.parquet so the queries run through the exact same
+  * table-loading path the driver uses.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write docs as a documents.parquet in a fresh dir; returns the dir. */
+  private def docsDir(docs: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_txt_").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t8: a corpus doc quoting a benchmark 5-gram is flagged; clean docs are not") {
+    // doc 0 (id%50==0) is the benchmark; doc 1 quotes 5 consecutive
+    // tokens of it; doc 2 shares only shorter fragments
+    val dir = docsDir(Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta",
+      1L -> "noise one two alpha beta gamma delta epsilon more noise",
+      2L -> "alpha beta something gamma delta epsilon"))
+    val got = SparkEntry.queries("t8_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(1L, 2L), "benchmark docs must not appear in the report")
+    assert(got(1L) == ((1L, 1L, true)),
+      s"doc 1 shares exactly 'alpha beta gamma delta epsilon': ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, false)), s"doc 2 has no shared 5-gram: ${got(2L)}")
+  }
+
+  test("t9: a 3-gram planted in >=5 docs is boilerplate; unique text scores 0") {
+    val common = "lorem ipsum dolor"
+    val docs = (1L to 5L).map(i => i -> s"unique$i padding$i $common tail$i") :+
+      (6L -> "entirely fresh words nothing repeated here")
+    val dir = docsDir(docs)
+    val got = SparkEntry.queries("t9_boilerplate_ngrams")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    (1L to 5L).foreach { i =>
+      assert(got(i)._1 == 1L, s"doc $i must report exactly the planted boilerplate 3-gram")
+      assert(got(i)._2 > 0.0 && got(i)._2 < 1.0)
+    }
+    assert(got(6L) == ((0L, 0.0)), "fresh doc must score zero boilerplate")
+  }
+
+  test("t8/t9 are total over the corpus at sf0.001 (clean docs report too)") {
+    val sf = "/root/testdata/sf0.001"
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    val nBench = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0).count()
+    assert(SparkEntry.queries("t8_decontaminate")(spark, sf).count() == nDocs - nBench)
+    val t9 = SparkEntry.queries("t9_boilerplate_ngrams")(spark, sf)
+    assert(t9.count() == nDocs)
+    assert(t9.filter(col("boilerplate_ratio") < 0 || col("boilerplate_ratio") > 1).count() == 0)
+  }
+}
