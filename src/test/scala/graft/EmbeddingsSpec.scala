@@ -72,6 +72,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(recall >= 0.5, f"IVF recall@5 $recall%.3f below the 0.5 gate")
   }
 
+  test("e5 PQ recall gate: >= 0.8 against exact top-k on shared queries at sf0.01") {
+    // PQ + ADC shortlist-50 + exact re-rank; measured recall@5 = 0.916
+    // (ADC-only would be 0.436 — the re-rank stage is what makes PQ a
+    // serving-grade index). Deterministic end to end.
+    val sf = "/root/testdata/sf0.01"
+    val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val e5 = SparkEntry.queries("e5_pq_adc_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val shared = e1.keySet.intersect(e5.keySet)
+    assert(shared.nonEmpty)
+    val recall = shared.toSeq.map { q =>
+      e1(q).intersect(e5(q)).size.toDouble / e1(q).size
+    }.sum / shared.size
+    info(f"PQ recall@5 vs exact top-k: $recall%.3f over ${shared.size} shared queries")
+    assert(recall >= 0.8, f"PQ recall@5 $recall%.3f below the 0.8 gate")
+  }
+
   test("e2 recall gate: >= 0.7 against e1 exact top-k at sf0.01") {
     // The oracle proves e2 computes ITS OWN definition correctly; this
     // gate measures whether that definition is a GOOD approximation —
