@@ -252,6 +252,49 @@ object Dedup extends QueryGroup {
                CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id,
                least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS is_canonical
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        GROUP BY d.doc_id"""))
+        GROUP BY d.doc_id""")),
+
+    // D7 (end-to-end artifact): the deduplicated-corpus KEEP LIST — what a
+    // training pipeline actually ships after candidates (d3/d4) and
+    // cluster resolution (d6): one row per surviving cluster with its
+    // canonical doc (min id), member/drop counts, and provenance. Shape:
+    // the d6 component labels + one map-side-combinable groupBy on the
+    // cluster id + a join back to documents for the keeper's metadata —
+    // nothing here adds a scale hazard beyond d6 itself.
+    "d7_dedup_keep_list" -> QueryDef(
+      build = (s, d) => {
+        val edges = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+        val docs = Tables.documents(s, d)
+        val clusters = graft.ops.ConnectedComponents
+          .minLabel(edges, "a_id", "b_id", docs.select(col("doc_id")), "doc_id")
+        clusters.groupBy(col("cluster").as("keep_doc_id"))
+          .agg(count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1L).as("n_dropped"),
+            max(col("doc_id")).as("max_member"))
+          .join(docs.select(col("doc_id").as("keep_doc_id"), col("source"), col("n_chars")),
+            "keep_doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents),
+        pairs AS ($sqlJaccardPairs),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a),
+        clusters AS (
+          SELECT d.doc_id,
+                 CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT cluster_id AS keep_doc_id,
+               count(*) AS n_members,
+               count(*) - 1 AS n_dropped,
+               max(c.doc_id) AS max_member,
+               d.source, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.cluster_id
+        GROUP BY cluster_id, d.source, d.n_chars"""))
   )
 }

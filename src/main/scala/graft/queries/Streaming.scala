@@ -233,6 +233,41 @@ object Streaming extends QueryGroup {
         Streams.runToMemory(stream, "complete")
       },
       oracle = Some(
-        "SELECT event_type, count(*) AS input_rows FROM events GROUP BY event_type"))
+        "SELECT event_type, count(*) AS input_rows FROM events GROUP BY event_type")),
+
+    // ST10 (beyond reference): stream-stream interval join — purchase
+    // attribution: each purchase joins to the same user's view events in
+    // the preceding 30 minutes. Both sides carry watermarks and the join
+    // condition is a time-range on the event-time columns, which is what
+    // lets Spark bound the join state: each side buffers only rows within
+    // watermark + interval, evicted as the watermark advances — the
+    // streaming join shape that runs forever at 100 TB/day. AvailableNow
+    // drains it to a batch-equivalent row set (inner joins emit exactly
+    // the predicate matches).
+    "st10_stream_stream_join" -> QueryDef(
+      build = (s, d) => {
+        val p = Streams.tableStream(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "3 hours")
+        val v = Streams.tableStream(s, d, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "3 hours")
+        val joined = p.join(v, expr(
+          "p_user = v_user AND v_ts >= p_ts - interval 30 minutes AND v_ts <= p_ts"))
+          .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        Streams.runToMemory(joined, "append")
+      },
+      oracle = Some("""
+        SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts"""))
   )
 }
