@@ -11,14 +11,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    // GraftSession, not a bare builder: queries resolve the extension-
+    // registered functions (vec_dot) and run under the engine's standard
+    // AQE/shuffle settings — the plan printed is the plan that ships
+    val spark = graft.core.GraftSession.local(cpus)
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 2) {

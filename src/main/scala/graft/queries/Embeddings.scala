@@ -288,9 +288,14 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val nSub = 16
         val subDim = EmbDim / nSub
+        // statically unrolled (subDim = 4 terms, left-to-right adds — the
+        // same fold order as the oracle's list_sum): element_at with
+        // computed-per-row indices stays inside whole-stage codegen,
+        // where zip_with/aggregate higher-order lambdas would not
         def l2sq(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x)
+          (1 to subDim).map { i =>
+            (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
+          }.reduce(_ + _)
         val vn = Tables.embeddings(s, d)
           .repartition(16)
           .withColumn("nrm", norm(col("embedding")))
@@ -337,8 +342,9 @@ object Embeddings extends QueryGroup {
         val shortlist = codes.crossJoin(broadcast(lut))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c)),
-              lit(0.0), (acc, x) => acc + x).as("adc"))
+            (1 to nSub).map { s =>
+              element_at(element_at(col("lut"), s), element_at(col("codes"), s))
+            }.reduce(_ + _).as("adc"))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
