@@ -41,6 +41,38 @@ class PushdownSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"o2 plan:\n$p")
   }
 
+  test("t8 broadcasts the benchmark shingle side") {
+    // the decontamination join must ship the (tiny) benchmark set to the
+    // corpus, never shuffle the corpus by shingle
+    assert(plan("t8_decontaminate").contains("BroadcastHashJoin"),
+      "benchmark side not broadcast in t8")
+  }
+
+  test("e5 keeps its ADC scoring join broadcast + its top-k partial") {
+    val p = plan("e5_pq_adc_topk")
+    // per-query LUTs broadcast to the codes side (never shuffle the corpus
+    // codes by query)...
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"e5 lost its broadcast scoring join:\n$p")
+    // ...and the per-query top-k aggregates map-side, so only
+    // |Q|·partitions·k candidate rows shuffle
+    assert(p.toLowerCase.contains("partial_boundedtopk")
+      || (p.contains("ObjectHashAggregate") && p.contains("partial")),
+      s"e5 lost its map-side partial top-k:\n$p")
+  }
+
+  test("e1/e4/e5 never scan more embedding columns than they use") {
+    Seq("e1_cosine_topk", "e4_ann_ivf", "e5_pq_adc_topk").foreach { q =>
+      val p = plan(q)
+      val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(schemas.nonEmpty, s"no ReadSchema in $q plan")
+      schemas.foreach { sch =>
+        assert(!sch.contains("label") || q != "e5_pq_adc_topk",
+          s"$q reads unused column in: $sch")
+      }
+    }
+  }
+
   test("aggregation combines map-side: a1 has partial HashAggregate below the exchange") {
     val p = plan("a1_customer_order_profile")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")

@@ -215,6 +215,69 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(straggler, morning), s"unexpected extra sessions: ${got -- Set(straggler, morning)}")
   }
 
+  test("stream-stream LEFT OUTER interval join: matches equal batch; unmatched emit after eviction") {
+    // the harder sibling of st10's inner join: unmatched purchases must
+    // surface with a null view once the watermark proves no view can
+    // still arrive. Files stream in ts order (mod-time stamped) so the
+    // 0s watermark advances batch by batch.
+    val srcDir = Files.createTempDirectory("graft_oj_").toString
+    val events = graft.core.Tables.events(spark, sf)
+    events.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach { f =>
+      if (f.getName.startsWith("part-")) {
+        val idx = f.getName.drop(5).takeWhile(_.isDigit).toLong
+        f.setLastModified(1000000000000L + idx * 60000)
+      }
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    def side(tpe: String, pre: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+        col("ts").as(s"${pre}_ts"))
+      .withWatermark(s"${pre}_ts", "0 seconds")
+    val joined = side("purchase", "p").join(side("view", "v"), expr(
+      "p_user = v_user AND v_ts >= p_ts - interval 30 minutes AND v_ts <= p_ts"),
+      "leftOuter")
+      .select(col("p_user"), col("p_id"), col("v_id"),
+        unix_micros(col("p_ts")).as("p_us"))
+    val got = Streams.runToMemory(joined, "append").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val batchInner = p.join(v, expr(
+      "p_user = v_user AND v_ts >= p_ts - interval 30 minutes AND v_ts <= p_ts"))
+      .select(col("p_user"), col("p_id"), col("v_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1) the matched rows are exactly the batch inner join
+    val gotMatched = got.filter(_._3 >= 0).map(t => (t._1, t._2, t._3)).toSet
+    assert(gotMatched == batchInner,
+      s"streamed matches diverge from batch: ${(gotMatched diff batchInner).take(3)} / ${(batchInner diff gotMatched).take(3)}")
+    // 2) no false unmatched: every null-view emission is for a purchase
+    //    with genuinely no in-window view
+    val matchedPurchases = batchInner.map(_._2)
+    val gotNull = got.filter(_._3 < 0)
+    assert(gotNull.forall(t => !matchedPurchases.contains(t._2)),
+      "a purchase with a real in-window view emitted a null row")
+    assert(gotNull.map(_._2).distinct.length == gotNull.length, "duplicate null emissions")
+    // 3) provably-evictable unmatched purchases DID emit: deadline a full
+    //    second below the final watermark (ms-floor safe margin)
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val allPurchases = p.select(col("p_id"), unix_micros(col("p_ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mustEmit = allPurchases.collect {
+      case (id, us) if !matchedPurchases.contains(id)
+        && us + 30L * 60 * 1000000 + 1000000 < maxUs => id
+    }.toSet
+    val gotNullIds = gotNull.map(_._2).toSet
+    assert(mustEmit.subsetOf(gotNullIds),
+      s"${(mustEmit -- gotNullIds).size} provably-evictable unmatched purchases never emitted")
+  }
+
   test("streaming dedup equals batch distinct") {
     val res = SparkEntry.queries("st2_stream_dedup")(spark, sf)
     val batch = spark.read.parquet(s"$sf/events.parquet").count()
