@@ -51,11 +51,18 @@ object SimilarityJoin {
     // prefixLen = n − ceil(p·n/q) + 1;  ceil(p·n/q) = (p·n + q − 1) div q
     val docFreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     val wDoc = Window.partitionBy(col("_id"))
+    // materialize the prefix table once: the self-join consumes it as BOTH
+    // sides, and the differing a/b projections block Spark's
+    // ReusedExchange, so without this the whole scan→explode→df-join→rank
+    // subtree runs twice (measured ~2× the query's scan work at sf0.1; at
+    // 100 TB the checkpoint write is far cheaper than recomputing the
+    // corpus-wide token pipeline)
     val prefix = toks.join(docFreq, "_tok")
       .withColumn("_pos", row_number().over(wDoc.orderBy(col("_df"), col("_tok"))))
       .withColumn("_n", count(lit(1)).over(wDoc))
       .filter(col("_pos") <= col("_n") - expr(s"(_n * $p + ${q - 1}) div $q") + 1)
       .select(col(blockCol), col("_id"), col("_tok"), col("_n"), col("_pos"))
+      .localCheckpoint(true)
     // required overlap α = ceil(p·(na+nb) / (p+q))
     val alpha = s"((na + nb) * $p + ${p + q - 1}) div ${p + q}"
     val candidates = prefix
