@@ -299,6 +299,34 @@ object TextOps extends QueryGroup {
                coalesce(n3, 0) AS n_3grams,
                coalesce(nc, 0) AS n_boilerplate,
                coalesce(floor(CAST(nc AS DOUBLE) / n3 * 10000) / 10000.0, 0.0) AS boilerplate_ratio
-        FROM documents d LEFT JOIN per USING (doc_id)"""))
+        FROM documents d LEFT JOIN per USING (doc_id)""")),
+
+    // T10: BPE-ish pre-tokenization counts — the GPT-2-style regex split
+    // (letter runs | digit runs | single punctuation) that LLM pipelines
+    // use to estimate token budgets before running a real BPE. Row-local,
+    // zero shuffles, runs at scan speed; the pattern is shared verbatim
+    // with the DuckDB oracle (plain classes only — no engine-specific
+    // regex syntax).
+    "t10_bpe_token_counts" -> QueryDef(
+      build = (s, d) => {
+        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+        val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_bpe_tokens"),
+          size(filter(toks, t => t.rlike("^[A-Za-z]"))).cast("long").as("n_alpha_runs"),
+          size(filter(toks, t => t.rlike("^[0-9]"))).cast("long").as("n_digit_runs"),
+          size(filter(toks, t => t.rlike("^[^A-Za-z0-9]"))).cast("long").as("n_punct"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+               len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                   t -> regexp_matches(t, '^[A-Za-z]'))) AS n_alpha_runs,
+               len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                   t -> regexp_matches(t, '^[0-9]'))) AS n_digit_runs,
+               len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                   t -> regexp_matches(t, '^[^A-Za-z0-9]'))) AS n_punct
+        FROM documents"""))
   )
 }
