@@ -48,12 +48,18 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.to(new java.io.File("/tmp/graft_bench_inner.log")))
       val proc = pb.start()
-      val ok = proc.waitFor() == 0
+      proc.waitFor()
       Files.deleteIfExists(jarPath)
+      // Trust the FILE, not the exit code: the inner clears any previous
+      // bench_out.json up front, so a present, well-formed file means the
+      // timed runs completed — even if the JVM then died nonzero during
+      // shutdown. Falling back in that case would silently overwrite
+      // clean spark-submit numbers with sbt-contaminated ones.
       val outFile = Paths.get(outPath)
-      if (ok && Files.isRegularFile(outFile)) {
-        println(new String(Files.readAllBytes(outFile), "UTF-8").trim)
-        true
+      if (Files.isRegularFile(outFile)) {
+        val line = new String(Files.readAllBytes(outFile), "UTF-8").trim
+        if (line.startsWith("{") && line.endsWith("}")) { println(line); true }
+        else false
       } else false
     } catch { case _: Throwable => false }
   }

@@ -198,7 +198,7 @@ object Embeddings extends QueryGroup {
         val vn = Tables.embeddings(s, d)
           .repartition(16)
           .withColumn("nrm", norm(col("embedding")))
-          .select(col("vec_id"), col("label"),
+          .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val cents = vn.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("cid"), col("ne").as("ce"))
@@ -281,7 +281,7 @@ object Embeddings extends QueryGroup {
     // top-k, so only |Q|·partitions·50 rows shuffle. The ADC top-50
     // shortlist is then re-ranked EXACTLY (the standard PQ serving
     // pipeline: at 100 TB the full-precision pass touches |Q|·50 vectors,
-    // not the corpus — measured recall@5 0.916 vs ADC-only 0.436). Every
+    // not the corpus — measured recall@5 0.911 on the e1-shared queries vs ADC-only ~0.44). Every
     // step is deterministic arithmetic → fully oracle-checked; recall
     // additionally gated vs exact in EmbeddingsSpec.
     "e5_pq_adc_topk" -> QueryDef(

@@ -217,8 +217,13 @@ object TextOps extends QueryGroup {
     "t8_decontaminate" -> QueryDef(
       build = (s, d) => {
         val doc = Tables.documents(s, d)
+        // materialized once: both the benchmark side and the corpus side
+        // consume this subtree, and the differing downstream shapes block
+        // ReusedExchange (same hazard SimilarityJoin documents) — without
+        // this the corpus-wide tokenize+explode runs twice
         val sh = doc.select(col("doc_id"),
           explode(array_distinct(shingles(col("text"), 5))).as("g"))
+          .localCheckpoint(true)
         val benchSh = sh.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("bench_id"), col("g"))
         val hits = sh.filter(col("doc_id") % 50 =!= 0)
@@ -265,8 +270,11 @@ object TextOps extends QueryGroup {
     "t9_boilerplate_ngrams" -> QueryDef(
       build = (s, d) => {
         val doc = Tables.documents(s, d)
+        // materialized once — consumed by both the document-frequency
+        // aggregate and the join-back (see t8's note)
         val sh = doc.select(col("doc_id"),
           explode(array_distinct(shingles(col("text"), 3))).as("g"))
+          .localCheckpoint(true)
         val dfreq = sh.groupBy("g").agg(countDistinct("doc_id").as("nd"))
         val per = sh.join(dfreq, "g")
           .groupBy("doc_id")

@@ -73,7 +73,7 @@ class EmbeddingsSpec extends SparkSpec {
   }
 
   test("e5 PQ recall gate: >= 0.8 against exact top-k on shared queries at sf0.01") {
-    // PQ + ADC shortlist-50 + exact re-rank; measured recall@5 = 0.916
+    // PQ + ADC shortlist-50 + exact re-rank; measured recall@5 = 0.911 on the e1-shared queries
     // (ADC-only would be 0.436 — the re-rank stage is what makes PQ a
     // serving-grade index). Deterministic end to end.
     val sf = "/root/testdata/sf0.01"

@@ -62,13 +62,19 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("e1/e4/e5 never scan more embedding columns than they use") {
-    Seq("e1_cosine_topk", "e4_ann_ivf", "e5_pq_adc_topk").foreach { q =>
+    // per-query allowed read sets: e1 filters queries by label; e4/e5
+    // select queries by vec_id and must not read label at all
+    val allowed = Map(
+      "e1_cosine_topk" -> Set("vec_id", "embedding", "label"),
+      "e4_ann_ivf" -> Set("vec_id", "embedding"),
+      "e5_pq_adc_topk" -> Set("vec_id", "embedding"))
+    allowed.foreach { case (q, ok) =>
       val p = plan(q)
       val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
       assert(schemas.nonEmpty, s"no ReadSchema in $q plan")
       schemas.foreach { sch =>
-        assert(!sch.contains("label") || q != "e5_pq_adc_topk",
-          s"$q reads unused column in: $sch")
+        val cols = sch.split(",").map(_.split(":")(0).trim).filter(_.nonEmpty).toSet
+        assert(cols.subsetOf(ok), s"$q scan reads ${cols -- ok} beyond $ok")
       }
     }
   }

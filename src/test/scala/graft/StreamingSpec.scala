@@ -265,8 +265,14 @@ class StreamingSpec extends SparkSpec {
       "a purchase with a real in-window view emitted a null row")
     assert(gotNull.map(_._2).distinct.length == gotNull.length, "duplicate null emissions")
     // 3) provably-evictable unmatched purchases DID emit: deadline a full
-    //    second below the final watermark (ms-floor safe margin)
-    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    //    second below the final watermark (ms-floor safe margin). The
+    //    join's watermark is the MIN across both input sides' max event
+    //    times (purchases and views are separate filtered streams), not
+    //    the global max — using the global max would overstate the
+    //    watermark by however far the sides' tails diverge.
+    val maxUs = math.min(
+      p.agg(max(unix_micros(col("p_ts")))).collect()(0).getLong(0),
+      v.agg(max(unix_micros(col("v_ts")))).collect()(0).getLong(0))
     val allPurchases = p.select(col("p_id"), unix_micros(col("p_ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val mustEmit = allPurchases.collect {
