@@ -100,6 +100,58 @@ object Multimodal extends QueryGroup {
                n_frames,
                CAST(least(n_frames, 4) AS INT) AS n_sampled,
                floor(luma * 10000) / 10000.0 AS mean_luma
-        FROM scaled"""))
+        FROM scaled""")),
+
+    // MM3: perceptual-style media near-dup — the media twin of d5: block
+    // by (format, width) so candidate pairs only form inside small
+    // same-shape buckets, then keep pairs whose mean-luma distance is
+    // tiny. With a real codec the features would be pHash/luma histograms;
+    // the stub's hash-derived features keep the exact same plan shape AND
+    // full oracle-checkability. At 100 TB the blocked self-join is keyed
+    // on (format, width) — binary payloads never shuffle, only the small
+    // feature rows.
+    "mm3_media_neardup" -> QueryDef(
+      build = (s, d) => {
+        val media = withPayload(Tables.documents(s, d))
+        val feats = MediaOps.extractFeatures(media, "doc_id", "payload")
+          .select(col("id"), col("format"), col("width"),
+            col("mean_luma")).localCheckpoint(true)
+        val a = feats.select(col("format"), col("width"),
+          col("id").as("a_id"), col("mean_luma").as("a_luma"))
+        val b = feats.select(col("format"), col("width"),
+          col("id").as("b_id"), col("mean_luma").as("b_luma"))
+        a.join(b, Seq("format", "width"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("format"), col("a_id"), col("b_id"),
+            (floor(abs(col("a_luma") - col("b_luma")) * 10000) / 10000.0).as("luma_diff"))
+          .filter(col("luma_diff") <= 0.02)
+      },
+      oracle = Some("""
+        WITH media AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
+                   WHEN 1 THEN 'RIFF'::BLOB || encode(text)
+                   ELSE 'ftyp'::BLOB || encode(text) END AS payload
+          FROM documents),
+        hashed AS (
+          SELECT doc_id,
+                 CASE substring(hex(payload), 1, 8)
+                   WHEN '89504E47' THEN 'png'
+                   WHEN '52494646' THEN 'riff'
+                   WHEN '66747970' THEN 'mp4'
+                   ELSE 'unknown' END AS format,
+                 CAST(concat('0x', substr(md5(hex(payload)), 1, 15)) AS BIGINT) AS hv
+          FROM media),
+        feats AS (
+          SELECT doc_id, format,
+                 CAST(16 + (hv % 64) * 16 AS INT) AS width,
+                 ((hv >> 24) % 256) / 255.0 AS luma
+          FROM hashed)
+        SELECT a.format, a.doc_id AS a_id, b.doc_id AS b_id,
+               floor(abs(a.luma - b.luma) * 10000) / 10000.0 AS luma_diff
+        FROM feats a JOIN feats b
+          ON a.format = b.format AND a.width = b.width AND a.doc_id < b.doc_id
+        WHERE floor(abs(a.luma - b.luma) * 10000) / 10000.0 <= 0.02"""))
   )
 }
