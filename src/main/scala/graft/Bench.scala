@@ -100,6 +100,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drain accumulated state BETWEEN queries, outside the timed
+      // section: prior queries' checkpoint/broadcast blocks are freed by
+      // the ContextCleaner only after their DataFrames are GC'd, and
+      // letting that debt collect until a full GC lands inside a later
+      // query's timing was measured to inflate the LAST query (w8) up to
+      // 7× on a loaded box
+      System.gc()
       name -> math.min(timeOnce(fn), timeOnce(fn))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
