@@ -41,6 +41,22 @@ class PushdownSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"o2 plan:\n$p")
   }
 
+  test("partition pruning: a partition-key filter reaches the scan as PartitionFilters") {
+    // hive-style partitioned layout — the 100 TB table layout where a
+    // date/source predicate must prune directories, not filter rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp_").toString
+    graft.core.Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("o_orderstatus"),
+      s"partition filter not pruning directories:\n$p")
+    // the row-level PushedFilters must NOT carry the partition predicate
+    // (it's resolved at planning, zero data read outside the partition)
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("o_orderstatus"), s"partition key leaked into row filters: $pushed")
+  }
+
   test("t8 broadcasts the benchmark shingle side") {
     // the decontamination join must ship the (tiny) benchmark set to the
     // corpus, never shuffle the corpus by shingle
