@@ -126,6 +126,34 @@ object Sources extends QueryGroup {
           ('HOUSEHOLD', 4), ('FURNITURE', 5))
         SELECT tier, count(*) AS cnt
         FROM customer LEFT JOIN tiers ON c_mktsegment = segment
-        GROUP BY tier"""))
+        GROUP BY tier""")),
+
+    // SRC6: columnar-format breadth — ORC sink + source roundtrip (ORC is
+    // the other columnar format Spark ships natively; same predicate/
+    // projection pushdown machinery as parquet). Write a projection of
+    // orders to ORC partitioned by status, read it back with a partition
+    // filter, aggregate — the oracle sees only the original parquet, so a
+    // roundtrip fault (type mangling, lost rows, broken pruning) breaks
+    // the hash.
+    "src6_orc_roundtrip" -> QueryDef(
+      build = (s, d) => {
+        val scratch = Files.createTempDirectory("graft_orc_").toString
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .write.mode("overwrite").partitionBy("o_orderstatus").orc(scratch)
+        s.read.orc(scratch)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            Exact.moneySum("o_totalprice").as("sum_d"))
+          .select(col("o_orderstatus"), col("cnt"),
+            round(col("sum_d"), 4).as("total_price"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderstatus, count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS total_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus"""))
   )
 }
