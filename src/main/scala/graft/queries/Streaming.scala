@@ -268,6 +268,65 @@ object Streaming extends QueryGroup {
         FROM events p JOIN events v
           ON p.user_id = v.user_id
          AND p.event_type = 'purchase' AND v.event_type = 'view'
-         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts"""))
+         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts""")),
+
+    // ST11 (beyond reference): stream-stream LEFT OUTER interval join —
+    // st10 plus the hard part: purchases with NO view in the window must
+    // still emit (with a null view) once the watermark proves no matching
+    // view can arrive. The null-side emission happens at state eviction,
+    // so the result is watermark-dependent: the oracle reproduces Spark's
+    // eviction cutoff exactly. The cutoff comes from the join condition's
+    // UPPER bound (v_ts <= p_ts): a purchase can no longer match once the
+    // watermark passes p_ts ITSELF — the interval's lower bound only
+    // governs how long the view side buffers. Cutoff = p_ts strictly
+    // below min(both sides' max event time) at MILLISECOND floor (the
+    // strict-ms rule st9 pinned for EventTimeTimeout). Purchases at the
+    // very tail of the stream stay in state on an unbounded run —
+    // exactly the rows the cutoff excludes.
+    "st11_stream_outer_join" -> QueryDef(
+      build = (s, d) => {
+        val p = Streams.tableStream(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "0 seconds")
+        val v = Streams.tableStream(s, d, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "0 seconds")
+        val joined = p.join(v, expr(
+          "p_user = v_user AND v_ts >= p_ts - interval 30 minutes AND v_ts <= p_ts"),
+          "leftOuter")
+          .select(col("p_user").as("user_id"), col("purchase_id"),
+            coalesce(col("view_id"), lit(-1L)).as("view_id"),
+            (unix_micros(col("p_ts")) - coalesce(unix_micros(col("v_ts")),
+              unix_micros(col("p_ts")))).as("lag_us"))
+        Streams.runToMemory(joined, "append")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        wm AS (
+          SELECT least((SELECT max(epoch_us(ts)) FROM p),
+                       (SELECT max(epoch_us(ts)) FROM v)) AS us),
+        matched AS (
+          SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+                 epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+          FROM p JOIN v
+            ON p.user_id = v.user_id
+           AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts),
+        unmatched AS (
+          SELECT p.user_id, p.event_id AS purchase_id,
+                 CAST(-1 AS BIGINT) AS view_id, CAST(0 AS BIGINT) AS lag_us
+          FROM p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = p.user_id
+              AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+            AND epoch_us(p.ts) // 1000 < (SELECT us FROM wm) // 1000)
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched"""))
   )
 }
