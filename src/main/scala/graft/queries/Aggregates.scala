@@ -286,6 +286,34 @@ object Aggregates extends QueryGroup {
                TRUE AS parts_within_5pct,
                TRUE AS suppliers_within_5pct
         FROM lineitem
-        GROUP BY l_returnflag"""))
+        GROUP BY l_returnflag""")),
+
+    // A13: exact interpolated percentiles of order value per status —
+    // distribution profiling (the p50/p95 dashboards the reference's SQL
+    // monitoring implies). Percentiles run on exact integer CENTS so the
+    // linear interpolation (1−g)·low + g·high is bit-identical across
+    // engines (DuckDB quantile_cont uses the same formula). Spark's
+    // `percentile` is a single-pass typed aggregate — one keyed shuffle;
+    // at 100 TB swap to approx_percentile with an a12-style in-plan
+    // accuracy audit.
+    "a13_price_percentiles" -> QueryDef(
+      build = (s, d) => {
+        val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+        Tables.orders(s, d).groupBy("o_orderstatus")
+          .agg(expr(s"percentile($cents, array(0.25, 0.5, 0.75, 0.95))").as("p"))
+          .select(col("o_orderstatus"),
+            (floor(col("p")(0) * 100) / 1000000.0).as("p25"),
+            (floor(col("p")(1) * 100) / 1000000.0).as("p50"),
+            (floor(col("p")(2) * 100) / 1000000.0).as("p75"),
+            (floor(col("p")(3) * 100) / 1000000.0).as("p95"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) * 100) / 1000000.0 AS p25,
+               floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) * 100) / 1000000.0 AS p50,
+               floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) * 100) / 1000000.0 AS p75,
+               floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95) * 100) / 1000000.0 AS p95
+        FROM orders
+        GROUP BY o_orderstatus"""))
   )
 }
