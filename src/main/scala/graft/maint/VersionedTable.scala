@@ -113,6 +113,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val v = versionAsOf.getOrElse(
       latestVersion.getOrElse(sys.error(s"empty table at $root")))
     require(versions.contains(v), s"version $v not in ${versions.mkString(",")}")
+    // a vacuumed version stays in the manifest (audit trail) but its data
+    // is gone — fail with the actual cause, not a parquet path error
+    require(Files.isDirectory(Paths.get(s"$root/v=$v")),
+      s"version $v of $root was vacuumed; earliest readable version is " +
+        s"${versions.filter(x => Files.isDirectory(Paths.get(s"$root/v=$x"))).minOption.getOrElse("none")}")
     spark.read.parquet(s"$root/v=$v")
   }
 

@@ -163,6 +163,10 @@ class VersionedTableSpec extends SparkSpec {
     assert(removed == Seq(0L, 1L))
     assert(t.read().count() == 3)
     assert(t.history().count() == 3)
-    intercept[Exception](t.read(Some(0)).count())
+    // time travel to a vacuumed version names the cause and the earliest
+    // readable version, not a parquet path error
+    val err = intercept[IllegalArgumentException](t.read(Some(0)))
+    assert(err.getMessage.contains("vacuumed") && err.getMessage.contains("2"),
+      s"unhelpful vacuum error: ${err.getMessage}")
   }
 }
