@@ -305,6 +305,43 @@ object Joins extends QueryGroup {
       },
       oracle = Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // J12: range (interval) join — orders attributed to every overlapping
+    // campaign window (windows overlap, so this is a genuine interval
+    // join, not a bucketing). Runs through ops/RangeJoin's bin-bucketed
+    // equi-join instead of the BroadcastNestedLoopJoin Spark would plan
+    // for a raw BETWEEN condition — the shape that survives when neither
+    // side broadcasts. Campaign windows are generated in-plan (120
+    // windows, 20-day stride, 45-day length) so both engines see
+    // identical intervals.
+    "j12_range_join_campaigns" -> QueryDef(
+      build = (s, d) => {
+        val campaigns = s.range(120).select(
+          col("id").as("campaign_id"),
+          date_add(to_date(lit("1995-01-01")), (col("id") * 20).cast("int")).as("start_d"),
+          date_add(to_date(lit("1995-01-01")), (col("id") * 20 + 45).cast("int")).as("end_d"))
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("od"))
+        graft.ops.RangeJoin
+          .pointInInterval(orders, "od", campaigns, "start_d", "end_d", binDays = 45)
+          .groupBy("campaign_id")
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.moneySum("o_totalprice").as("sum_d"))
+          .select(col("campaign_id"), col("n_orders"),
+            round(col("sum_d"), 4).as("campaign_revenue"))
+      },
+      oracle = Some(s"""
+        WITH campaigns AS (
+          SELECT i AS campaign_id,
+                 DATE '1995-01-01' + CAST(i*20 AS INT) AS start_d,
+                 DATE '1995-01-01' + CAST(i*20 + 45 AS INT) AS end_d
+          FROM range(0, 120) t(i))
+        SELECT campaign_id, count(*) AS n_orders,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS campaign_revenue
+        FROM orders JOIN campaigns
+          ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
+        GROUP BY campaign_id"""))
   )
 }
