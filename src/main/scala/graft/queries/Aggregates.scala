@@ -314,6 +314,82 @@ object Aggregates extends QueryGroup {
                floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) * 100) / 1000000.0 AS p75,
                floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95) * 100) / 1000000.0 AS p95
         FROM orders
+        GROUP BY o_orderstatus""")),
+
+    // A14: CUBE — all 2^k grouping combinations in one pass, with
+    // grouping_id() disambiguating real NULL keys from rolled-up ones
+    // (rv1 covers ROLLUP). Spark expands the cube at the logical layer
+    // into a single hash aggregate over the grouping-set-expanded input;
+    // at 100 TB this is one shuffle whose width scales with 2^k — keep k
+    // small (k=2 here), same rule as any cube engine.
+    "a14_cube_revenue" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .cube(year(col("o_orderdate")).cast("long").as("order_year"),
+            col("o_orderstatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("order_cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue")),
+      oracle = Some(s"""
+        SELECT year(o_orderdate) AS order_year, o_orderstatus,
+               CAST(GROUPING(order_year, o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS order_cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue
+        FROM orders
+        GROUP BY CUBE (order_year, o_orderstatus)""")),
+
+    // A15: PIVOT — long-to-wide reshaping with an explicit pivot-value
+    // list (the reference's dashboard "status columns per year" shape).
+    // An explicit value list keeps the plan a single hash aggregate
+    // (no extra distinct-values job) and makes the output schema static —
+    // the only safe form at 100 TB.
+    "a15_status_pivot" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(Exact.moneySum("o_totalprice"), 4))
+          .select(col("order_year"),
+            col("F").as("revenue_f"),
+            col("O").as("revenue_o"),
+            col("P").as("revenue_p")),
+      oracle = Some(s"""
+        SELECT year(o_orderdate) AS order_year,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE), 4) AS revenue_f,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE), 4) AS revenue_o,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE), 4) AS revenue_p
+        FROM orders
+        GROUP BY year(o_orderdate)""")),
+
+    // A16: approx_percentile accuracy audit — the production percentile
+    // path a13's scaladoc promises for 100 TB (a single-pass mergeable
+    // quantile sketch instead of exact percentile's per-group sort),
+    // certified a12-style: exact percentiles plus in-plan booleans
+    // asserting the sketch lands within 5%, so the DuckDB oracle
+    // (exact + literal TRUE) hash-checks the accuracy claim itself.
+    "a16_approx_percentile_audit" -> QueryDef(
+      build = (s, d) => {
+        val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+        def within5pct(approx: org.apache.spark.sql.Column,
+                       exact: org.apache.spark.sql.Column) =
+          abs(approx.cast("double") - exact) <= exact * 0.05
+        Tables.orders(s, d).groupBy("o_orderstatus")
+          .agg(
+            expr(s"percentile($cents, array(0.5, 0.95))").as("ex"),
+            expr(s"approx_percentile($cents, array(0.5, 0.95), 10000)").as("ap"))
+          .select(col("o_orderstatus"),
+            (floor(col("ex")(0) * 100) / 1000000.0).as("p50"),
+            (floor(col("ex")(1) * 100) / 1000000.0).as("p95"),
+            within5pct(col("ap")(0), col("ex")(0)).as("p50_within_5pct"),
+            within5pct(col("ap")(1), col("ex")(1)).as("p95_within_5pct"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) * 100) / 1000000.0 AS p50,
+               floor(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95) * 100) / 1000000.0 AS p95,
+               TRUE AS p50_within_5pct,
+               TRUE AS p95_within_5pct
+        FROM orders
         GROUP BY o_orderstatus"""))
   )
 }

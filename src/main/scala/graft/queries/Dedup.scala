@@ -295,6 +295,83 @@ object Dedup extends QueryGroup {
                max(c.doc_id) AS max_member,
                d.source, d.n_chars
         FROM clusters c JOIN documents d ON d.doc_id = c.cluster_id
-        GROUP BY cluster_id, d.source, d.n_chars"""))
+        GROUP BY cluster_id, d.source, d.n_chars""")),
+
+    // D8: semantic dedup (SemDeDup, Abbas et al. 2023) — embedding-space
+    // near-duplicate removal, the step text-level dedup (d1–d5) can't do:
+    // paraphrases hash differently but embed nearby. Pipeline: L2-normalize
+    // once; assign every vector to its nearest deterministic centroid
+    // (e4's IVF assignment — broadcast centroids, argmax by (cos, -cid));
+    // compare ONLY within a cluster (never all-pairs); a vector is a
+    // duplicate when a LOWER-id clustermate sits at cosine ≥ 0.35
+    // (first-wins keeps exactly one representative per tight neighborhood
+    // and is deterministic under any partitioning). The threshold test is
+    // on floor(cos·1e6) — an integer — so boundary pairs can't flip
+    // between engines. At 100 TB: centroid count grows ~√N keeping
+    // cluster sizes bounded, so the self-join is sum-of-squares over
+    // bounded blocks (the SemDeDup paper's k=11k clusters over 233M docs
+    // — same shape); hot clusters split like any skewed key.
+    "d8_semdedup" -> QueryDef(
+      build = (s, d) => {
+        val vn = Tables.embeddings(s, d)
+          .repartition(16)
+          .withColumn("nrm", sqrt(call_function("vec_dot",
+            col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val cents = vn.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("cid"), col("ne").as("ce"))
+        val assign = vn.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("ne"),
+            struct(
+              call_function("vec_dot", col("ne"), col("ce")).as("cos"),
+              (-col("cid")).as("negcid")).as("sc"))
+          .groupBy("vec_id").agg(max(col("sc")).as("best"), first(col("ne")).as("ne"))
+          .select(col("vec_id"), (-col("best.negcid")).as("cid"), col("ne"))
+        val a = assign.select(col("cid"), col("vec_id").as("a_id"), col("ne").as("a_ne"))
+        val b = assign.select(col("cid"), col("vec_id").as("b_id"), col("ne").as("b_ne"))
+        val near = a.join(b, "cid")
+          .filter(col("a_id") < col("b_id"))
+          .filter(floor(call_function("vec_dot", col("a_ne"), col("b_ne")) * 1000000) >= 350000)
+          .groupBy(col("b_id").as("vec_id"))
+          .agg(count(lit(1)).as("n_near_lower"), min(col("a_id")).as("rep_id"))
+        assign.select(col("vec_id"), col("cid"))
+          .join(near, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(col("n_near_lower"), lit(0L)).as("n_near_lower"),
+            col("rep_id"),
+            col("rep_id").isNotNull.as("is_dup"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) AS ne
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id % 20 = 0),
+        avb AS (
+          SELECT n.vec_id, c.cid,
+                 list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
+          FROM n CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM avb) WHERE rnk = 1),
+        near AS (
+          SELECT b.vec_id AS vec_id,
+                 count(*) AS n_near_lower,
+                 min(a.vec_id) AS rep_id
+          FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b.vec_id
+          WHERE floor(list_sum(list_transform(range(1, len(na.ne)+1),
+                  i -> na.ne[i] * nb.ne[i])) * 1000000) >= 350000
+          GROUP BY b.vec_id)
+        SELECT s.vec_id, s.cid,
+               coalesce(near.n_near_lower, 0) AS n_near_lower,
+               near.rep_id,
+               near.rep_id IS NOT NULL AS is_dup
+        FROM assign s LEFT JOIN near ON near.vec_id = s.vec_id"""))
   )
 }

@@ -335,6 +335,122 @@ object TextOps extends QueryGroup {
                    t -> regexp_matches(t, '^[0-9]'))) AS n_digit_runs,
                len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
                    t -> regexp_matches(t, '^[^A-Za-z0-9]'))) AS n_punct
-        FROM documents"""))
+        FROM documents""")),
+
+    // T11: repetition profile — the Gopher-style repetition quality
+    // signals (Rae et al. 2021 §A1.1: "fraction of characters in the most
+    // frequent n-gram", "fraction of duplicate n-grams") adapted to token
+    // space: most-frequent-token share, most-frequent-bigram share, and
+    // duplicate-bigram fraction, plus an is_repetitive flag. Entirely
+    // row-local (zero shuffles — runs at scan speed at 100 TB); the flag
+    // compares in INTEGER space (cnt·100 > n·threshold), never floats, so
+    // boundary docs can't flip between engines. Per-row cost is O(d²) in
+    // distinct tokens — bounded by chunking upstream (t7), not a scale
+    // concern for document-sized rows.
+    "t11_repetition_profile" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"),
+            shingles(col("text"), 2).as("bg"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(col("bg")).cast("long").as("n_bigrams"),
+            array_max(transform(array_distinct(col("toks")),
+              t => size(filter(col("toks"), x => x === t)))).cast("long")
+              .as("top_token_cnt"),
+            when(size(col("bg")) > 0,
+              array_max(transform(array_distinct(col("bg")),
+                b => size(filter(col("bg"), x => x === b)))).cast("long"))
+              .as("top_bigram_cnt"),
+            when(size(col("bg")) > 0,
+              (size(col("bg")) - size(array_distinct(col("bg")))).cast("long"))
+              .as("dup_bigram_cnt"))
+        doc.select(col("doc_id"), col("n_tokens"), col("top_token_cnt"),
+          col("top_bigram_cnt"), col("dup_bigram_cnt"),
+          (floor(col("top_token_cnt") * 10000.0 / col("n_tokens")) / 10000.0)
+            .as("top_token_frac"),
+          when(col("n_bigrams") > 0,
+            floor(col("dup_bigram_cnt") * 10000.0 / col("n_bigrams")) / 10000.0)
+            .as("dup_bigram_frac"),
+          (col("top_token_cnt") * 100 > col("n_tokens") * 20 ||
+            (col("n_bigrams") > 0 && col("top_bigram_cnt") * 100 > col("n_bigrams") * 10))
+            .as("is_repetitive"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $sqlTokens AS toks,
+                 list_transform(range(1, len($sqlTokens)),
+                   i -> $sqlTokens[i] || ' ' || $sqlTokens[i + 1]) AS bg
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens, len(bg) AS n_bigrams,
+                 list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS top_token_cnt,
+                 CASE WHEN len(bg) > 0 THEN
+                   list_max(list_transform(list_distinct(bg),
+                     b -> len(list_filter(bg, x -> x = b)))) END AS top_bigram_cnt,
+                 CASE WHEN len(bg) > 0 THEN len(bg) - len(list_distinct(bg)) END AS dup_bigram_cnt
+          FROM t)
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(top_token_cnt AS BIGINT) AS top_token_cnt,
+               CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+               CAST(dup_bigram_cnt AS BIGINT) AS dup_bigram_cnt,
+               floor(top_token_cnt * 10000.0 / n_tokens) / 10000.0 AS top_token_frac,
+               CASE WHEN n_bigrams > 0
+                    THEN floor(dup_bigram_cnt * 10000.0 / n_bigrams) / 10000.0 END AS dup_bigram_frac,
+               (top_token_cnt * 100 > n_tokens * 20 OR
+                (n_bigrams > 0 AND top_bigram_cnt * 100 > n_bigrams * 10)) AS is_repetitive
+        FROM c""")),
+
+    // T12: sub-document (chunk-level) exact dedup across the corpus — the
+    // pipeline step between whole-doc dedup (d1) and near-dup (d2–d5):
+    // split every document into non-overlapping 10-token chunks,
+    // fingerprint each (portable md5), elect one keeper per fingerprint
+    // (lexicographic min (doc_id, chunk_idx) — deterministic under any
+    // partitioning), and report per-document kept/duplicate chunk counts.
+    // Two keyed shuffles (fingerprint, then doc_id), both map-side
+    // combinable; the keeper election is a groupBy, never a window over
+    // a hot fingerprint. At 100 TB the fp join is AQE-skew-splittable and
+    // the payload never shuffles — only (doc_id, chunk_idx, 16-byte fp).
+    "t12_chunk_dedup" -> QueryDef(
+      build = (s, d) => {
+        val chunk = 10
+        val ch = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(chunk))).as("start"))
+          .select(col("doc_id"),
+            (col("start") / chunk).cast("long").as("chunk_idx"),
+            md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunk))))
+              .as("fp"))
+        val keeper = ch.groupBy("fp")
+          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+        ch.join(keeper, "fp")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("doc_id") === col("k.doc_id") &&
+              col("chunk_idx") === col("k.chunk_idx"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("n_dup_chunks", (col("n_chunks") - col("n_kept")).cast("long"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents
+                   WHERE len($sqlTokens) > 0),
+        ch AS (
+          SELECT doc_id, CAST(start // 10 AS BIGINT) AS chunk_idx,
+                 md5(array_to_string(list_slice(toks, start + 1, start + 10), ' ')) AS fp
+          FROM t, unnest(range(0, len(toks), 10)) AS u(start)),
+        w AS (SELECT fp, min(doc_id * 1000000 + chunk_idx) AS kk FROM ch GROUP BY fp)
+        SELECT ch.doc_id AS doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = w.kk
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = w.kk
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM ch JOIN w ON ch.fp = w.fp
+        GROUP BY ch.doc_id"""))
   )
 }

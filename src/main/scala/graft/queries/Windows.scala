@@ -279,6 +279,56 @@ object Windows extends QueryGroup {
                rank() OVER (PARTITION BY l_suppkey ORDER BY total_qty DESC, l_partkey) AS part_rank,
                dense_rank() OVER (PARTITION BY l_suppkey ORDER BY total_qty DESC, l_partkey) AS part_dense_rank
         FROM qty QUALIFY part_rank <= 3"""),
-      bench = true)
+      bench = true),
+
+    // W11: ordered funnel — view → click (after first view) → purchase
+    // (after first qualifying click), per user, collapsed to stage counts
+    // and floor-scaled conversion rates. Three per-user unbounded-frame
+    // window aggregates share ONE hash partitioning on user_id (a single
+    // shuffle — Catalyst reuses the exchange; no ORDER BY, so no sort),
+    // then a global partial-aggregated rollup. The per-stage timestamps
+    // must be sequential (each min() is conditioned on the previous
+    // stage's timestamp), which is what distinguishes a funnel from three
+    // independent counts.
+    "w11_funnel_stages" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id")
+        Tables.events(s, d)
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+              col("ts"))).over(w))
+          .withColumn("t_buy",
+            min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+              col("ts"))).over(w))
+          .agg(
+            countDistinct(when(col("t_view").isNotNull, col("user_id"))).as("n_viewed"),
+            countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("n_clicked"),
+            countDistinct(when(col("t_buy").isNotNull, col("user_id"))).as("n_purchased"))
+          .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
+            (floor(col("n_clicked") * 10000.0 / col("n_viewed")) / 10000.0).as("click_rate"),
+            (floor(col("n_purchased") * 10000.0 / col("n_clicked")) / 10000.0).as("purchase_rate"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id)
+        SELECT n_viewed, n_clicked, n_purchased,
+               floor(n_clicked * 10000.0 / n_viewed) / 10000.0 AS click_rate,
+               floor(n_purchased * 10000.0 / n_clicked) / 10000.0 AS purchase_rate
+        FROM (SELECT (SELECT count(*) FROM v) AS n_viewed,
+                     (SELECT count(*) FROM c) AS n_clicked,
+                     (SELECT count(*) FROM p) AS n_purchased)"""))
   )
 }
