@@ -327,6 +327,44 @@ object Streaming extends QueryGroup {
             WHERE v.user_id = p.user_id
               AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
             AND epoch_us(p.ts) // 1000 < (SELECT us FROM wm) // 1000)
-        SELECT * FROM matched UNION ALL SELECT * FROM unmatched"""))
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched""")),
+
+    // ST13 (beyond reference): the Spark 4 `transformWithState` arbitrary-
+    // state API (successor to st8/st9's (map|flatMap)GroupsWithState) —
+    // per-user event-type breakdown in COMPOSITE state: a MapState of
+    // per-type counts plus a ValueState running value total, on the
+    // RocksDB state store (the only provider implementing the v2 state
+    // API; state scales to disk instead of executor heap — the 100 TB
+    // state story). Update-mode emissions are folded max-per-key, the
+    // same multi-batch-safe pattern as st8.
+    "st12_transform_with_state" -> QueryDef(
+      build = (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stream = graft.streaming.Stateful
+            .typeProfile(Streams.tableStream(s, d, "events"))
+            .toDF()
+          Streams.runToMemory(stream, "update")
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max(col("n_events")).as("n_events"),
+              max(col("user_value_e4")).as("user_value_e4"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT user_id, event_type, count(*) AS n_events,
+                 sum(CAST(floor(value * 10000) AS BIGINT)) AS tv
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type, n_events,
+               CAST(sum(tv) OVER (PARTITION BY user_id) AS BIGINT) AS user_value_e4
+        FROM per"""))
   )
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Typed arbitrary-state streaming (SURVEY §2.9 ST5's
   * `(flatMap)GroupsWithState` option; reference session logic:
@@ -132,5 +134,62 @@ object Stateful {
           state.update(UserState(n, p))
           UserProfile(uid, n, p)
       }
+  }
+
+  case class TypedEvent(user_id: Long, event_type: String, value_e4: Long)
+  case class TypeProfile(
+      user_id: Long, event_type: String, n_events: Long, user_value_e4: Long)
+
+  /** Spark 4 `transformWithState` processor (the successor API to
+    * (flatMap|map)GroupsWithState; SPARK-40434 "arbitrary stateful
+    * processing v2"): a per-user event-type breakdown held in composite
+    * state — a MapState (per-type counts: point lookups and updates, NOT
+    * a serialized blob like GroupState, so a hot user with many types
+    * only touches the entries its batch hits) plus a ValueState (running
+    * value total). Requires the RocksDB state-store provider. Each batch
+    * emits the key's FULL refreshed breakdown; counts are monotone, so
+    * max() per (user, type) downstream yields final state under any
+    * batch split — the same multi-batch-safe shape as st8.
+    */
+  private class TypeProfileProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypeProfile] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "value_total", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeProfile] = {
+      var t = if (total.exists()) total.get() else 0L
+      rows.foreach { e =>
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1L)
+        t += e.value_e4
+      }
+      total.update(t)
+      // materialize before returning: state reads must not hide inside a
+      // lazily-consumed iterator (same rule as sessionize's eager fold)
+      counts.iterator().map { case (typ, n) => TypeProfile(key, typ, n, t) }
+        .toArray.iterator
+    }
+  }
+
+  /** Per-user per-event-type running profile via `transformWithState`.
+    * Caller must run with the RocksDB state-store provider (the only
+    * provider implementing the v2 state API). */
+  def typeProfile(events: DataFrame): Dataset[TypeProfile] = {
+    import events.sparkSession.implicits._
+    events.select($"user_id".cast("long").as("user_id"), $"event_type",
+      floor($"value" * 10000).cast("long").as("value_e4"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TypeProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

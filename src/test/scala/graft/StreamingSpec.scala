@@ -46,6 +46,45 @@ class StreamingSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("transformWithState type profile survives multi-batch input") {
+    // 4 files, 1 per micro-batch: the MapState/ValueState composite must
+    // accumulate ACROSS batches, and max-per-key over update-mode
+    // emissions must equal the batch groupBy — the same contract st8's
+    // multi-batch test pins for mapGroupsWithState, now for the v2 API.
+    val srcDir = Files.createTempDirectory("graft_tws_").toString
+    graft.core.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val profiles = graft.streaming.Stateful.typeProfile(stream).toDF()
+      val got = Streams.runToMemory(profiles, "update")
+        .groupBy("user_id", "event_type")
+        .agg(max("n_events").as("n_events"), max("user_value_e4").as("user_value_e4"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val want = spark.read.parquet(srcDir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 10000).cast("long")).as("tv"))
+        .withColumn("user_tv", sum("tv").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(4))).toMap
+      assert(got == want, "cross-batch composite state must equal batch aggregation")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate-limited multi-batch run: maxFilesPerTrigger honored, progress observable") {
     import java.nio.file.Files
     // split events into 4 files, stream them 1 file per micro-batch
