@@ -7,20 +7,28 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Versioned parquet table — the engine's stand-in for the reference's
   * Delta maintenance surface (SURVEY.md §2.11: DESCRIBE HISTORY M2,
   * time-travel S6, RESTORE M3, VACUUM M4, OPTIMIZE compaction M5,
-  * Z-ORDER clustering M6, DESCRIBE DETAIL M12) in an environment without
-  * a transactional table format on the classpath.
+  * Z-ORDER clustering M6, DESCRIBE DETAIL M12, plus Delta-style
+  * data-skipping file statistics and SHALLOW CLONE) in an environment
+  * without a transactional table format on the classpath.
   *
-  * Layout: `<root>/v=<N>/part-*.parquet` + `<root>/_manifest` (one JSON
-  * line per committed version, append-only). Writers stage into the new
-  * version dir and commit by appending the manifest line LAST — readers
-  * resolve versions only through the manifest, so a torn write is
+  * Layout: `<root>/v=<N>/part-*.parquet` + `<root>/_stats/v=<N>` (per-file
+  * min/max column statistics, written at commit time) + `<root>/_manifest`
+  * (one JSON line per committed version, append-only). Writers stage into
+  * the new version dir and commit by appending the manifest line LAST —
+  * readers resolve versions only through the manifest, so a torn write is
   * invisible (the parquet stand-in for a log-ordered commit). At cluster
   * scale the manifest append would be a conditional put; everything else
   * is unchanged.
+  *
+  * A manifest line may carry a `location` (and `statsLocation`) pointing
+  * outside the table root — that is how [[shallowClone]] shares the source
+  * head's data files without copying them, exactly like Delta SHALLOW
+  * CLONE's absolute-path log entries.
   */
 final class VersionedTable(spark: SparkSession, root: String) {
 
@@ -31,15 +39,32 @@ final class VersionedTable(spark: SparkSession, root: String) {
       Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala.toSeq
     else Seq.empty
 
-  private def parse(line: String): (Long, String, Long) = {
-    // {"version":N,"operation":"...","rows":N}
+  private case class Commit(
+      version: Long, operation: String, rows: Long,
+      location: Option[String], statsLocation: Option[String])
+
+  private def parse(line: String): Commit = {
+    // {"version":N,"operation":"...","rows":N[,"location":"...","statsLocation":"..."]}
     val v = """"version":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
-    (v, op, rows)
+    val loc = """"location":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+    val sloc = """"statsLocation":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+    Commit(v, op, rows, loc, sloc)
   }
 
-  def versions: Seq[Long] = manifestLines.map(parse(_)._1)
+  private def commits: Seq[Commit] = manifestLines.map(parse)
+
+  /** Data directory of a committed version — local `v=N` unless the
+    * manifest entry points elsewhere (shallow clone). */
+  private def dataDir(v: Long): String =
+    commits.find(_.version == v).flatMap(_.location).getOrElse(s"$root/v=$v")
+
+  private def statsDir(v: Long): String =
+    commits.find(_.version == v).flatMap(_.statsLocation)
+      .getOrElse(s"$root/_stats/v=$v")
+
+  def versions: Seq[Long] = commits.map(_.version)
 
   def latestVersion: Option[Long] = versions.maxOption
 
@@ -50,9 +75,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** Single commit path. Order: clear any orphaned `_changes/v=next`
     * (left by a writeWithChangeFeed that died pre-manifest — a later
     * plain write() must not adopt a stale feed), write the data files,
-    * stage this commit's feed (if any), and ONLY THEN append the
-    * manifest line. The manifest append is the commit point, so data and
-    * feed become visible together or not at all. */
+    * collect per-file statistics, stage this commit's feed (if any), and
+    * ONLY THEN append the manifest line. The manifest append is the
+    * commit point, so data, stats, and feed become visible together or
+    * not at all. */
   private def commit(df: DataFrame, operation: String,
       stageFeed: Option[Long => Unit]): Long = {
     val next = latestVersion.map(_ + 1).getOrElse(0L)
@@ -63,13 +89,95 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val dir = s"$root/v=$next"
     df.write.mode("overwrite").parquet(dir)
     stageFeed.foreach(f => f(next))
-    val rows = spark.read.parquet(dir).count()
+    val rows = writeStats(dir, s"$root/_stats/v=$next")
     Files.createDirectories(Paths.get(root))
     Files.writeString(
       manifestPath,
       s"""{"version":$next,"operation":"$operation","rows":$rows}""" + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     next
+  }
+
+  /** Columns worth file-level min/max stats: orderable atomic types (the
+    * Delta rule, minus its 32-column cap — snapshots here are narrow). */
+  private def statColumns(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+      case f if Seq(StringType, DateType, TimestampType, TimestampNTZType,
+        BooleanType).contains(f.dataType) => f.name
+    }.toSeq
+
+  /** One scan over the freshly written files: per-file row counts + min/max
+    * structs → `_stats/v=N` parquet. Returns the total row count (so the
+    * commit needs no second counting scan). One stats row per data file —
+    * at 100 TB this is the same "stats ride with the commit" shape as the
+    * Delta log, and the skipping decision reads only this tiny table. */
+  private def writeStats(dataDir: String, statsOut: String): Long = {
+    val written = spark.read.parquet(dataDir)
+    val cols = statColumns(written.schema)
+    val aggs =
+      count(lit(1L)).as("cnt") +:
+        (if (cols.isEmpty) Seq.empty
+         else Seq(
+           struct(cols.map(c => min(col(c)).as(c)): _*).as("mins"),
+           struct(cols.map(c => max(col(c)).as(c)): _*).as("maxs")))
+    val stats = written
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode("overwrite").parquet(statsOut)
+    spark.read.parquet(statsOut)
+      .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** Data-skipping read (the Delta stats-pruned scan): keep only the files
+    * whose `[min,max]` range for `column` intersects `[lo, hi]`, then apply
+    * the residual row filter. After [[cluster]] on `column` this touches a
+    * small fraction of the files; correctness never depends on the stats
+    * (a missing stats table falls back to the full scan + filter).
+    */
+  def readWhere(column: String, lo: Any, hi: Any,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(
+      latestVersion.getOrElse(sys.error(s"empty table at $root")))
+    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val sd = statsDir(v)
+    if (!Files.exists(Paths.get(sd))) return read(Some(v)).filter(residual)
+    val stats = spark.read.parquet(sd)
+    if (!stats.columns.contains("mins") ||
+        !stats.select("mins.*").columns.contains(column))
+      return read(Some(v)).filter(residual)
+    val files = stats
+      .filter(col(s"maxs.$column") >= lit(lo) && col(s"mins.$column") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(residual)
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose v0 manifest entry POINTS AT the source head's data files
+    * (and stats) instead of copying them — metadata-only, O(1) data
+    * movement. The clone then evolves independently: its own writes land
+    * under its own root. Like Delta, VACUUMing the source invalidates
+    * clones that still reference the shared files ([[vacuum]] only ever
+    * deletes dirs under its own root, so a clone can never delete source
+    * data).
+    */
+  def shallowClone(destRoot: String): VersionedTable = {
+    val v = latestVersion.getOrElse(sys.error(s"empty table at $root"))
+    val src = commits.find(_.version == v).get
+    require(Files.isDirectory(Paths.get(dataDir(v))),
+      s"cannot clone version $v of $root: data was vacuumed")
+    val dest = new VersionedTable(spark, destRoot)
+    require(dest.versions.isEmpty, s"clone target $destRoot is not empty")
+    val dataLoc = Paths.get(dataDir(v)).toAbsolutePath.toString
+    val statsLoc = Paths.get(statsDir(v)).toAbsolutePath.toString
+    Files.createDirectories(Paths.get(destRoot))
+    Files.writeString(
+      Paths.get(destRoot, "_manifest"),
+      s"""{"version":0,"operation":"clone_of:$root@v$v","rows":${src.rows},""" +
+        s""""location":"$dataLoc","statsLocation":"$statsLoc"}""" + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    dest
   }
 
   /** Commit a new version AND its change feed (S4/M13 structural parity —
@@ -115,16 +223,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(versions.contains(v), s"version $v not in ${versions.mkString(",")}")
     // a vacuumed version stays in the manifest (audit trail) but its data
     // is gone — fail with the actual cause, not a parquet path error
-    require(Files.isDirectory(Paths.get(s"$root/v=$v")),
+    require(Files.isDirectory(Paths.get(dataDir(v))),
       s"version $v of $root was vacuumed; earliest readable version is " +
-        s"${versions.filter(x => Files.isDirectory(Paths.get(s"$root/v=$x"))).minOption.getOrElse("none")}")
-    spark.read.parquet(s"$root/v=$v")
+        s"${versions.filter(x => Files.isDirectory(Paths.get(dataDir(x)))).minOption.getOrElse("none")}")
+    spark.read.parquet(dataDir(v))
   }
 
   /** DESCRIBE HISTORY (M2). */
   def history(): DataFrame = {
     import spark.implicits._
-    manifestLines.map(parse).toDF("version", "operation", "rows")
+    commits.map(c => (c.version, c.operation, c.rows))
+      .toDF("version", "operation", "rows")
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF (M3): re-commits an old version
@@ -147,14 +256,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   /** VACUUM (M4): physically delete version dirs older than the last
-    * `keepLast` commits (manifest keeps the audit trail). */
+    * `keepLast` commits (manifest keeps the audit trail). Only dirs under
+    * this table's own root are deleted — a shallow clone's externally
+    * located versions are skipped, so vacuuming a clone never destroys
+    * the source's files. */
   def vacuum(keepLast: Int = 1): Seq[Long] = {
     val keep = versions.takeRight(keepLast).toSet
     val removed = versions.filterNot(keep)
+      .filter(v => commits.find(_.version == v).forall(_.location.isEmpty))
     removed.foreach { v =>
-      val dir = Paths.get(s"$root/v=$v")
-      if (Files.exists(dir)) {
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      Seq(Paths.get(s"$root/v=$v"), Paths.get(s"$root/_stats/v=$v")).foreach { dir =>
+        if (Files.exists(dir)) {
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
       }
     }
     removed
@@ -164,7 +278,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def detail(): DataFrame = {
     import spark.implicits._
     val v = latestVersion.getOrElse(sys.error("empty table"))
-    val files = Files.list(Paths.get(s"$root/v=$v")).iterator().asScala
+    val files = Files.list(Paths.get(dataDir(v))).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     Seq((root, v, files.size.toLong, files.map(Files.size).sum))
       .toDF("location", "version", "num_files", "size_bytes")

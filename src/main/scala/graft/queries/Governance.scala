@@ -269,6 +269,74 @@ object Governance extends QueryGroup {
         WHERE o_totalprice > 0 AND o_orderstatus IN ('F','O','P')
         GROUP BY 1, 2""")),
 
+    // Incremental materialized-view maintenance (the DLT incremental-
+    // refresh algebra): seed the per-customer gold aggregate from the v0
+    // snapshot, then fold ONLY the v1 change feed into it — inserts /
+    // update postimages add, deletes / preimages subtract, decimal-exact.
+    // The oracle recomputes the aggregate from scratch on the v1
+    // definition, so a hash match PROVES incremental == full recompute.
+    // At 100 TB the refresh cost is the CDF size, not the fact table.
+    "mv1_incremental_gold" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
+        val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+              .otherwise(col("o_totalprice")))
+        t.writeWithChangeFeed(v0, Seq("o_orderkey"), "seed", "2001-09-01 00:00:00")
+        t.writeWithChangeFeed(v1, Seq("o_orderkey"), "merge", "2001-09-02 00:00:00")
+        val seeded = graft.ops.IncrementalAgg.init(
+          t.read(Some(0)), Seq("o_custkey"), "o_totalprice")
+        graft.ops.IncrementalAgg.applyDelta(
+            seeded, t.changeFeed(fromVersion = 1), Seq("o_custkey"), "o_totalprice")
+          .select(col("o_custkey"), col("cnt").as("order_cnt"),
+            round(col("agg_sum").cast("double"), 4).as("revenue"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, count(*) AS order_cnt,
+               round(CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0
+                                        THEN o_totalprice + 10.0
+                                        ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+        FROM orders WHERE o_orderkey % 13 <> 0
+        GROUP BY o_custkey""")),
+
+    // Data-skipping read (Delta file-stats pruning): cluster orders by
+    // o_orderdate (range-partition + sort → selective per-file min/max),
+    // then readWhere consults the commit-time stats table and scans ONLY
+    // the files overlapping the half-year window. `files_pruned` asserts
+    // in-plan that the scan touched strictly fewer files than the table
+    // holds — the oracle expects literal TRUE, so the PRUNING itself is
+    // hash-gated, and the row results prove it lost nothing.
+    "v2_data_skipping" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_skip_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_totalprice"))
+        t.cluster(Seq("o_orderdate"), numFiles = 8)
+        // o_orderdate is TIMESTAMP_NTZ (no-timezone parquet annotation) —
+        // LocalDateTime literals keep the stats comparison in NTZ space
+        val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+        val hi = java.time.LocalDateTime.parse("1996-06-30T00:00:00")
+        val pruned = t.readWhere("o_orderdate", lo, hi)
+        val filesPruned =
+          pruned.inputFiles.length < t.read().inputFiles.length
+        pruned.agg(
+            count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS files_pruned
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-06-30 00:00:00'""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(

@@ -154,6 +154,35 @@ object Sources extends QueryGroup {
         SELECT o_orderstatus, count(*) AS cnt,
                round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS total_price
         FROM orders WHERE o_orderstatus = 'F'
-        GROUP BY o_orderstatus"""))
+        GROUP BY o_orderstatus""")),
+
+    // Schema evolution on the read path (the Delta `mergeSchema` /
+    // autoMerge shape, reference delta_lake_features.py schema-evolution
+    // demo): epoch 0 was written BEFORE the status column existed, epoch 1
+    // after. A mergeSchema scan unions the schemas — pre-evolution rows
+    // surface the new column as NULL — and the aggregate proves no rows or
+    // values were lost across the schema change.
+    "src7_schema_evolution" -> QueryDef(
+      build = (s, d) => {
+        val scratch = Files.createTempDirectory("graft_evo_").toString
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$scratch/epoch=0")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").parquet(s"$scratch/epoch=1")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$scratch/epoch=0", s"$scratch/epoch=1")
+          .groupBy(coalesce(col("o_orderstatus"), lit("_pre_evolution")).as("status"))
+          .agg(count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+      },
+      oracle = Some(s"""
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                    ELSE '_pre_evolution' END AS status,
+               count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue
+        FROM orders GROUP BY 1"""))
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.maint.VersionedTable
+import graft.ops.IncrementalAgg
+
+/** Incremental materialized-view maintenance: folding change-feed batches
+  * into a (count, sum) aggregate must equal a full recompute of the final
+  * snapshot — across multiple chained versions with inserts, updates
+  * (value changes), and deletes, including groups that vanish entirely.
+  */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("id", "grp", "amount")
+
+  test("chained change-feed deltas converge to the full recompute") {
+    val t = new VersionedTable(
+      spark, Files.createTempDirectory("graft_mv_").toString + "/t")
+    val v0 = snap(Seq(
+      (1L, "a", 10.00), (2L, "a", 20.00), (3L, "b", 5.50), (4L, "c", 7.25)))
+    val v1 = snap(Seq( // update 1, delete 2, insert 5; c untouched
+      (1L, "a", 11.00), (3L, "b", 5.50), (4L, "c", 7.25), (5L, "b", 2.25)))
+    val v2 = snap(Seq( // delete all of group b; move 4 to group a
+      (1L, "a", 11.00), (4L, "a", 7.25)))
+    t.writeWithChangeFeed(v0, Seq("id"))
+    t.writeWithChangeFeed(v1, Seq("id"))
+    t.writeWithChangeFeed(v2, Seq("id"))
+
+    var state = IncrementalAgg.init(t.read(Some(0)), Seq("grp"), "amount")
+    Seq(1L, 2L).foreach { v =>
+      val feed = t.changeFeed(fromVersion = v)
+        .filter(col("_commit_version") === v)
+      state = IncrementalAgg.applyDelta(state, feed, Seq("grp"), "amount")
+    }
+    val got = state
+      .select(col("grp"), col("cnt"), col("agg_sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = IncrementalAgg.init(t.read(Some(2)), Seq("grp"), "amount")
+      .select(col("grp"), col("cnt"), col("agg_sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"incremental $got != recompute $want")
+    // group b must have dropped out entirely (cnt reached zero)
+    assert(!got.exists(_._1 == "b"))
+  }
+
+  test("an update's count deltas cancel; only the sum moves") {
+    val t = new VersionedTable(
+      spark, Files.createTempDirectory("graft_mv2_").toString + "/t")
+    t.writeWithChangeFeed(snap(Seq((1L, "a", 10.00), (2L, "a", 1.00))), Seq("id"))
+    t.writeWithChangeFeed(snap(Seq((1L, "a", 12.50), (2L, "a", 1.00))), Seq("id"))
+    val state = IncrementalAgg.applyDelta(
+      IncrementalAgg.init(t.read(Some(0)), Seq("grp"), "amount"),
+      t.changeFeed(fromVersion = 1), Seq("grp"), "amount")
+    val r = state.select(col("cnt"), col("agg_sum").cast("double")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 13.50)
+  }
+}

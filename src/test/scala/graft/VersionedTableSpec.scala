@@ -154,6 +154,51 @@ class VersionedTableSpec extends SparkSpec {
       s"v2 feed must be the real diff, got ${v2feed.mkString(",")}")
   }
 
+  test("readWhere prunes files via commit-time min/max stats; results lossless") {
+    val t = freshTable()
+    t.write(spark.range(1000).select((rand(seed = 7) * 1000).cast("long").as("k")))
+    t.cluster(Seq("k"), numFiles = 4)
+    val pruned = t.readWhere("k", 100L, 150L)
+    val full = t.read().filter(col("k").between(100L, 150L))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      full.collect().map(_.getLong(0)).sorted.toSeq)
+    val total = t.read().inputFiles.length
+    assert(pruned.inputFiles.length < total,
+      s"stats did not prune: ${pruned.inputFiles.length} of $total files scanned")
+    // an out-of-range predicate prunes everything
+    assert(t.readWhere("k", 5000L, 6000L).count() == 0)
+    // a table without stats (pre-upgrade layout) falls back to a full scan
+    val statsDir = java.nio.file.Paths.get(
+      t.detail().collect()(0).getString(0), "_stats")
+    Files.walk(statsDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    assert(t.readWhere("k", 100L, 150L).count() == full.count())
+  }
+
+  test("shallow clone shares the source head without copying; diverges on write") {
+    val t = freshTable()
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val destRoot = Files.createTempDirectory("graft_clone_").toString + "/c"
+    val c = t.shallowClone(destRoot)
+    assert(c.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // metadata-only: no data dir materialized under the clone root
+    assert(!Files.exists(java.nio.file.Paths.get(s"$destRoot/v=0")))
+    // stats travel by reference too — data-skipping works on the clone
+    assert(c.readWhere("id", 2L, 2L).count() == 1)
+    // clone evolves independently; source head unchanged
+    c.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(c.read().count() == 3 && t.read().count() == 2)
+    // vacuuming the clone never touches the source's (external) files
+    val removed = c.vacuum(keepLast = 1)
+    assert(removed.isEmpty, s"vacuum must skip external versions, removed $removed")
+    assert(t.read().count() == 2)
+    // but vacuuming the SOURCE invalidates the clone's v0 (Delta semantics)
+    t.write(Seq((9L, "z")).toDF("id", "v"))
+    t.vacuum(keepLast = 1)
+    val err = intercept[IllegalArgumentException](c.read(Some(0)))
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
   test("vacuum removes old version dirs but keeps history + head") {
     val t = freshTable()
     t.write(Seq(1).toDF("id"))
