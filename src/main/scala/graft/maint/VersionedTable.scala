@@ -41,16 +41,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   private case class Commit(
       version: Long, operation: String, rows: Long,
-      location: Option[String], statsLocation: Option[String])
+      location: Option[String], statsLocation: Option[String],
+      ts: Option[String])
 
   private def parse(line: String): Commit = {
-    // {"version":N,"operation":"...","rows":N[,"location":"...","statsLocation":"..."]}
+    // {"version":N,"operation":"...","rows":N[,"location":"...","statsLocation":"...","ts":"..."]}
     val v = """"version":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val loc = """"location":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
     val sloc = """"statsLocation":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
-    Commit(v, op, rows, loc, sloc)
+    val ts = """"ts":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+    Commit(v, op, rows, loc, sloc, ts)
   }
 
   private def commits: Seq[Commit] = manifestLines.map(parse)
@@ -68,35 +70,72 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Long] = versions.maxOption
 
-  /** Commit a new version; returns its number. */
-  def write(df: DataFrame, operation: String = "write"): Long =
-    commit(df, operation, stageFeed = None)
+  /** Commit a new version; returns its number. `commitTs` is an optional
+    * injected commit timestamp (`yyyy-MM-dd HH:mm:ss`) recorded in the
+    * manifest and resolvable via [[readAsOf]] — deterministic pipelines
+    * pass a fixed clock, like `Tables.OrdersAsOf`. */
+  def write(df: DataFrame, operation: String = "write",
+      commitTs: Option[String] = None): Long =
+    commit(df, operation, stageFeed = None, commitTs)
 
-  /** Single commit path. Order: clear any orphaned `_changes/v=next`
-    * (left by a writeWithChangeFeed that died pre-manifest — a later
-    * plain write() must not adopt a stale feed), write the data files,
-    * collect per-file statistics, stage this commit's feed (if any), and
-    * ONLY THEN append the manifest line. The manifest append is the
-    * commit point, so data, stats, and feed become visible together or
-    * not at all. */
+  /** Single commit path with optimistic concurrency (the Delta protocol's
+    * shape: uniquely named staging + a conditional commit). Order per
+    * attempt: clear any orphaned `_changes/v=next` (left by a
+    * writeWithChangeFeed that died pre-manifest — a later plain write()
+    * must not adopt a stale feed), write data + stats into a uniquely
+    * named staging dir, stage this commit's feed (if any), then under the
+    * table's commit lock RE-CHECK that `next` is still unclaimed, rename
+    * staging into place, and append the manifest line. The manifest
+    * append is the commit point, so data, stats, and feed become visible
+    * together or not at all. A writer that lost the race cleans its
+    * staging and retries against the new head (its feed diff basis is
+    * stale) — the behavior of Delta's ConcurrentAppend resolution.
+    */
   private def commit(df: DataFrame, operation: String,
-      stageFeed: Option[Long => Unit]): Long = {
-    val next = latestVersion.map(_ + 1).getOrElse(0L)
-    val staleFeed = Paths.get(s"$root/_changes/v=$next")
-    if (Files.exists(staleFeed))
-      Files.walk(staleFeed).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    val dir = s"$root/v=$next"
-    df.write.mode("overwrite").parquet(dir)
-    stageFeed.foreach(f => f(next))
-    val rows = writeStats(dir, s"$root/_stats/v=$next")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(
-      manifestPath,
-      s"""{"version":$next,"operation":"$operation","rows":$rows}""" + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    next
+      stageFeed: Option[Long => Unit], commitTs: Option[String] = None): Long = {
+    var attempt = 0
+    while (true) {
+      val next = latestVersion.map(_ + 1).getOrElse(0L)
+      val feedDir = Paths.get(s"$root/_changes/v=$next")
+      deleteTree(feedDir)
+      val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
+      df.write.mode("overwrite").parquet(s"$stage/data")
+      stageFeed.foreach(f => f(next))
+      val rows = writeStats(s"$stage/data", s"$stage/stats")
+      val won = VersionedTable.commitLock(root).synchronized {
+        val headNow = latestVersion
+        if (headNow.map(_ + 1).getOrElse(0L) != next) false
+        else {
+          Files.createDirectories(Paths.get(root))
+          Files.createDirectories(Paths.get(s"$root/_stats"))
+          Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
+          Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
+          val tsField = commitTs.map(t => s""","ts":"$t"""").getOrElse("")
+          Files.writeString(
+            manifestPath,
+            s"""{"version":$next,"operation":"$operation","rows":$rows$tsField}""" + "\n",
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          true
+        }
+      }
+      deleteTree(Paths.get(stage))
+      if (won) return next
+      // lost the race: the staged feed's diff basis is stale too
+      deleteTree(feedDir)
+      // under k-writer contention a commit can lose at most k-1 races
+      // (every loss means someone else committed), so a generous cap only
+      // guards against a pathological livelock
+      attempt += 1
+      if (attempt > 20) throw new IllegalStateException(
+        s"commit of $root contended $attempt times; giving up")
+    }
+    -1L // unreachable
   }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
 
   /** Columns worth file-level min/max stats: orderable atomic types (the
     * Delta rule, minus its 32-column cap — snapshots here are narrow). */
@@ -121,8 +160,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
          else Seq(
            struct(cols.map(c => min(col(c)).as(c)): _*).as("mins"),
            struct(cols.map(c => max(col(c)).as(c)): _*).as("maxs")))
+    // record file BASENAMES: stats are computed in the staging dir and
+    // must survive the rename to v=N (readWhere re-anchors on dataDir)
     val stats = written
-      .groupBy(input_file_name().as("file"))
+      .groupBy(regexp_replace(input_file_name(), ".*/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     stats.coalesce(1).write.mode("overwrite").parquet(statsOut)
     spark.read.parquet(statsOut)
@@ -148,7 +189,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       return read(Some(v)).filter(residual)
     val files = stats
       .filter(col(s"maxs.$column") >= lit(lo) && col(s"mins.$column") <= lit(hi))
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file").collect().map(r => s"${dataDir(v)}/${r.getString(0)}").toSeq
     if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
     else spark.read.parquet(files: _*).filter(residual)
   }
@@ -203,7 +244,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
           to_timestamp(lit(commitTs)))
         .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
-    })
+    }, commitTs = Some(commitTs))
   }
 
   /** Read the change feed from `fromVersion` to head (M13 / S4:
@@ -229,11 +270,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     spark.read.parquet(dataDir(v))
   }
 
+  /** TIMESTAMP AS OF time travel (S6): the latest version whose recorded
+    * commit timestamp is <= `timestamp` (`yyyy-MM-dd HH:mm:ss` — the
+    * format sorts lexically, so string compare IS instant compare).
+    * Versions committed without a timestamp are ignored, like Delta
+    * versions outside the retention window. */
+  def readAsOf(timestamp: String): DataFrame = {
+    val v = commits.filter(_.ts.exists(_ <= timestamp)).map(_.version).maxOption
+      .getOrElse(sys.error(
+        s"no version of $root committed at or before $timestamp"))
+    read(Some(v))
+  }
+
   /** DESCRIBE HISTORY (M2). */
   def history(): DataFrame = {
     import spark.implicits._
-    commits.map(c => (c.version, c.operation, c.rows))
-      .toDF("version", "operation", "rows")
+    commits.map(c => (c.version, c.operation, c.rows, c.ts.orNull))
+      .toDF("version", "operation", "rows", "ts")
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF (M3): re-commits an old version
@@ -265,12 +318,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val removed = versions.filterNot(keep)
       .filter(v => commits.find(_.version == v).forall(_.location.isEmpty))
     removed.foreach { v =>
-      Seq(Paths.get(s"$root/v=$v"), Paths.get(s"$root/_stats/v=$v")).foreach { dir =>
-        if (Files.exists(dir)) {
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        }
-      }
+      deleteTree(Paths.get(s"$root/v=$v"))
+      deleteTree(Paths.get(s"$root/_stats/v=$v"))
     }
+    deleteTree(Paths.get(s"$root/_staging")) // crashed writers' leftovers
     removed
   }
 
@@ -283,4 +334,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     Seq((root, v, files.size.toLong, files.map(Files.size).sum))
       .toDF("location", "version", "num_files", "size_bytes")
   }
+}
+
+object VersionedTable {
+  /** Per-root commit locks — the stand-in for the storage layer's
+    * conditional put. In-process writers serialize the tiny
+    * check-rename-append critical section here (staging and data writes
+    * stay fully concurrent); cross-process safety would ride the object
+    * store's atomic put-if-absent at cluster scale. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
 }

@@ -47,8 +47,11 @@ object IncrementalAgg {
     state.join(delta, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
+        // closed output type (init's sum type): repeated applyDelta /
+        // parquet-state roundtrips must not grow decimal precision
         (coalesce(col("agg_sum"), lit(0).cast("decimal(18,2)")) +
-          coalesce(col("_dsum"), lit(0).cast("decimal(18,2)"))).as("agg_sum")): _*)
+          coalesce(col("_dsum"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(28,2)").as("agg_sum")): _*)
       .filter(col("cnt") > 0)
   }
 }

@@ -390,6 +390,50 @@ object Aggregates extends QueryGroup {
                TRUE AS p50_within_5pct,
                TRUE AS p95_within_5pct
         FROM orders
-        GROUP BY o_orderstatus"""))
+        GROUP BY o_orderstatus""")),
+
+    // A17: one-pass column profiler (the ANALYZE/data-profiling shape —
+    // per-column null count, distinct count, min/max — as a queryable
+    // long-format table). All four columns profile in a SINGLE aggregation
+    // over one scan; the distincts share one expand (4× row multiplier
+    // map-side, still one shuffle). At 100 TB swap countDistinct for
+    // approx_count_distinct per column — same plan shape, no expand.
+    "a17_column_profile" -> QueryDef(
+      build = (s, d) => {
+        val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"))
+        }
+        val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map { c =>
+          struct(lit(c).as("column_name"), col(s"${c}_nulls").as("null_cnt"),
+            col(s"${c}_distinct").as("distinct_cnt"),
+            col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str"))
+        }
+        one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+      },
+      oracle = Some("""
+        SELECT 'o_custkey' AS column_name,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+               count(DISTINCT o_custkey) AS distinct_cnt,
+               CAST(min(o_custkey) AS VARCHAR) AS min_str,
+               CAST(max(o_custkey) AS VARCHAR) AS max_str FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders"""))
   )
 }

@@ -365,6 +365,45 @@ object Streaming extends QueryGroup {
           FROM events GROUP BY 1, 2)
         SELECT user_id, event_type, n_events,
                CAST(sum(tv) OVER (PARTITION BY user_id) AS BIGINT) AS user_value_e4
-        FROM per"""))
+        FROM per""")),
+
+    // ST13: STREAMING materialized view — the committed change-feed log is
+    // consumed as a file stream (maxFilesPerTrigger=1 forces multiple
+    // micro-batches) and each batch folds into the per-customer
+    // (count, revenue) aggregate via IncrementalAgg, committed with the
+    // versioned-snapshot + atomic-pointer exactly-once contract. The
+    // oracle recomputes the aggregate from scratch on the final snapshot
+    // definition, so the hash match proves the continuously-maintained
+    // view converged — regardless of how the runtime split the feed into
+    // batches. This is the DLT "live gold table over CDC" shape with
+    // refresh cost ∝ change volume.
+    "st13_streaming_mv" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_stmv_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
+        val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+              .otherwise(col("o_totalprice")))
+        t.writeWithChangeFeed(v0, Seq("o_orderkey"), "seed", "2001-09-01 00:00:00")
+        t.writeWithChangeFeed(v1, Seq("o_orderkey"), "merge", "2001-09-02 00:00:00")
+        val schema = s.read.parquet(s"$scratch/orders/_changes/v=0").schema
+        val feed = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$scratch/orders/_changes/*")
+        Streams.runMvSink(feed, s"$scratch/mv", Seq("o_custkey"), "o_totalprice",
+            java.nio.file.Files.createTempDirectory("graft_stmv_ck_").toString)
+          .select(col("o_custkey"), col("cnt").as("order_cnt"),
+            round(col("agg_sum").cast("double"), 4).as("revenue"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, count(*) AS order_cnt,
+               round(CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0
+                                        THEN o_totalprice + 10.0
+                                        ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+        FROM orders WHERE o_orderkey % 13 <> 0
+        GROUP BY o_custkey"""))
   )
 }

@@ -451,6 +451,52 @@ object TextOps extends QueryGroup {
                CAST(count(*) - sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = w.kk
                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM ch JOIN w ON ch.fp = w.fp
-        GROUP BY ch.doc_id"""))
+        GROUP BY ch.doc_id""")),
+
+    // T13: sequence packing — the concat-and-chunk batching step that
+    // turns variable-length documents into fixed-budget training
+    // sequences (seq_len 2048). Documents are laid out contiguously in
+    // deterministic (doc_id) order WITHIN each source shard; a document
+    // starts in pack floor(prefix_tokens / seq_len). One window keyed by
+    // source (shards sort independently — no global sort) + one group-by:
+    // at 100 TB each shard packs in parallel and only (doc_id, n_tokens)
+    // ever shuffles, never text. Output: per-pack document/token counts
+    // and the fill fraction against the token budget.
+    "t13_sequence_packing" -> QueryDef(
+      build = (s, d) => {
+        val seqLen = 2048L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(asc("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("prefix_tokens",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("pack_id", floor(col("prefix_tokens") / seqLen).cast("long"))
+          .groupBy(col("source"), col("pack_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_pack_tokens"),
+            min(col("doc_id")).as("first_doc_id"))
+          .withColumn("fill_frac",
+            floor(col("n_pack_tokens") * 10000.0 / seqLen) / 10000.0)
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, len($sqlTokens) AS n_tokens
+          FROM documents WHERE len($sqlTokens) > 0),
+        laid AS (
+          SELECT doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_tokens
+          FROM t)
+        SELECT source, CAST(prefix_tokens // 2048 AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               sum(n_tokens) AS n_pack_tokens,
+               min(doc_id) AS first_doc_id,
+               floor(sum(n_tokens) * 10000.0 / 2048) / 10000.0 AS fill_frac
+        FROM laid
+        GROUP BY 1, 2"""))
   )
 }

@@ -110,25 +110,68 @@ object Streams {
         if (!current.contains(s"$targetDir/$snapDir")) {
           val existing = current.map(s.read.parquet(_)).getOrElse(batch.limit(0))
           val merged = MergeOps.upsertLatestWins(existing, batch, keyCols, versionCol, tiebreak)
-          // Versioned commit: write the merged snapshot to a NEW dir, then
-          // flip the pointer with an atomic rename — a crash mid-write
-          // leaves the previous snapshot intact and readable (an in-place
-          // overwrite would delete it first).
-          merged.write.mode("overwrite").parquet(s"$targetDir/$snapDir")
-          val tmp = java.nio.file.Paths.get(targetDir, "_current.tmp")
-          Files.writeString(tmp, snapDir)
-          Files.move(tmp, java.nio.file.Paths.get(targetDir, "_current"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // the pointer makes deleting the superseded snapshot safe —
-          // bounds on-disk copies at ~2 instead of one per micro-batch
-          current.foreach { prev =>
-            val dir = java.nio.file.Paths.get(prev)
-            if (Files.exists(dir)) {
-              import scala.jdk.CollectionConverters._
-              Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            }
-          }
+          commitSnapshot(targetDir, snapDir, merged, current)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(resolveCurrent(targetDir)
+      .getOrElse(sys.error(s"no committed snapshot at $targetDir")))
+  }
+
+  /** Versioned snapshot commit: write to a NEW dir, then flip the pointer
+    * with an atomic rename — a crash mid-write leaves the previous
+    * snapshot intact and readable (an in-place overwrite would delete it
+    * first). The pointer makes deleting the superseded snapshot safe,
+    * bounding on-disk copies at ~2 instead of one per micro-batch. */
+  private def commitSnapshot(targetDir: String, snapDir: String,
+      snapshot: DataFrame, current: Option[String]): Unit = {
+    snapshot.write.mode("overwrite").parquet(s"$targetDir/$snapDir")
+    val tmp = java.nio.file.Paths.get(targetDir, "_current.tmp")
+    Files.writeString(tmp, snapDir)
+    Files.move(tmp, java.nio.file.Paths.get(targetDir, "_current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    current.foreach { prev =>
+      val dir = java.nio.file.Paths.get(prev)
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+  }
+
+  /** Streaming materialized view (continuous incremental refresh — the
+    * DLT "live table over a CDF stream" shape): each micro-batch of
+    * change-feed rows folds into the (count, sum) aggregate state via
+    * [[graft.ops.IncrementalAgg.applyDelta]], committed as a versioned
+    * snapshot + atomic pointer flip (same exactly-once replay contract as
+    * [[runMergeSink]]: a replayed batch whose pointer already names its
+    * snapshot is a no-op). Because count/sum maintenance is linear, ANY
+    * partitioning of the feed into micro-batches — including an update's
+    * pre/postimage rows landing in different batches — converges to the
+    * same state as a full recompute.
+    *
+    * @return the final view contents.
+    */
+  def runMvSink(feed: DataFrame, targetDir: String, keys: Seq[String],
+      valueCol: String, checkpoint: String): DataFrame = {
+    val spark = feed.sparkSession
+    val q = feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val snapDir = s"v=$batchId"
+        val current = resolveCurrent(targetDir)
+        if (!current.contains(s"$targetDir/$snapDir")) {
+          val state = current.map(s.read.parquet(_)).getOrElse(
+            graft.ops.IncrementalAgg.init(batch.filter(lit(false)), keys, valueCol))
+          commitSnapshot(targetDir, snapDir,
+            graft.ops.IncrementalAgg.applyDelta(state, batch, keys, valueCol),
+            current)
         }
         ()
       }

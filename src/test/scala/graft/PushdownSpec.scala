@@ -106,4 +106,33 @@ class PushdownSpec extends SparkSpec {
     assert(p.contains("partial_") || p.contains("partial "),
       s"no partial-mode aggregation in a1 plan:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB shape: a shuffle join where one side carries a selective
+    // filter — Catalyst should inject a bloom filter built from the small
+    // side into the fact scan, cutting shuffle input before the exchange.
+    // Local datasets are far below the production thresholds, so lower
+    // them for the assertion; the production configs are the defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.core.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+      val li = graft.core.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("MV sink replay with same checkpoint is a no-op; state survives batch splits") {
+    // Streaming incremental MV: 4 feed files, 1 per micro-batch — the
+    // (count, sum) state must accumulate across batches to the batch
+    // groupBy, and a restart on the same checkpoint must change nothing.
+    val srcDir = Files.createTempDirectory("graft_mvs_").toString
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("_change_type", lit("insert"))
+    rows.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val target = Files.createTempDirectory("graft_mvt_").toString + "/mv"
+    val ck = Files.createTempDirectory("graft_mv_ck_").toString
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_custkey"), col("cnt"), col("agg_sum").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = snap(
+      Streams.runMvSink(feed, target, Seq("o_custkey"), "o_totalprice", ck))
+    val want = snap(graft.ops.IncrementalAgg.init(
+      spark.read.parquet(srcDir), Seq("o_custkey"), "o_totalprice"))
+    assert(first == want, "multi-batch MV state must equal the batch aggregate")
+    val second = snap(
+      Streams.runMvSink(feed, target, Seq("o_custkey"), "o_totalprice", ck))
+    assert(second == first, "replay with the same checkpoint must not change the view")
+  }
+
   test("transformWithState type profile survives multi-batch input") {
     // 4 files, 1 per micro-batch: the MapState/ValueState composite must
     // accumulate ACROSS batches, and max-per-key over update-mode

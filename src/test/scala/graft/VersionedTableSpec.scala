@@ -199,6 +199,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuumed"))
   }
 
+  test("concurrent writers all commit; versions stay sequential and unique") {
+    // Optimistic concurrency: N threads race commits against one table —
+    // every writer must land (with internal retry), versions must be a
+    // gap-free 0..N sequence, and no writer may clobber another's commit.
+    val t = freshTable()
+    t.write(Seq((0L, "seed")).toDF("id", "v"), "seed")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            t.write(Seq((i.toLong, s"w$i")).toDF("id", "v"), s"writer_$i")
+        })
+      }
+      val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet.size == 8, s"writers shared a version: $got")
+    } finally pool.shutdown()
+    assert(t.versions == (0L to 8L), s"non-sequential versions: ${t.versions}")
+    val ops = t.history().collect().map(_.getString(1)).toSet
+    assert((1 to 8).forall(i => ops.contains(s"writer_$i")),
+      s"lost a commit: $ops")
+    // every version's data is intact and readable
+    (0L to 8L).foreach(v => assert(t.read(Some(v)).count() == 1))
+  }
+
+  test("TIMESTAMP AS OF resolves through recorded commit timestamps") {
+    val t = freshTable()
+    t.write(Seq((1L, "a")).toDF("id", "v"), "seed",
+      commitTs = Some("2024-01-01 00:00:00"))
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "more",
+      commitTs = Some("2024-01-03 00:00:00"))
+    t.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "untimed")
+    assert(t.readAsOf("2024-01-02 12:00:00").count() == 1)
+    assert(t.readAsOf("2024-01-03 00:00:00").count() == 2)
+    // the untimed head is invisible to AS OF (like outside-retention)
+    assert(t.readAsOf("2024-12-31 00:00:00").count() == 2)
+    val err = intercept[RuntimeException](t.readAsOf("2023-01-01 00:00:00"))
+    assert(err.getMessage.contains("no version"))
+    // the change-feed writer records its injected clock too
+    t.writeWithChangeFeed(Seq((1L, "z")).toDF("id", "v"), Seq("id"),
+      "cdf", "2024-02-01 00:00:00")
+    assert(t.readAsOf("2024-02-01 00:00:00").count() == 1)
+  }
+
   test("vacuum removes old version dirs but keeps history + head") {
     val t = freshTable()
     t.write(Seq(1).toDF("id"))
