@@ -298,8 +298,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def compact(targetFiles: Int = 1): Long =
     write(read().coalesce(targetFiles), "compact")
 
-  /** Z-ORDER substitute (M6): range-partition + sort the head by the
-    * clustering keys so min/max file stats become selective for them. */
+  /** Lexical clustering (M6): range-partition + sort the head by the
+    * clustering keys so min/max file stats become selective for them —
+    * ideal for a single key or a prefix-queried key hierarchy. */
   def cluster(cols: Seq[String], numFiles: Int = 4): Long = {
     val df = read()
     val clustered = df
@@ -307,6 +308,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .sortWithinPartitions(cols.map(col): _*)
     write(clustered, s"cluster_${cols.mkString("_")}")
   }
+
+  /** OPTIMIZE ZORDER BY (M6, the real space-filling curve): rewrite the
+    * head in bit-interleaved z-order so [[readWhere]] prunes files on ANY
+    * clustered column alone — a lexical sort only prunes on the leading
+    * one. See [[ZOrder]]. */
+  def clusterZOrder(cols: Seq[String], numFiles: Int = 8, bits: Int = 8): Long =
+    write(ZOrder.layout(read(), cols, numFiles, bits),
+      s"zorder_${cols.mkString("_")}")
 
   /** VACUUM (M4): physically delete version dirs older than the last
     * `keepLast` commits (manifest keeps the audit trail). Only dirs under

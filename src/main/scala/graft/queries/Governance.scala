@@ -337,6 +337,33 @@ object Governance extends QueryGroup {
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                               AND TIMESTAMP '1996-06-30 00:00:00'""")),
 
+    // M6 with the REAL space-filling curve: OPTIMIZE ZORDER BY
+    // (o_orderdate, o_custkey), then prune on the TRAILING dimension
+    // alone — the case lexical clustering cannot serve (every
+    // lexically-sorted file spans all custkeys). `files_pruned` asserts
+    // in-plan that the custkey-only scan skipped files; the oracle
+    // expects literal TRUE and recomputes the rows exactly.
+    "v3_zorder_skipping" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_zord_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice"))
+        t.clusterZOrder(Seq("o_orderdate", "o_custkey"), numFiles = 8)
+        val pruned = t.readWhere("o_custkey", 100L, 200L)
+        val filesPruned =
+          pruned.inputFiles.length < t.read().inputFiles.length
+        pruned.agg(
+            count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS files_pruned
+        FROM orders WHERE o_custkey BETWEEN 100 AND 200""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(

@@ -199,6 +199,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuumed"))
   }
 
+  test("z-order prunes on the trailing dimension where lexical clustering cannot") {
+    // 64x64 grid over (x, y): after a lexical cluster on (x, y), every
+    // file spans the full y range, so a y-only predicate reads ALL files;
+    // after clusterZOrder the z-curve gives every file a compact y range
+    // too, so the same predicate skips most of them.
+    import spark.implicits._
+    val grid = (0 until 4096)
+      .map(i => ((i % 64) / 64.0, (i / 64) / 64.0)).toDF("x", "y")
+    val lex = freshTable()
+    lex.write(grid)
+    lex.cluster(Seq("x", "y"), numFiles = 16)
+    val zed = freshTable()
+    zed.write(grid)
+    zed.clusterZOrder(Seq("x", "y"), numFiles = 16)
+    val (lo, hi) = (0.0, 0.05)
+    val lexFiles = lex.readWhere("y", lo, hi).inputFiles.length
+    val zFiles = zed.readWhere("y", lo, hi).inputFiles.length
+    assert(lexFiles == 16, s"lexical layout should span y in every file: $lexFiles")
+    assert(zFiles < lexFiles, s"z-order must prune on y: $zFiles vs $lexFiles")
+    assert(zFiles <= 8, s"z-order pruned too little: $zFiles of 16 files")
+    // and the pruned read loses nothing
+    val want = grid.filter(col("y").between(lo, hi)).count()
+    assert(zed.readWhere("y", lo, hi).count() == want)
+    assert(zed.read().count() == 4096)
+    // x stays prunable too (locality is preserved in BOTH dimensions)
+    assert(zed.readWhere("x", lo, hi).inputFiles.length <= 8)
+  }
+
   test("concurrent writers all commit; versions stay sequential and unique") {
     // Optimistic concurrency: N threads race commits against one table —
     // every writer must land (with internal retry), versions must be a
