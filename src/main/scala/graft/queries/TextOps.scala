@@ -497,6 +497,45 @@ object TextOps extends QueryGroup {
                min(doc_id) AS first_doc_id,
                floor(sum(n_tokens) * 10000.0 / 2048) / 10000.0 AS fill_frac
         FROM laid
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // T14: per-document TF-IDF keyword extraction — the classic corpus
+    // weighting (tf x ln((N+1)/(df+1))), top-3 terms per document.
+    // Ordering uses the FLOOR-SCALED score with a token tiebreak so a
+    // 1-ulp ln() divergence between engines can never flip a rank. One
+    // explode + two map-side-combinable group-bys + a vocabulary join
+    // (vocab ≪ corpus — broadcastable at any scale) + a per-doc window.
+    "t14_tfidf_keywords" -> QueryDef(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+        tf.join(broadcast(dfreq), "token")
+          .withColumn("tfidf",
+            floor(col("tf") * log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0)))
+              * 1000000.0) / 1000000.0)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "token", "tfidf")
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, token,
+                 floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000) / 1000000.0 AS tfidf
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        SELECT doc_id, rnk, token, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
+        WHERE rnk <= 3"""))
   )
 }

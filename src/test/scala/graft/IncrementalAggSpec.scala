@@ -47,6 +47,32 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!got.exists(_._1 == "b"))
   }
 
+  test("random version chains converge for any mix of churn (seeded)") {
+    val rnd = new scala.util.Random(42)
+    def randomSnap(): Seq[(Long, String, Double)] =
+      (1L to 40L).flatMap { id =>
+        if (rnd.nextDouble() < 0.7) // 30%: key absent (delete/never inserted)
+          Some((id, s"g${rnd.nextInt(5)}", rnd.nextInt(10000) / 100.0))
+        else None
+      }
+    val t = new VersionedTable(
+      spark, Files.createTempDirectory("graft_mv3_").toString + "/t")
+    val nVersions = 5
+    (0 until nVersions).foreach(_ => t.writeWithChangeFeed(snap(randomSnap()), Seq("id")))
+    var state = IncrementalAgg.init(t.read(Some(0)), Seq("grp"), "amount")
+    (1 until nVersions).foreach { v =>
+      state = IncrementalAgg.applyDelta(
+        state,
+        t.changeFeed(v.toLong).filter(col("_commit_version") === v.toLong),
+        Seq("grp"), "amount")
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("grp"), col("cnt"), col("agg_sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(norm(state) ==
+      norm(IncrementalAgg.init(t.read(Some(nVersions - 1L)), Seq("grp"), "amount")))
+  }
+
   test("an update's count deltas cancel; only the sum moves") {
     val t = new VersionedTable(
       spark, Files.createTempDirectory("graft_mv2_").toString + "/t")
