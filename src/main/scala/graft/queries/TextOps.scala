@@ -509,9 +509,13 @@ object TextOps extends QueryGroup {
       build = (s, d) => {
         val docs = Tables.documents(s, d)
         val nDocs = docs.count()
+        // materialize tf once: it feeds both the join probe side and the
+        // df broadcast build, and the differing shapes block ReusedExchange
+        // (the d4 prefix-table lesson) — without this the explode+agg runs twice
         val tf = docs
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
         val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
