@@ -93,6 +93,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     */
   private def commit(df: DataFrame, operation: String,
       stageFeed: Option[Long => Unit], commitTs: Option[String] = None): Long = {
+    validateConstraints(df)
     var attempt = 0
     while (true) {
       val next = latestVersion.map(_ + 1).getOrElse(0L)
@@ -136,6 +137,49 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+
+  // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) ----
+
+  private def constraintsPath: Path = Paths.get(root, "_constraints")
+
+  /** Register a CHECK constraint: every subsequent commit must satisfy the
+    * SQL predicate on EVERY row (a NULL result counts as a violation, like
+    * Delta). Recorded in table metadata, enforced by [[write]] /
+    * [[writeWithChangeFeed]] before any data is staged. */
+  def addConstraint(name: String, condition: String): Unit = {
+    require(!condition.contains("\""), "constraint conditions use single quotes")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(constraintsPath,
+      s"""{"name":"$name","condition":"$condition"}""" + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def constraints: Seq[(String, String)] =
+    if (!Files.exists(constraintsPath)) Seq.empty
+    else Files.readAllLines(constraintsPath, StandardCharsets.UTF_8).asScala.toSeq
+      .map { line =>
+        val n = """"name":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+        val c = """"condition":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+        (n, c)
+      }
+
+  /** ALL constraints verified in ONE aggregation pass over the incoming
+    * snapshot (never a filter+count per rule — 1 scan, not |rules| scans,
+    * the Quality-engine trick). Throws naming every violated constraint
+    * BEFORE anything is staged, so a rejected commit leaves no trace. */
+  private def validateConstraints(df: DataFrame): Unit = {
+    val cs = constraints
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, c) =>
+      sum(when(expr(c), 0L).otherwise(1L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violated = cs.indices.collect {
+      case i if row.getLong(i) > 0 => s"${cs(i)._1} (${row.getLong(i)} rows)"
+    }
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      s"CHECK constraint violation on $root: ${violated.mkString(", ")}")
+  }
 
   /** Columns worth file-level min/max stats: orderable atomic types (the
     * Delta rule, minus its 32-column cap — snapshots here are narrow). */

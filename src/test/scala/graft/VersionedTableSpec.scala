@@ -227,6 +227,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(zed.readWhere("x", lo, hi).inputFiles.length <= 8)
   }
 
+  test("CHECK constraints reject violating commits before anything is staged") {
+    val t = freshTable()
+    t.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
+    t.addConstraint("price_positive", "price > 0")
+    t.addConstraint("id_present", "id IS NOT NULL")
+    // a clean commit passes
+    t.write(Seq((1L, 10.0), (3L, 5.0)).toDF("id", "price"))
+    assert(t.latestVersion.contains(1L))
+    // a violating commit throws, names the constraint, and leaves no trace
+    val err = intercept[IllegalArgumentException] {
+      t.write(Seq((4L, -1.0), (5L, -2.0)).toDF("id", "price"))
+    }
+    assert(err.getMessage.contains("price_positive") &&
+      err.getMessage.contains("2 rows"), err.getMessage)
+    assert(t.latestVersion.contains(1L) && t.read().count() == 2)
+    // NULL evaluates as a violation (Delta semantics)
+    val err2 = intercept[IllegalArgumentException] {
+      t.write(Seq((Some(6L), None: Option[Double])).toDF("id", "price"))
+    }
+    assert(err2.getMessage.contains("price_positive"))
+  }
+
   test("concurrent writers all commit; versions stay sequential and unique") {
     // Optimistic concurrency: N threads race commits against one table —
     // every writer must land (with internal retry), versions must be a
