@@ -42,17 +42,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private case class Commit(
       version: Long, operation: String, rows: Long,
       location: Option[String], statsLocation: Option[String],
-      ts: Option[String])
+      ts: Option[String], deletePredicates: Seq[String])
 
   private def parse(line: String): Commit = {
-    // {"version":N,"operation":"...","rows":N[,"location":"...","statsLocation":"...","ts":"..."]}
+    // {"version":N,"operation":"...","rows":N[,"location":"...",
+    //  "statsLocation":"...","ts":"...","deletePredicates":["...",...]]}
     val v = """"version":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val loc = """"location":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
     val sloc = """"statsLocation":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
     val ts = """"ts":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
-    Commit(v, op, rows, loc, sloc, ts)
+    val preds = """"deletePredicates":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(Seq.empty)
+    Commit(v, op, rows, loc, sloc, ts, preds)
   }
 
   private def commits: Seq[Commit] = manifestLines.map(parse)
@@ -235,7 +240,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .filter(col(s"maxs.$column") >= lit(lo) && col(s"mins.$column") <= lit(hi))
       .select("file").collect().map(r => s"${dataDir(v)}/${r.getString(0)}").toSeq
     if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
-    else spark.read.parquet(files: _*).filter(residual)
+    else applyDeletes(spark.read.parquet(files: _*), v).filter(residual)
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -256,11 +261,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(dest.versions.isEmpty, s"clone target $destRoot is not empty")
     val dataLoc = Paths.get(dataDir(v)).toAbsolutePath.toString
     val statsLoc = Paths.get(statsDir(v)).toAbsolutePath.toString
+    // delete predicates travel with the clone (its v0 must read the same
+    // logical rows as the source head)
+    val predsField =
+      if (src.deletePredicates.isEmpty) ""
+      else src.deletePredicates.map(p => s""""$p"""")
+        .mkString(""","deletePredicates":[""", ",", "]")
     Files.createDirectories(Paths.get(destRoot))
     Files.writeString(
       Paths.get(destRoot, "_manifest"),
       s"""{"version":0,"operation":"clone_of:$root@v$v","rows":${src.rows},""" +
-        s""""location":"$dataLoc","statsLocation":"$statsLoc"}""" + "\n",
+        s""""location":"$dataLoc","statsLocation":"$statsLoc"$predsField}""" + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     dest
   }
@@ -311,7 +322,55 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(Files.isDirectory(Paths.get(dataDir(v))),
       s"version $v of $root was vacuumed; earliest readable version is " +
         s"${versions.filter(x => Files.isDirectory(Paths.get(dataDir(x)))).minOption.getOrElse("none")}")
-    spark.read.parquet(dataDir(v))
+    applyDeletes(spark.read.parquet(dataDir(v)), v)
+  }
+
+  /** Apply a version's stored delete predicates (see [[deleteWhere]]). */
+  private def applyDeletes(df: DataFrame, v: Long): DataFrame =
+    commits.find(_.version == v).map(_.deletePredicates).getOrElse(Seq.empty)
+      .foldLeft(df)((d, p) => d.filter(!expr(p)))
+
+  /** Logical DELETE WHERE — the spirit of Delta deletion vectors: commit a
+    * new version that REFERENCES the previous version's files plus a
+    * stored anti-predicate applied at read time. No data is rewritten —
+    * the commit costs one counting scan regardless of table size (the
+    * 100 TB GDPR-delete story: O(metadata), not O(data)). Chained deletes
+    * accumulate predicates; a later [[compact]] (or any full write)
+    * materializes them physically. Predicates must be deterministic and
+    * use single quotes only. Not CDC-visible — use [[writeWithChangeFeed]]
+    * when downstream consumers need delete rows in the feed. */
+  def deleteWhere(condition: String): Long = {
+    require(!condition.contains("\"") && !condition.contains("]"),
+      "delete predicates use single quotes and no ']'")
+    var attempt = 0
+    while (true) {
+      val v = latestVersion.getOrElse(sys.error(s"empty table at $root"))
+      val next = v + 1
+      val base = commits.find(_.version == v).get
+      val preds = base.deletePredicates :+ condition
+      val rows = applyDeletes(spark.read.parquet(dataDir(v)), v)
+        .filter(!expr(condition)).count()
+      val dataLoc = Paths.get(dataDir(v)).toAbsolutePath.toString
+      val statsLoc = Paths.get(statsDir(v)).toAbsolutePath.toString
+      val predsJson = preds.map(p => s""""$p"""").mkString("[", ",", "]")
+      val won = VersionedTable.commitLock(root).synchronized {
+        if (latestVersion.map(_ + 1).getOrElse(0L) != next) false
+        else {
+          Files.writeString(
+            manifestPath,
+            s"""{"version":$next,"operation":"delete_where","rows":$rows,""" +
+              s""""location":"$dataLoc","statsLocation":"$statsLoc",""" +
+              s""""deletePredicates":$predsJson}""" + "\n",
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          true
+        }
+      }
+      if (won) return next
+      attempt += 1
+      if (attempt > 20) throw new IllegalStateException(
+        s"deleteWhere of $root contended $attempt times; giving up")
+    }
+    -1L // unreachable
   }
 
   /** TIMESTAMP AS OF time travel (S6): the latest version whose recorded
@@ -361,18 +420,28 @@ final class VersionedTable(spark: SparkSession, root: String) {
     write(ZOrder.layout(read(), cols, numFiles, bits),
       s"zorder_${cols.mkString("_")}")
 
-  /** VACUUM (M4): physically delete version dirs older than the last
-    * `keepLast` commits (manifest keeps the audit trail). Only dirs under
-    * this table's own root are deleted — a shallow clone's externally
-    * located versions are skipped, so vacuuming a clone never destroys
-    * the source's files. */
+  /** VACUUM (M4): physically delete data older than the last `keepLast`
+    * commits (manifest keeps the audit trail). Reference-counted: a dir
+    * is deleted only if (a) it lives under THIS table's root — a shallow
+    * clone's externally located versions are never touched — and (b) no
+    * kept version still references it (a deleteWhere head referencing an
+    * old version's files keeps those files alive). */
   def vacuum(keepLast: Int = 1): Seq[Long] = {
+    val all = commits
     val keep = versions.takeRight(keepLast).toSet
-    val removed = versions.filterNot(keep)
-      .filter(v => commits.find(_.version == v).forall(_.location.isEmpty))
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    def abs(p: String) = Paths.get(p).toAbsolutePath.toString
+    val keptDataDirs = keep.map(v => abs(dataDir(v)))
+    val keptStatsDirs = keep.map(v => abs(statsDir(v)))
+    def deletable(dir: String, kept: Set[String]) =
+      abs(dir).startsWith(rootAbs + java.io.File.separator) && !kept(abs(dir))
+    val removed = all.map(_.version).filterNot(keep).filter { v =>
+      deletable(dataDir(v), keptDataDirs)
+    }
     removed.foreach { v =>
-      deleteTree(Paths.get(s"$root/v=$v"))
-      deleteTree(Paths.get(s"$root/_stats/v=$v"))
+      deleteTree(Paths.get(dataDir(v)))
+      if (deletable(statsDir(v), keptStatsDirs))
+        deleteTree(Paths.get(statsDir(v)))
     }
     deleteTree(Paths.get(s"$root/_staging")) // crashed writers' leftovers
     removed

@@ -392,6 +392,32 @@ object Governance extends QueryGroup {
                                          WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')) AS added_rows,
                2 AS n_versions""")),
 
+    // Deletion-vector-style logical delete: DELETE WHERE commits as pure
+    // metadata (a stored anti-predicate referencing the prior version's
+    // files) — zero bytes rewritten, O(1) commit at any table size.
+    // `zero_rewrite` asserts in-plan that the physical bytes are
+    // untouched; the oracle recomputes the surviving rows exactly.
+    "g2_logical_delete" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_dv_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        val bytesBefore = t.detail().collect()(0).getAs[Long]("size_bytes")
+        t.deleteWhere("o_orderstatus = 'F'")
+        val zeroRewrite =
+          t.detail().collect()(0).getAs[Long]("size_bytes") == bytesBefore
+        t.read().agg(
+            count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS zero_rewrite
+        FROM orders WHERE o_orderstatus <> 'F'""")),
+
     // M10: GDPR cascade erasure — delete requested subjects across the
     // table graph (customer → orders → lineitem), report remaining counts.
     "g1_gdpr_erasure" -> QueryDef(

@@ -227,6 +227,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(zed.readWhere("x", lo, hi).inputFiles.length <= 8)
   }
 
+  test("deleteWhere commits a logical delete without rewriting data files") {
+    import java.nio.file.Paths
+    val t = freshTable()
+    t.write(spark.range(1, 101).toDF("id").repartition(4))
+    val bytesBefore = t.detail().collect()(0).getAs[Long]("size_bytes")
+    // logical delete: no new data dir, same physical bytes, fewer rows
+    val v1 = t.deleteWhere("id % 10 = 0")
+    assert(v1 == 1L)
+    assert(t.read().count() == 90)
+    assert(t.read(Some(0)).count() == 100, "time travel sees pre-delete rows")
+    val root = t.detail().collect()(0).getString(0)
+    assert(!Files.exists(Paths.get(s"$root/v=1")), "no data rewritten")
+    assert(t.detail().collect()(0).getAs[Long]("size_bytes") == bytesBefore)
+    assert(t.history().orderBy("version").collect()(1).getLong(2) == 90L)
+    // chained delete accumulates predicates
+    t.deleteWhere("id < 5")
+    assert(t.read().count() == 86)
+    // data skipping still applies the tombstones
+    assert(t.readWhere("id", 10L, 10L).count() == 0)
+    assert(t.readWhere("id", 11L, 11L).count() == 1)
+    // a clone of the deleted head reads the same logical rows
+    val c = t.shallowClone(Files.createTempDirectory("graft_dvc_").toString + "/c")
+    assert(c.read().count() == 86)
+    // compact materializes the delete physically; vacuum is then safe
+    t.compact(1)
+    assert(t.read().count() == 86)
+    t.vacuum(keepLast = 1)
+    assert(t.read().count() == 86)
+    assert(!Files.exists(Paths.get(s"$root/v=0")), "old shared dir vacuumed after compact")
+  }
+
+  test("vacuum keeps files still referenced by a deleteWhere head") {
+    import java.nio.file.Paths
+    val t = freshTable()
+    t.write(spark.range(1, 51).toDF("id"))
+    t.deleteWhere("id > 40")
+    // keepLast=1 keeps only the delete version — which references v0's
+    // files, so v0's dir must survive the vacuum
+    val removed = t.vacuum(keepLast = 1)
+    assert(removed.isEmpty, s"must not vacuum a dir the head references: $removed")
+    val root = t.detail().collect()(0).getString(0)
+    assert(Files.exists(Paths.get(s"$root/v=0")))
+    assert(t.read().count() == 40)
+  }
+
   test("CHECK constraints reject violating commits before anything is staged") {
     val t = freshTable()
     t.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
