@@ -540,6 +540,49 @@ object TextOps extends QueryGroup {
         SELECT doc_id, rnk, token, tfidf
         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
-        WHERE rnk <= 3"""))
+        WHERE rnk <= 3""")),
+
+    // PL2: the LLM-corpus pipeline END-TO-END through the declarative DAG
+    // runner — bronze (quality gate drops short docs) → silver (exact
+    // dedup, min-doc_id keeper per text fingerprint) → gold (per-source
+    // doc/token/training-pack budget). One declared query proving the
+    // DLT-style layer composes the corpus operators: quality rules,
+    // content fingerprint dedup, token accounting. Every stage is a
+    // single keyed shuffle; the fingerprint join is left_semi on
+    // (fp, doc_id) so only 16-byte hashes + ids shuffle, never text.
+    "pl2_corpus_pipeline" -> QueryDef(
+      build = (s, d) => {
+        val pipe = new graft.pipeline.Pipeline(s)
+        pipe.table("bronze_docs",
+          rules = Seq(graft.quality.Quality.Rule(
+            "min_chars", "n_chars >= 150", graft.quality.Quality.Drop))) { _ =>
+          Tables.documents(s, d)
+        }
+        pipe.table("silver_unique", deps = Seq("bronze_docs")) { in =>
+          val fp = in("bronze_docs").withColumn("fp", md5(col("text")))
+          val keeper = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          fp.join(keeper, Seq("fp", "doc_id"), "left_semi")
+        }
+        pipe.table("gold_corpus_stats", deps = Seq("silver_unique")) { in =>
+          in("silver_unique")
+            .select(col("source"), nTokens(col("text")).as("n_tokens"))
+            .groupBy("source")
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("n_tokens"))
+            .withColumn("n_packs", expr("(n_tokens + 2047) div 2048"))
+        }
+        pipe.run()("gold_corpus_stats")
+      },
+      oracle = Some(s"""
+        WITH bronze AS (SELECT * FROM documents WHERE n_chars >= 150),
+        keep AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                 FROM bronze GROUP BY 1),
+        silver AS (SELECT b.* FROM bronze b
+                   JOIN keep k ON md5(b.text) = k.fp AND b.doc_id = k.doc_id)
+        SELECT source, count(*) AS n_docs,
+               sum(len($sqlTokens)) AS n_tokens,
+               CAST((sum(len($sqlTokens)) + 2047) // 2048 AS BIGINT) AS n_packs
+        FROM silver GROUP BY source"""))
   )
 }
