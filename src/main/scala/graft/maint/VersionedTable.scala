@@ -84,17 +84,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     commit(df, operation, stageFeed = None, commitTs)
 
   /** Single commit path with optimistic concurrency (the Delta protocol's
-    * shape: uniquely named staging + a conditional commit). Order per
-    * attempt: clear any orphaned `_changes/v=next` (left by a
-    * writeWithChangeFeed that died pre-manifest — a later plain write()
-    * must not adopt a stale feed), write data + stats into a uniquely
-    * named staging dir, stage this commit's feed (if any), then under the
-    * table's commit lock RE-CHECK that `next` is still unclaimed, rename
-    * staging into place, and append the manifest line. The manifest
-    * append is the commit point, so data, stats, and feed become visible
-    * together or not at all. A writer that lost the race cleans its
-    * staging and retries against the new head (its feed diff basis is
-    * stale) — the behavior of Delta's ConcurrentAppend resolution.
+    * shape: uniquely named staging + a conditional commit). Per attempt:
+    * write data + stats into a uniquely named staging dir (fully
+    * concurrent), then under the table's commit lock RE-CHECK that `next`
+    * is still unclaimed, clear any orphaned `_changes/v=next` (left by a
+    * writer that died pre-manifest — a later commit must not adopt a
+    * stale feed), derive and stage this commit's feed, rename staging
+    * into place, and append the manifest line. The feed MUST stage inside
+    * the critical section: its diff basis (version next-1) and the
+    * `_changes/v=next` slot are only stable while holding the commit, and
+    * a racing loser could otherwise clobber a winner's committed feed.
+    * The manifest append is the commit point, so data, stats, and feed
+    * become visible together or not at all. A writer that lost the race
+    * cleans its staging and retries against the new head — the behavior
+    * of Delta's ConcurrentAppend resolution.
     */
   private def commit(df: DataFrame, operation: String,
       stageFeed: Option[Long => Unit], commitTs: Option[String] = None): Long = {
@@ -102,16 +105,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     var attempt = 0
     while (true) {
       val next = latestVersion.map(_ + 1).getOrElse(0L)
-      val feedDir = Paths.get(s"$root/_changes/v=$next")
-      deleteTree(feedDir)
       val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
       df.write.mode("overwrite").parquet(s"$stage/data")
-      stageFeed.foreach(f => f(next))
       val rows = writeStats(s"$stage/data", s"$stage/stats")
       val won = VersionedTable.commitLock(root).synchronized {
         val headNow = latestVersion
         if (headNow.map(_ + 1).getOrElse(0L) != next) false
         else {
+          deleteTree(Paths.get(s"$root/_changes/v=$next"))
+          stageFeed.foreach(f => f(next))
           Files.createDirectories(Paths.get(root))
           Files.createDirectories(Paths.get(s"$root/_stats"))
           Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
@@ -126,8 +128,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
       deleteTree(Paths.get(stage))
       if (won) return next
-      // lost the race: the staged feed's diff basis is stale too
-      deleteTree(feedDir)
       // under k-writer contention a commit can lose at most k-1 races
       // (every loss means someone else committed), so a generous cap only
       // guards against a pathological livelock

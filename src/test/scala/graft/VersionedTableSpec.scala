@@ -227,6 +227,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(zed.readWhere("x", lo, hi).inputFiles.length <= 8)
   }
 
+  test("clone of a clone resolves data through absolute locations") {
+    val t = freshTable()
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val c1 = t.shallowClone(Files.createTempDirectory("graft_cc1_").toString + "/c1")
+    val c2 = c1.shallowClone(Files.createTempDirectory("graft_cc2_").toString + "/c2")
+    assert(c2.read().count() == 2)
+    assert(c2.readWhere("id", 2L, 2L).count() == 1)
+    c2.write(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.read().count() == 2 && c1.read().count() == 2 && c2.read().count() == 1)
+  }
+
+  test("z-order handles null values in a clustering column (bucket 0)") {
+    val t = freshTable()
+    t.write(Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null), (3L, 30L))
+      .toDF("id", "k"))
+    t.clusterZOrder(Seq("id", "k"), numFiles = 2, bits = 4)
+    assert(t.read().count() == 3)
+    assert(t.read().filter(col("k").isNull).count() == 1)
+  }
+
   test("deleteWhere commits a logical delete without rewriting data files") {
     import java.nio.file.Paths
     val t = freshTable()
@@ -317,6 +337,37 @@ class VersionedTableSpec extends SparkSpec {
       s"lost a commit: $ops")
     // every version's data is intact and readable
     (0L to 8L).foreach(v => assert(t.read(Some(v)).count() == 1))
+  }
+
+  test("concurrent change-feed writers never clobber a committed feed") {
+    // The feed stages inside the commit critical section: whatever order
+    // the racing writers land in, every committed version's feed must be
+    // the true diff against its parent — so replaying the whole feed
+    // through CdcApply must reconstruct the final head exactly.
+    val t = freshTable()
+    t.writeWithChangeFeed(Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val snaps = Seq(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+        Seq((1L, "a"), (3L, "c")).toDF("id", "v"))
+      val futures = snaps.map { snap =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.writeWithChangeFeed(snap, Seq("id"))
+        })
+      }
+      val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet == Set(1L, 2L), s"got versions $got")
+    } finally pool.shutdown()
+    val replayed = graft.ops.CdcApply.latestState(
+      t.changeFeed()
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("op", when(col("_change_type") === "update_postimage", "update")
+          .otherwise(col("_change_type"))),
+      "id", "op", Seq("_commit_version"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val head = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == head, s"feed replay $replayed != head $head")
   }
 
   test("TIMESTAMP AS OF resolves through recorded commit timestamps") {
