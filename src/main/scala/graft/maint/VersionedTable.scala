@@ -112,7 +112,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
         val headNow = latestVersion
         if (headNow.map(_ + 1).getOrElse(0L) != next) false
         else {
+          // clear a crashed writer's orphans for this slot: a staged feed
+          // must not become this version's CDC rows, and an orphaned data/
+          // stats dir (death between move and manifest append) would make
+          // Files.move throw forever — the manifest proves neither is
+          // committed, so both are safe to remove under the lock
           deleteTree(Paths.get(s"$root/_changes/v=$next"))
+          deleteTree(Paths.get(s"$root/v=$next"))
+          deleteTree(Paths.get(s"$root/_stats/v=$next"))
           stageFeed.foreach(f => f(next))
           Files.createDirectories(Paths.get(root))
           Files.createDirectories(Paths.get(s"$root/_stats"))
@@ -179,8 +186,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       sum(when(expr(c), 0L).otherwise(1L)).as(n)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // an empty snapshot trivially satisfies every constraint (sums are NULL)
     val violated = cs.indices.collect {
-      case i if row.getLong(i) > 0 => s"${cs(i)._1} (${row.getLong(i)} rows)"
+      case i if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"${cs(i)._1} (${row.getLong(i)} rows)"
     }
     if (violated.nonEmpty) throw new IllegalArgumentException(
       s"CHECK constraint violation on $root: ${violated.mkString(", ")}")
@@ -236,9 +245,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (!stats.columns.contains("mins") ||
         !stats.select("mins.*").columns.contains(column))
       return read(Some(v)).filter(residual)
+    val dir = dataDir(v) // hoisted: dataDir re-parses the manifest per call
     val files = stats
       .filter(col(s"maxs.$column") >= lit(lo) && col(s"mins.$column") <= lit(hi))
-      .select("file").collect().map(r => s"${dataDir(v)}/${r.getString(0)}").toSeq
+      .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
     if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
     else applyDeletes(spark.read.parquet(files: _*), v).filter(residual)
   }
@@ -273,6 +283,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       s"""{"version":0,"operation":"clone_of:$root@v$v","rows":${src.rows},""" +
         s""""location":"$dataLoc","statsLocation":"$statsLoc"$predsField}""" + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // table metadata travels with the clone: CHECK constraints keep
+    // enforcing on the clone's own commits (Delta CLONE copies properties)
+    if (Files.exists(constraintsPath))
+      Files.copy(constraintsPath, Paths.get(destRoot, "_constraints"))
     dest
   }
 
@@ -325,10 +339,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     applyDeletes(spark.read.parquet(dataDir(v)), v)
   }
 
-  /** Apply a version's stored delete predicates (see [[deleteWhere]]). */
+  /** Apply a version's stored delete predicates (see [[deleteWhere]]).
+    * SQL DELETE semantics: only rows where the predicate is TRUE are
+    * deleted — a NULL predicate result keeps the row. */
   private def applyDeletes(df: DataFrame, v: Long): DataFrame =
     commits.find(_.version == v).map(_.deletePredicates).getOrElse(Seq.empty)
-      .foldLeft(df)((d, p) => d.filter(!expr(p)))
+      .foldLeft(df)((d, p) => d.filter(!coalesce(expr(p), lit(false))))
 
   /** Logical DELETE WHERE — the spirit of Delta deletion vectors: commit a
     * new version that REFERENCES the previous version's files plus a
@@ -349,13 +365,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val base = commits.find(_.version == v).get
       val preds = base.deletePredicates :+ condition
       val rows = applyDeletes(spark.read.parquet(dataDir(v)), v)
-        .filter(!expr(condition)).count()
+        .filter(!coalesce(expr(condition), lit(false))).count()
       val dataLoc = Paths.get(dataDir(v)).toAbsolutePath.toString
       val statsLoc = Paths.get(statsDir(v)).toAbsolutePath.toString
       val predsJson = preds.map(p => s""""$p"""").mkString("[", ",", "]")
       val won = VersionedTable.commitLock(root).synchronized {
         if (latestVersion.map(_ + 1).getOrElse(0L) != next) false
         else {
+          // a dead writer's orphaned feed for this slot must not become
+          // this (feed-less) version's CDC rows
+          deleteTree(Paths.get(s"$root/_changes/v=$next"))
           Files.writeString(
             manifestPath,
             s"""{"version":$next,"operation":"delete_where","rows":$rows,""" +
@@ -443,7 +462,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
       if (deletable(statsDir(v), keptStatsDirs))
         deleteTree(Paths.get(statsDir(v)))
     }
-    deleteTree(Paths.get(s"$root/_staging")) // crashed writers' leftovers
+    // crashed writers' leftover staging — but never an IN-FLIGHT writer's:
+    // staging happens outside the commit lock by design, so only reclaim
+    // dirs untouched for over an hour
+    val staging = Paths.get(s"$root/_staging")
+    if (Files.isDirectory(staging)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      Files.list(staging).iterator().asScala.toSeq
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(deleteTree)
+    }
     removed
   }
 

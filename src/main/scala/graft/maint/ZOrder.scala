@@ -49,15 +49,21 @@ object ZOrder {
         expr(s"approx_percentile(${asDoubleSql(df, c)}, array(${qs.mkString(",")}), 10000)")
           .as(s"_q_$c")): _*).collect()(0)
     val withBuckets = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val bounds = boundsRow.getSeq[Double](i).distinct.sorted
+      // approx_percentile yields NULL over an empty table or an all-NULL
+      // column — degrade to a single bucket rather than NPE
+      val bounds = Option(boundsRow.getSeq[Double](i))
+        .getOrElse(Seq.empty).distinct.sorted
       // bucket = #boundaries <= value (sorted fold stays in codegen; a
       // null value sorts to bucket 0)
-      val arr = array(bounds.map(lit(_)): _*)
-      d.withColumn(s"_zb_$c",
-        coalesce(
-          aggregate(arr, lit(0L),
-            (acc, b) => acc + when(expr(asDoubleSql(df, c)) >= b, 1L).otherwise(0L)),
-          lit(0L)))
+      if (bounds.isEmpty) d.withColumn(s"_zb_$c", lit(0L))
+      else {
+        val arr = array(bounds.map(lit(_)): _*)
+        d.withColumn(s"_zb_$c",
+          coalesce(
+            aggregate(arr, lit(0L),
+              (acc, b) => acc + when(expr(asDoubleSql(df, c)) >= b, 1L).otherwise(0L)),
+            lit(0L)))
+      }
     }
     // interleave: bit j of column i's bucket -> z bit j*ncols + i
     val z: Column = cols.zipWithIndex.flatMap { case (c, ci) =>

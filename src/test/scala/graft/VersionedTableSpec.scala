@@ -278,6 +278,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$root/v=0")), "old shared dir vacuumed after compact")
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
+    val t = freshTable()
+    t.write(Seq[(java.lang.Long, String)]((1L, "F"), (2L, null), (3L, "O"))
+      .toDF("id", "status"))
+    t.deleteWhere("status = 'F'")
+    // row 2's predicate is NULL -> NOT deleted (only TRUE deletes)
+    val kept = t.read().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"NULL-predicate row must survive: $kept")
+  }
+
+  test("commit recovers from an orphaned v=N dir left by a crashed writer") {
+    val t = freshTable()
+    t.write(Seq(1).toDF("id"))
+    // forge the crash state: data dir moved into place, no manifest line
+    val root = t.detail().collect()(0).getString(0)
+    Seq(99).toDF("id").write.parquet(s"$root/v=1")
+    Seq(99).toDF("id").write.parquet(s"$root/_stats/v=1")
+    assert(t.latestVersion.contains(0L))
+    val v1 = t.write(Seq(1, 2).toDF("id"))
+    assert(v1 == 1L && t.read().count() == 2, "orphan must not block the commit")
+  }
+
+  test("CHECK constraints pass trivially on an empty snapshot") {
+    val t = freshTable()
+    t.write(Seq((1L, 10.0)).toDF("id", "price"))
+    t.addConstraint("price_positive", "price > 0")
+    val v = t.write(Seq.empty[(Long, Double)].toDF("id", "price"))
+    assert(v == 1L && t.read().count() == 0)
+  }
+
+  test("shallow clone carries CHECK constraints") {
+    val t = freshTable()
+    t.write(Seq((1L, 10.0)).toDF("id", "price"))
+    t.addConstraint("price_positive", "price > 0")
+    val c = t.shallowClone(Files.createTempDirectory("graft_ccon_").toString + "/c")
+    val err = intercept[IllegalArgumentException] {
+      c.write(Seq((2L, -5.0)).toDF("id", "price"))
+    }
+    assert(err.getMessage.contains("price_positive"))
+  }
+
   test("vacuum keeps files still referenced by a deleteWhere head") {
     import java.nio.file.Paths
     val t = freshTable()
