@@ -372,6 +372,81 @@ object Dedup extends QueryGroup {
                coalesce(near.n_near_lower, 0) AS n_near_lower,
                near.rep_id,
                near.rep_id IS NOT NULL AS is_dup
-        FROM assign s LEFT JOIN near ON near.vec_id = s.vec_id"""))
+        FROM assign s LEFT JOIN near ON near.vec_id = s.vec_id""")),
+
+    // D9: INCREMENTAL corpus dedup — the production ingest shape: an
+    // incoming batch (doc_id % 5 = 0 plays the new crawl) is admitted
+    // against the EXISTING corpus, never against itself. Exact dups via a
+    // fingerprint anti-probe (only 16-byte hashes shuffle); near-dup
+    // candidates via the same banded-MinHash buckets as d3, but the
+    // bucket join is new x corpus only — at 100 TB the corpus side is a
+    // static pre-built index keyed by band hash, and each incoming batch
+    // probes it without re-signing the corpus.
+    "d9_incremental_dedup" -> QueryDef(
+      build = (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 5 === 0).as("is_new"),
+            md5(col("text")).as("fp"))
+        val sigs = base
+          .withColumn("sh", shingles(col("text"), 2))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", minhashSignature(col("sh"), 16, portableKernel))
+        def bandHash(b: Int) = portableHash(
+          concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
+            x => x.cast("string"))), s"b$b:")
+        val banded = sigs.select(col("doc_id"), col("is_new"),
+          explode(array((0 until 4).map(bandHash): _*)).as("band_hash"))
+        val near = banded.filter(col("is_new"))
+          .join(banded.filter(!col("is_new"))
+            .select(col("doc_id").as("c_id"), col("band_hash")), "band_hash")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("c_id")).as("n_near_candidates"))
+        val corpusFp = base.filter(!col("is_new")).select("fp").distinct()
+          .withColumn("dup", lit(true))
+        base.filter(col("is_new"))
+          .join(corpusFp, Seq("fp"), "left")
+          .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("exact_dup"))
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("exact_dup"),
+            coalesce(col("n_near_candidates"), lit(0L)).as("n_near_candidates"),
+            (!col("exact_dup")).as("admit"))
+      },
+      oracle = Some {
+        val bandExpr = (0 until 4).map { b =>
+          val vals = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ',', ")
+          s"${sqlPortableHash(s"concat($vals)", s"b$b:")} AS b$b"
+        }.mkString(",\n               ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, text, doc_id % 5 = 0 AS is_new, md5(text) AS fp
+          FROM documents),
+        t AS (SELECT doc_id, is_new, $sqlToks AS toks FROM base),
+        shg AS (SELECT doc_id, is_new, $sqlShingles2 AS shingles FROM t),
+        sigs AS (
+          SELECT doc_id, is_new,
+               ${(0 until 16).map(sqlMinhash).mkString(",\n               ")}
+          FROM shg WHERE len(shingles) > 0),
+        withb AS (
+          SELECT *,
+               $bandExpr
+          FROM sigs),
+        bands AS (
+          SELECT doc_id, is_new, b0 AS bh FROM withb
+          UNION ALL SELECT doc_id, is_new, b1 FROM withb
+          UNION ALL SELECT doc_id, is_new, b2 FROM withb
+          UNION ALL SELECT doc_id, is_new, b3 FROM withb),
+        near AS (
+          SELECT n.doc_id, count(DISTINCT c.doc_id) AS n_near
+          FROM bands n JOIN bands c ON n.bh = c.bh
+          WHERE n.is_new AND NOT c.is_new
+          GROUP BY 1)
+        SELECT b.doc_id,
+               b.fp IN (SELECT fp FROM base WHERE NOT is_new) AS exact_dup,
+               coalesce(near.n_near, 0) AS n_near_candidates,
+               NOT (b.fp IN (SELECT fp FROM base WHERE NOT is_new)) AS admit
+        FROM base b LEFT JOIN near ON b.doc_id = near.doc_id
+        WHERE b.is_new"""
+      })
   )
 }
