@@ -329,6 +329,40 @@ object Windows extends QueryGroup {
                floor(n_purchased * 10000.0 / n_clicked) / 10000.0 AS purchase_rate
         FROM (SELECT (SELECT count(*) FROM v) AS n_viewed,
                      (SELECT count(*) FROM c) AS n_clicked,
-                     (SELECT count(*) FROM p) AS n_purchased)"""))
+                     (SELECT count(*) FROM p) AS n_purchased)""")),
+
+    // W12: cohort retention — users grouped by first-activity week, then
+    // the classic retention matrix (cohort x weeks-since-first, distinct
+    // active users). Two keyed shuffles (first-week per user, then the
+    // cohort rollup), both on user_id-derived keys; the matrix is tiny
+    // (weeks x weeks) no matter how large the events table grows.
+    "w12_retention_cohorts" -> QueryDef(
+      build = (s, d) => {
+        val weekly = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct()
+        val cohort = weekly.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        weekly.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(
+            date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"))
+      },
+      oracle = Some("""
+        WITH weekly AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events),
+        cohort AS (
+          SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1)
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+               count(DISTINCT w.user_id) AS n_active
+        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY 1, 2"""))
   )
 }
