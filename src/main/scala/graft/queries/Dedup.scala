@@ -46,6 +46,36 @@ object Dedup extends QueryGroup {
   private def sqlMinhash(i: Int) =
     s"CAST(list_min(list_transform(shingles, s -> ${sqlPortableHash("s", s"$i:")})) AS BIGINT) AS h$i"
 
+  /** DuckDB twin of TextFunctions.fingerprint (md5 of normalized text). */
+  private val sqlFingerprint =
+    """md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"""
+
+  /** Shared d3/d9 banded-MinHash pipeline: 16-hash signature over
+    * 2-shingles, 4 bands x 4 rows; band hash = portable hash of the
+    * band's canonical "v,v,v,v" string (reproducible in any engine).
+    * Input needs (doc_id, text [, carry...]); output carries doc_id,
+    * `carry`, sig, band_idx, band_hash. */
+  private def bandedSignatures(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val sigs = docs
+      .withColumn("sh", shingles(col("text"), 2))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), 16, portableKernel))
+    def bandHash(b: Int) = portableHash(
+      concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
+        x => x.cast("string"))), s"b$b:")
+    sigs.select(
+      (col("doc_id") +: carry.map(col)) ++ Seq(col("sig"),
+        posexplode(array((0 until 4).map(bandHash): _*))
+          .as(Seq("band_idx", "band_hash"))): _*)
+  }
+
+  /** DuckDB twin of the band hashes (columns b0..b3 over h0..h15). */
+  private val sqlBandExprs: String = (0 until 4).map { b =>
+    val vals = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ',', ")
+    s"${sqlPortableHash(s"concat($vals)", s"b$b:")} AS b$b"
+  }.mkString(",\n               ")
+
   /** D4's exact-Jaccard pair computation, shared with d6's clustering.
     *
     * Prefix-filtered (the PPJoin family, Xiao et al. WWW'08): a naive
@@ -117,20 +147,12 @@ object Dedup extends QueryGroup {
     // signature fraction, thresholded.
     "d3_lsh_candidate_pairs" -> QueryDef(
       build = (s, d) => {
-        val sigs = Tables.documents(s, d)
-          .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id"),
-            minhashSignature(col("sh"), 16, portableKernel).as("sig"))
-        // band hash = portable hash of the band's 4 sig values as a
-        // canonical "v,v,v,v" string (reproducible in any engine)
-        def bandHash(b: Int) = portableHash(
-          concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
-            x => x.cast("string"))), s"b$b:")
-        val banded = sigs.select(
-          col("doc_id"), col("sig"),
-          posexplode(array((0 until 4).map(bandHash): _*))
-            .as(Seq("band_idx", "band_hash")))
+        // materialized once: the self-join consumes it as both sides with
+        // differing projections, which blocks ReusedExchange (the d4
+        // prefix-table lesson) — without this the sign pipeline runs twice
+        val banded = bandedSignatures(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .localCheckpoint(true)
         val a = banded.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("a_id"), col("sig").as("a_sig"))
         val b = banded.select(col("band_idx"), col("band_hash"),
@@ -146,10 +168,6 @@ object Dedup extends QueryGroup {
       // join and "equal band hash" coincide because the hash is portable
       // and collision-free at this scale).
       oracle = Some {
-        val bandExpr = (0 until 4).map { b =>
-          val vals = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ',', ")
-          s"${sqlPortableHash(s"concat($vals)", s"b$b:")} AS b$b"
-        }.mkString(",\n               ")
         val simExpr = (0 until 16)
           .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
           .mkString(" + ")
@@ -162,7 +180,7 @@ object Dedup extends QueryGroup {
           FROM shg WHERE len(shingles) > 0),
         withb AS (
           SELECT *,
-               $bandExpr
+               $sqlBandExprs
           FROM sigs)
         SELECT * FROM (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -387,16 +405,13 @@ object Dedup extends QueryGroup {
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("text"),
             (col("doc_id") % 5 === 0).as("is_new"),
-            md5(col("text")).as("fp"))
-        val sigs = base
-          .withColumn("sh", shingles(col("text"), 2))
-          .filter(size(col("sh")) > 0)
-          .withColumn("sig", minhashSignature(col("sh"), 16, portableKernel))
-        def bandHash(b: Int) = portableHash(
-          concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
-            x => x.cast("string"))), s"b$b:")
-        val banded = sigs.select(col("doc_id"), col("is_new"),
-          explode(array((0 until 4).map(bandHash): _*)).as("band_hash"))
+            fingerprint(col("text")).as("fp")) // d1's exact-dedup kernel
+        // materialized once: new and corpus sides are differing filters of
+        // the same subtree, which blocks ReusedExchange — without this the
+        // sign pipeline runs once per join side
+        val banded = bandedSignatures(base, carry = Seq("is_new"))
+          .select("doc_id", "is_new", "band_hash")
+          .localCheckpoint(true)
         val near = banded.filter(col("is_new"))
           .join(banded.filter(!col("is_new"))
             .select(col("doc_id").as("c_id"), col("band_hash")), "band_hash")
@@ -413,13 +428,9 @@ object Dedup extends QueryGroup {
             (!col("exact_dup")).as("admit"))
       },
       oracle = Some {
-        val bandExpr = (0 until 4).map { b =>
-          val vals = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ',', ")
-          s"${sqlPortableHash(s"concat($vals)", s"b$b:")} AS b$b"
-        }.mkString(",\n               ")
         s"""
         WITH base AS (
-          SELECT doc_id, text, doc_id % 5 = 0 AS is_new, md5(text) AS fp
+          SELECT doc_id, text, doc_id % 5 = 0 AS is_new, $sqlFingerprint AS fp
           FROM documents),
         t AS (SELECT doc_id, is_new, $sqlToks AS toks FROM base),
         shg AS (SELECT doc_id, is_new, $sqlShingles2 AS shingles FROM t),
@@ -429,7 +440,7 @@ object Dedup extends QueryGroup {
           FROM shg WHERE len(shingles) > 0),
         withb AS (
           SELECT *,
-               $bandExpr
+               $sqlBandExprs
           FROM sigs),
         bands AS (
           SELECT doc_id, is_new, b0 AS bh FROM withb
@@ -442,9 +453,9 @@ object Dedup extends QueryGroup {
           WHERE n.is_new AND NOT c.is_new
           GROUP BY 1)
         SELECT b.doc_id,
-               b.fp IN (SELECT fp FROM base WHERE NOT is_new) AS exact_dup,
+               coalesce(b.fp IN (SELECT fp FROM base WHERE NOT is_new), FALSE) AS exact_dup,
                coalesce(near.n_near, 0) AS n_near_candidates,
-               NOT (b.fp IN (SELECT fp FROM base WHERE NOT is_new)) AS admit
+               NOT coalesce(b.fp IN (SELECT fp FROM base WHERE NOT is_new), FALSE) AS admit
         FROM base b LEFT JOIN near ON b.doc_id = near.doc_id
         WHERE b.is_new"""
       })

@@ -559,7 +559,9 @@ object TextOps extends QueryGroup {
           Tables.documents(s, d)
         }
         pipe.table("silver_unique", deps = Seq("bronze_docs")) { in =>
-          val fp = in("bronze_docs").withColumn("fp", md5(col("text")))
+          // d1's exact-dedup kernel (md5 of NORMALIZED text), so the
+          // pipeline's dedup semantics match the standalone operator
+          val fp = in("bronze_docs").withColumn("fp", fingerprint(col("text")))
           val keeper = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
           fp.join(keeper, Seq("fp", "doc_id"), "left_semi")
         }
@@ -576,10 +578,11 @@ object TextOps extends QueryGroup {
       },
       oracle = Some(s"""
         WITH bronze AS (SELECT * FROM documents WHERE n_chars >= 150),
-        keep AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
-                 FROM bronze GROUP BY 1),
-        silver AS (SELECT b.* FROM bronze b
-                   JOIN keep k ON md5(b.text) = k.fp AND b.doc_id = k.doc_id)
+        fps AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM bronze),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY 1),
+        silver AS (SELECT f.* FROM fps f
+                   JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)
         SELECT source, count(*) AS n_docs,
                sum(len($sqlTokens)) AS n_tokens,
                CAST((sum(len($sqlTokens)) + 2047) // 2048 AS BIGINT) AS n_packs
