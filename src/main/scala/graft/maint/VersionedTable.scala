@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * data-skipping file statistics and SHALLOW CLONE) in an environment
   * without a transactional table format on the classpath.
   *
-  * Layout: `<root>/v=<N>/part-*.parquet` + `<root>/_stats/v=<N>` (per-file
+  * Layout: `<root>/v=<N>/part-*.parquet` (optionally nested under
+  * Hive-style `col=value/` partition dirs — see `write(partitionBy)`) +
+  * `<root>/_stats/v=<N>` (per-file
   * min/max column statistics, written at commit time) + `<root>/_manifest`
   * (one JSON line per committed version, append-only). Writers stage into
   * the new version dir and commit by appending the manifest line LAST —
@@ -78,10 +80,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** Commit a new version; returns its number. `commitTs` is an optional
     * injected commit timestamp (`yyyy-MM-dd HH:mm:ss`) recorded in the
     * manifest and resolvable via [[readAsOf]] — deterministic pipelines
-    * pass a fixed clock, like `Tables.OrdersAsOf`. */
+    * pass a fixed clock, like `Tables.OrdersAsOf`.
+    *
+    * `partitionBy` lays the version out Hive-style (`col=value/` subdirs —
+    * Delta partition columns, the reference's `event_date` layout from
+    * ingest_clickstream.py:84 and performance_optimization.py:314-344).
+    * [[read]] then recovers the partition columns via Spark's partition
+    * discovery and filters on them become `PartitionFilters` in the scan —
+    * directory-level pruning that never opens a non-matching file, the
+    * first-line 100 TB tool (stats skipping via [[readWhere]] is the
+    * second, and composes: partition dirs prune coarsely, per-file min/max
+    * prune within the surviving dirs). NB: like Delta, a partitioned read
+    * returns partition columns LAST in the schema — select explicitly when
+    * order matters. */
   def write(df: DataFrame, operation: String = "write",
-      commitTs: Option[String] = None): Long =
-    commit(df, operation, stageFeed = None, commitTs)
+      commitTs: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty): Long =
+    commit(df, operation, stageFeed = None, commitTs, partitionBy)
 
   /** Single commit path with optimistic concurrency (the Delta protocol's
     * shape: uniquely named staging + a conditional commit). Per attempt:
@@ -100,13 +115,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * of Delta's ConcurrentAppend resolution.
     */
   private def commit(df: DataFrame, operation: String,
-      stageFeed: Option[Long => Unit], commitTs: Option[String] = None): Long = {
+      stageFeed: Option[Long => Unit], commitTs: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     validateConstraints(df)
     var attempt = 0
     while (true) {
       val next = latestVersion.map(_ + 1).getOrElse(0L)
       val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
-      df.write.mode("overwrite").parquet(s"$stage/data")
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(s"$stage/data")
       val rows = writeStats(s"$stage/data", s"$stage/stats")
       val won = VersionedTable.commitLock(root).synchronized {
         val headNow = latestVersion
@@ -218,10 +236,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
          else Seq(
            struct(cols.map(c => min(col(c)).as(c)): _*).as("mins"),
            struct(cols.map(c => max(col(c)).as(c)): _*).as("maxs")))
-    // record file BASENAMES: stats are computed in the staging dir and
-    // must survive the rename to v=N (readWhere re-anchors on dataDir)
+    // record paths RELATIVE to the staged data root (`<uuid>/data/…`):
+    // stats are computed in the staging dir and must survive the rename to
+    // v=N (readWhere re-anchors on dataDir), and a partitioned layout
+    // needs the `col=value/` prefix kept. A literal `/data/` segment
+    // cannot reappear deeper: partition dirs always contain `=` and
+    // special chars in values are URL-encoded.
     val stats = written
-      .groupBy(regexp_replace(input_file_name(), ".*/", "").as("file"))
+      .groupBy(regexp_replace(input_file_name(), "^.*/data/", "").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     stats.coalesce(1).write.mode("overwrite").parquet(statsOut)
     spark.read.parquet(statsOut)
@@ -250,7 +272,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .filter(col(s"maxs.$column") >= lit(lo) && col(s"mins.$column") <= lit(hi))
       .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
     if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
-    else applyDeletes(spark.read.parquet(files: _*), v).filter(residual)
+    // basePath anchors partition discovery so a partitioned version's
+    // `col=value` columns survive an explicit-file-subset read
+    else applyDeletes(
+      spark.read.option("basePath", dir).parquet(files: _*), v).filter(residual)
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
@@ -475,11 +500,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     removed
   }
 
-  /** DESCRIBE DETAIL (M12): file/byte statistics of the head version. */
+  /** DESCRIBE DETAIL (M12): file/byte statistics of the head version
+    * (recursive — a partitioned version nests files under `col=value/`). */
   def detail(): DataFrame = {
     import spark.implicits._
     val v = latestVersion.getOrElse(sys.error("empty table"))
-    val files = Files.list(Paths.get(dataDir(v))).iterator().asScala
+    val files = Files.walk(Paths.get(dataDir(v))).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     Seq((root, v, files.size.toLong, files.map(Files.size).sum))
       .toDF("location", "version", "num_files", "size_bytes")

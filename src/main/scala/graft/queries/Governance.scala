@@ -364,6 +364,44 @@ object Governance extends QueryGroup {
                TRUE AS files_pruned
         FROM orders WHERE o_custkey BETWEEN 100 AND 200""")),
 
+    // Hive-style PARTITION COLUMNS (Delta partitioned tables; the
+    // reference's event_date layout, ingest_clickstream.py:84 and
+    // performance_optimization.py:314-344): write the version partitioned
+    // by o_orderstatus, then filter on the partition column through the
+    // PLAIN read — Spark's partition discovery turns the predicate into
+    // directory-level `PartitionFilters`, so non-matching partitions are
+    // never opened (coarser and cheaper than per-file stats: pruning is
+    // decided from the listing alone). `partition_pruned` asserts in-plan
+    // that the scan carries a real PartitionFilter on o_orderstatus, and
+    // `files_pruned` that the stats path ([[readWhere]]) also composes
+    // with the partitioned layout — both hash-gated against literal TRUE.
+    "v4_partition_pruning" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_hive_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(
+          Tables.orders(s, d).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"),
+          partitionBy = Seq("o_orderstatus"))
+        val pruned = t.read().filter(col("o_orderstatus") === "F")
+        val partitionPruned = pruned.queryExecution.executedPlan.toString
+          .contains("PartitionFilters: [isnotnull(o_orderstatus#")
+        val statsPruned = t.readWhere("o_orderstatus", "F", "F")
+        val filesPruned =
+          statsPruned.inputFiles.length < t.read().inputFiles.length
+        pruned.agg(
+            count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("partition_pruned", lit(partitionPruned))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS partition_pruned,
+               TRUE AS files_pruned
+        FROM orders WHERE o_orderstatus = 'F'""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(

@@ -445,4 +445,54 @@ class VersionedTableSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuumed") && err.getMessage.contains("2"),
       s"unhelpful vacuum error: ${err.getMessage}")
   }
+
+  test("partitioned write: Hive layout, partition discovery, native PartitionFilters") {
+    val t = freshTable()
+    val df = Seq((1, "F", 10.0), (2, "O", 20.0), (3, "F", 30.0), (4, "P", 40.0))
+      .toDF("id", "status", "amt")
+    t.write(df, partitionBy = Seq("status"))
+    val root = t.detail().collect()(0).getString(0)
+    val dirs = new java.io.File(s"$root/v=0").listFiles.map(_.getName)
+      .filter(_.contains("=")).sorted.toSeq
+    assert(dirs == Seq("status=F", "status=O", "status=P"), s"layout: $dirs")
+    // partition columns come back (last in schema, like Delta) and rows survive
+    val rd = t.read()
+    assert(rd.schema.fieldNames.toSeq == Seq("id", "amt", "status"))
+    assert(rd.count() == 4)
+    // a filter on the partition column becomes a directory-level
+    // PartitionFilter in the scan — never a row filter over opened files
+    val plan = rd.filter(col("status") === "F").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status#"),
+      s"expected native partition pruning in: ${plan.take(600)}")
+    assert(rd.filter(col("status") === "F").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("partitioned write: stats skipping composes (readWhere prunes inside the layout)") {
+    val t = freshTable()
+    t.write(
+      Seq((1, "F", 10.0), (2, "O", 20.0), (3, "F", 30.0)).toDF("id", "status", "amt"),
+      partitionBy = Seq("status"))
+    // stats rows carry the col=value/ prefix so readWhere re-anchors correctly
+    val rw = t.readWhere("status", "F", "F")
+    assert(rw.inputFiles.length < t.read().inputFiles.length,
+      "stats pruning must touch fewer files than the full table")
+    assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    // pruning on a NON-partition column still works inside the nested layout
+    val byAmt = t.readWhere("amt", 25.0, 35.0)
+    assert(byAmt.select("id").collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(byAmt.schema.fieldNames.contains("status"),
+      "basePath must recover partition columns on a file-subset read")
+  }
+
+  test("partitioned write: compact, vacuum and time travel handle nested dirs") {
+    val t = freshTable()
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "k"), partitionBy = Seq("k"))
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "k"), partitionBy = Seq("k"))
+    assert(t.read(Some(0)).count() == 2 && t.read().count() == 3)
+    assert(t.detail().collect()(0).getAs[Long]("num_files") == 3) // one per k
+    t.compact(1)
+    assert(t.read().count() == 3)
+    val removed = t.vacuum(keepLast = 1)
+    assert(removed == Seq(0L, 1L) && t.read().count() == 3)
+  }
 }
