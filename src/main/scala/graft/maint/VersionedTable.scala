@@ -278,6 +278,32 @@ final class VersionedTable(spark: SparkSession, root: String) {
       spark.read.option("basePath", dir).parquet(files: _*), v).filter(residual)
   }
 
+  /** General predicate-pruned read — [[readWhere]]'s single-column range
+    * generalized to arbitrary AND/OR/comparison/IN predicates via
+    * [[StatsPruning]] (the Delta DataSkippingReader shape): the predicate
+    * is compiled to a file-survival condition over the per-file min/max
+    * stats, only surviving files are scanned, and the predicate itself is
+    * re-applied as the residual row filter. Unsupported predicate shapes
+    * (NOT, IS NULL, functions, col-vs-col) keep their files — pruning is
+    * only ever an optimization, never a correctness dependency. */
+  def readFiltered(predicate: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(
+      latestVersion.getOrElse(sys.error(s"empty table at $root")))
+    val residual = expr(predicate)
+    val sd = statsDir(v)
+    if (!Files.exists(Paths.get(sd))) return read(Some(v)).filter(residual)
+    val stats = spark.read.parquet(sd)
+    if (!stats.columns.contains("mins")) return read(Some(v)).filter(residual)
+    val statCols = stats.select("mins.*").columns.toSet
+    val dir = dataDir(v)
+    val files = stats
+      .filter(StatsPruning.survives(spark, predicate, statCols))
+      .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
+    if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
+    else applyDeletes(
+      spark.read.option("basePath", dir).parquet(files: _*), v).filter(residual)
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
     * table whose v0 manifest entry POINTS AT the source head's data files
     * (and stats) instead of copying them — metadata-only, O(1) data

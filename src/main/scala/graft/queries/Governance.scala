@@ -402,6 +402,43 @@ object Governance extends QueryGroup {
                TRUE AS files_pruned
         FROM orders WHERE o_orderstatus = 'F'""")),
 
+    // General PREDICATE data skipping (maint/StatsPruning — the Delta
+    // DataSkippingReader shape): readWhere's single-column range
+    // generalized to arbitrary AND/OR/IN predicates compiled onto the
+    // per-file min/max stats by interval arithmetic. Here a compound
+    // date-range AND status-IN predicate prunes a date-clustered table:
+    // the date bounds select few files, the IN conjunct composes, and
+    // the same predicate re-applies as the residual row filter (pruning
+    // is an optimization, never a correctness dependency). `files_pruned`
+    // asserts in-plan that files were skipped — hash-gated vs TRUE.
+    "v5_predicate_skipping" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_pred_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"))
+        t.cluster(Seq("o_orderdate"), numFiles = 8)
+        val pred =
+          "o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND " +
+            "o_orderdate <= TIMESTAMP_NTZ '1996-06-30 00:00:00' AND " +
+            "o_orderstatus IN ('F', 'P')"
+        val pruned = t.readFiltered(pred)
+        val filesPruned =
+          pruned.inputFiles.length < t.read().inputFiles.length
+        pruned.agg(
+            count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS files_pruned
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-06-30 00:00:00'
+          AND o_orderstatus IN ('F', 'P')""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(

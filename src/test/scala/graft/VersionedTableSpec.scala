@@ -484,6 +484,67 @@ class VersionedTableSpec extends SparkSpec {
       "basePath must recover partition columns on a file-subset read")
   }
 
+  test("readFiltered: AND/OR/IN predicates prune files; residual keeps rows exact") {
+    val t = freshTable()
+    // 4 files, each a contiguous id range (range-partition + sort)
+    val df = spark.range(100).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("int"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    t.write(df)
+    assert(t.read().inputFiles.length == 4)
+    def check(pred: String, expectedFiles: Int): Unit = {
+      val got = t.readFiltered(pred)
+      assert(got.inputFiles.length == expectedFiles,
+        s"'$pred' touched ${got.inputFiles.length} files, expected $expectedFiles")
+      val want = t.read().filter(expr(pred)).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.select("id").collect().map(_.getLong(0)).sorted.sameElements(want),
+        s"'$pred' lost or invented rows")
+    }
+    check("id BETWEEN 10 AND 19", 1)              // AND of two bounds
+    check("id < 5 OR id >= 95", 2)                // OR keeps the union
+    check("id IN (3, 97)", 2)                     // IN = OR of equalities
+    check("id BETWEEN 10 AND 19 AND grp = 2", 1)  // conjunction narrows
+    check("id = 50 OR grp > 99", 1)               // unsatisfiable OR branch adds nothing
+    // unsupported shapes keep all files, rows still exact
+    check("NOT (id < 50)", 4)
+    check("id % 2 = 0", 4)
+  }
+
+  test("readFiltered: all-NULL column files are skipped for comparisons, kept under OR") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("c", IntegerType)))
+    val withNulls = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(1, null), org.apache.spark.sql.Row(2, null)),
+      schema).coalesce(1)
+    val withVals = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(3, 30), org.apache.spark.sql.Row(4, 40)),
+      schema).coalesce(1)
+    // two files: one all-NULL c, one with values (NULLs range-sort first)
+    t.write(withNulls.union(withVals).repartitionByRange(2, col("c")))
+    assert(t.read().inputFiles.length == 2)
+    // NULL min/max → NULL verdict → file dropped; no NULL row satisfies c=30 anyway
+    val eq = t.readFiltered("c = 30")
+    assert(eq.inputFiles.length == 1 && eq.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // an OR branch that must keep the file wins: NULL OR TRUE = TRUE
+    val or = t.readFiltered("c = 30 OR id < 2")
+    assert(or.inputFiles.length == 2)
+    assert(or.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("readFiltered: string equality and version pinning") {
+    val t = freshTable()
+    t.write(Seq((1, "alpha"), (2, "beta")).toDF("id", "name")
+      .repartitionByRange(2, col("name")).sortWithinPartitions("name"))
+    t.write(Seq((9, "gone")).toDF("id", "name"))
+    val got = t.readFiltered("name = 'beta'", versionAsOf = Some(0L))
+    assert(got.collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(got.inputFiles.length == 1, "string stats must prune the alpha file")
+  }
+
   test("partitioned write: compact, vacuum and time travel handle nested dirs") {
     val t = freshTable()
     t.write(Seq((1, "a"), (2, "b")).toDF("id", "k"), partitionBy = Seq("k"))
