@@ -278,6 +278,57 @@ final class VersionedTable(spark: SparkSession, root: String) {
       spark.read.option("basePath", dir).parquet(files: _*), v).filter(residual)
   }
 
+  /** Build a per-file BLOOM FILTER INDEX on `column` for the head version
+    * (Delta `CREATE BLOOMFILTER INDEX` parity): k hash positions per value
+    * (xxhash64 seeded by the probe number, mod m bits), stored as a sorted
+    * position set per file under `_bloom/<column>/v=N`. [[readFiltered]]
+    * then consults it for equality/IN predicates — the pruning tool for
+    * point lookups on a HIGH-CARDINALITY column the table is NOT clustered
+    * by, where every file's min/max range spans the whole key space and
+    * stats skipping keeps everything. False positives only cost an extra
+    * file scan; a missing index costs nothing (stats-only pruning).
+    *
+    * Sizing: m bits / k probes per file. With n distinct values per file
+    * the false-positive rate is ~(1 - e^(-kn/m))^k — the 8192/4 default
+    * holds ~1% at n ≈ 1000; size m ≈ 10·n for ~1% at other file sizes.
+    * The index is an array of set positions per file, so storage is
+    * O(k·distinct), not O(m), and the probe is a constant-folded
+    * `array_contains` over the tiny index table — never a data scan. */
+  def buildBloomIndex(column: String, bits: Int = 8192, hashes: Int = 4): Unit = {
+    val v = latestVersion.getOrElse(sys.error(s"empty table at $root"))
+    val df = spark.read.parquet(dataDir(v))
+    require(df.columns.contains(column), s"no column $column to index")
+    val positions = array((0 until hashes).map(i =>
+      pmod(xxhash64(col(column), lit(i)), lit(bits)).cast("int")): _*)
+    // anchor the per-file key on the version dir, like the stats table
+    // (nested partition dirs keep their col=value/ prefix)
+    spark.read.parquet(dataDir(v))
+      .select(regexp_replace(input_file_name(), "^.*/v=\\d+/", "").as("file"),
+        explode(positions).as("pos"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("pos"))).as("positions"),
+        lit(bits).as("bits"), lit(hashes).as("hashes"),
+        // probe literals must hash as THIS type — record it in the index
+        lit(df.schema(column).dataType.catalogString).as("coltype"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_bloom/$column/v=$v")
+  }
+
+  /** Bloom indexes available for version `v`: column → (index df, bits,
+    * hashes, column catalog type). */
+  private def bloomIndexes(v: Long): Map[String, (DataFrame, Int, Int, String)] = {
+    val dir = Paths.get(s"$root/_bloom")
+    if (!Files.isDirectory(dir)) return Map.empty
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(c => Files.isDirectory(Paths.get(s"$c/v=$v")))
+      .map { c =>
+        val df = spark.read.parquet(s"$c/v=$v")
+        val head = df.select("bits", "hashes", "coltype").head()
+        c.getFileName.toString ->
+          (df, head.getInt(0), head.getInt(1), head.getString(2))
+      }.toMap
+  }
+
   /** General predicate-pruned read — [[readWhere]]'s single-column range
     * generalized to arbitrary AND/OR/comparison/IN predicates via
     * [[StatsPruning]] (the Delta DataSkippingReader shape): the predicate
@@ -296,8 +347,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (!stats.columns.contains("mins")) return read(Some(v)).filter(residual)
     val statCols = stats.select("mins.*").columns.toSet
     val dir = dataDir(v)
-    val files = stats
-      .filter(StatsPruning.survives(spark, predicate, statCols))
+    // left-join each bloom index's position sets onto the stats rows
+    // (NULL positions = unindexed file = conservatively kept by the probe)
+    val blooms = bloomIndexes(v)
+    val statsWithBloom = blooms.foldLeft(stats) {
+      case (acc, (c, (bdf, _, _, _))) =>
+        acc.join(
+          bdf.select(col("file"), col("positions").as(s"__bloom_$c")),
+          Seq("file"), "left")
+    }
+    val bloomMeta: StatsPruning.BloomMeta =
+      blooms.map { case (c, (_, bits, hashes, tpe)) => c -> (bits, hashes, tpe) }
+    val files = statsWithBloom
+      .filter(StatsPruning.survives(spark, predicate, statCols, bloomMeta))
       .select("file").collect().map(r => s"$dir/${r.getString(0)}").toSeq
     if (files.isEmpty) read(Some(v)).filter(residual).filter(lit(false))
     else applyDeletes(

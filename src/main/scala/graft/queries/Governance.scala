@@ -439,6 +439,34 @@ object Governance extends QueryGroup {
                               AND TIMESTAMP '1996-06-30 00:00:00'
           AND o_orderstatus IN ('F', 'P')""")),
 
+    // BLOOM FILTER INDEX (Delta CREATE BLOOMFILTER INDEX parity): point
+    // lookups on a high-cardinality column the table is NOT clustered by
+    // — o_orderkey in a date-clustered table — are the case min/max stats
+    // cannot serve (every file's key range spans the whole space; v5's
+    // mapper keeps all files). buildBloomIndex stores k xxhash64 probe
+    // positions per value per file; readFiltered probes the index for
+    // =/IN predicates and scans only files whose position sets contain
+    // all k probes. False positives cost an extra file, never a wrong
+    // row. `bloom_pruned` asserts in-plan that the lookup touched fewer
+    // files than the table holds — hash-gated vs literal TRUE.
+    "v6_bloom_pointlookup" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice"))
+        t.cluster(Seq("o_orderdate"), numFiles = 8)
+        t.buildBloomIndex("o_orderkey")
+        val lookup = t.readFiltered("o_orderkey IN (7, 137, 1234)")
+        val bloomPruned =
+          lookup.inputFiles.length < t.read().inputFiles.length
+        lookup.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("bloom_pruned", lit(bloomPruned))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS bloom_pruned
+        FROM orders WHERE o_orderkey IN (7, 137, 1234)""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(

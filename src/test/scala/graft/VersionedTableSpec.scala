@@ -545,6 +545,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.inputFiles.length == 1, "string stats must prune the alpha file")
   }
 
+  test("bloom index prunes point lookups where min/max cannot; never loses rows") {
+    val t = freshTable()
+    // 4 hash-partitioned files, each spanning the FULL key range, so
+    // min/max stats keep everything for any key equality — the bloom case
+    t.write(spark.range(400).toDF("id").repartition(4, col("id")))
+    val total = t.read().inputFiles.length
+    assert(total >= 3, s"expected a multi-file layout, got $total")
+    val noIndex = t.readFiltered("id = 137")
+    assert(noIndex.inputFiles.length == total, "stats alone cannot prune this layout")
+    t.buildBloomIndex("id")
+    // every key present: found in exactly its file (plus rare FP files)
+    (0 until 400 by 37).foreach { k =>
+      val got = t.readFiltered(s"id = $k")
+      assert(got.collect().map(_.getLong(0)).toSeq == Seq(k.toLong), s"lost id=$k")
+      assert(got.inputFiles.length < total, s"bloom failed to prune for id=$k")
+    }
+    // absent key: typically zero files (no row either way)
+    val absent = t.readFiltered("id = 100000")
+    assert(absent.count() == 0)
+    // IN probes each value; union of files, still pruned
+    val in = t.readFiltered("id IN (3, 137)")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 137L))
+    assert(in.inputFiles.length < total)
+    // OR with a range conjunct composes through the same mapper
+    val mixed = t.readFiltered("id = 137 OR id >= 9999")
+    assert(mixed.collect().map(_.getLong(0)).toSeq == Seq(137L))
+  }
+
+  test("bloom probe casts the literal to the indexed column's type") {
+    val t = freshTable()
+    // bigint column, int-looking literal: a type-naive probe would hash
+    // the int and wrongly prune every file
+    t.write(spark.range(100).toDF("id").repartition(2))
+    t.buildBloomIndex("id")
+    assert(t.readFiltered("id = 7").count() == 1)
+    // string-typed index probes with quoted literals
+    val s = freshTable()
+    s.write(Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"))
+      .toDF("id", "name").repartition(2, col("id")))
+    s.buildBloomIndex("name")
+    val got = s.readFiltered("name = 'gamma'")
+    assert(got.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("partitioned write: compact, vacuum and time travel handle nested dirs") {
     val t = freshTable()
     t.write(Seq((1, "a"), (2, "b")).toDF("id", "k"), partitionBy = Seq("k"))
