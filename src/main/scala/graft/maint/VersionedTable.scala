@@ -152,7 +152,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
         }
       }
       deleteTree(Paths.get(stage))
-      if (won) return next
+      if (won) {
+        // registered bloom indexes ride with the commit (advisory: a
+        // reader between manifest append and index write just prunes less)
+        maintainBloomIndexes(next)
+        return next
+      }
       // under k-writer contention a commit can lose at most k-1 races
       // (every loss means someone else committed), so a generous cap only
       // guards against a pathological livelock
@@ -295,7 +300,40 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * O(k·distinct), not O(m), and the probe is a constant-folded
     * `array_contains` over the tiny index table — never a data scan. */
   def buildBloomIndex(column: String, bits: Int = 8192, hashes: Int = 4): Unit = {
-    val v = latestVersion.getOrElse(sys.error(s"empty table at $root"))
+    // register the index so every subsequent commit maintains it (the
+    // Delta CREATE BLOOMFILTER INDEX contract: index once, writes keep it)
+    Files.createDirectories(Paths.get(root))
+    val cfg = s"""{"column":"$column","bits":$bits,"hashes":$hashes}"""
+    if (!bloomConfigs.exists(_._1 == column))
+      Files.writeString(bloomConfigPath, cfg + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    latestVersion.foreach(v => buildBloomFor(v, column, bits, hashes))
+  }
+
+  private def bloomConfigPath: Path = Paths.get(root, "_bloom_config")
+
+  private def bloomConfigs: Seq[(String, Int, Int)] =
+    if (!Files.exists(bloomConfigPath)) Seq.empty
+    else Files.readAllLines(bloomConfigPath, StandardCharsets.UTF_8).asScala.toSeq
+      .map { line =>
+        val c = """"column":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+        val b = """"bits":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+        val h = """"hashes":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+        (c, b, h)
+      }
+
+  /** Rebuild every registered bloom index for version `v` — one scan of
+    * the new version per indexed column, the same "stats ride with the
+    * commit" shape as [[writeStats]]. Columns absent from the snapshot
+    * (schema evolution) are skipped; readFiltered then simply has no
+    * index for them on this version. */
+  private def maintainBloomIndexes(v: Long): Unit =
+    bloomConfigs.foreach { case (c, b, h) =>
+      if (spark.read.parquet(dataDir(v)).columns.contains(c))
+        buildBloomFor(v, c, b, h)
+    }
+
+  private def buildBloomFor(v: Long, column: String, bits: Int, hashes: Int): Unit = {
     val df = spark.read.parquet(dataDir(v))
     require(df.columns.contains(column), s"no column $column to index")
     val positions = array((0 until hashes).map(i =>
@@ -400,6 +438,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // enforcing on the clone's own commits (Delta CLONE copies properties)
     if (Files.exists(constraintsPath))
       Files.copy(constraintsPath, Paths.get(destRoot, "_constraints"))
+    // bloom registrations too, plus the head's tiny position sets (the
+    // clone's v0 reads the same files, so the index is valid as-is)
+    if (Files.exists(bloomConfigPath)) {
+      Files.copy(bloomConfigPath, Paths.get(destRoot, "_bloom_config"))
+      bloomConfigs.foreach { case (c, _, _) =>
+        val srcIdx = Paths.get(s"$root/_bloom/$c/v=$v")
+        if (Files.isDirectory(srcIdx)) {
+          val destIdx = Paths.get(s"$destRoot/_bloom/$c/v=0")
+          Files.walk(srcIdx).iterator().asScala.toSeq.foreach { p =>
+            val tgt = destIdx.resolve(srcIdx.relativize(p))
+            if (Files.isDirectory(p)) Files.createDirectories(tgt)
+            else Files.copy(p, tgt)
+          }
+        }
+      }
+    }
     dest
   }
 
@@ -497,7 +551,24 @@ final class VersionedTable(spark: SparkSession, root: String) {
           true
         }
       }
-      if (won) return next
+      if (won) {
+        // the new head references the SAME files — position sets stay
+        // valid, so carry them forward instead of an O(data) rebuild
+        // (deleteWhere must stay O(metadata))
+        bloomConfigs.foreach { case (c, _, _) =>
+          val prev = Paths.get(s"$root/_bloom/$c/v=$v")
+          if (Files.isDirectory(prev)) {
+            val dest = Paths.get(s"$root/_bloom/$c/v=$next")
+            deleteTree(dest)
+            Files.walk(prev).iterator().asScala.toSeq.foreach { p =>
+              val tgt = dest.resolve(prev.relativize(p))
+              if (Files.isDirectory(p)) Files.createDirectories(tgt)
+              else Files.copy(p, tgt)
+            }
+          }
+        }
+        return next
+      }
       attempt += 1
       if (attempt > 20) throw new IllegalStateException(
         s"deleteWhere of $root contended $attempt times; giving up")
@@ -574,6 +645,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       deleteTree(Paths.get(dataDir(v)))
       if (deletable(statsDir(v), keptStatsDirs))
         deleteTree(Paths.get(statsDir(v)))
+      // bloom indexes are per-version derivatives of the removed data
+      bloomConfigs.foreach { case (c, _, _) =>
+        deleteTree(Paths.get(s"$root/_bloom/$c/v=$v"))
+      }
     }
     // crashed writers' leftover staging — but never an IN-FLIGHT writer's:
     // staging happens outside the commit lock by design, so only reclaim

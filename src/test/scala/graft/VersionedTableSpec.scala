@@ -573,6 +573,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(mixed.collect().map(_.getLong(0)).toSeq == Seq(137L))
   }
 
+  test("registered bloom indexes are maintained across commits and deleteWhere") {
+    val t = freshTable()
+    t.write(spark.range(200).toDF("id").repartition(4, col("id")))
+    t.buildBloomIndex("id")
+    // a NEW commit (compact goes through the write path) rebuilds the
+    // index without any user action — the CREATE BLOOMFILTER INDEX contract
+    t.write(spark.range(200, 400).toDF("id").repartition(4, col("id")))
+    val total = t.read().inputFiles.length
+    val got = t.readFiltered("id = 307")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(307L))
+    assert(got.inputFiles.length < total, "new version lost its bloom index")
+    // deleteWhere carries position sets forward (same files, O(metadata));
+    // deleted keys become bloom false positives, never resurrected rows
+    t.deleteWhere("id = 307")
+    val gone = t.readFiltered("id = 307")
+    assert(gone.count() == 0)
+    val alive = t.readFiltered("id = 399")
+    assert(alive.collect().map(_.getLong(0)).toSeq == Seq(399L))
+    assert(alive.inputFiles.length < total, "deleteWhere head lost bloom pruning")
+    // vacuum drops the old versions' index dirs with their data
+    t.vacuum(keepLast = 1)
+    assert(!new java.io.File(
+      t.detail().collect()(0).getString(0) + "/_bloom/id/v=0").exists())
+  }
+
   test("bloom probe casts the literal to the indexed column's type") {
     val t = freshTable()
     // bigint column, int-looking literal: a type-naive probe would hash
