@@ -239,6 +239,75 @@ object Governance extends QueryGroup {
         SELECT 'date_in_range', 'quarantine',
                CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM orders""")),
 
+    // Q2: snapshot DRIFT MONITOR (the lakehouse-monitoring layer over the
+    // quality engine: reference's data-quality checks watch one snapshot;
+    // production monitoring compares snapshots over time). Baseline
+    // window (pre-1997) vs current window per o_orderstatus: row counts,
+    // distribution shares, and average order value — with drift and
+    // appeared/vanished flags computed IN-PLAN. All arithmetic is exact:
+    // shares as integer parts-per-million (`div`), averages as integer
+    // cents, so the drift verdicts hash-match DuckDB bit-for-bit (no
+    // float ratios at threshold boundaries). One groupBy per window +
+    // a broadcast 1-row total — two keyed shuffles regardless of scale.
+    "q2_drift_monitor" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+        def prof(df: org.apache.spark.sql.DataFrame, suffix: String) =
+          df.groupBy("o_orderstatus").agg(
+            count(lit(1)).as(s"rows_$suffix"),
+            Exact.moneySumCents("o_totalprice").as(s"cents_$suffix"))
+        val base = prof(o.filter(col("o_orderdate") < cut), "base")
+        val curr = prof(o.filter(col("o_orderdate") >= cut), "curr")
+        base.join(curr, Seq("o_orderstatus"), "full_outer")
+          .na.fill(0L, Seq("rows_base", "rows_curr", "cents_base", "cents_curr"))
+          .crossJoin(broadcast(
+            base.agg(sum("rows_base").as("total_base"))
+              .crossJoin(curr.agg(sum("rows_curr").as("total_curr")))))
+          .select(
+            col("o_orderstatus"),
+            col("rows_base"), col("rows_curr"),
+            expr("(rows_base * 1000000) div total_base").as("share_ppm_base"),
+            expr("(rows_curr * 1000000) div total_curr").as("share_ppm_curr"),
+            when(col("rows_base") > 0, expr("cents_base div rows_base"))
+              .as("avg_cents_base"),
+            when(col("rows_curr") > 0, expr("cents_curr div rows_curr"))
+              .as("avg_cents_curr"),
+            (col("rows_base") === 0).as("appeared"),
+            (col("rows_curr") === 0).as("vanished"))
+          .withColumn("share_drifted",
+            abs(col("share_ppm_base") - col("share_ppm_curr")) > 20000)
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT o_orderstatus, count(*) AS rows_base,
+                 ${Exact.sqlMoneySumCents("o_totalprice")} AS cents_base
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1),
+        c AS (
+          SELECT o_orderstatus, count(*) AS rows_curr,
+                 ${Exact.sqlMoneySumCents("o_totalprice")} AS cents_curr
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1),
+        j AS (
+          SELECT coalesce(b.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+                 coalesce(rows_base, 0) AS rows_base,
+                 coalesce(rows_curr, 0) AS rows_curr,
+                 coalesce(cents_base, 0) AS cents_base,
+                 coalesce(cents_curr, 0) AS cents_curr
+          FROM b FULL OUTER JOIN c ON b.o_orderstatus = c.o_orderstatus),
+        shares AS (
+          SELECT o_orderstatus, rows_base, rows_curr,
+                 (rows_base * 1000000) // (SELECT sum(rows_base) FROM j) AS share_ppm_base,
+                 (rows_curr * 1000000) // (SELECT sum(rows_curr) FROM j) AS share_ppm_curr,
+                 CASE WHEN rows_base > 0 THEN cents_base // rows_base END AS avg_cents_base,
+                 CASE WHEN rows_curr > 0 THEN cents_curr // rows_curr END AS avg_cents_curr,
+                 rows_base = 0 AS appeared,
+                 rows_curr = 0 AS vanished
+          FROM j)
+        SELECT *, abs(share_ppm_base - share_ppm_curr) > 20000 AS share_drifted
+        FROM shares""")),
+
     // DLT substitute: a mini medallion DAG through the pipeline runner —
     // bronze (drop rule) → silver derivation → gold rollup.
     "pl1_pipeline_gold" -> QueryDef(
