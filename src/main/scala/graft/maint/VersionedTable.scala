@@ -92,11 +92,48 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * second, and composes: partition dirs prune coarsely, per-file min/max
     * prune within the surviving dirs). NB: like Delta, a partitioned read
     * returns partition columns LAST in the schema — select explicitly when
-    * order matters. */
+    * order matters.
+    *
+    * `mergeSchema` / `overwriteSchema` are the Delta writer-protocol
+    * knobs: by default a commit must keep the head's exact column set and
+    * types (schema enforcement — a refactored upstream job cannot
+    * silently corrupt the table); `mergeSchema = true` additionally
+    * allows NEW columns (evolution), and `overwriteSchema = true` allows
+    * anything (the explicit replace-the-table escape hatch). */
   def write(df: DataFrame, operation: String = "write",
       commitTs: Option[String] = None,
-      partitionBy: Seq[String] = Seq.empty): Long =
+      partitionBy: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false): Long = {
+    enforceSchema(df, mergeSchema, overwriteSchema)
     commit(df, operation, stageFeed = None, commitTs, partitionBy)
+  }
+
+  /** Schema enforcement against the head version (no-op on an empty
+    * table). Strict by default: same column names and types, no drops,
+    * no adds, no retypes. NB: the head schema is read back from its
+    * parquet files (+ partition dirs), the stand-in for Delta's
+    * log-recorded schema. */
+  private def enforceSchema(df: DataFrame, mergeSchema: Boolean,
+      overwriteSchema: Boolean): Unit = {
+    if (overwriteSchema) return
+    latestVersion.foreach { v =>
+      val cur = spark.read.parquet(dataDir(v)).schema
+      val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+      val newTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val retyped = (curTypes.keySet & newTypes.keySet)
+        .filter(c => curTypes(c) != newTypes(c))
+      val dropped = curTypes.keySet -- newTypes.keySet
+      val added = newTypes.keySet -- curTypes.keySet
+      require(retyped.isEmpty, s"schema enforcement on $root: column type " +
+        s"changes ${retyped.map(c => s"$c: ${curTypes(c).simpleString}->" +
+          s"${newTypes(c).simpleString}").mkString(", ")} (use overwriteSchema)")
+      require(dropped.isEmpty, s"schema enforcement on $root: dropped " +
+        s"columns ${dropped.mkString(", ")} (use overwriteSchema)")
+      require(added.isEmpty || mergeSchema, s"schema enforcement on $root: " +
+        s"new columns ${added.mkString(", ")} (use mergeSchema)")
+    }
+  }
 
   /** Single commit path with optimistic concurrency (the Delta protocol's
     * shape: uniquely named staging + a conditional commit). Per attempt:
@@ -470,7 +507,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def writeWithChangeFeed(
       df: DataFrame, keyCols: Seq[String],
       operation: String = "write",
-      commitTs: String = "2001-09-01 00:00:00"): Long = {
+      commitTs: String = "2001-09-01 00:00:00",
+      mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false): Long = {
+    enforceSchema(df, mergeSchema, overwriteSchema)
     commit(df, operation, stageFeed = Some { next =>
       val feed =
         if (next == 0L) graft.ops.ChangeFeed.allInserts(df)
@@ -597,7 +637,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** RESTORE TABLE ... TO VERSION AS OF (M3): re-commits an old version
     * as the new head (history preserved, like Delta RESTORE). */
-  def restore(version: Long): Long = write(read(Some(version)), s"restore_v$version")
+  def restore(version: Long): Long =
+    // restoring across a schema evolution legitimately changes the head
+    // schema back — RESTORE is a protocol op, not a writer to police
+    write(read(Some(version)), s"restore_v$version", overwriteSchema = true)
 
   /** OPTIMIZE small-file compaction (M5): rewrite head into ~targetFiles
     * files. */

@@ -446,6 +446,30 @@ class VersionedTableSpec extends SparkSpec {
       s"unhelpful vacuum error: ${err.getMessage}")
   }
 
+  test("schema enforcement: strict by default, mergeSchema adds, overwriteSchema replaces") {
+    val t = freshTable()
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    // same schema: fine
+    t.write(Seq((2, "b")).toDF("id", "v"))
+    // retype rejected
+    val retype = intercept[IllegalArgumentException](
+      t.write(Seq((3L, "c")).toDF("id", "v")))
+    assert(retype.getMessage.contains("type"), retype.getMessage)
+    // new column rejected without mergeSchema, accepted with
+    val add = intercept[IllegalArgumentException](
+      t.write(Seq((3, "c", 1.0)).toDF("id", "v", "score")))
+    assert(add.getMessage.contains("mergeSchema"), add.getMessage)
+    t.write(Seq((3, "c", 1.0)).toDF("id", "v", "score"), mergeSchema = true)
+    // dropping a column needs the explicit overwrite escape hatch
+    val drop = intercept[IllegalArgumentException](
+      t.write(Seq((4, "d")).toDF("id", "v"), mergeSchema = true))
+    assert(drop.getMessage.contains("overwriteSchema"), drop.getMessage)
+    t.write(Seq((4, "d")).toDF("id", "v"), overwriteSchema = true)
+    // restore across the evolution is a protocol op — no policing
+    t.restore(2)
+    assert(t.read().columns.toSeq == Seq("id", "v", "score"))
+  }
+
   test("partitioned write: Hive layout, partition discovery, native PartitionFilters") {
     val t = freshTable()
     val df = Seq((1, "F", 10.0), (2, "O", 20.0), (3, "F", 30.0), (4, "P", 40.0))
