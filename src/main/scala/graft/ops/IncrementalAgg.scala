@@ -54,4 +54,64 @@ object IncrementalAgg {
           .cast("decimal(28,2)").as("agg_sum")): _*)
       .filter(col("cnt") > 0)
   }
+
+  /** Seed state for min/max maintenance: keys ++ (cnt, agg_min, agg_max). */
+  def initMinMax(snapshot: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    snapshot.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col(valueCol).cast("decimal(18,2)")).as("agg_min"),
+        max(col(valueCol).cast("decimal(18,2)")).as("agg_max"))
+
+  /** Min/max are NOT self-maintainable under deletes (removing the
+    * current minimum says nothing about the runner-up), so maintenance
+    * splits the groups per batch:
+    *
+    *   - CLEAN groups — only inserts, or deletes strictly inside the
+    *     (min, max) interval — update algebraically: `least`/`greatest`
+    *     with the inserted bounds, count from the signed delta. No base
+    *     access at all.
+    *   - DIRTY groups — any delete touching a current bound (or a delete
+    *     against unknown state) — are recomputed by ONE partial aggregate
+    *     over `base` semi-joined to the dirty keys: cost ∝ rows of the
+    *     FEW groups whose boundary was hit, never the full table.
+    *
+    * This is the standard IVM treatment of non-distributive aggregates
+    * (deletes of a shared-boundary value recompute conservatively rather
+    * than tracking multiplicity). NULL values never participate in
+    * min/max, so deleting them dirties nothing; groups whose count
+    * reaches zero drop out exactly as a recompute would. `base` is the
+    * POST-batch snapshot the feed leads to.
+    */
+  def applyDeltaMinMax(state: DataFrame, feed: DataFrame, keys: Seq[String],
+      valueCol: String, base: DataFrame): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val isAdd = col(ChangeFeed.ChangeTypeCol).isin("insert", "update_postimage")
+    val isDel = col(ChangeFeed.ChangeTypeCol).isin("delete", "update_preimage")
+    val delta = feed
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(isAdd, 1L).when(isDel, -1L).otherwise(0L)).as("_dcnt"),
+        min(when(isAdd, v)).as("_ins_min"),
+        max(when(isAdd, v)).as("_ins_max"),
+        min(when(isDel, v)).as("_del_min"),
+        max(when(isDel, v)).as("_del_max"))
+    val joined = state.join(delta, keys, "full_outer")
+    val dirty = col("_del_min").isNotNull &&
+      (col("agg_min").isNull ||
+        col("_del_min") <= col("agg_min") || col("_del_max") >= col("agg_max"))
+    val newCnt = coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))
+    // least/greatest skip NULL sides, so new groups and no-insert batches
+    // fall out of the same expression
+    val clean = joined.filter(!dirty)
+      .select(keys.map(col) ++ Seq(
+        newCnt.as("cnt"),
+        least(col("agg_min"), col("_ins_min")).cast("decimal(18,2)").as("agg_min"),
+        greatest(col("agg_max"), col("_ins_max")).cast("decimal(18,2)").as("agg_max")): _*)
+      .filter(col("cnt") > 0)
+    val dirtyKeys = joined.filter(dirty).select(keys.map(col): _*)
+    clean.unionByName(
+      initMinMax(base.join(dirtyKeys, keys, "left_semi"), keys, valueCol))
+  }
 }

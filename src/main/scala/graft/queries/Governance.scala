@@ -372,6 +372,48 @@ object Governance extends QueryGroup {
         FROM orders WHERE o_orderkey % 13 <> 0
         GROUP BY o_custkey""")),
 
+    // MV maintenance for NON-self-maintainable aggregates: min/max can't
+    // subtract a delete (removing the minimum says nothing about the
+    // runner-up), so ops/IncrementalAgg.applyDeltaMinMax splits groups —
+    // boundary-untouched groups update algebraically from the feed alone;
+    // groups whose bound was deleted recompute via ONE partial aggregate
+    // over the base semi-joined to the dirty keys (cost ∝ dirty groups'
+    // rows, not the table). The oracle recomputes min/max from scratch on
+    // the v1 definition, so a hash match proves the split maintenance ==
+    // full recompute, dirty paths included (the %13 deletes clip many
+    // per-customer minima/maxima).
+    "mv2_incremental_minmax" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_mvmm_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
+        val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+              .otherwise(col("o_totalprice")))
+        t.writeWithChangeFeed(v0, Seq("o_orderkey"), "seed", "2001-09-01 00:00:00")
+        t.writeWithChangeFeed(v1, Seq("o_orderkey"), "merge", "2001-09-02 00:00:00")
+        val seeded = graft.ops.IncrementalAgg.initMinMax(
+          t.read(Some(0)), Seq("o_custkey"), "o_totalprice")
+        graft.ops.IncrementalAgg.applyDeltaMinMax(
+            seeded, t.changeFeed(fromVersion = 1), Seq("o_custkey"),
+            "o_totalprice", base = t.read(Some(1)))
+          .select(col("o_custkey"), col("cnt").as("order_cnt"),
+            col("agg_min").cast("double").as("min_price"),
+            col("agg_max").cast("double").as("max_price"))
+      },
+      oracle = Some("""
+        WITH v1 AS (
+          SELECT o_custkey,
+                 CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                           ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+          FROM orders WHERE o_orderkey % 13 <> 0)
+        SELECT o_custkey, count(*) AS order_cnt,
+               CAST(min(p) AS DOUBLE) AS min_price,
+               CAST(max(p) AS DOUBLE) AS max_price
+        FROM v1 GROUP BY o_custkey""")),
+
     // Data-skipping read (Delta file-stats pruning): cluster orders by
     // o_orderdate (range-partition + sort → selective per-file min/max),
     // then readWhere consults the commit-time stats table and scans ONLY

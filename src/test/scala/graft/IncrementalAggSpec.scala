@@ -73,6 +73,63 @@ class IncrementalAggSpec extends SparkSpec {
       norm(IncrementalAgg.init(t.read(Some(nVersions - 1L)), Seq("grp"), "amount")))
   }
 
+  test("min/max maintenance: clean groups stay algebraic, dirty groups recompute") {
+    val t = new VersionedTable(
+      spark, Files.createTempDirectory("graft_mvmm_").toString + "/t")
+    val v0 = snap(Seq(
+      (1L, "a", 10.00), (2L, "a", 20.00), (3L, "a", 15.00),
+      (4L, "b", 5.00), (5L, "b", 9.00), (6L, "c", 7.00)))
+    // a: delete current MIN (dirty); b: delete interior row via update of
+    // another (clean-ish mix); c: inserts only (clean); d: new group
+    val v1 = snap(Seq(
+      (2L, "a", 20.00), (3L, "a", 15.00),
+      (4L, "b", 5.00), (5L, "b", 6.50),
+      (6L, "c", 7.00), (7L, "c", 3.00), (8L, "d", 1.00)))
+    t.writeWithChangeFeed(v0, Seq("id"))
+    t.writeWithChangeFeed(v1, Seq("id"))
+    val state = IncrementalAgg.applyDeltaMinMax(
+      IncrementalAgg.initMinMax(t.read(Some(0)), Seq("grp"), "amount"),
+      t.changeFeed(fromVersion = 1), Seq("grp"), "amount",
+      base = t.read(Some(1)))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("grp"), col("cnt"),
+        col("agg_min").cast("double"), col("agg_max").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val want = norm(IncrementalAgg.initMinMax(t.read(Some(1)), Seq("grp"), "amount"))
+    assert(norm(state) == want, s"${norm(state)} != $want")
+  }
+
+  test("min/max maintenance converges on random churn incl. vanishing groups") {
+    val rnd = new scala.util.Random(7)
+    def randomSnap(): Seq[(Long, String, Double)] =
+      (1L to 40L).flatMap { id =>
+        if (rnd.nextDouble() < 0.6)
+          Some((id, s"g${rnd.nextInt(4)}", rnd.nextInt(10000) / 100.0))
+        else None
+      }
+    val t = new VersionedTable(
+      spark, Files.createTempDirectory("graft_mvmm2_").toString + "/t")
+    val n = 5
+    (0 until n).foreach(_ => t.writeWithChangeFeed(snap(randomSnap()), Seq("id")))
+    var state = IncrementalAgg.initMinMax(t.read(Some(0)), Seq("grp"), "amount")
+    (1 until n).foreach { v =>
+      state = IncrementalAgg.applyDeltaMinMax(
+        state,
+        t.changeFeed(v.toLong).filter(col("_commit_version") === v.toLong),
+        Seq("grp"), "amount", base = t.read(Some(v.toLong)))
+    }
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("grp"), col("cnt"),
+        col("agg_min").cast("double"), col("agg_max").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(norm(state) ==
+      norm(IncrementalAgg.initMinMax(t.read(Some(n - 1L)), Seq("grp"), "amount")))
+  }
+
   test("an update's count deltas cancel; only the sum moves") {
     val t = new VersionedTable(
       spark, Files.createTempDirectory("graft_mv2_").toString + "/t")
