@@ -647,6 +647,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def compact(targetFiles: Int = 1): Long =
     write(read().coalesce(targetFiles), "compact")
 
+  /** OPTIMIZE to a target file SIZE (the real OPTIMIZE contract — Delta
+    * bins to ~1 GB files, not a file count): file count derived from the
+    * head's current bytes, so the same call is right at any table size.
+    * Defaults to 128 MiB locally; a cluster passes ~1 GiB. */
+  def compactToSize(targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val bytes = detail().collect()(0).getAs[Long]("size_bytes")
+    compact(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+  }
+
   /** Lexical clustering (M6): range-partition + sort the head by the
     * clustering keys so min/max file stats become selective for them —
     * ideal for a single key or a prefix-queried key hierarchy. */

@@ -446,6 +446,18 @@ class VersionedTableSpec extends SparkSpec {
       s"unhelpful vacuum error: ${err.getMessage}")
   }
 
+  test("compactToSize derives the file count from the head's bytes") {
+    val t = freshTable()
+    t.write(spark.range(50000).toDF("id").repartition(16))
+    val bytes = t.detail().collect()(0).getAs[Long]("size_bytes")
+    // target = half the table → 2 files (ceil), data intact
+    t.compactToSize(targetBytes = math.max(1L, bytes / 2))
+    val d = t.detail().collect()(0)
+    assert(d.getAs[Long]("num_files") <= 3 && d.getAs[Long]("num_files") >= 2,
+      s"expected ~2 files, got ${d.getAs[Long]("num_files")}")
+    assert(t.read().count() == 50000)
+  }
+
   test("schema enforcement: strict by default, mergeSchema adds, overwriteSchema replaces") {
     val t = freshTable()
     t.write(Seq((1, "a")).toDF("id", "v"))
