@@ -330,33 +330,41 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * stats skipping keeps everything. False positives only cost an extra
     * file scan; a missing index costs nothing (stats-only pruning).
     *
-    * Sizing: m bits / k probes per file. With n distinct values per file
-    * the false-positive rate is ~(1 - e^(-kn/m))^k — the 8192/4 default
-    * holds ~1% at n ≈ 1000; size m ≈ 10·n for ~1% at other file sizes.
+    * Sizing: by default AUTO — per version, the build measures the
+    * largest per-file distinct count n and solves the textbook
+    * m = -n·ln(fpp)/ln(2)², k = (m/n)·ln 2 for the target false-positive
+    * rate (1% default), so the index stays selective as the table grows
+    * (a fixed m saturates: at kn/m ≫ 1 every probe hits and nothing
+    * prunes). Pass explicit `bits`/`hashes` to pin the size instead.
     * The index is an array of set positions per file, so storage is
     * O(k·distinct), not O(m), and the probe is a constant-folded
     * `array_contains` over the tiny index table — never a data scan. */
-  def buildBloomIndex(column: String, bits: Int = 8192, hashes: Int = 4): Unit = {
+  def buildBloomIndex(column: String, bits: Int = 0, hashes: Int = 0,
+      fpp: Double = 0.01): Unit = {
     // register the index so every subsequent commit maintains it (the
-    // Delta CREATE BLOOMFILTER INDEX contract: index once, writes keep it)
+    // Delta CREATE BLOOMFILTER INDEX contract: index once, writes keep
+    // it); bits=0 re-sizes per version from that version's own files
     Files.createDirectories(Paths.get(root))
-    val cfg = s"""{"column":"$column","bits":$bits,"hashes":$hashes}"""
+    val cfg = s"""{"column":"$column","bits":$bits,"hashes":$hashes,""" +
+      s""""fpp_ppm":${math.round(fpp * 1000000)}}"""
     if (!bloomConfigs.exists(_._1 == column))
       Files.writeString(bloomConfigPath, cfg + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    latestVersion.foreach(v => buildBloomFor(v, column, bits, hashes))
+    latestVersion.foreach(v => buildBloomFor(v, column, bits, hashes, fpp))
   }
 
   private def bloomConfigPath: Path = Paths.get(root, "_bloom_config")
 
-  private def bloomConfigs: Seq[(String, Int, Int)] =
+  private def bloomConfigs: Seq[(String, Int, Int, Double)] =
     if (!Files.exists(bloomConfigPath)) Seq.empty
     else Files.readAllLines(bloomConfigPath, StandardCharsets.UTF_8).asScala.toSeq
       .map { line =>
         val c = """"column":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
         val b = """"bits":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
         val h = """"hashes":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
-        (c, b, h)
+        val f = """"fpp_ppm":(\d+)""".r.findFirstMatchIn(line)
+          .map(_.group(1).toLong / 1000000.0).getOrElse(0.01)
+        (c, b, h, f)
       }
 
   /** Rebuild every registered bloom index for version `v` — one scan of
@@ -365,14 +373,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * (schema evolution) are skipped; readFiltered then simply has no
     * index for them on this version. */
   private def maintainBloomIndexes(v: Long): Unit =
-    bloomConfigs.foreach { case (c, b, h) =>
+    bloomConfigs.foreach { case (c, b, h, f) =>
       if (spark.read.parquet(dataDir(v)).columns.contains(c))
-        buildBloomFor(v, c, b, h)
+        buildBloomFor(v, c, b, h, f)
     }
 
-  private def buildBloomFor(v: Long, column: String, bits: Int, hashes: Int): Unit = {
+  private def buildBloomFor(v: Long, column: String, bits0: Int,
+      hashes0: Int, fpp: Double): Unit = {
     val df = spark.read.parquet(dataDir(v))
     require(df.columns.contains(column), s"no column $column to index")
+    val (bits, hashes) =
+      if (bits0 > 0 && hashes0 > 0) (bits0, hashes0)
+      else {
+        // auto-size from the densest file of THIS version
+        val n = math.max(1L, df
+          .groupBy(input_file_name()).agg(countDistinct(col(column)).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0))
+        val ln2 = math.log(2)
+        val m = math.max(64, math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toInt)
+        val k = math.min(8, math.max(1, math.round(m.toDouble / n * ln2).toInt))
+        (m, k)
+      }
     val positions = array((0 until hashes).map(i =>
       pmod(xxhash64(col(column), lit(i)), lit(bits)).cast("int")): _*)
     // anchor the per-file key on the version dir, like the stats table
@@ -479,7 +500,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // clone's v0 reads the same files, so the index is valid as-is)
     if (Files.exists(bloomConfigPath)) {
       Files.copy(bloomConfigPath, Paths.get(destRoot, "_bloom_config"))
-      bloomConfigs.foreach { case (c, _, _) =>
+      bloomConfigs.foreach { case (c, _, _, _) =>
         val srcIdx = Paths.get(s"$root/_bloom/$c/v=$v")
         if (Files.isDirectory(srcIdx)) {
           val destIdx = Paths.get(s"$destRoot/_bloom/$c/v=0")
@@ -595,7 +616,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         // the new head references the SAME files — position sets stay
         // valid, so carry them forward instead of an O(data) rebuild
         // (deleteWhere must stay O(metadata))
-        bloomConfigs.foreach { case (c, _, _) =>
+        bloomConfigs.foreach { case (c, _, _, _) =>
           val prev = Paths.get(s"$root/_bloom/$c/v=$v")
           if (Files.isDirectory(prev)) {
             val dest = Paths.get(s"$root/_bloom/$c/v=$next")
@@ -698,7 +719,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       if (deletable(statsDir(v), keptStatsDirs))
         deleteTree(Paths.get(statsDir(v)))
       // bloom indexes are per-version derivatives of the removed data
-      bloomConfigs.foreach { case (c, _, _) =>
+      bloomConfigs.foreach { case (c, _, _, _) =>
         deleteTree(Paths.get(s"$root/_bloom/$c/v=$v"))
       }
     }
