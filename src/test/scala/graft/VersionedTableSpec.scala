@@ -634,6 +634,33 @@ class VersionedTableSpec extends SparkSpec {
       t.detail().collect()(0).getString(0) + "/_bloom/id/v=0").exists())
   }
 
+  test("readFiltered equals full-scan filter for 60 random predicates (seeded)") {
+    val t = freshTable()
+    t.write(spark.range(300).toDF("id")
+      .withColumn("grp", (col("id") % 7).cast("int"))
+      .withColumn("name", concat(lit("n"), (col("id") % 13).cast("string")))
+      .repartitionByRange(5, col("id")).sortWithinPartitions("id"))
+    t.buildBloomIndex("name")
+    val rnd = new scala.util.Random(11)
+    def leaf(): String = rnd.nextInt(6) match {
+      case 0 => s"id ${Seq("<", "<=", ">", ">=", "=").apply(rnd.nextInt(5))} ${rnd.nextInt(320) - 10}"
+      case 1 => s"grp = ${rnd.nextInt(9) - 1}"
+      case 2 => s"name = 'n${rnd.nextInt(15)}'"
+      case 3 => s"id BETWEEN ${rnd.nextInt(300)} AND ${rnd.nextInt(300)}"
+      case 4 => s"name IN (${(0 to rnd.nextInt(3)).map(_ => s"'n${rnd.nextInt(15)}'").mkString(", ")})"
+      case 5 => s"NOT (grp = ${rnd.nextInt(7)})" // unsupported shape: keep-all path
+    }
+    def pred(depth: Int): String =
+      if (depth == 0 || rnd.nextDouble() < 0.4) leaf()
+      else s"(${pred(depth - 1)}) ${if (rnd.nextBoolean()) "AND" else "OR"} (${pred(depth - 1)})"
+    (1 to 60).foreach { i =>
+      val p = pred(2)
+      val got = t.readFiltered(p).select("id").collect().map(_.getLong(0)).sorted
+      val want = t.read().filter(expr(p)).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want), s"predicate #$i '$p': got ${got.length} rows, want ${want.length}")
+    }
+  }
+
   test("bloom probe casts the literal to the indexed column's type") {
     val t = freshTable()
     // bigint column, int-looking literal: a type-naive probe would hash
