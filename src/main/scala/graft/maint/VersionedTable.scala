@@ -44,22 +44,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private case class Commit(
       version: Long, operation: String, rows: Long,
       location: Option[String], statsLocation: Option[String],
-      ts: Option[String], deletePredicates: Seq[String])
+      ts: Option[String], deletePredicates: Seq[String],
+      partitionBy: Seq[String])
 
   private def parse(line: String): Commit = {
     // {"version":N,"operation":"...","rows":N[,"location":"...",
-    //  "statsLocation":"...","ts":"...","deletePredicates":["...",...]]}
+    //  "statsLocation":"...","ts":"...","deletePredicates":["...",...],
+    //  "partitionBy":["...",...]]}
     val v = """"version":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val loc = """"location":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
     val sloc = """"statsLocation":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
     val ts = """"ts":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
-    val preds = """"deletePredicates":\[([^\]]*)\]""".r.findFirstMatchIn(line)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .getOrElse(Seq.empty)
-    Commit(v, op, rows, loc, sloc, ts, preds)
+    def strList(field: String): Seq[String] =
+      (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+        .getOrElse(Seq.empty)
+    Commit(v, op, rows, loc, sloc, ts,
+      strList("deletePredicates"), strList("partitionBy"))
   }
 
   private def commits: Seq[Commit] = manifestLines.map(parse)
@@ -119,9 +123,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (overwriteSchema) return
     latestVersion.foreach { v =>
       val cur = spark.read.parquet(dataDir(v)).schema
+      // the head's partition columns come back through partition-dir TYPE
+      // INFERENCE (a date-looking string infers DateType), so their
+      // read-back type is not the written type — exempt them from the
+      // retype check (presence is still enforced); the manifest records
+      // which columns those are
+      val partCols = commits.find(_.version == v)
+        .map(_.partitionBy).getOrElse(Seq.empty).toSet
       val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
       val newTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      val retyped = (curTypes.keySet & newTypes.keySet)
+      val retyped = (curTypes.keySet & newTypes.keySet -- partCols)
         .filter(c => curTypes(c) != newTypes(c))
       val dropped = curTypes.keySet -- newTypes.keySet
       val added = newTypes.keySet -- curTypes.keySet
@@ -181,9 +192,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
           Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
           Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
           val tsField = commitTs.map(t => s""","ts":"$t"""").getOrElse("")
+          // partition columns are recorded in the commit (the stand-in
+          // for Delta's log schema): readers of the manifest know them
+          // without trusting partition-dir type inference
+          val partField =
+            if (partitionBy.isEmpty) ""
+            else partitionBy.map(c => s""""$c"""")
+              .mkString(""","partitionBy":[""", ",", "]")
           Files.writeString(
             manifestPath,
-            s"""{"version":$next,"operation":"$operation","rows":$rows$tsField}""" + "\n",
+            s"""{"version":$next,"operation":"$operation","rows":$rows$tsField$partField}""" + "\n",
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
           true
         }
@@ -206,9 +224,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   private def deleteTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) ----
 
@@ -385,10 +406,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val (bits, hashes) =
       if (bits0 > 0 && hashes0 > 0) (bits0, hashes0)
       else {
-        // auto-size from the densest file of THIS version
-        val n = math.max(1L, df
+        // auto-size from the densest file of THIS version; an empty
+        // version has no max (NULL) — no rows, nothing to index
+        val maxRow = df
           .groupBy(input_file_name()).agg(countDistinct(col(column)).as("n"))
-          .agg(max(col("n"))).collect()(0).getLong(0))
+          .agg(max(col("n"))).collect()(0)
+        if (maxRow.isNullAt(0)) {
+          deleteTree(Paths.get(s"$root/_bloom/$column/v=$v"))
+          return
+        }
+        val n = math.max(1L, maxRow.getLong(0))
         val ln2 = math.log(2)
         val m = math.max(64, math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toInt)
         val k = math.min(8, math.max(1, math.round(m.toDouble / n * ln2).toInt))
@@ -398,7 +425,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       pmod(xxhash64(col(column), lit(i)), lit(bits)).cast("int")): _*)
     // anchor the per-file key on the version dir, like the stats table
     // (nested partition dirs keep their col=value/ prefix)
-    spark.read.parquet(dataDir(v))
+    df
       .select(regexp_replace(input_file_name(), "^.*/v=\\d+/", "").as("file"),
         explode(positions).as("pos"))
       .groupBy("file")
@@ -411,18 +438,35 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   /** Bloom indexes available for version `v`: column → (index df, bits,
-    * hashes, column catalog type). */
+    * hashes, column catalog type). A zero-row index (explicitly sized
+    * build over an empty version) contributes nothing — stats-only
+    * pruning still applies. */
   private def bloomIndexes(v: Long): Map[String, (DataFrame, Int, Int, String)] = {
     val dir = Paths.get(s"$root/_bloom")
     if (!Files.isDirectory(dir)) return Map.empty
-    Files.list(dir).iterator().asScala.toSeq
-      .filter(c => Files.isDirectory(Paths.get(s"$c/v=$v")))
-      .map { c =>
-        val df = spark.read.parquet(s"$c/v=$v")
-        val head = df.select("bits", "hashes", "coltype").head()
-        c.getFileName.toString ->
-          (df, head.getInt(0), head.getInt(1), head.getString(2))
-      }.toMap
+    val cols = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq.filter(c =>
+        Files.isDirectory(Paths.get(s"$c/v=$v")))
+      finally s.close()
+    }
+    cols.flatMap { c =>
+      val df = spark.read.parquet(s"$c/v=$v")
+      df.select("bits", "hashes", "coltype").limit(1).collect().headOption
+        .map(h => c.getFileName.toString ->
+          (df, h.getInt(0), h.getInt(1), h.getString(2)))
+    }.toMap
+  }
+
+  /** Recursive dir copy — shallow-clone and deleteWhere both carry tiny
+    * index/stats trees forward with it. */
+  private def copyTree(src: Path, dest: Path): Unit = {
+    val s = Files.walk(src)
+    try s.iterator().asScala.toSeq.foreach { p =>
+      val tgt = dest.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(tgt)
+      else Files.copy(p, tgt)
+    } finally s.close()
   }
 
   /** General predicate-pruned read — [[readWhere]]'s single-column range
@@ -486,11 +530,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
       if (src.deletePredicates.isEmpty) ""
       else src.deletePredicates.map(p => s""""$p"""")
         .mkString(""","deletePredicates":[""", ",", "]")
+    val partField =
+      if (src.partitionBy.isEmpty) ""
+      else src.partitionBy.map(c => s""""$c"""")
+        .mkString(""","partitionBy":[""", ",", "]")
     Files.createDirectories(Paths.get(destRoot))
     Files.writeString(
       Paths.get(destRoot, "_manifest"),
       s"""{"version":0,"operation":"clone_of:$root@v$v","rows":${src.rows},""" +
-        s""""location":"$dataLoc","statsLocation":"$statsLoc"$predsField}""" + "\n",
+        s""""location":"$dataLoc","statsLocation":"$statsLoc"$predsField$partField}""" + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     // table metadata travels with the clone: CHECK constraints keep
     // enforcing on the clone's own commits (Delta CLONE copies properties)
@@ -502,14 +550,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       Files.copy(bloomConfigPath, Paths.get(destRoot, "_bloom_config"))
       bloomConfigs.foreach { case (c, _, _, _) =>
         val srcIdx = Paths.get(s"$root/_bloom/$c/v=$v")
-        if (Files.isDirectory(srcIdx)) {
-          val destIdx = Paths.get(s"$destRoot/_bloom/$c/v=0")
-          Files.walk(srcIdx).iterator().asScala.toSeq.foreach { p =>
-            val tgt = destIdx.resolve(srcIdx.relativize(p))
-            if (Files.isDirectory(p)) Files.createDirectories(tgt)
-            else Files.copy(p, tgt)
-          }
-        }
+        if (Files.isDirectory(srcIdx))
+          copyTree(srcIdx, Paths.get(s"$destRoot/_bloom/$c/v=0"))
       }
     }
     dest
@@ -607,7 +649,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
             manifestPath,
             s"""{"version":$next,"operation":"delete_where","rows":$rows,""" +
               s""""location":"$dataLoc","statsLocation":"$statsLoc",""" +
-              s""""deletePredicates":$predsJson}""" + "\n",
+              s""""deletePredicates":$predsJson${
+                if (base.partitionBy.isEmpty) ""
+                else base.partitionBy.map(c => s""""$c"""")
+                  .mkString(""","partitionBy":[""", ",", "]")}}""" + "\n",
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
           true
         }
@@ -621,11 +666,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
           if (Files.isDirectory(prev)) {
             val dest = Paths.get(s"$root/_bloom/$c/v=$next")
             deleteTree(dest)
-            Files.walk(prev).iterator().asScala.toSeq.foreach { p =>
-              val tgt = dest.resolve(prev.relativize(p))
-              if (Files.isDirectory(p)) Files.createDirectories(tgt)
-              else Files.copy(p, tgt)
-            }
+            copyTree(prev, dest)
           }
         }
         return next
@@ -704,7 +745,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * old version's files keeps those files alive). */
   def vacuum(keepLast: Int = 1): Seq[Long] = {
     val all = commits
-    val keep = versions.takeRight(keepLast).toSet
+    // resolve dirs from the ONE parsed manifest — dataDir/statsDir would
+    // re-read and re-parse the file per call, O(versions²) on big tables
+    def dataDir(v: Long): String =
+      all.find(_.version == v).flatMap(_.location).getOrElse(s"$root/v=$v")
+    def statsDir(v: Long): String =
+      all.find(_.version == v).flatMap(_.statsLocation)
+        .getOrElse(s"$root/_stats/v=$v")
+    val keep = all.map(_.version).takeRight(keepLast).toSet
     val rootAbs = Paths.get(root).toAbsolutePath.toString
     def abs(p: String) = Paths.get(p).toAbsolutePath.toString
     val keptDataDirs = keep.map(v => abs(dataDir(v)))
@@ -729,9 +777,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val staging = Paths.get(s"$root/_staging")
     if (Files.isDirectory(staging)) {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-      Files.list(staging).iterator().asScala.toSeq
+      val s = Files.list(staging)
+      try s.iterator().asScala.toSeq
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .foreach(deleteTree)
+      finally s.close()
     }
     removed
   }
@@ -741,8 +791,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def detail(): DataFrame = {
     import spark.implicits._
     val v = latestVersion.getOrElse(sys.error("empty table"))
-    val files = Files.walk(Paths.get(dataDir(v))).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val s = Files.walk(Paths.get(dataDir(v)))
+    val files =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
     Seq((root, v, files.size.toLong, files.map(Files.size).sum))
       .toDF("location", "version", "num_files", "size_bytes")
   }

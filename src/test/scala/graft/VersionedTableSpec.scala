@@ -661,6 +661,37 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("empty snapshots commit cleanly to bloom-indexed tables (auto and pinned sizing)") {
+    val t = freshTable()
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    t.buildBloomIndex("id") // auto-sized
+    t.write(Seq.empty[(Int, String)].toDF("id", "v")) // overwrite-to-empty
+    assert(t.read().count() == 0)
+    assert(t.readFiltered("id = 1").count() == 0)
+    val p = freshTable()
+    p.write(Seq((1, "a")).toDF("id", "v"))
+    p.buildBloomIndex("id", bits = 1024, hashes = 3) // pinned: writes a 0-row index
+    p.write(Seq.empty[(Int, String)].toDF("id", "v"))
+    // zero-row index must not break predicate reads — stats-only fallback
+    assert(p.readFiltered("id = 1").count() == 0)
+  }
+
+  test("partition values that look like dates don't false-reject follow-up writes") {
+    val t = freshTable()
+    // string partition column with date-shaped values: partition-dir type
+    // inference reads it back as DateType, but the manifest records the
+    // partition columns so enforcement exempts them from the retype check
+    val df = Seq((1, "2023-01-01"), (2, "2023-01-02")).toDF("id", "event_date")
+    t.write(df, partitionBy = Seq("event_date"))
+    t.write(df, partitionBy = Seq("event_date")) // must not throw
+    assert(t.read().count() == 2)
+    // a REAL retype on a data column still rejects
+    val bad = intercept[IllegalArgumentException](
+      t.write(Seq(("x", "2023-01-01")).toDF("id", "event_date"),
+        partitionBy = Seq("event_date")))
+    assert(bad.getMessage.contains("type"), bad.getMessage)
+  }
+
   test("bloom probe casts the literal to the indexed column's type") {
     val t = freshTable()
     // bigint column, int-looking literal: a type-naive probe would hash
