@@ -578,6 +578,53 @@ object Governance extends QueryGroup {
         SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS bloom_pruned
         FROM orders WHERE o_orderkey IN (7, 137, 1234)""")),
 
+    // CAPSTONE: all three skipping layers pruning ONE read. The table is
+    // laid out the way a real 100 TB table would be — partitioned by the
+    // low-cardinality column (o_orderstatus dirs), range-clustered by
+    // date within each partition (tight per-file o_orderdate stats via
+    // repartitionByRange + sortWithinPartitions before the partitioned
+    // write), bloom-indexed on the high-cardinality key. One readFiltered
+    // predicate then composes: the status equality prunes whole partition
+    // dirs (their files' status stats are constant), the date range
+    // prunes files inside the surviving dirs, and the key IN probes the
+    // bloom index — each layer independently sound, their conjunction
+    // multiplicative. `files_pruned` hash-gates that the composed scan
+    // touched fewer files than the table holds.
+    "v7_composed_skipping" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_comp_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        t.write(
+          o.repartitionByRange(8, col("o_orderstatus"), col("o_orderdate"))
+            .sortWithinPartitions("o_orderstatus", "o_orderdate"),
+          partitionBy = Seq("o_orderstatus"))
+        t.buildBloomIndex("o_orderkey")
+        val pred =
+          "o_orderstatus = 'F' AND " +
+            "o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00' AND " +
+            "o_orderdate <= TIMESTAMP_NTZ '1996-12-31 00:00:00' AND " +
+            "o_orderkey IN (7, 137, 1234, 4242)"
+        val pruned = t.readFiltered(pred)
+        val filesPruned =
+          pruned.inputFiles.length < t.read().inputFiles.length
+        pruned.agg(
+            count(lit(1)).as("cnt"),
+            coalesce(round(Exact.moneySum("o_totalprice"), 4), lit(0.0))
+              .as("revenue"))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               coalesce(round(${Exact.sqlMoneySum("o_totalprice")}, 4), 0.0) AS revenue,
+               TRUE AS files_pruned
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+          AND o_orderkey IN (7, 137, 1234, 4242)""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(
