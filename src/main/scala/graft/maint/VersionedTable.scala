@@ -690,6 +690,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     read(Some(v))
   }
 
+  /** Metadata-only row count (Delta serves `SELECT COUNT(*)` from log
+    * statistics without touching data): the manifest records each
+    * commit's row count — deleteWhere commits record the post-delete
+    * count — so counting any version is a manifest lookup, O(1) at any
+    * table size. */
+  def countFast(versionAsOf: Option[Long] = None): Long = {
+    val cs = commits
+    val v = versionAsOf.orElse(cs.map(_.version).maxOption)
+      .getOrElse(sys.error(s"empty table at $root"))
+    cs.find(_.version == v)
+      .getOrElse(sys.error(s"version $v not in ${cs.map(_.version).mkString(",")}"))
+      .rows
+  }
+
   /** DESCRIBE HISTORY (M2). */
   def history(): DataFrame = {
     import spark.implicits._

@@ -446,6 +446,16 @@ class VersionedTableSpec extends SparkSpec {
       s"unhelpful vacuum error: ${err.getMessage}")
   }
 
+  test("countFast answers from the manifest, matching real counts incl. deleteWhere") {
+    val t = freshTable()
+    t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    t.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"))
+    t.deleteWhere("id <= 2")
+    assert(t.countFast(Some(0L)) == 3 && t.countFast(Some(1L)) == 4)
+    assert(t.countFast() == 2 && t.countFast() == t.read().count())
+    intercept[RuntimeException](t.countFast(Some(9L)))
+  }
+
   test("compactToSize derives the file count from the head's bytes") {
     val t = freshTable()
     t.write(spark.range(50000).toDF("id").repartition(16))
