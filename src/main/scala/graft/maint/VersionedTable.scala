@@ -572,7 +572,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       operation: String = "write",
       commitTs: String = "2001-09-01 00:00:00",
       mergeSchema: Boolean = false,
-      overwriteSchema: Boolean = false): Long = {
+      overwriteSchema: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     enforceSchema(df, mergeSchema, overwriteSchema)
     commit(df, operation, stageFeed = Some { next =>
       val feed =
@@ -583,7 +584,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
           to_timestamp(lit(commitTs)))
         .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
-    }, commitTs = Some(commitTs))
+    }, commitTs = Some(commitTs), partitionBy = partitionBy)
   }
 
   /** Read the change feed from `fromVersion` to head (M13 / S4:

@@ -446,6 +446,25 @@ class VersionedTableSpec extends SparkSpec {
       s"unhelpful vacuum error: ${err.getMessage}")
   }
 
+  test("writeWithChangeFeed supports partitioned layouts; feed stays exact") {
+    val t = freshTable()
+    t.writeWithChangeFeed(
+      Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "grp", "amt"),
+      Seq("id"), partitionBy = Seq("grp"))
+    t.writeWithChangeFeed(
+      Seq((1, "a", 11.0), (3, "b", 30.0)).toDF("id", "grp", "amt"),
+      Seq("id"), partitionBy = Seq("grp"))
+    val root = t.detail().collect()(0).getString(0)
+    assert(new java.io.File(s"$root/v=1/grp=b").isDirectory, "v1 must be partitioned")
+    // the diff basis is the partitioned v0 read-back (columns reordered) —
+    // the feed must still be name-correct: update of 1, delete 2, insert 3
+    val feed = t.changeFeed(fromVersion = 1)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(feed == Set((1, "update_preimage"), (1, "update_postimage"),
+      (2, "delete"), (3, "insert")), s"bad feed: $feed")
+  }
+
   test("countFast answers from the manifest, matching real counts incl. deleteWhere") {
     val t = freshTable()
     t.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
