@@ -380,6 +380,35 @@ class VersionedTableSpec extends SparkSpec {
     (0L to 8L).foreach(v => assert(t.read(Some(v)).count() == 1))
   }
 
+  test("concurrent writers maintain the bloom index; every version stays probeable") {
+    // bloom maintenance runs OUTSIDE the commit lock (advisory) — racing
+    // writers must each produce a valid index for their own version and
+    // never corrupt another's
+    val t = freshTable()
+    t.write(Seq((0L, "seed")).toDF("id", "v"), "seed")
+    t.buildBloomIndex("id")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futures = (1 to 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            t.write(Seq((i.toLong, s"w$i")).toDF("id", "v"), s"writer_$i")
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // each version's index answers its own single row; point lookups on
+    // the head prune and return exactly the head's row
+    val headId = t.read().collect()(0).getLong(0)
+    val got = t.readFiltered(s"id = $headId")
+    assert(got.count() == 1, "head lookup lost its row")
+    (0L to 6L).foreach { v =>
+      val id = t.read(Some(v)).collect()(0).getLong(0)
+      assert(t.readFiltered(s"id = $id", versionAsOf = Some(v)).count() == 1,
+        s"version $v lookup failed")
+    }
+  }
+
   test("concurrent change-feed writers never clobber a committed feed") {
     // The feed stages inside the commit critical section: whatever order
     // the racing writers land in, every committed version's feed must be
