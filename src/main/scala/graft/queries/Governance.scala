@@ -298,10 +298,10 @@ object Governance extends QueryGroup {
           FROM b FULL OUTER JOIN c ON b.o_orderstatus = c.o_orderstatus),
         shares AS (
           SELECT o_orderstatus, rows_base, rows_curr,
-                 (rows_base * 1000000) // (SELECT sum(rows_base) FROM j) AS share_ppm_base,
-                 (rows_curr * 1000000) // (SELECT sum(rows_curr) FROM j) AS share_ppm_curr,
-                 CASE WHEN rows_base > 0 THEN cents_base // rows_base END AS avg_cents_base,
-                 CASE WHEN rows_curr > 0 THEN cents_curr // rows_curr END AS avg_cents_curr,
+                 CAST((rows_base * 1000000) // (SELECT sum(rows_base) FROM j) AS BIGINT) AS share_ppm_base,
+                 CAST((rows_curr * 1000000) // (SELECT sum(rows_curr) FROM j) AS BIGINT) AS share_ppm_curr,
+                 CAST(CASE WHEN rows_base > 0 THEN cents_base // rows_base END AS BIGINT) AS avg_cents_base,
+                 CAST(CASE WHEN rows_curr > 0 THEN cents_curr // rows_curr END AS BIGINT) AS avg_cents_curr,
                  rows_base = 0 AS appeared,
                  rows_curr = 0 AS vanished
           FROM j)
@@ -651,7 +651,7 @@ object Governance extends QueryGroup {
                 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
                   AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
                                          WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')) AS added_rows,
-               2 AS n_versions""")),
+               CAST(2 AS BIGINT) AS n_versions""")),
 
     // Deletion-vector-style logical delete: DELETE WHERE commits as pure
     // metadata (a stored anti-predicate referencing the prior version's

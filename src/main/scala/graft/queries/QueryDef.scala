@@ -81,8 +81,11 @@ object Exact {
     s"CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   def sqlStddevFrom(sum: String, sumsq: String, n: String): String =
     s"CASE WHEN $n > 1 THEN sqrt(greatest(($sumsq - $sum * $sum / $n) / ($n - 1), 0.0)) END"
+  // The outer CAST matters: DuckDB types sum(BIGINT) as HUGEINT (int128),
+  // which the driver's type-sensitive hash distinguishes from Spark's BIGINT
+  // even when every value matches.
   def sqlMoneySumCents(c: String): String =
-    s"sum(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT))"
+    s"CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)"
   def sqlAvg4FromCents(cents: String, n: String): String =
     s"floor(($cents * 200 + $n) / ($n * 2)) / 10000.0"
 }

@@ -46,7 +46,7 @@ object Sources extends QueryGroup {
       },
       oracle = Some("""
         SELECT count(*) + 1 AS total_rows,
-               1 AS rescued_rows,
+               CAST(1 AS BIGINT) AS rescued_rows,
                count(*) + 1 AS with_file_meta,
                count(DISTINCT c_custkey) AS distinct_keys
         FROM customer""")),
@@ -122,7 +122,7 @@ object Sources extends QueryGroup {
       },
       oracle = Some("""
         WITH tiers(segment, tier) AS (VALUES
-          ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3),
+          ('BUILDING', CAST(1 AS BIGINT)), ('AUTOMOBILE', 2), ('MACHINERY', 3),
           ('HOUSEHOLD', 4), ('FURNITURE', 5))
         SELECT tier, count(*) AS cnt
         FROM customer LEFT JOIN tiers ON c_mktsegment = segment

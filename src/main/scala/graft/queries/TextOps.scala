@@ -493,7 +493,7 @@ object TextOps extends QueryGroup {
           FROM t)
         SELECT source, CAST(prefix_tokens // 2048 AS BIGINT) AS pack_id,
                count(*) AS n_docs,
-               sum(n_tokens) AS n_pack_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS n_pack_tokens,
                min(doc_id) AS first_doc_id,
                floor(sum(n_tokens) * 10000.0 / 2048) / 10000.0 AS fill_frac
         FROM laid
@@ -584,7 +584,7 @@ object TextOps extends QueryGroup {
         silver AS (SELECT f.* FROM fps f
                    JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)
         SELECT source, count(*) AS n_docs,
-               sum(len($sqlTokens)) AS n_tokens,
+               CAST(sum(len($sqlTokens)) AS BIGINT) AS n_tokens,
                CAST((sum(len($sqlTokens)) + 2047) // 2048 AS BIGINT) AS n_packs
         FROM silver GROUP BY source"""))
   )

@@ -1,16 +1,30 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — TYPE-STRICT.
 
 Runs `graft.Verify` output (parquet per query + oracle_sql.json) against
 DuckDB on the same testdata tables and reports per-query match status.
+
+The driver's hash canonicalization is type-sensitive: DuckDB typing a
+sum() as HUGEINT (int128) where Spark emits BIGINT fails the driver even
+when every value matches (this killed pl2/q2/t13 in round 4). So before
+any value comparison this replica:
+  1. hard-FAILs any oracle whose DuckDB result schema contains
+     HUGEINT/INT128 (or UHUGEINT), with the offending column named;
+  2. FAILs on DECIMAL oracle columns unless the Spark side is a decimal
+     of the same precision/scale;
+  3. compares the DuckDB declared types against the Spark parquet schema
+     (pyarrow) column-by-column, canonicalized to type families — a
+     BIGINT-vs-DOUBLE or INT32-vs-INT64 skew is a FAIL even if the values
+     would stringify identically.
 
 Usage:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
   python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,6 +39,82 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def duck_result_types(con, sql):
+    """Declared (name, type-string) pairs of the oracle query, no rows run."""
+    rel = con.sql(sql)
+    return list(zip(rel.columns, [str(t).upper() for t in rel.types]))
+
+
+def arrow_result_types(files):
+    """(name, arrow-type-string) pairs from the Spark parquet output."""
+    schema = pq.read_schema(files[0])
+    return [(schema.field(i).name, str(schema.field(i).type).lower())
+            for i in range(len(schema))]
+
+
+def family(t: str):
+    """Canonical type family for cross-engine comparison.
+
+    Accepts either a DuckDB type string (upper) or an arrow type string
+    (lower). Returns a tuple so decimals keep precision/scale.
+    """
+    u = t.upper()
+    m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", u)
+    if m:
+        return ("decimal", int(m.group(1)), int(m.group(2)))
+    m = re.match(r"DECIMAL128\((\d+),\s*(\d+)\)", u)
+    if m:
+        return ("decimal", int(m.group(1)), int(m.group(2)))
+    if u in ("HUGEINT", "INT128", "UHUGEINT"):
+        return ("int128",)
+    if u in ("BIGINT", "INT64", "LONG", "UBIGINT"):
+        return ("i64",)
+    if u in ("INTEGER", "INT", "INT32", "UINTEGER"):
+        return ("i32",)
+    if u in ("SMALLINT", "INT16", "TINYINT", "INT8", "USMALLINT", "UTINYINT"):
+        return ("i16",)
+    if u in ("DOUBLE", "FLOAT64"):
+        return ("f64",)
+    if u in ("FLOAT", "REAL", "FLOAT32"):
+        return ("f32",)
+    if u in ("VARCHAR", "STRING", "TEXT", "LARGE_STRING"):
+        return ("str",)
+    if u in ("BOOLEAN", "BOOL"):
+        return ("bool",)
+    if u.startswith("TIMESTAMP"):
+        return ("ts",)
+    if u == "DATE" or u.startswith("DATE32"):
+        return ("date",)
+    if u.startswith("LIST") or u.startswith("LARGE_LIST") or "[]" in u:
+        return ("list",)
+    if u.startswith("STRUCT"):
+        return ("struct",)
+    if u.startswith("MAP"):
+        return ("map",)
+    return ("other", u)
+
+
+def type_gate(name, duck_types, arrow_types):
+    """Return an error string if the schemas disagree type-strictly."""
+    dt = {c: t for c, t in duck_types}
+    at = {c: t for c, t in arrow_types}
+    for c, t in sorted(dt.items()):
+        if family(t) == ("int128",):
+            return (f"oracle types column `{c}` as {t} — DuckDB HUGEINT "
+                    f"never hash-matches Spark; CAST(... AS BIGINT) it")
+    if sorted(dt) != sorted(at):
+        return f"column sets differ: oracle {sorted(dt)} vs spark {sorted(at)}"
+    for c in sorted(dt):
+        fd, fa = family(dt[c]), family(at[c])
+        if fd[0] == "decimal" and fd != fa:
+            return (f"oracle column `{c}` is {dt[c]} but spark side is "
+                    f"{at[c]} — unexpected DECIMAL; CAST the oracle")
+        if fd != fa:
+            return (f"type skew in `{c}`: oracle {dt[c]} ({fd}) vs "
+                    f"spark {at[c]} ({fa})")
+    return None
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -49,6 +139,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_noracle += 1
             continue
         try:
+            duck_types = duck_result_types(con, oracle[name])
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        terr = type_gate(name, duck_types, arrow_result_types(files))
+        if terr:
+            print(f"FAIL  {name}: TYPE: {terr}")
+            n_fail += 1
+            continue
+        try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {str(e)[:200]}")
@@ -61,6 +162,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(g) != len(e):
             print(f"FAIL  {name}: rows {len(g)} vs {len(e)}")
+            n_fail += 1
+            continue
+        # pandas-dtype gate: after norm() both sides must materialize the
+        # same dtypes (catches coercions the schema gate can't see, e.g.
+        # a nullable int becoming float64 on only one side).
+        dmis = [c for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        if dmis:
+            det = {c: (str(g[c].dtype), str(e[c].dtype)) for c in dmis}
+            print(f"FAIL  {name}: DTYPE: spark-vs-oracle pandas dtypes {det}")
             n_fail += 1
             continue
         # value compare: exact on strings/ints, tolerant-then-exact report on floats
