@@ -390,7 +390,8 @@ object Dedup extends QueryGroup {
                coalesce(near.n_near_lower, 0) AS n_near_lower,
                near.rep_id,
                near.rep_id IS NOT NULL AS is_dup
-        FROM assign s LEFT JOIN near ON near.vec_id = s.vec_id""")),
+        FROM assign s LEFT JOIN near ON near.vec_id = s.vec_id"""),
+      bench = true),
 
     // D9: INCREMENTAL corpus dedup — the production ingest shape: an
     // incoming batch (doc_id % 5 = 0 plays the new crawl) is admitted

@@ -408,7 +408,8 @@ object Embeddings extends QueryGroup {
         SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
         FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
               FROM rerank)
-        WHERE rn <= 5""")),
+        WHERE rn <= 5"""),
+      bench = true),
 
     // E3: embedding-cosine near-duplicate detection — same-label blocks,
     // cosine ≥ 0.3 → similar pair (threshold sized to the synthetic corpus).

@@ -412,7 +412,8 @@ object Governance extends QueryGroup {
         SELECT o_custkey, count(*) AS order_cnt,
                CAST(min(p) AS DOUBLE) AS min_price,
                CAST(max(p) AS DOUBLE) AS max_price
-        FROM v1 GROUP BY o_custkey""")),
+        FROM v1 GROUP BY o_custkey"""),
+      bench = true),
 
     // Data-skipping read (Delta file-stats pruning): cluster orders by
     // o_orderdate (range-partition + sort → selective per-file min/max),

@@ -451,7 +451,8 @@ object TextOps extends QueryGroup {
                CAST(count(*) - sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = w.kk
                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM ch JOIN w ON ch.fp = w.fp
-        GROUP BY ch.doc_id""")),
+        GROUP BY ch.doc_id"""),
+      bench = true),
 
     // T13: sequence packing — the concat-and-chunk batching step that
     // turns variable-length documents into fixed-budget training
@@ -508,7 +509,10 @@ object TextOps extends QueryGroup {
     "t14_tfidf_keywords" -> QueryDef(
       build = (s, d) => {
         val docs = Tables.documents(s, d)
-        val nDocs = docs.count()
+        // N rides a broadcast 1-row aggregate (the q2 totals pattern) so
+        // building the query plan triggers no driver-side action
+        val nDocs = broadcast(docs.agg(
+          count(lit(1)).cast("double").as("n_docs_total")))
         // materialize tf once: it feeds both the join probe side and the
         // df broadcast build, and the differing shapes block ReusedExchange
         // (the d4 prefix-table lesson) — without this the explode+agg runs twice
@@ -520,8 +524,9 @@ object TextOps extends QueryGroup {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
         tf.join(broadcast(dfreq), "token")
+          .crossJoin(nDocs)
           .withColumn("tfidf",
-            floor(col("tf") * log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0)))
+            floor(col("tf") * log((col("n_docs_total") + lit(1.0)) / (col("df") + lit(1.0)))
               * 1000000.0) / 1000000.0)
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
@@ -540,7 +545,8 @@ object TextOps extends QueryGroup {
         SELECT doc_id, rnk, token, tfidf
         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
-        WHERE rnk <= 3""")),
+        WHERE rnk <= 3"""),
+      bench = true),
 
     // PL2: the LLM-corpus pipeline END-TO-END through the declarative DAG
     // runner — bronze (quality gate drops short docs) → silver (exact
