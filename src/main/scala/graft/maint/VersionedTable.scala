@@ -108,10 +108,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
       commitTs: Option[String] = None,
       partitionBy: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false,
-      overwriteSchema: Boolean = false): Long = {
-    enforceSchema(df, mergeSchema, overwriteSchema)
-    commit(df, operation, stageFeed = None, commitTs, partitionBy)
-  }
+      overwriteSchema: Boolean = false): Long =
+    commit(df, operation, stageFeed = None, commitTs, partitionBy,
+      mergeSchema, overwriteSchema)
 
   /** Schema enforcement against the head version (no-op on an empty
     * table). Strict by default: same column names and types, no drops,
@@ -164,11 +163,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     */
   private def commit(df: DataFrame, operation: String,
       stageFeed: Option[Long => Unit], commitTs: Option[String] = None,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false): Long = {
     validateConstraints(df)
     var attempt = 0
     while (true) {
       val next = latestVersion.map(_ + 1).getOrElse(0L)
+      // Schema enforcement must see the head THIS attempt commits onto: a
+      // loser's retry lands on the winner's schema, and validating only
+      // once up front would let the retry silently revert a concurrent
+      // mergeSchema evolution (the winner's new column dropped with no
+      // error). Re-checking per attempt against the head `next` derives
+      // from is the local analogue of Delta's ConcurrentWrite metadata-
+      // conflict resolution: the conflicting retry FAILS instead. The
+      // lock's head re-check below guarantees no commit lands on a head
+      // this validation didn't see.
+      enforceSchema(df, mergeSchema, overwriteSchema)
       val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
       val writer = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -364,13 +375,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
       fpp: Double = 0.01): Unit = {
     // register the index so every subsequent commit maintains it (the
     // Delta CREATE BLOOMFILTER INDEX contract: index once, writes keep
-    // it); bits=0 re-sizes per version from that version's own files
+    // it); bits=0 re-sizes per version from that version's own files.
+    // Re-registration REPLACES the column's config line — keeping the old
+    // one would rebuild the head with the new parameters but maintain all
+    // future versions with the stale sizing, a silent divergence.
     Files.createDirectories(Paths.get(root))
     val cfg = s"""{"column":"$column","bits":$bits,"hashes":$hashes,""" +
       s""""fpp_ppm":${math.round(fpp * 1000000)}}"""
-    if (!bloomConfigs.exists(_._1 == column))
-      Files.writeString(bloomConfigPath, cfg + "\n",
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // the replace is a read-modify-write of the whole file (no longer a
+    // pure append), so serialize it under the table's commit lock —
+    // concurrent registrations of DIFFERENT columns must not lose lines
+    VersionedTable.commitLock(root).synchronized {
+      val others =
+        if (!Files.exists(bloomConfigPath)) Seq.empty
+        else Files.readAllLines(bloomConfigPath, StandardCharsets.UTF_8).asScala.toSeq
+          .filterNot(l =>
+            """"column":"([^"]*)"""".r.findFirstMatchIn(l).exists(_.group(1) == column))
+      Files.writeString(bloomConfigPath, (others :+ cfg).mkString("", "\n", "\n"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+    }
     latestVersion.foreach(v => buildBloomFor(v, column, bits, hashes, fpp))
   }
 
@@ -574,7 +598,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false,
       partitionBy: Seq[String] = Seq.empty): Long = {
-    enforceSchema(df, mergeSchema, overwriteSchema)
     commit(df, operation, stageFeed = Some { next =>
       val feed =
         if (next == 0L) graft.ops.ChangeFeed.allInserts(df)
@@ -584,7 +607,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
           to_timestamp(lit(commitTs)))
         .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
-    }, commitTs = Some(commitTs), partitionBy = partitionBy)
+    }, commitTs = Some(commitTs), partitionBy = partitionBy,
+      mergeSchema = mergeSchema, overwriteSchema = overwriteSchema)
   }
 
   /** Read the change feed from `fromVersion` to head (M13 / S4:
@@ -626,7 +650,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * materializes them physically. Predicates must be deterministic and
     * use single quotes only. Not CDC-visible — use [[writeWithChangeFeed]]
     * when downstream consumers need delete rows in the feed. */
-  def deleteWhere(condition: String): Long = {
+  def deleteWhere(condition: String, commitTs: Option[String] = None): Long = {
     require(!condition.contains("\"") && !condition.contains("]"),
       "delete predicates use single quotes and no ']'")
     var attempt = 0
@@ -646,9 +670,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
           // a dead writer's orphaned feed for this slot must not become
           // this (feed-less) version's CDC rows
           deleteTree(Paths.get(s"$root/_changes/v=$next"))
+          // record the commit timestamp like write() does — without it a
+          // readAsOf(ts) after the delete resolves to the last ts-bearing
+          // PRE-delete version and resurrects logically deleted rows
+          val tsField = commitTs.map(t => s""""ts":"$t",""").getOrElse("")
           Files.writeString(
             manifestPath,
-            s"""{"version":$next,"operation":"delete_where","rows":$rows,""" +
+            s"""{"version":$next,"operation":"delete_where","rows":$rows,$tsField""" +
               s""""location":"$dataLoc","statsLocation":"$statsLoc",""" +
               s""""deletePredicates":$predsJson${
                 if (base.partitionBy.isEmpty) ""
@@ -788,13 +816,24 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
     // crashed writers' leftover staging — but never an IN-FLIGHT writer's:
     // staging happens outside the commit lock by design, so only reclaim
-    // dirs untouched for over an hour
+    // dirs whose ENTIRE subtree is untouched for over an hour. The
+    // top-level mtime alone is not enough: a long-running write lands
+    // parquet files under <uuid>/data/ without refreshing the <uuid> dir
+    // itself, and reclaiming it mid-flight would make the writer's commit
+    // rename fail on a missing source.
     val staging = Paths.get(s"$root/_staging")
     if (Files.isDirectory(staging)) {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      def newestMtime(p: Path): Long = {
+        val w = Files.walk(p)
+        try w.iterator().asScala
+          .map(f => Files.getLastModifiedTime(f).toMillis)
+          .foldLeft(Long.MinValue)(math.max)
+        finally w.close()
+      }
       val s = Files.list(staging)
       try s.iterator().asScala.toSeq
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filter(p => newestMtime(p) < cutoff)
         .foreach(deleteTree)
       finally s.close()
     }

@@ -166,4 +166,52 @@ class PropertySpec extends SparkSpec {
     val dropped = df.filter(!expr("price < 100")).filter(expr("price > 0")).count()
     assert(res.clean.count() + res.quarantined.count() + dropped == 500)
   }
+
+  test("bloom auto-sizer holds measured FPP <= 2x target as versions cross resize boundaries") {
+    // The auto-sizer re-solves m = -n·ln(fpp)/ln(2)², k = (m/n)·ln 2 from
+    // each version's own max per-file distinct count. A fixed m would
+    // saturate as n grows (every probe hits, nothing prunes) — so write
+    // versions whose distinct counts jump an order of magnitude each time
+    // (seeded-random within each band) and measure the realized
+    // false-positive rate per version with keys guaranteed absent.
+    val rnd = new Random(4242)
+    val fpp = 0.01
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_prop_").toString + "/t"
+    val t = new graft.maint.VersionedTable(spark, root)
+    t.buildBloomIndex("k", fpp = fpp)
+    val bands = Seq((50, 200), (1000, 4000), (10000, 40000))
+    bands.zipWithIndex.foreach { case ((lo, hi), v) =>
+      val n = lo + rnd.nextInt(hi - lo)
+      // keys are even; probes (odd) can never be present in any version
+      t.write(spark.range(n).select((col("id") * 2).as("k"))
+        .repartition(4), s"band_$v")
+      val idx = spark.read.parquet(s"$root/_bloom/k/v=$v")
+      val hdr = idx.select("bits", "hashes").limit(1).collect()(0)
+      val (m, h) = (hdr.getInt(0), hdr.getInt(1))
+      // the sizing itself must track n: m within a factor of 2 of the
+      // textbook solution for the version's max per-file distinct count
+      val nFile = spark.read.parquet(s"$root/v=$v")
+        .groupBy(input_file_name()).agg(countDistinct(col("k")).as("d"))
+        .agg(max("d")).collect()(0).getLong(0)
+      val mIdeal = -nFile * math.log(fpp) / (math.log(2) * math.log(2))
+      assert(m >= mIdeal * 0.5 && m <= math.max(64, mIdeal * 2) + 64,
+        s"v$v: bits=$m far from ideal $mIdeal for n=$nFile")
+      // measured FPP: 2000 absent keys probed against every file's
+      // position set with the engine's own hash kernel
+      val nProbes = 2000
+      val probes = spark.range(nProbes)
+        .select((col("id") * 2 + 1).as("k"))
+      val pos = array((0 until h).map(i =>
+        pmod(xxhash64(col("k"), lit(i)), lit(m)).cast("int")): _*)
+      val hits = probes.withColumn("pos", pos)
+        .crossJoin(broadcast(idx.select("file", "positions")))
+        .filter(forall(col("pos"), p => array_contains(col("positions"), p)))
+        .count()
+      val nFiles = idx.count()
+      val measured = hits.toDouble / (nProbes * nFiles)
+      assert(measured <= 2 * fpp,
+        s"v$v (n=$nFile, m=$m, k=$h): measured FPP $measured > ${2 * fpp}")
+    }
+  }
 }

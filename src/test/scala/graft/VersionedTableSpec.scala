@@ -777,4 +777,121 @@ class VersionedTableSpec extends SparkSpec {
     val removed = t.vacuum(keepLast = 1)
     assert(removed == Seq(0L, 1L) && t.read().count() == 3)
   }
+
+  test("a retrying writer cannot silently revert a concurrent schema evolution") {
+    // Writer B stages an OLD-schema snapshot slowly (its rows block on a
+    // gate), a schema-evolving commit lands while B is mid-staging, and B
+    // then loses the version race. B's retry now re-validates against the
+    // NEW head and must FAIL — committing would drop the winner's new
+    // column with no error, the exact corruption schema enforcement blocks.
+    val rootDir = Files.createTempDirectory("graft_vt_race_").toString + "/t"
+    val t = new VersionedTable(spark, rootDir)
+    t.write(Seq((1L, "a")).toDF("id", "v"), "seed")
+    VersionedTableSpec.gate = new java.util.concurrent.CountDownLatch(1)
+    // asNondeterministic + a Range base keep the optimizer from folding
+    // the UDF at planning time (ConvertToLocalRelation) — the gate must
+    // block B's STAGING tasks, not its driver-side plan construction
+    val slow = udf { (s: String) =>
+      VersionedTableSpec.gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      s
+    }.asNondeterministic()
+    val dfB = spark.range(1)
+      .select(lit(2L).as("id"), slow(lit("b")).as("v"))
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val loser = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = t.write(dfB, "loser")
+      })
+      // B validated against v0 and is now staging (blocked in the gate) —
+      // its staging dir existing is the signal it passed validation
+      val staging = java.nio.file.Paths.get(rootDir, "_staging")
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!Files.isDirectory(staging) || !Files.list(staging).findAny().isPresent)
+          && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(Files.isDirectory(staging) && Files.list(staging).findAny().isPresent,
+        "writer B never started staging")
+      // the winner evolves the schema while B is mid-staging
+      t.write(Seq((1L, "a", true)).toDF("id", "v", "flag"), "evolve",
+        mergeSchema = true)
+      VersionedTableSpec.gate.countDown()
+      val err = intercept[java.util.concurrent.ExecutionException](loser.get())
+      assert(err.getCause.getMessage.contains("dropped columns flag"),
+        s"expected schema-enforcement failure, got: ${err.getCause}")
+    } finally pool.shutdown()
+    // the head still carries the evolution; no version dropped it
+    assert(t.latestVersion.contains(1L))
+    assert(t.read().columns.toSet == Set("id", "v", "flag"))
+  }
+
+  test("TIMESTAMP AS OF sees a timestamped logical delete") {
+    val t = freshTable()
+    t.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "seed",
+      commitTs = Some("2024-01-01 00:00:00"))
+    t.deleteWhere("id = 2", commitTs = Some("2024-01-02 00:00:00"))
+    assert(t.readAsOf("2024-01-01 12:00:00").count() == 3)
+    // before the delete recorded its ts, these resolved to the pre-delete
+    // version and resurrected the deleted row
+    assert(t.readAsOf("2024-01-02 00:00:00").count() == 2)
+    assert(t.readAsOf("2024-06-01 00:00:00").count() == 2)
+    // an untimed delete stays invisible to AS OF (like outside-retention)
+    t.deleteWhere("id = 3")
+    assert(t.readAsOf("2024-06-01 00:00:00").count() == 2)
+    assert(t.read().count() == 1)
+  }
+
+  test("vacuum spares an in-flight writer's staging with fresh files under an old dir") {
+    val rootDir = Files.createTempDirectory("graft_vt_vac_").toString + "/t"
+    val t = new VersionedTable(spark, rootDir)
+    t.write(Seq((1L, "a")).toDF("id", "v"))
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // a live writer: staging dir mtimes are stale (parquet lands beneath
+    // without touching them) but a data file is fresh
+    val live = java.nio.file.Paths.get(rootDir, "_staging", "live-writer")
+    Files.createDirectories(live.resolve("data"))
+    Files.writeString(live.resolve("data").resolve("part-0.parquet"), "fresh")
+    Files.setLastModifiedTime(live, old)
+    Files.setLastModifiedTime(live.resolve("data"), old)
+    // a crashed writer: every path in the subtree is stale
+    val dead = java.nio.file.Paths.get(rootDir, "_staging", "dead-writer")
+    Files.createDirectories(dead)
+    Files.writeString(dead.resolve("junk"), "stale")
+    Files.setLastModifiedTime(dead.resolve("junk"), old)
+    Files.setLastModifiedTime(dead, old)
+    t.vacuum(keepLast = 1)
+    assert(Files.exists(live.resolve("data").resolve("part-0.parquet")),
+      "vacuum reclaimed a live writer's staging")
+    assert(!Files.exists(dead), "vacuum kept a crashed writer's staging")
+  }
+
+  test("re-registering a bloom index replaces its config for future maintenance") {
+    val rootDir = Files.createTempDirectory("graft_vt_bloom_").toString + "/t"
+    val t = new VersionedTable(spark, rootDir)
+    t.write(spark.range(100).toDF("id").withColumn("v", col("id") * 2))
+    t.buildBloomIndex("id") // auto-sized
+    t.buildBloomIndex("id", bits = 256, hashes = 3) // re-register, pinned
+    // exactly one config line for the column, carrying the new sizing
+    val cfgLines = Files.readAllLines(
+      java.nio.file.Paths.get(rootDir, "_bloom_config")).toArray.toSeq
+      .map(_.toString).filter(_.contains(""""column":"id""""))
+    assert(cfgLines.size == 1, s"duplicate config lines: $cfgLines")
+    assert(cfgLines.head.contains(""""bits":256""") &&
+      cfgLines.head.contains(""""hashes":3"""), cfgLines.head)
+    // commit-time maintenance of the NEXT version uses the new parameters
+    t.write(spark.range(200).toDF("id").withColumn("v", col("id") * 2))
+    val idx = spark.read.parquet(s"$rootDir/_bloom/id/v=1")
+    val hdr = idx.select("bits", "hashes").distinct().collect()
+    assert(hdr.length == 1 && hdr(0).getInt(0) == 256 && hdr(0).getInt(1) == 3,
+      s"maintained index kept stale sizing: ${hdr.mkString(",")}")
+    // and the index still prunes correctly
+    val got = t.readFiltered("id = 150").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(150L))
+  }
+}
+
+object VersionedTableSpec {
+  // gate for the schema-evolution race test: UDF closures and the test
+  // body share this JVM in local mode, so a static latch coordinates them
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
 }
