@@ -79,6 +79,12 @@ object TextFunctions {
   /** The default (engine-native, fastest) MinHash kernel. */
   val xxhashKernel: (Column, Int) => Column = (s, seed) => xxhash64(s, lit(seed))
 
+  /** Engine-native band-hash kernel (string prefixes stand in for seeds,
+    * matching [[portableHash]]'s signature) — the 100 TB pairing for
+    * [[xxhashKernel]] in the banded-LSH pipeline. */
+  val xxhashBandKernel: (Column, String) => Column =
+    (s, prefix) => xxhash64(lit(prefix), s)
+
   /** Portable kernel: seeds become md5 prefixes ("<seed>:"). */
   val portableKernel: (Column, Int) => Column =
     (s, seed) => portableHash(s, s"$seed:")

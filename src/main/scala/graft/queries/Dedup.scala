@@ -51,23 +51,54 @@ object Dedup extends QueryGroup {
     """md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"""
 
   /** Shared d3/d9 banded-MinHash pipeline: 16-hash signature over
-    * 2-shingles, 4 bands x 4 rows; band hash = portable hash of the
-    * band's canonical "v,v,v,v" string (reproducible in any engine).
+    * 2-shingles, 4 bands x 4 rows; band hash = kernel hash of the
+    * band's canonical "v,v,v,v" string. Defaults to the portable md5
+    * kernel (reproducible in any engine — the oracle-checked
+    * configuration); pass [[graft.functions.TextFunctions.xxhashKernel]]/
+    * [[graft.functions.TextFunctions.xxhashBandKernel]] for the
+    * engine-native 100 TB configuration (same operator shape, ~20× less
+    * hash CPU — KernelParitySpec pins that both produce the same pairs).
     * Input needs (doc_id, text [, carry...]); output carries doc_id,
     * `carry`, sig, band_idx, band_hash. */
-  private def bandedSignatures(docs: org.apache.spark.sql.DataFrame,
-      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+  private[graft] def bandedSignatures(docs: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil,
+      kernel: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = portableKernel,
+      bandKernel: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column = portableHash)
+      : org.apache.spark.sql.DataFrame = {
     val sigs = docs
       .withColumn("sh", shingles(col("text"), 2))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), 16, portableKernel))
-    def bandHash(b: Int) = portableHash(
+      .withColumn("sig", minhashSignature(col("sh"), 16, kernel))
+    def bandHash(b: Int) = bandKernel(
       concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
         x => x.cast("string"))), s"b$b:")
     sigs.select(
       (col("doc_id") +: carry.map(col)) ++ Seq(col("sig"),
         posexplode(array((0 until 4).map(bandHash): _*))
           .as(Seq("band_idx", "band_hash"))): _*)
+  }
+
+  /** The d3 LSH pair pipeline with a pluggable hash kernel — the exact
+    * operator shape d3 runs, callable with the engine-native kernel. */
+  private[graft] def lshPairs(docs: org.apache.spark.sql.DataFrame,
+      kernel: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = portableKernel,
+      bandKernel: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column = portableHash)
+      : org.apache.spark.sql.DataFrame = {
+    // materialized once: the self-join consumes it as both sides with
+    // differing projections, which blocks ReusedExchange (the d4
+    // prefix-table lesson) — without this the sign pipeline runs twice
+    val banded = bandedSignatures(docs, Nil, kernel, bandKernel)
+      .localCheckpoint(true)
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        minhashSimilarity(col("a_sig"), col("b_sig")).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
   }
 
   /** DuckDB twin of the band hashes (columns b0..b3 over h0..h15). */
@@ -146,24 +177,8 @@ object Dedup extends QueryGroup {
     // band bucket become candidates; estimated similarity = matching
     // signature fraction, thresholded.
     "d3_lsh_candidate_pairs" -> QueryDef(
-      build = (s, d) => {
-        // materialized once: the self-join consumes it as both sides with
-        // differing projections, which blocks ReusedExchange (the d4
-        // prefix-table lesson) — without this the sign pipeline runs twice
-        val banded = bandedSignatures(
-          Tables.documents(s, d).select(col("doc_id"), col("text")))
-          .localCheckpoint(true)
-        val a = banded.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("a_id"), col("sig").as("a_sig"))
-        val b = banded.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("b_id"), col("sig").as("b_sig"))
-        a.join(b, Seq("band_idx", "band_hash"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            minhashSimilarity(col("a_sig"), col("b_sig")).as("est_sim"))
-          .distinct()
-          .filter(col("est_sim") >= 0.5)
-      },
+      build = (s, d) => lshPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
       // The oracle forms candidates by band equality directly (the bucket
       // join and "equal band hash" coincide because the hash is portable
       // and collision-free at this scale).
