@@ -296,15 +296,22 @@ object Embeddings extends QueryGroup {
           (1 to subDim).map { i =>
             (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
           }.reduce(_ + _)
+        // vn feeds sub + both exact re-rank joins, and sub feeds the
+        // codebook, the encoder, and the LUT — five consumers with
+        // differing projections, which blocks ReusedExchange (the d4
+        // prefix-table lesson). Materialize each once or the whole
+        // scan→normalize→explode→slice pipeline runs per consumer.
         val vn = Tables.embeddings(s, d)
           .repartition(16)
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+          .localCheckpoint(true)
         val sub = vn
           .select(col("vec_id"), explode(sequence(lit(1), lit(nSub))).as("s"), col("ne"))
           .select(col("vec_id"), col("s"),
             slice(col("ne"), ((col("s") - 1) * subDim + 1).cast("int"), lit(subDim)).as("sv"))
+          .localCheckpoint(true)
         // codebook: subspace slices of every 20th vector; rnk is the
         // centroid's dense 1-based index (same order both engines)
         val cents = sub.filter(col("vec_id") % 20 === 0)
