@@ -166,6 +166,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       partitionBy: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false): Long = {
+    // schema first: it's a footer-metadata check, where constraint
+    // validation is a full aggregation job — and a schema-invalid df can
+    // make a constraint expression fail analysis with a worse error
+    enforceSchema(df, mergeSchema, overwriteSchema)
     validateConstraints(df)
     var attempt = 0
     while (true) {
