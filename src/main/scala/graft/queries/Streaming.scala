@@ -404,6 +404,39 @@ object Streaming extends QueryGroup {
                                         THEN o_totalprice + 10.0
                                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
         FROM orders WHERE o_orderkey % 13 <> 0
-        GROUP BY o_custkey"""))
+        GROUP BY o_custkey""")),
+
+    // ST14: streaming ingest dedup against a STATIC corpus — the d9
+    // incremental-dedup shape moved to its production home: a continuous
+    // crawl stream (doc_id % 5 = 0 plays the incoming batch) is admitted
+    // only if its content fingerprint is absent from the existing corpus,
+    // via a stream-static LEFT ANTI join. At 100 TB the static side is
+    // the pre-built fingerprint index (16-byte hashes, never text) probed
+    // per micro-batch; the stream never re-signs the corpus, and state is
+    // ZERO — admission is stateless, so no watermark or store to size.
+    "st14_stream_corpus_dedup" -> QueryDef(
+      build = (s, d) => {
+        val corpusFp = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+          .distinct()
+        val incoming = Streams.tableStream(s, d, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        Streams.runToMemory(
+          incoming.join(corpusFp, Seq("fp"), "left_anti"), "append")
+          .select(col("doc_id"), col("fp"))
+      },
+      oracle = Some("""
+        WITH fps AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+        SELECT f.doc_id, f.fp
+        FROM fps f
+        WHERE f.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM fps c
+                          WHERE c.doc_id % 5 <> 0 AND c.fp = f.fp)"""))
   )
 }

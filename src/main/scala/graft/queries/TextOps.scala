@@ -548,6 +548,50 @@ object TextOps extends QueryGroup {
         WHERE rnk <= 3"""),
       bench = true),
 
+    // T15: unigram language-model quality score — the CCNet/KenLM-style
+    // perplexity filter reduced to its distributable core: train a unigram
+    // LM on the corpus itself (one map-side-combinable token count), score
+    // every document by its average negative log-likelihood, in
+    // MICRO-NATS so the output is integer-exact across engines. Per-token
+    // nll is floor-scaled BEFORE summing (ln() is the only float; its
+    // 1-ulp exposure is per VOCAB ENTRY, not per document — the t14
+    // discipline), and the average uses integer division of POSITIVE
+    // numbers, where DuckDB's floor `//` and Spark's truncating `div`
+    // agree. At 100 TB: explode+count is one keyed shuffle, the vocab is
+    // ≪ corpus (broadcastable), and the per-doc re-agg is the second and
+    // final shuffle. High avg_nll ⇒ rare-token salad ⇒ filter candidate.
+    "t15_unigram_lm_score" -> QueryDef(
+      build = (s, d) => {
+        // the exploded token stream feeds the LM counts, the corpus
+        // total, and the scoring probe — materialize it once
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .localCheckpoint(true)
+        val lm = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        val total = broadcast(tok.agg(count(lit(1)).cast("double").as("t")))
+        tok.join(broadcast(lm), "token")
+          .crossJoin(total)
+          .withColumn("nll",
+            floor(-log(col("c").cast("double") / col("t")) * 1000000.0).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("nll")).as("nll_sum"))
+          .withColumn("avg_nll_micro", expr("nll_sum div n_tokens"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        lm AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor(-ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS nll
+          FROM tok JOIN lm USING (token) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(nll) AS BIGINT) AS nll_sum,
+               CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
+        FROM scored GROUP BY doc_id""")),
+
     // PL2: the LLM-corpus pipeline END-TO-END through the declarative DAG
     // runner — bronze (quality gate drops short docs) → silver (exact
     // dedup, min-doc_id keeper per text fingerprint) → gold (per-source

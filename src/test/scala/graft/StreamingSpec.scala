@@ -355,4 +355,34 @@ class StreamingSpec extends SparkSpec {
     val batch = spark.read.parquet(s"$sf/events.parquet").count()
     assert(res.count() == batch)
   }
+
+  test("st14: stream-vs-corpus dedup admits only content absent from the static index") {
+    // corpus (id % 5 != 0): texts X and Y; incoming stream (id % 5 == 0):
+    // a byte-identical dup of X (rejected), a whitespace/case variant of Y
+    // (rejected — the fingerprint normalizes), and a fresh doc (admitted).
+    // Admission is STATELESS, so two identical incoming docs both pass —
+    // within-stream dedup is st2's job, corpus admission is st14's.
+    val dir = java.nio.file.Files.createTempDirectory("graft_st14_").toString
+    Seq(
+      (1L, "alpha beta gamma"),         // corpus X
+      (2L, "delta epsilon zeta"),       // corpus Y
+      (5L, "alpha beta gamma"),         // dup of X -> rejected
+      (10L, "  Delta   EPSILON zeta "), // normalized dup of Y -> rejected
+      (15L, "entirely novel content"),  // fresh -> admitted
+      (20L, "twin incoming text"),      // stream-internal twins:
+      (25L, "twin incoming text"))      //   both admitted (stateless)
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    // the streaming table scan expects the testdata layout: ONE parquet
+    // FILE named <table>.parquet, not a directory of part files
+    val part = Files.list(java.nio.file.Paths.get(dir, "_stage"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val got = SparkEntry.queries("st14_stream_corpus_dedup")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(15L, 20L, 25L), s"admitted: $got")
+  }
 }

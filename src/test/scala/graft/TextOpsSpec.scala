@@ -61,4 +61,24 @@ class TextOpsSpec extends SparkSpec {
     assert(t9.count() == nDocs)
     assert(t9.filter(col("boilerplate_ratio") < 0 || col("boilerplate_ratio") > 1).count() == 0)
   }
+
+  test("t15: unigram LM scores common-token docs below rare-token docs, micro-nat exact") {
+    // corpus: 8 docs of the common token, 1 doc of four singletons.
+    // The rare doc's avg negative log-likelihood must be strictly higher,
+    // and the common doc's value must equal the closed-form micro-nat
+    // count (floor(-ln(k/T) * 1e6)) computed independently here.
+    val dir = docsDir(
+      (1L to 8L).map(i => i -> "common common common common") :+
+        (9L -> "rareA rareB rareC rareD"))
+    val got = SparkEntry.queries("t15_unigram_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val total = 8 * 4 + 4 // 36 tokens
+    val commonNll = math.floor(-math.log(32.0 / total) * 1000000).toLong
+    val rareNll = math.floor(-math.log(1.0 / total) * 1000000).toLong
+    (1L to 8L).foreach { i =>
+      assert(got(i) == ((4L, commonNll)), s"doc $i: ${got(i)} != $commonNll")
+    }
+    assert(got(9L) == ((4L, rareNll)), s"rare doc: ${got(9L)} != $rareNll")
+    assert(rareNll > commonNll)
+  }
 }
