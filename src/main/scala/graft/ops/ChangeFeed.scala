@@ -28,7 +28,14 @@ object ChangeFeed {
     */
   def diff(old: DataFrame, next: DataFrame, keyCols: Seq[String]): DataFrame = {
     val dataCols = next.columns.filterNot(keyCols.contains).toSeq
-    val o = old.select(
+    // schema evolution: a mergeSchema commit adds columns the old snapshot
+    // lacks — pad them as typed NULLs so the diff composes with evolution
+    // and preimages read like Delta's (old versions surface null for
+    // later-added columns). A null→value transition is then an update.
+    val nextTypes = next.schema.fields.map(f => f.name -> f.dataType).toMap
+    val oldPadded = dataCols.filterNot(old.columns.contains)
+      .foldLeft(old)((d, c) => d.withColumn(c, lit(null).cast(nextTypes(c))))
+    val o = oldPadded.select(
       keyCols.map(col) :+ struct(dataCols.map(col): _*).as("_pre"): _*)
     val n = next.select(
       keyCols.map(col) :+ struct(dataCols.map(col): _*).as("_post"): _*)

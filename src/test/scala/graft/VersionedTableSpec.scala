@@ -865,6 +865,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(!Files.exists(dead), "vacuum kept a crashed writer's staging")
   }
 
+  test("change feed composes with mergeSchema evolution: preimages null-pad the new column") {
+    val t = freshTable()
+    t.writeWithChangeFeed(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), "seed")
+    // evolve: add `flag`, change row 2, add row 3
+    t.writeWithChangeFeed(
+      Seq((1L, "a", true), (2L, "B", false), (3L, "c", true))
+        .toDF("id", "v", "flag"),
+      Seq("id"), "evolve", mergeSchema = true)
+    val feed = t.changeFeed(fromVersion = 1)
+      .select("id", "v", "flag", graft.ops.ChangeFeed.ChangeTypeCol)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getBoolean(2), r.getString(3))).toSet
+    // row 1: unchanged in v but flag went null -> true = an update;
+    // preimage carries the typed NULL old versions surface for the column
+    assert(feed == Set(
+      (1L, "a", null, "update_preimage"),
+      (1L, "a", true, "update_postimage"),
+      (2L, "b", null, "update_preimage"),
+      (2L, "B", false, "update_postimage"),
+      (3L, "c", true, "insert")), s"got: $feed")
+  }
+
   test("re-registering a bloom index replaces its config for future maintenance") {
     val rootDir = Files.createTempDirectory("graft_vt_bloom_").toString + "/t"
     val t = new VersionedTable(spark, rootDir)
