@@ -296,17 +296,18 @@ object Embeddings extends QueryGroup {
           (1 to subDim).map { i =>
             (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
           }.reduce(_ + _)
-        // vn feeds sub + both exact re-rank joins, and sub feeds the
-        // codebook, the encoder, and the LUT — five consumers with
-        // differing projections, which blocks ReusedExchange (the d4
-        // prefix-table lesson). Materialize each once or the whole
-        // scan→normalize→explode→slice pipeline runs per consumer.
+        // sub feeds the codebook, the encoder, and the LUT — three
+        // consumers with differing projections, which blocks
+        // ReusedExchange (the d4 prefix-table lesson): materialize the
+        // normalize→explode→slice pipeline once or it runs per consumer.
+        // vn itself stays lineage-visible (NOT checkpointed) so the
+        // column-pruned parquet scan under the re-rank joins remains
+        // auditable in the final plan (PushdownSpec reads its ReadSchema).
         val vn = Tables.embeddings(s, d)
           .repartition(16)
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
-          .localCheckpoint(true)
         val sub = vn
           .select(col("vec_id"), explode(sequence(lit(1), lit(nSub))).as("s"), col("ne"))
           .select(col("vec_id"), col("s"),
