@@ -474,6 +474,45 @@ object Dedup extends QueryGroup {
                NOT coalesce(b.fp IN (SELECT fp FROM base WHERE NOT is_new), FALSE) AS admit
         FROM base b LEFT JOIN near ON b.doc_id = near.doc_id
         WHERE b.is_new"""
-      })
+      }),
+
+    // D10: contamination-safe train/eval holdout — the split every
+    // training run needs, made leak-proof by construction: dedup FIRST on
+    // the content fingerprint (min-doc_id keeper, d1's kernel), THEN
+    // assign each surviving document to a split by a deterministic hash
+    // of the fingerprint itself. Duplicate text therefore CANNOT straddle
+    // splits (it has one fingerprint, one keeper, one split), and the
+    // assignment is reproducible across engines, runs, and cluster sizes
+    // — no RNG, no sampling operator. ~10% eval via hash mod 100 < 10.
+    // At 100 TB: one fingerprint shuffle for the dedup, a row-local split
+    // assignment, and one map-side-combinable group-by. Output: per
+    // (source, split) document and token budgets.
+    "d10_eval_holdout" -> QueryDef(
+      build = (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            fingerprint(col("text")).as("fp"))
+        val keeper = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        fp.join(keeper, Seq("fp", "doc_id"), "left_semi")
+          .withColumn("split",
+            when(pmod(portableHash(col("fp"), "split:"), lit(100L)) < 10, "eval")
+              .otherwise("train"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(nTokens(col("text"))).as("n_tokens"))
+      },
+      oracle = Some(s"""
+        WITH fps AS (
+          SELECT doc_id, source, text, $sqlFingerprint AS fp FROM documents),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY 1),
+        uniq AS (SELECT f.* FROM fps f
+                 JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        assigned AS (
+          SELECT *, CASE WHEN ${sqlPortableHash("fp", "split:")} % 100 < 10
+                         THEN 'eval' ELSE 'train' END AS split
+          FROM uniq)
+        SELECT source, split, count(*) AS n_docs,
+               CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY 1, 2"""))
   )
 }

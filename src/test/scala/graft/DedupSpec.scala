@@ -99,4 +99,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(10L, 12L))
   }
+
+  test("d10 holdout: duplicates never straddle splits; assignment matches the scalar kernel") {
+    // 40 unique docs + 3 duplicate groups (one member case/space-mangled).
+    // The split decision must equal the scalar twin of the portable hash
+    // applied to each keeper fingerprint, and every duplicate group must
+    // resolve to ONE (source, split) contribution — dedup-first makes
+    // cross-split leakage structurally impossible.
+    val base = (1L to 40L).map(i => (i, s"src${i % 3}", s"unique text number $i"))
+    val dups = Seq(
+      (101L, "src0", "unique text number 7"),
+      (102L, "src1", "  Unique   TEXT number 8 "),
+      (103L, "src2", "unique text number 9"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_d10_").toString
+    (base ++ dups).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d10_eval_holdout")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // expected from first principles with the JVM-side scalar kernel
+    def normFp(t: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.trim.toLowerCase.replaceAll("\\s+", " ")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    val expected = base.map { case (_, src, t) => (src, t) } // dups collapse to keepers
+      .map { case (src, t) =>
+        val split =
+          if (graft.functions.TextFunctions.portableHash60(s"split:${normFp(t)}") % 100 < 10) "eval"
+          else "train"
+        ((src, split), t.split("\\s+").length.toLong)
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // total docs across splits = 40 keepers, never 43
+    assert(got.values.map(_._1).sum == 40L)
+  }
 }
