@@ -719,6 +719,43 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("readFiltered equals full-scan filter under the full composition: partitions + bloom + chained deletes") {
+    // every skipping layer at once: Hive partition dirs, per-file min/max
+    // stats, a bloom index on an unclustered key, and TWO stacked logical
+    // delete predicates — 40 seeded-random predicates must return exactly
+    // what a full scan + filter returns, never resurrecting deleted rows
+    // and never losing survivors to over-pruning
+    val t = freshTable()
+    t.write(spark.range(400).toDF("id")
+      .withColumn("grp", (col("id") % 5).cast("int"))
+      .withColumn("k", concat(lit("p"), (col("id") % 4).cast("string")))
+      .withColumn("name", concat(lit("n"), (col("id") % 17).cast("string")))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      partitionBy = Seq("k"))
+    t.buildBloomIndex("name")
+    t.deleteWhere("id % 11 = 3")
+    t.deleteWhere("grp = 4 AND id > 350")
+    val rnd = new scala.util.Random(17)
+    def leaf(): String = rnd.nextInt(5) match {
+      case 0 => s"id ${Seq("<", "<=", ">", ">=", "=").apply(rnd.nextInt(5))} ${rnd.nextInt(420) - 10}"
+      case 1 => s"grp = ${rnd.nextInt(7) - 1}"
+      case 2 => s"name = 'n${rnd.nextInt(20)}'"
+      case 3 => s"k = 'p${rnd.nextInt(6)}'"
+      case 4 => s"id BETWEEN ${rnd.nextInt(400)} AND ${rnd.nextInt(400)}"
+    }
+    def pred(depth: Int): String =
+      if (depth == 0 || rnd.nextDouble() < 0.4) leaf()
+      else s"(${pred(depth - 1)}) ${if (rnd.nextBoolean()) "AND" else "OR"} (${pred(depth - 1)})"
+    (1 to 40).foreach { i =>
+      val p = pred(2)
+      val got = t.readFiltered(p).select("id").collect().map(_.getLong(0)).sorted
+      val want = t.read().filter(expr(p)).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want), s"predicate #$i '$p': got ${got.length} rows, want ${want.length}")
+    }
+    // the deletes really bit: full row count dropped below 400
+    assert(t.read().count() < 400)
+  }
+
   test("empty snapshots commit cleanly to bloom-indexed tables (auto and pinned sizing)") {
     val t = freshTable()
     t.write(Seq((1, "a")).toDF("id", "v"))
