@@ -162,7 +162,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * of Delta's ConcurrentAppend resolution.
     */
   private def commit(df: DataFrame, operation: String,
-      stageFeed: Option[Long => Unit], commitTs: Option[String] = None,
+      stageFeed: Option[(Long, String) => Unit], commitTs: Option[String] = None,
       partitionBy: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false): Long = {
@@ -201,7 +201,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
           deleteTree(Paths.get(s"$root/_changes/v=$next"))
           deleteTree(Paths.get(s"$root/v=$next"))
           deleteTree(Paths.get(s"$root/_stats/v=$next"))
-          stageFeed.foreach(f => f(next))
+          // the feed derives from the STAGED data (still at $stage/data —
+          // the move below happens after), so the writer's upstream
+          // pipeline is never re-executed for the diff
+          stageFeed.foreach(f => f(next, s"$stage/data"))
           Files.createDirectories(Paths.get(root))
           Files.createDirectories(Paths.get(s"$root/_stats"))
           Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
@@ -602,10 +605,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false,
       partitionBy: Seq[String] = Seq.empty): Long = {
-    commit(df, operation, stageFeed = Some { next =>
+    commit(df, operation, stageFeed = Some { (next, stagedData) =>
+      // Diff from the STAGED parquet, not `df`: the incoming snapshot was
+      // just materialized by the data write, and re-using `df` here would
+      // re-execute its entire upstream pipeline a second time (at 100 TB,
+      // the full ingest transform) just to derive the feed. Partition-dir
+      // type inference can retype partition columns on read-back, so the
+      // snapshot is re-cast to df's declared schema before diffing.
+      val staged = spark.read.option("basePath", stagedData).parquet(stagedData)
+        .select(df.schema.fields.toIndexedSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       val feed =
-        if (next == 0L) graft.ops.ChangeFeed.allInserts(df)
-        else graft.ops.ChangeFeed.diff(read(Some(next - 1)), df, keyCols)
+        if (next == 0L) graft.ops.ChangeFeed.allInserts(staged)
+        else graft.ops.ChangeFeed.diff(read(Some(next - 1)), staged, keyCols)
       feed
         .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(next))
         .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
