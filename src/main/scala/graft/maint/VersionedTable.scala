@@ -757,16 +757,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF (M3): re-commits an old version
-    * as the new head (history preserved, like Delta RESTORE). */
-  def restore(version: Long): Long =
+    * as the new head (history preserved, like Delta RESTORE). The
+    * restored version's Hive partition layout travels with it — RESTORE
+    * must not silently flatten a partitioned table. */
+  def restore(version: Long): Long = {
     // restoring across a schema evolution legitimately changes the head
     // schema back — RESTORE is a protocol op, not a writer to police
-    write(read(Some(version)), s"restore_v$version", overwriteSchema = true)
+    val parts = commits.find(_.version == version)
+      .map(_.partitionBy).getOrElse(Seq.empty)
+    write(read(Some(version)), s"restore_v$version",
+      partitionBy = parts, overwriteSchema = true)
+  }
 
   /** OPTIMIZE small-file compaction (M5): rewrite head into ~targetFiles
-    * files. */
-  def compact(targetFiles: Int = 1): Long =
-    write(read().coalesce(targetFiles), "compact")
+    * files. A partitioned head keeps its layout — like Delta OPTIMIZE,
+    * compaction bin-packs WITHIN partitions (targetFiles is per
+    * partition value), never flattens the directory structure. */
+  def compact(targetFiles: Int = 1): Long = {
+    val parts = latestVersion.flatMap(v => commits.find(_.version == v))
+      .map(_.partitionBy).getOrElse(Seq.empty)
+    write(read().coalesce(targetFiles), "compact", partitionBy = parts)
+  }
 
   /** OPTIMIZE to a target file SIZE (the real OPTIMIZE contract — Delta
     * bins to ~1 GB files, not a file count): file count derived from the

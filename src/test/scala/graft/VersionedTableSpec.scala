@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.maint.VersionedTable
 
@@ -813,6 +815,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read().count() == 3)
     val removed = t.vacuum(keepLast = 1)
     assert(removed == Seq(0L, 1L) && t.read().count() == 3)
+  }
+
+  test("compact and restore preserve a partitioned head's Hive layout") {
+    val rootDir = Files.createTempDirectory("graft_vt_layout_").toString + "/t"
+    val t = new VersionedTable(spark, rootDir)
+    t.write((1 to 40).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "k")
+      .repartition(6), partitionBy = Seq("k"))
+    // OPTIMIZE must bin-pack WITHIN partitions, never flatten the dirs
+    val v1 = t.compact(1)
+    val v1Dirs = java.nio.file.Files.list(java.nio.file.Paths.get(rootDir, s"v=$v1"))
+      .iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p))
+      .map(_.getFileName.toString).toSet
+    assert(v1Dirs == Set("k=p0", "k=p1", "k=p2", "k=p3"),
+      s"compact flattened the layout: $v1Dirs")
+    assert(t.read().count() == 40)
+    // a partition filter on the compacted head still prunes at dir level
+    assert(t.read().filter(col("k") === "p2").count() == 10)
+    // RESTORE of a partitioned version keeps its layout too
+    t.write((1 to 10).map(i => (i.toLong, "flat")).toDF("id", "k")) // unpartitioned head
+    val v3 = t.restore(v1)
+    val v3Dirs = java.nio.file.Files.list(java.nio.file.Paths.get(rootDir, s"v=$v3"))
+      .iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p))
+      .map(_.getFileName.toString).toSet
+    assert(v3Dirs == Set("k=p0", "k=p1", "k=p2", "k=p3"),
+      s"restore flattened the layout: $v3Dirs")
+    assert(t.read().count() == 40)
   }
 
   test("a retrying writer cannot silently revert a concurrent schema evolution") {
