@@ -773,11 +773,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * files. A partitioned head keeps its layout — like Delta OPTIMIZE,
     * compaction bin-packs WITHIN partitions (targetFiles is per
     * partition value), never flattens the directory structure. */
-  def compact(targetFiles: Int = 1): Long = {
-    val parts = latestVersion.flatMap(v => commits.find(_.version == v))
-      .map(_.partitionBy).getOrElse(Seq.empty)
-    write(read().coalesce(targetFiles), "compact", partitionBy = parts)
-  }
+  def compact(targetFiles: Int = 1): Long =
+    write(read().coalesce(targetFiles), "compact",
+      partitionBy = headPartitionBy)
 
   /** OPTIMIZE to a target file SIZE (the real OPTIMIZE contract — Delta
     * bins to ~1 GB files, not a file count): file count derived from the
@@ -788,24 +786,38 @@ final class VersionedTable(spark: SparkSession, root: String) {
     compact(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
   }
 
+  /** Hive partition columns recorded for the current head (empty on an
+    * unpartitioned table) — maintenance rewrites carry them forward. */
+  private def headPartitionBy: Seq[String] =
+    latestVersion.flatMap(v => commits.find(_.version == v))
+      .map(_.partitionBy).getOrElse(Seq.empty)
+
   /** Lexical clustering (M6): range-partition + sort the head by the
     * clustering keys so min/max file stats become selective for them —
-    * ideal for a single key or a prefix-queried key hierarchy. */
+    * ideal for a single key or a prefix-queried key hierarchy. A
+    * partitioned head keeps its layout and clusters WITHIN partitions. */
   def cluster(cols: Seq[String], numFiles: Int = 4): Long = {
-    val df = read()
-    val clustered = df
-      .repartitionByRange(numFiles, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
-    write(clustered, s"cluster_${cols.mkString("_")}")
+    val parts = headPartitionBy
+    val keys = (parts ++ cols).map(col)
+    val clustered = read()
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    write(clustered, s"cluster_${cols.mkString("_")}", partitionBy = parts)
   }
 
   /** OPTIMIZE ZORDER BY (M6, the real space-filling curve): rewrite the
     * head in bit-interleaved z-order so [[readWhere]] prunes files on ANY
     * clustered column alone — a lexical sort only prunes on the leading
-    * one. See [[ZOrder]]. */
-  def clusterZOrder(cols: Seq[String], numFiles: Int = 8, bits: Int = 8): Long =
-    write(ZOrder.layout(read(), cols, numFiles, bits),
-      s"zorder_${cols.mkString("_")}")
+    * one. A partitioned head keeps its layout and z-orders WITHIN each
+    * partition value (Delta forbids z-ordering BY a partition column —
+    * the dirs already prune it exactly). See [[ZOrder]]. */
+  def clusterZOrder(cols: Seq[String], numFiles: Int = 8, bits: Int = 8): Long = {
+    val parts = headPartitionBy
+    require(!cols.exists(parts.contains),
+      s"cannot z-order by partition column(s) ${cols.filter(parts.contains).mkString(", ")}")
+    write(ZOrder.layout(read(), cols, numFiles, bits, partitionPrefix = parts),
+      s"zorder_${cols.mkString("_")}", partitionBy = parts)
+  }
 
   /** VACUUM (M4): physically delete data older than the last `keepLast`
     * commits (manifest keeps the audit trail). Reference-counted: a dir

@@ -79,11 +79,16 @@ object ZOrder {
 
   /** Rewrite `df` in z-order across `numFiles` range partitions of the
     * z-value (each file covers a compact z-range => tight min/max stats on
-    * every clustered dimension). */
+    * every clustered dimension). `partitionPrefix` lists the table's Hive
+    * partition columns: prepending them to the range/sort keys z-orders
+    * WITHIN each partition value (Delta OPTIMIZE ZORDER semantics — the
+    * z-curve never crosses a partition boundary inside one file). */
   def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int = 8): DataFrame =
+      bits: Int = 8, partitionPrefix: Seq[String] = Seq.empty): DataFrame = {
+    val keys = (partitionPrefix :+ "_z").map(col)
     withZValue(df, cols, bits)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("_z")
+  }
 }

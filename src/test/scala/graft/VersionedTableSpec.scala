@@ -817,6 +817,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(removed == Seq(0L, 1L) && t.read().count() == 3)
   }
 
+  test("clusterZOrder on a partitioned head z-orders within partitions, layout intact") {
+    val rootDir = Files.createTempDirectory("graft_vt_zpart_").toString + "/t"
+    val t = new VersionedTable(spark, rootDir)
+    t.write(
+      (1 to 200).map(i => (i.toLong, (i * 37 % 100).toLong, s"p${i % 3}"))
+        .toDF("x", "y", "k").repartition(8),
+      partitionBy = Seq("k"))
+    val v1 = t.clusterZOrder(Seq("x", "y"), numFiles = 6)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(rootDir, s"v=$v1"))
+      .iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p))
+      .map(_.getFileName.toString).toSet
+    assert(dirs == Set("k=p0", "k=p1", "k=p2"), s"z-order flattened: $dirs")
+    assert(t.read().count() == 200)
+    // skipping still works on each z dimension independently
+    assert(t.readWhere("x", 1L, 20L).count() ==
+      t.read().filter(col("x").between(1, 20)).count())
+    assert(t.readWhere("y", 0L, 10L).count() ==
+      t.read().filter(col("y").between(0, 10)).count())
+    // z-ordering BY a partition column is refused, like Delta
+    val err = intercept[IllegalArgumentException](t.clusterZOrder(Seq("k")))
+    assert(err.getMessage.contains("partition column"))
+  }
+
   test("compact and restore preserve a partitioned head's Hive layout") {
     val rootDir = Files.createTempDirectory("graft_vt_layout_").toString + "/t"
     val t = new VersionedTable(spark, rootDir)
