@@ -449,6 +449,82 @@ object Embeddings extends QueryGroup {
         SELECT label, a_id, b_id,
                floor(cos * 1000000) / 1000000.0 AS cos
         FROM pairs
-        WHERE floor(cos * 1000000) / 1000000.0 >= 0.3"""))
+        WHERE floor(cos * 1000000) / 1000000.0 >= 0.3""")),
+
+    // E6: one exact Lloyd's (k-means) iteration — the clustering primitive
+    // behind cluster-balanced corpus sampling and SemDeDup-style curation
+    // (d8 consumes centroids like these). Seeds are the k lowest vec_ids
+    // (deterministic, SF-portable); each vector goes to the argmin squared-
+    // L2 centroid (tie → lowest cid), and the update step emits the new
+    // per-dimension centroid means plus member counts.
+    //
+    // Exactness: dist = <v,v> - 2<v,c> + <c,c> with the same sequential
+    // double folds as e1 (bit-identical on both engines; a seed's distance
+    // to itself is exactly 0.0, so no cluster can come out empty). The
+    // update mean floor-scales each component to integer micros BEFORE
+    // summing, so the cross-member sum is integer (order-independent under
+    // any partitioning) and the final division is one double op from exact
+    // integers on both sides.
+    //
+    // Scale: the centroid side is k broadcast rows — the corpus streams
+    // through scoring with NO shuffle; the per-vector argmin is a map-side-
+    // combinable min(struct) (collapses to 1 row/vector before any
+    // exchange), and the update is a (cluster, dim)-keyed shuffle of
+    // integer micros that partial-aggregates to k·dim rows per task. At
+    // 100 TB you raise k and iterate: each round is one broadcast + one
+    // combinable shuffle — Lloyd's is embarrassingly Spark-shaped.
+    "e6_kmeans_step" -> QueryDef(
+      build = (s, d) => {
+        val k = 8
+        val v = Tables.embeddings(s, d)
+          .repartition(16)
+          .select(col("vec_id"), col("embedding"))
+        val c0 = broadcast(v.orderBy(col("vec_id").asc).limit(k)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        val assigned = v.crossJoin(c0)
+          .select(col("vec_id"),
+            struct(
+              (dot(col("embedding"), col("embedding"))
+                - lit(2.0) * dot(col("embedding"), col("ce"))
+                + dot(col("ce"), col("ce"))).as("dist"),
+              col("cid"),
+              col("embedding").as("e")).as("cand"))
+          .groupBy("vec_id").agg(min(col("cand")).as("m"))
+          .select(col("m.cid").as("cluster_id"), col("m.e").as("e"))
+        assigned
+          .select(col("cluster_id"), posexplode(col("e")))
+          .select(col("cluster_id"), col("pos").cast("long").as("dim"),
+            floor(col("col").cast("double") * 1000000.0).cast("long").as("micro"))
+          .groupBy("cluster_id", "dim")
+          .agg(count(lit(1)).as("n_members"), sum(col("micro")).as("sum_micro"))
+          .withColumn("c_val",
+            col("sum_micro").cast("double") /
+              (col("n_members").cast("double") * 1000000.0))
+      },
+      oracle = Some(s"""
+        WITH c0 AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+        scored AS (
+          SELECT v.vec_id, c.cid, v.embedding,
+                 ${sqlDotOf("v.embedding", "v.embedding")}
+                   - 2.0 * ${sqlDotOf("v.embedding", "c.ce")}
+                   + ${sqlDotOf("c.ce", "c.ce")} AS dist
+          FROM embeddings v CROSS JOIN c0 c),
+        assigned AS (
+          SELECT vec_id, cid, embedding,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist ASC, cid ASC) AS rn
+          FROM scored),
+        comps AS (
+          SELECT cid AS cluster_id, r.i - 1 AS dim,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+          FROM assigned CROSS JOIN range(1, ${EmbDim + 1}) r(i)
+          WHERE rn = 1)
+        SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+               count(*) AS n_members,
+               CAST(sum(micro) AS BIGINT) AS sum_micro,
+               CAST(sum(micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
+        FROM comps GROUP BY cluster_id, dim"""))
   )
 }

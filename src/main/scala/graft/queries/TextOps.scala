@@ -636,6 +636,85 @@ object TextOps extends QueryGroup {
         SELECT source, count(*) AS n_docs,
                CAST(sum(len($sqlTokens)) AS BIGINT) AS n_tokens,
                CAST((sum(len($sqlTokens)) + 2047) // 2048 AS BIGINT) AS n_packs
-        FROM silver GROUP BY source"""))
+        FROM silver GROUP BY source""")),
+
+    // T16: Okapi BM25 retrieval scoring (k1=1.2, b=0.75) — the ranking
+    // kernel behind benchmark decontamination at the passage level (t8
+    // finds verbatim overlap; BM25 finds *paraphrase-shaped* leakage) and
+    // behind retrieval-based corpus curation. The query is corpus-driven
+    // and deterministic: the 3 highest-df tokens of length ≥ 6 (tie →
+    // lexicographic), so the same definition is meaningful at every SF.
+    //
+    // Exactness: tf/df/dl are integers; avgdl and idf are single double
+    // expressions written operation-for-operation identically in both
+    // engines (ln only — the t14/t15-proven exposure); each per-(doc,term)
+    // partial is floor-scaled to integer micros BEFORE the per-doc sum, so
+    // aggregation order can never move a bit. Top-20 uses the total order
+    // (bm25_micro DESC, doc_id ASC).
+    //
+    // Scale: the token stream materializes once and feeds dl/df/tf; df is
+    // a distinct + map-side-combinable count; the query side is 3
+    // broadcast rows (an inverted-index probe, not a scan-wide join); the
+    // per-doc sum is one keyed shuffle of ≤|Q| rows per doc; top-k is
+    // TakeOrderedAndProject (never a global sort). At 100 TB the df table
+    // IS the inverted index: build once, broadcast the query slice.
+    "t16_bm25_retrieval" -> QueryDef(
+      build = (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .localCheckpoint(true)
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val totals = broadcast(dl.agg(
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+          count(lit(1)).cast("double").as("nd")))
+        val dfTab = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val qterms = broadcast(dfTab.filter(length(col("token")) >= 6)
+          .orderBy(col("df").desc, col("token").asc).limit(3))
+        val tf = tok.join(qterms, "token")
+          .groupBy(col("doc_id"), col("token"), col("df"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(dl, "doc_id")
+          .crossJoin(totals)
+          .withColumn("idf",
+            log(lit(1.0) + (col("nd") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5)))
+          .withColumn("micro",
+            floor((col("idf") *
+              ((col("tf").cast("double") * 2.2) /
+                (col("tf").cast("double") +
+                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+              * 1000000.0).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("bm25_micro"))
+          .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) AS DOUBLE) AS nd FROM dl),
+        df AS (SELECT token, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        q AS (SELECT token, df FROM df WHERE length(token) >= 6
+              ORDER BY df DESC, token ASC LIMIT 3),
+        tf AS (SELECT t.doc_id, t.token, q.df, count(*) AS tf
+               FROM tok t JOIN q ON t.token = q.token
+               GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT f.doc_id,
+                 CAST(floor(
+                   (ln(1.0 + ((nd - CAST(f.df AS DOUBLE)) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+                    * ((CAST(f.tf AS DOUBLE) * 2.2) /
+                       (CAST(f.tf AS DOUBLE) +
+                         1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
+                   * 1000000.0) AS BIGINT) AS micro
+          FROM tf f JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_terms,
+               CAST(sum(micro) AS BIGINT) AS bm25_micro
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20"""))
   )
 }

@@ -116,4 +116,31 @@ class EmbeddingsSpec extends SparkSpec {
     // not noise (everything in the pipeline is deterministic).
     assert(recall >= 0.7, f"ANN recall@5 $recall%.3f below the 0.7 gate")
   }
+
+  test("e6 k-means step: planted geometry assigns and averages exactly") {
+    // seeds are the 8 lowest vec_ids: seed i sits at x = 10i; member 8+i
+    // sits at x = 10i + 1, unambiguously nearest seed i. Every cluster
+    // then holds exactly {seed, member} and the dim-0 mean is 10i + 0.5
+    // (exact: integer micros, one final division).
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_").toString
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Array(10f * i, 0f, 0f, 0f), 0)
+    } ++ (0 until 8).map { i =>
+      (8L + i, Array(10f * i + 1f, 0f, 0f, 0f), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("e6_kmeans_step")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(got.size == 8 * 4, s"expected 8 clusters x 4 dims, got ${got.size}")
+    (0 until 8).foreach { i =>
+      assert(got((i.toLong, 0L)) == ((2L, 10.0 * i + 0.5)),
+        s"cluster $i dim 0: ${got((i.toLong, 0L))}")
+      (1 to 3).foreach { d =>
+        assert(got((i.toLong, d.toLong)) == ((2L, 0.0)),
+          s"cluster $i dim $d must average to exactly 0")
+      }
+    }
+  }
 }

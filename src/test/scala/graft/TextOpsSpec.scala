@@ -81,4 +81,45 @@ class TextOpsSpec extends SparkSpec {
     assert(got(9L) == ((4L, rareNll)), s"rare doc: ${got(9L)} != $rareNll")
     assert(rareNll > commonNll)
   }
+
+  test("t16: BM25 micros match the closed form; non-matching docs excluded") {
+    // query terms (df desc, token asc among len>=6): quantum(4),
+    // gradient(3), synthesis(3); epsilon has df=1 and is never selected
+    val dir = docsDir(Seq(
+      1L -> "quantum synthesis gradient alpha",
+      2L -> "quantum quantum synthesis gradient beta gamma",
+      3L -> "quantum synthesis gradient",
+      4L -> "alpha beta",
+      5L -> "quantum epsilon"))
+    val dls = Map(1L -> 4L, 2L -> 6L, 3L -> 3L, 4L -> 2L, 5L -> 2L)
+    val dfs = Map("quantum" -> 4L, "gradient" -> 3L, "synthesis" -> 3L)
+    val tfs = Map( // (doc, term) -> tf, for terms present only
+      (1L, "quantum") -> 1L, (1L, "gradient") -> 1L, (1L, "synthesis") -> 1L,
+      (2L, "quantum") -> 2L, (2L, "gradient") -> 1L, (2L, "synthesis") -> 1L,
+      (3L, "quantum") -> 1L, (3L, "gradient") -> 1L, (3L, "synthesis") -> 1L,
+      (5L, "quantum") -> 1L)
+    val nd = 5.0
+    val avgdl = dls.values.sum.toDouble / nd
+    // the exact double expression the query computes, operation for operation
+    def micro(doc: Long, term: String): Long = {
+      val df = dfs(term).toDouble; val tf = tfs((doc, term)).toDouble
+      val idf = math.log(1.0 + ((nd - df) + 0.5) / (df + 0.5))
+      val part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dls(doc) / avgdl)))
+      math.floor((idf * part) * 1000000.0).toLong
+    }
+    val expected = tfs.keys.toSeq.groupBy(_._1).map { case (doc, ks) =>
+      doc -> ((ks.size.toLong, ks.map { case (d, t) => micro(d, t) }.sum))
+    }
+    val got = SparkEntry.queries("t16_bm25_retrieval")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L), s"doc 4 matches no term: ${got.keySet}")
+    expected.foreach { case (doc, exp) =>
+      assert(got(doc) == exp, s"doc $doc: got ${got(doc)}, closed form $exp")
+    }
+    // length normalization: same tfs, shorter doc outranks; and a
+    // single-low-idf-term doc trails every all-terms doc
+    assert(got(3L)._2 > got(1L)._2, "shorter dl must outrank at equal tf")
+    assert(Seq(1L, 2L, 3L).forall(d => got(d)._2 > got(5L)._2),
+      "one low-idf term cannot outrank three-term matches")
+  }
 }
