@@ -466,31 +466,41 @@ object Embeddings extends QueryGroup {
     // any partitioning) and the final division is one double op from exact
     // integers on both sides.
     //
-    // Scale: the centroid side is k broadcast rows — the corpus streams
-    // through scoring with NO shuffle; the per-vector argmin is a map-side-
-    // combinable min(struct) (collapses to 1 row/vector before any
-    // exchange), and the update is a (cluster, dim)-keyed shuffle of
-    // integer micros that partial-aggregates to k·dim rows per task. At
-    // 100 TB you raise k and iterate: each round is one broadcast + one
-    // combinable shuffle — Lloyd's is embarrassingly Spark-shaped.
+    // Scale: all k centroids ride ONE broadcast row (sorted struct array),
+    // so assignment is a row-local fold — the corpus embeddings are never
+    // shuffled at all (a groupBy-argmin formulation would exchange a full
+    // vector per row; .explain showed exactly that, which is why this is a
+    // fold). The only shuffle in the whole query is the (cluster, dim)-
+    // keyed update of integer micros, which partial-aggregates to k·dim
+    // rows per task. At 100 TB you raise k and iterate: each Lloyd round
+    // is one k-row broadcast + one combinable micro shuffle.
     "e6_kmeans_step" -> QueryDef(
       build = (s, d) => {
         val k = 8
+        // repartition = local-parallelism shim for the single small test
+        // file (same as e1); a real multi-split scan needs no exchange
         val v = Tables.embeddings(s, d)
           .repartition(16)
           .select(col("vec_id"), col("embedding"))
+        // one row holding all k seed centroids, sorted by cid so the
+        // fold's strict < keeps the LOWEST cid on a distance tie
         val c0 = broadcast(v.orderBy(col("vec_id").asc).limit(k)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+          .agg(sort_array(collect_list(
+            struct(col("vec_id").as("cid"), col("embedding").as("ce")))).as("cs")))
         val assigned = v.crossJoin(c0)
-          .select(col("vec_id"),
-            struct(
-              (dot(col("embedding"), col("embedding"))
-                - lit(2.0) * dot(col("embedding"), col("ce"))
-                + dot(col("ce"), col("ce"))).as("dist"),
-              col("cid"),
-              col("embedding").as("e")).as("cand"))
-          .groupBy("vec_id").agg(min(col("cand")).as("m"))
-          .select(col("m.cid").as("cluster_id"), col("m.e").as("e"))
+          .withColumn("vv", dot(col("embedding"), col("embedding")))
+          .withColumn("m", aggregate(
+            col("cs"),
+            struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cid")),
+            (acc, c) => {
+              val dist = col("vv") -
+                lit(2.0) * dot(col("embedding"), c.getField("ce")) +
+                dot(c.getField("ce"), c.getField("ce"))
+              when(dist < acc.getField("dist"),
+                struct(dist.as("dist"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            }))
+          .select(col("m.cid").as("cluster_id"), col("embedding").as("e"))
         assigned
           .select(col("cluster_id"), posexplode(col("e")))
           .select(col("cluster_id"), col("pos").cast("long").as("dim"),
