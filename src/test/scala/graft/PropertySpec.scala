@@ -214,4 +214,88 @@ class PropertySpec extends SparkSpec {
         s"v$v (n=$nFile, m=$m, k=$h): measured FPP $measured > ${2 * fpp}")
     }
   }
+
+  /** Sequential double fold — bit-identical to the engine's vec_dot. */
+  private def refDot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  test("t16 BM25 equals an independent in-memory reference on random corpora") {
+    val rnd = new Random(7)
+    val vocab = Seq("aa", "bb", "cc", "dd", // short: never query terms
+      "alphatok", "betatoken", "gammatok", "deltatok", "epsilontok")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // reference: plain Scala, same operation order as the query
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.size }
+    val nd = dl.size.toDouble
+    val avgdl = dl.values.sum.toDouble / nd
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val q = dfm.filter(_._1.length >= 6).toSeq
+      .sortBy { case (t, df) => (-df, t) }.take(3)
+    assert(q.size == 3, s"fixture must yield 3 query terms: $q")
+    val expected = toks.toSeq.flatMap { case (id, ts) =>
+      q.flatMap { case (term, df) =>
+        val tf = ts.count(_ == term).toDouble
+        if (tf == 0) None else Some {
+          val idf = math.log(1.0 + ((nd - df.toDouble) + 0.5) / (df.toDouble + 0.5))
+          val part = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+          id -> math.floor((idf * part) * 1000000.0).toLong
+        }
+      } match {
+        case ms if ms.isEmpty => None
+        case ms => Some(id -> ((ms.size.toLong, ms.map(_._2).sum)))
+      }
+    }.sortBy { case (id, (_, s)) => (-s, id) }.take(20)
+
+    val got = SparkEntry.queries("t16_bm25_retrieval")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toSeq
+    assert(got == expected, s"BM25 mismatch:\n got $got\n exp $expected")
+  }
+
+  test("e6 k-means step equals an independent in-memory reference on random vectors") {
+    val rnd = new Random(11)
+    val dim = 6
+    val vecs = (0L until 60L).map { id =>
+      id -> Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_km2_").toString
+    vecs.map { case (id, e) => (id, e, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val seeds = vecs.take(8)
+    val assigned = vecs.map { case (id, v) =>
+      val vv = refDot(v, v)
+      val best = seeds.map { case (cid, c) =>
+        (vv - 2.0 * refDot(v, c) + refDot(c, c), cid)
+      }.minBy { case (dist, cid) => (dist, cid) }
+      (best._2, v)
+    }
+    val expected = assigned.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, d) =>
+        (cid, d.toLong) -> math.floor(x.toDouble * 1000000.0).toLong
+      }
+    }.groupBy(_._1).map { case (k, xs) =>
+      val n = xs.size.toLong
+      val s = xs.map(_._2).sum
+      k -> ((n, s, s.toDouble / (n.toDouble * 1000000.0)))
+    }
+
+    val got = SparkEntry.queries("e6_kmeans_step")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected,
+      s"k-means mismatch: ${got.toSeq.diff(expected.toSeq).take(3)} vs ${expected.toSeq.diff(got.toSeq).take(3)}")
+  }
 }
