@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the clustering
+  * primitive behind cluster-balanced corpus sampling and SemDeDup-style
+  * curation (queries e6/d8). Shaped for Spark's execution model:
+  *
+  *  - ALL k centroids ride ONE broadcast row (a struct array sorted by
+  *    cid), so assignment is a row-local fold — the corpus is never
+  *    shuffled, at any corpus size. A groupBy-argmin formulation would
+  *    exchange a full vector per row; `.explain` on the first cut showed
+  *    exactly that, which is why this is a fold.
+  *  - The update step floor-scales each component to integer micros
+  *    BEFORE summing, so the cross-member sum is integer — deterministic
+  *    under any partitioning or merge order — and the mean is one double
+  *    division from exact integers. The only shuffle per round is this
+  *    (cluster, dim)-keyed exchange of longs, partial-aggregated to
+  *    k·dim rows per task.
+  *  - Iterating is one k-row localCheckpoint per round (the same k-row
+  *    driver-side footprint MLlib's own KMeans pays), keeping the plan
+  *    shallow however many rounds run.
+  *
+  * Seeds are the k lowest vec_ids: deterministic and scale-portable —
+  * swap in k-means|| sampling at real scale without touching the loop.
+  * Expects columns `vec_id` (long) and `embedding` (float/double array).
+  */
+object KMeans {
+
+  private def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** k deterministic seed centroids (`cid`, `ce`) = the k lowest vec_ids. */
+  def seedCentroids(vectors: DataFrame, k: Int): DataFrame =
+    vectors.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Assign every vector to its nearest centroid (squared L2; distance
+    * tie → lowest cid, because the struct array is sorted by cid and the
+    * fold keeps the first strict minimum). Zero-shuffle: the corpus
+    * streams through one broadcast-nested-loop join against a single
+    * packed centroid row. Output: vec_id, cluster_id, dist, embedding. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cs = broadcast(centroids.agg(sort_array(collect_list(
+      struct(col("cid"), col("ce")))).as("cs")))
+    vectors.crossJoin(cs)
+      .withColumn("vv", dot(col("embedding"), col("embedding")))
+      .withColumn("m", aggregate(
+        col("cs"),
+        struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val dist = col("vv") -
+            lit(2.0) * dot(col("embedding"), c.getField("ce")) +
+            dot(c.getField("ce"), c.getField("ce"))
+          when(dist < acc.getField("dist"),
+            struct(dist.as("dist"), c.getField("cid").as("cid")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("m.cid").as("cluster_id"),
+        col("m.dist").as("dist"), col("embedding"))
+  }
+
+  /** Centroid update from integer-micro component sums — deterministic
+    * under any partitioning. Output one row per (cluster_id, dim):
+    * n_members, sum_micro, and the new mean c_val. */
+  def updateMicro(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster_id"), posexplode(col("embedding")))
+      .select(col("cluster_id"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000000.0).cast("long").as("micro"))
+      .groupBy("cluster_id", "dim")
+      .agg(count(lit(1)).as("n_members"), sum(col("micro")).as("sum_micro"))
+      .withColumn("c_val",
+        col("sum_micro").cast("double") /
+          (col("n_members").cast("double") * 1000000.0))
+
+  /** Reassemble (`cid`, `ce`) centroid rows from an [[updateMicro]]
+    * result. Clusters that lost every member simply produce no row. */
+  def centroidsFrom(update: DataFrame): DataFrame =
+    update.groupBy("cluster_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("c_val")))),
+        s => s.getField("c_val")).as("ce"))
+      .select(col("cluster_id").as("cid"), col("ce"))
+
+  /** `iters` full Lloyd rounds from the k-lowest-id seeds. Each round's
+    * centroids are k rows, eagerly checkpointed so the plan never deepens
+    * with the iteration count. */
+  def fit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    var c = seedCentroids(vectors, k).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      c = centroidsFrom(updateMicro(assign(vectors, c))).localCheckpoint(true)
+      i += 1
+    }
+    c
+  }
+
+  /** Within-cluster sum of squared distances — the Lloyd objective.
+    * Plain double sum: summation order is partition-dependent at ulp
+    * scale, so compare with a tolerance, never for equality. */
+  def sse(vectors: DataFrame, centroids: DataFrame): Double =
+    assign(vectors, centroids).agg(sum(col("dist")))
+      .collect()(0).getDouble(0)
+}

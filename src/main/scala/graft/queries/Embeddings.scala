@@ -476,40 +476,16 @@ object Embeddings extends QueryGroup {
     // is one k-row broadcast + one combinable micro shuffle.
     "e6_kmeans_step" -> QueryDef(
       build = (s, d) => {
+        import graft.ops.KMeans
         val k = 8
         // repartition = local-parallelism shim for the single small test
         // file (same as e1); a real multi-split scan needs no exchange
         val v = Tables.embeddings(s, d)
           .repartition(16)
           .select(col("vec_id"), col("embedding"))
-        // one row holding all k seed centroids, sorted by cid so the
-        // fold's strict < keeps the LOWEST cid on a distance tie
-        val c0 = broadcast(v.orderBy(col("vec_id").asc).limit(k)
-          .agg(sort_array(collect_list(
-            struct(col("vec_id").as("cid"), col("embedding").as("ce")))).as("cs")))
-        val assigned = v.crossJoin(c0)
-          .withColumn("vv", dot(col("embedding"), col("embedding")))
-          .withColumn("m", aggregate(
-            col("cs"),
-            struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cid")),
-            (acc, c) => {
-              val dist = col("vv") -
-                lit(2.0) * dot(col("embedding"), c.getField("ce")) +
-                dot(c.getField("ce"), c.getField("ce"))
-              when(dist < acc.getField("dist"),
-                struct(dist.as("dist"), c.getField("cid").as("cid")))
-                .otherwise(acc)
-            }))
-          .select(col("m.cid").as("cluster_id"), col("embedding").as("e"))
-        assigned
-          .select(col("cluster_id"), posexplode(col("e")))
-          .select(col("cluster_id"), col("pos").cast("long").as("dim"),
-            floor(col("col").cast("double") * 1000000.0).cast("long").as("micro"))
-          .groupBy("cluster_id", "dim")
-          .agg(count(lit(1)).as("n_members"), sum(col("micro")).as("sum_micro"))
-          .withColumn("c_val",
-            col("sum_micro").cast("double") /
-              (col("n_members").cast("double") * 1000000.0))
+        // the oracle checks the shared ops/KMeans kernel directly: one
+        // zero-shuffle fold assignment + one integer-micro mean update
+        KMeans.updateMicro(KMeans.assign(v, KMeans.seedCentroids(v, k)))
       },
       oracle = Some(s"""
         WITH c0 AS (
