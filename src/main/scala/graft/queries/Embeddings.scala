@@ -511,6 +511,51 @@ object Embeddings extends QueryGroup {
                count(*) AS n_members,
                CAST(sum(micro) AS BIGINT) AS sum_micro,
                CAST(sum(micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
-        FROM comps GROUP BY cluster_id, dim"""))
+        FROM comps GROUP BY cluster_id, dim""")),
+
+    // E7: cluster-balanced diversity sample — the downstream USE of e6's
+    // clustering in a curation pipeline: an equal-sized, deterministic
+    // per-cluster sample (5 per cluster, lowest vec_id first) so a
+    // training mix draws evenly across embedding-space regions instead of
+    // oversampling the dense ones. Assignment is the shared ops/KMeans
+    // zero-shuffle fold; the embedding is DROPPED before the per-cluster
+    // rank, so the only shuffle moves (cluster_id, vec_id) pairs — 16
+    // bytes a row at any corpus size — and Spark's WindowGroupLimit
+    // forwards at most 5 rows per cluster from each map task (the w8
+    // pattern). rank() by vec_id is a total order: fully deterministic.
+    "e7_cluster_sample" -> QueryDef(
+      build = (s, d) => {
+        import graft.ops.KMeans
+        val v = Tables.embeddings(s, d)
+          .repartition(16)
+          .select(col("vec_id"), col("embedding"))
+        val assigned = KMeans.assign(v, KMeans.seedCentroids(v, 8))
+          .select(col("cluster_id"), col("vec_id"))
+        assigned
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cluster_id")).orderBy(col("vec_id").asc)))
+          .filter(col("rn") <= 5)
+          .withColumn("rn", col("rn").cast("long"))
+      },
+      oracle = Some(s"""
+        WITH c0 AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+        scored AS (
+          SELECT v.vec_id, c.cid,
+                 ${sqlDotOf("v.embedding", "v.embedding")}
+                   - 2.0 * ${sqlDotOf("v.embedding", "c.ce")}
+                   + ${sqlDotOf("c.ce", "c.ce")} AS dist
+          FROM embeddings v CROSS JOIN c0 c),
+        assigned AS (
+          SELECT vec_id, cid AS cluster_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist ASC, cid ASC) AS pick
+          FROM scored)
+        SELECT cluster_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY vec_id ASC) AS BIGINT) AS rn
+        FROM assigned WHERE pick = 1
+        QUALIFY rn <= 5"""))
   )
 }

@@ -142,5 +142,14 @@ class EmbeddingsSpec extends SparkSpec {
           s"cluster $i dim $d must average to exactly 0")
       }
     }
+    // e7 on the same geometry: each cluster contributes exactly its two
+    // members, seed first (lowest vec_id)
+    val sample = SparkEntry.queries("e7_cluster_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(sample.size == 16, s"2 members x 8 clusters: ${sample.size}")
+    (0 until 8).foreach { i =>
+      assert(sample((i.toLong, 1L)) == i.toLong, s"cluster $i rank 1 = seed")
+      assert(sample((i.toLong, 2L)) == 8L + i, s"cluster $i rank 2 = twin")
+    }
   }
 }
