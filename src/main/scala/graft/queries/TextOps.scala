@@ -715,6 +715,63 @@ object TextOps extends QueryGroup {
         SELECT doc_id, count(*) AS n_terms,
                CAST(sum(micro) AS BIGINT) AS bm25_micro
         FROM scored GROUP BY doc_id
-        ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20"""))
+        ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""")),
+
+    // T17: temperature-scaled source rebalancing — the standard multi-
+    // source/multilingual mixing technique (weights ∝ n^α): upweight
+    // small sources, damp dominant ones, then draw a deterministic
+    // pseudo-random per-source sample to quota. α = 0.5 on purpose:
+    // sqrt is IEEE-correctly-rounded on BOTH engines (a general pow()
+    // is not), so the single float op per source is bit-exact, and all
+    // quota math after the floor-to-micro is pure integer division.
+    // Selection inside a source orders by (content md5, doc_id) — a
+    // deterministic stand-in for a uniform draw that reproduces on any
+    // cluster with no RNG state.
+    //
+    // Scale: the per-source counts and quotas are a handful of broadcast
+    // rows; the corpus pays one source-keyed rank (only (source, hash,
+    // id) shuffle — text stays put via the late select). At 100 TB,
+    // exact quotas (this shape) need the per-source sort; the cheap
+    // variant flips to a hash-threshold admit (hash < quota/n scaled),
+    // which is rank-free, at the cost of ±√quota sample-size jitter.
+    "t17_temperature_mix" -> QueryDef(
+      build = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val counts = doc.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("wm",
+            floor(sqrt(col("n").cast("double")) * 1000000.0).cast("long"))
+        // 40% token... doc budget, temperature-split: quota_i = wm_i*B/W
+        val tot = broadcast(counts.agg(
+          sum(col("wm")).as("W"), expr("sum(n) * 2 div 5").as("B")))
+        val quotas = broadcast(counts.crossJoin(tot)
+          .withColumn("quota", expr("wm * B div W"))
+          .select("source", "quota"))
+        doc
+          .withColumn("rnk", row_number().over(
+            w.partitionBy(col("source"))
+              .orderBy(fingerprint(col("text")), col("doc_id"))).cast("long"))
+          .join(quotas, "source")
+          .filter(col("rnk") <= col("quota"))
+          .select("source", "doc_id", "rnk")
+      },
+      oracle = Some(s"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        w AS (SELECT source, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS wm
+              FROM c),
+        tot AS (SELECT CAST(sum(wm) AS BIGINT) AS W,
+                       CAST(sum(n) AS BIGINT) * 2 // 5 AS B FROM w),
+        q AS (SELECT source, wm * B // W AS quota FROM w CROSS JOIN tot),
+        ranked AS (
+          SELECT source, doc_id,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                            doc_id) AS BIGINT) AS rnk
+          FROM documents)
+        SELECT r.source, r.doc_id, r.rnk
+        FROM ranked r JOIN q USING (source)
+        WHERE r.rnk <= q.quota"""))
   )
 }

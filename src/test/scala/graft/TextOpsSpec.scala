@@ -122,4 +122,28 @@ class TextOpsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(d => got(d)._2 > got(5L)._2),
       "one low-idf term cannot outrank three-term matches")
   }
+
+  test("t17: sqrt-temperature quotas — small sources upweighted vs proportional") {
+    // sources of 16/4/1 docs: wm = 4e6/2e6/1e6, W = 7e6, budget = 21*2/5 = 8
+    // → quotas 32/7=4, 16/7=2, 8/7=1. A proportional split would give
+    // 6/1/0 — the temperature boosts C from 0 to 1 and damps A from 6 to 4.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tmix_").toString
+    val docs = (1 to 16).map(i => (i.toLong, s"adoc number$i words", "A")) ++
+      (1 to 4).map(i => (100L + i, s"bdoc number$i words", "B")) :+
+      ((200L, "cdoc only words", "C"))
+    docs.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t17_temperature_mix")(spark, dir).collect()
+    val perSource = got.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perSource == Map("A" -> 4, "B" -> 2, "C" -> 1),
+      s"quota math: $perSource")
+    // ranks within each source are 1..quota (the hash order is a
+    // permutation, so the kept set is exactly the quota prefix)
+    got.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length),
+        s"$src ranks must be the 1..quota prefix")
+    }
+  }
 }
