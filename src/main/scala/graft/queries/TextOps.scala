@@ -772,6 +772,81 @@ object TextOps extends QueryGroup {
           FROM documents)
         SELECT r.source, r.doc_id, r.rnk
         FROM ranked r JOIN q USING (source)
-        WHERE r.rnk <= q.quota"""))
+        WHERE r.rnk <= q.quota""")),
+
+    // T18: DSIR-style importance weighting (Data Selection via Importance
+    // Resampling) — rank out-of-domain documents by how much more likely
+    // a TARGET-domain unigram LM finds them than the corpus LM:
+    // w(d) = Σ_tok ln(p_target(tok) / p_corpus(tok)), Laplace-smoothed.
+    // The target domain is the lexicographically first source
+    // (deterministic at every SF); candidates are all other sources.
+    // Complements t15: perplexity filters junk, DSIR pulls what LOOKS
+    // like the domain you want more of.
+    //
+    // Exactness: both smoothed probabilities are ratios of integers, so
+    // each per-token weight is ONE ln of an integer-product ratio
+    // (floor-scaled to micros before the per-doc sum — t14/t15's proven
+    // exposure); products stay far under 2^63. Top-50 by the total
+    // order (dsir_micro DESC, doc_id ASC).
+    //
+    // Scale: the token stream materializes once; both LMs are map-side-
+    // combinable token counts; the per-token weight table is vocab-sized
+    // (broadcastable here; at 100 TB it becomes a plain keyed join — the
+    // hashed-feature variant in the paper exists precisely to keep that
+    // table small); top-k is TakeOrderedAndProject.
+    "t18_dsir_importance" -> QueryDef(
+      build = (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+          .localCheckpoint(true)
+        val tgt = broadcast(tok.agg(min(col("source")).as("tgt")))
+        // one pass for both LM totals + vocab size
+        val totals = broadcast(tok.crossJoin(tgt).agg(
+          count(lit(1)).as("Tc"),
+          count(when(col("source") === col("tgt"), 1)).as("Tt"),
+          countDistinct(col("token")).as("V")))
+        val cc = tok.groupBy("token").agg(count(lit(1)).as("cc"))
+        val ct = tok.crossJoin(tgt).filter(col("source") === col("tgt"))
+          .groupBy("token").agg(count(lit(1)).as("ct"))
+        val weights = cc.join(ct, Seq("token"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(totals)
+          .withColumn("w_micro",
+            floor(log(((col("ct") + 1L) * (col("Tc") + col("V"))).cast("double") /
+              ((col("cc") + 1L) * (col("Tt") + col("V"))).cast("double"))
+              * 1000000.0).cast("long"))
+          .select("token", "w_micro")
+        tok.crossJoin(tgt).filter(col("source") =!= col("tgt"))
+          .join(broadcast(weights), "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("dsir_micro"))
+          .orderBy(col("dsir_micro").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, unnest($sqlTokens) AS token FROM documents),
+        tgt AS (SELECT min(source) AS tgt FROM tok),
+        tot AS (
+          SELECT count(*) AS Tc,
+                 count(CASE WHEN source = tgt THEN 1 END) AS Tt,
+                 count(DISTINCT token) AS V
+          FROM tok CROSS JOIN tgt),
+        cc AS (SELECT token, count(*) AS cc FROM tok GROUP BY 1),
+        ct AS (SELECT token, count(*) AS ct FROM tok CROSS JOIN tgt
+               WHERE source = tgt GROUP BY 1),
+        w AS (
+          SELECT cc.token,
+                 CAST(floor(ln(
+                   CAST((coalesce(ct.ct, 0) + 1) * (Tc + V) AS DOUBLE) /
+                   CAST((cc.cc + 1) * (Tt + V) AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS w_micro
+          FROM cc LEFT JOIN ct ON cc.token = ct.token CROSS JOIN tot)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(w.w_micro) AS BIGINT) AS dsir_micro
+        FROM tok t CROSS JOIN tgt JOIN w ON t.token = w.token
+        WHERE t.source <> tgt
+        GROUP BY t.doc_id
+        ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50"""))
   )
 }

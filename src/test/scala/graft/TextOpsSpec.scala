@@ -146,4 +146,35 @@ class TextOpsSpec extends SparkSpec {
         s"$src ranks must be the 1..quota prefix")
     }
   }
+
+  test("t18: DSIR micros match the closed form; domain-like docs outrank") {
+    // target = source 'a_tgt' (lexicographic min). domainword is target-
+    // loaded, otherword exists only in candidates, common is everywhere.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_").toString
+    val docs = Seq(
+      (1L, "domainword common", "a_tgt"), (2L, "domainword common", "a_tgt"),
+      (10L, "domainword common", "b_cand"), (11L, "common common", "b_cand"),
+      (12L, "otherword common", "b_cand"))
+    docs.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (tt, tc, v) = (4L, 10L, 3L)
+    val cc = Map("domainword" -> 3L, "common" -> 6L, "otherword" -> 1L)
+    val ct = Map("domainword" -> 2L, "common" -> 2L, "otherword" -> 0L)
+    def w(tok: String): Long =
+      math.floor(math.log(((ct(tok) + 1) * (tc + v)).toDouble /
+        ((cc(tok) + 1) * (tt + v)).toDouble) * 1000000.0).toLong
+    val expected = Map(
+      10L -> ((2L, w("domainword") + w("common"))),
+      11L -> ((2L, w("common") + w("common"))),
+      12L -> ((2L, w("otherword") + w("common"))))
+    val got = SparkEntry.queries("t18_dsir_importance")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got, closed form $expected")
+    // the domainword candidate must outrank common-only; the candidate-
+    // only token drags below the corpus-neutral doc
+    assert(got(10L)._2 > got(12L)._2 && got(12L)._2 > got(11L)._2,
+      "importance order must be domain-like > neutral > anti-domain")
+  }
 }
