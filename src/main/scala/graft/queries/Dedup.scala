@@ -513,6 +513,63 @@ object Dedup extends QueryGroup {
           FROM uniq)
         SELECT source, split, count(*) AS n_docs,
                CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
-        FROM assigned GROUP BY 1, 2"""))
+        FROM assigned GROUP BY 1, 2""")),
+
+    // D11: cross-source contamination matrix — for every (unordered)
+    // source pair, how many near-dup candidate pairs (d3's LSH band
+    // semantics, est_sim ≥ 0.5) link them. The governance report that
+    // tells you WHICH feeds copy each other before you spend a full
+    // dedup pass: off-diagonal mass = cross-feed contamination,
+    // diagonal = within-feed duplication.
+    //
+    // Scale: d3's banded pipeline (signatures row-local, band-bucket
+    // join moves only (band, hash, id)); the source lookup joins the
+    // tiny pair list against an (id, source) projection — text and
+    // signatures never move again; least/greatest canonicalizes the
+    // pair so the matrix is order-independent. Output is #sources², a
+    // constant, whatever the corpus size.
+    "d11_source_overlap" -> QueryDef(
+      build = (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        lshPairs(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select("a_id", "b_id")
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+          .groupBy(
+            least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      oracle = Some {
+        val simExpr = (0 until 16)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        shg AS (SELECT doc_id, $sqlShingles2 AS shingles FROM t),
+        sigs AS (
+          SELECT doc_id,
+               ${(0 until 16).map(sqlMinhash).mkString(",\n               ")}
+          FROM shg WHERE len(shingles) > 0),
+        withb AS (
+          SELECT *,
+               $sqlBandExprs
+          FROM sigs),
+        cand AS (
+          SELECT * FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ($simExpr) / 16.0 AS est_sim
+            FROM withb a JOIN withb b
+              ON a.doc_id < b.doc_id
+             AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+          WHERE est_sim >= 0.5)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM cand c
+        JOIN documents da ON c.a_id = da.doc_id
+        JOIN documents db ON c.b_id = db.doc_id
+        GROUP BY 1, 2"""
+      })
   )
 }

@@ -137,4 +137,20 @@ class DedupSpec extends SparkSpec {
     // total docs across splits = 40 keepers, never 43
     assert(got.values.map(_._1).sum == 40L)
   }
+
+  test("d11: contamination matrix counts cross- and within-source near-dup pairs") {
+    // srcA: two identical docs (1 within-pair); srcB: one copy of the
+    // same text (2 cross pairs to srcA) + one unrelated doc (no pairs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11_").toString
+    Seq((1L, base, "srcA"), (2L, base, "srcA"),
+      (3L, base, "srcB"), (4L, unrelated, "srcB"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d11_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("srcA", "srcA") -> 1L, ("srcA", "srcB") -> 2L),
+      s"matrix: $got")
+  }
 }
