@@ -22,7 +22,8 @@ import graft.functions.TextFunctions._
   *  - d4 verifies candidates exactly but only same-source pairs (bounded
   *    blocks), never all-pairs.
   *  - d5 SimHash gives a single compact signature per doc; near-dup =
-  *    small Hamming distance, joinable on rotated prefixes at scale.
+  *    small Hamming distance, found via pigeonhole bit-block banding
+  *    (see [[simhashBandedPairs]]) — never an all-pairs comparison.
   * d2/d3/d5 run on the PORTABLE md5 hash kernel
   * (TextFunctions.portableHash), which DuckDB reproduces bit-for-bit — so
   * every signature, band bucket, and Hamming pair below is fully
@@ -99,6 +100,46 @@ object Dedup extends QueryGroup {
         minhashSimilarity(col("a_sig"), col("b_sig")).as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.5)
+  }
+
+  /** D5's banded SimHash pair pipeline (the bit-block scheme of Manku et
+    * al., "Detecting Near-Duplicates for Web Crawling", WWW'07): the
+    * 60-bit signature splits into 7 contiguous blocks (9,9,9,9,8,8,8
+    * bits). Hamming(a,b) ≤ 6 can flip bits in at most 6 blocks, so by
+    * pigeonhole every qualifying pair agrees VERBATIM on at least one
+    * block — candidates form only inside (source, block_idx, block_bits)
+    * equi-join buckets (d3's LSH bucket shape) and survivors are
+    * Hamming-verified exactly. Lossless vs the all-pairs comparison
+    * (DedupSpec pins the parity on a seeded corpus) with the quadratic
+    * join gone: the corpus-side cost is 7 exploded rows per doc and a
+    * bucket join whose per-bucket work is k², k = docs sharing a 8–9-bit
+    * block within a source — near-dup-heavy buckets are exactly the pairs
+    * we want. At tighter Hamming budgets or extreme scale the same table
+    * generalizes to Manku's multi-block keys (join on combinations of
+    * B−k blocks) without changing the operator shape.
+    * Input needs (doc_id, source, sh); output (a_id, b_id, hamming ≤ 6).
+    */
+  private[graft] def simhashBandedPairs(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val blockDefs = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+    // the signature subtree feeds both join sides with differing
+    // projections, which blocks ReusedExchange (the d3/d9 lesson) —
+    // materialize once so tokenize+simhash runs a single time
+    val pinned = sigs.localCheckpoint(true)
+    val exploded = pinned.select(col("source"), col("doc_id"), col("sh"),
+      posexplode(array(blockDefs.map { case (off, sz) =>
+        shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << sz) - 1))
+      }: _*)).as(Seq("block_idx", "block_bits")))
+    val a = exploded.select(col("source"), col("block_idx"), col("block_bits"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = exploded.select(col("source"), col("block_idx"), col("block_bits"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("source", "block_idx", "block_bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct() // a pair may share several blocks; emit it once
   }
 
   /** DuckDB twin of the band hashes (columns b0..b3 over h0..h15). */
@@ -228,19 +269,14 @@ object Dedup extends QueryGroup {
 
     // D5: SimHash near-dup pairs — 60-bit portable signature, Hamming ≤ 6
     // within same-source blocks; signatures and distances oracle-checked.
+    // Pairs come from pigeonhole bit-block banding (simhashBandedPairs) —
+    // an equi-join on exact signature blocks, never an all-pairs compare.
     "d5_simhash_pairs" -> QueryDef(
-      build = (s, d) => {
-        val doc = Tables.documents(s, d)
+      build = (s, d) => simhashBandedPairs(
+        Tables.documents(s, d)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .filter(size(col("toks")) > 0)
-          .select(col("doc_id"), col("source"), simhashPortable60("toks").as("sh"))
-        val a = doc.select(col("source"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-        val b = doc.select(col("source"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-        a.join(b, "source")
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), hamming64(col("a_sh"), col("b_sh")).as("hamming"))
-          .filter(col("hamming") <= 6)
-      },
+          .select(col("doc_id"), col("source"), simhashPortable60("toks").as("sh"))),
       oracle = Some(s"""
         WITH t AS (
           SELECT doc_id, source, $sqlToks AS toks FROM documents),

@@ -88,6 +88,47 @@ class DedupSpec extends SparkSpec {
     assert(sigs.count() == 0)
   }
 
+  test("d5 banded SimHash pairs == all-pairs Hamming filter on a seeded corpus") {
+    // Pigeonhole losslessness check: 7 blocks over 60 bits guarantee a
+    // Hamming<=6 pair shares at least one block verbatim, so the banded
+    // equi-join must reproduce the all-pairs result EXACTLY — including
+    // pairs whose 6 differing bits all land in distinct blocks.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 30).map(i => (i.toLong, doc(40)))
+    // mutations of existing docs: 1-3 token swaps → small Hamming distances
+    val muts = (0 until 30).map { i =>
+      val (_, t) = bases(rnd.nextInt(bases.size))
+      val toks = t.split(" ")
+      val k = 1 + rnd.nextInt(3)
+      val mutated = (0 until k).foldLeft(toks) { (acc, _) =>
+        acc.updated(rnd.nextInt(acc.length), vocab(rnd.nextInt(vocab.size)))
+      }
+      (100L + i, mutated.mkString(" "))
+    }
+    val sigs = (bases ++ muts).toDF("doc_id", "text")
+      .withColumn("source", (col("doc_id") % 2).cast("string"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"), simhashPortable60("toks").as("sh"))
+    def toPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = toPairs(graft.queries.Dedup.simhashBandedPairs(sigs))
+    val allPairs = toPairs {
+      val a = sigs.select(col("source"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = sigs.select(col("source"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, "source").filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+        .filter(col("hamming") <= 6)
+    }
+    assert(banded == allPairs,
+      s"banded missed ${allPairs -- banded}, invented ${banded -- allPairs}")
+    assert(allPairs.nonEmpty, "seeded corpus must contain Hamming<=6 pairs")
+    // the seed must actually exercise non-zero distances
+    assert(allPairs.exists(_._3 > 0), "need pairs with 0 < hamming <= 6")
+  }
+
   test("d1 exact dedup keeps lowest doc_id per normalized text") {
     val messy = Seq((10L, "Hello  World"), (11L, "hello world"), (12L, "bye"))
       .toDF("doc_id", "text")
