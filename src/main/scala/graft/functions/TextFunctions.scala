@@ -42,6 +42,13 @@ object TextFunctions {
     * identical in any engine, unlike engine-native hash functions). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Engine-native fingerprint (xxhash64 of the normalized text) — the
+    * 100 TB pairing for [[fingerprint]]: 8 bytes instead of a 32-char
+    * md5 string and ~20× less hash CPU, with the same admission
+    * decisions (KernelParitySpec pins the parity). Not reproducible
+    * outside the engine, hence not the oracle configuration. */
+  def fingerprintNative(text: Column): Column = xxhash64(normalize(text))
+
   /** Token n-gram shingles ("a b c", n=2 → ["a b","b c"]). Documents with
     * fewer than n tokens yield an empty array — `sequence(1, stop)` must
     * never see stop < 1 (Spark then DESCENDS, emitting index 0, which

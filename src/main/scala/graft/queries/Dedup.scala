@@ -148,6 +148,59 @@ object Dedup extends QueryGroup {
     s"${sqlPortableHash(s"concat($vals)", s"b$b:")} AS b$b"
   }.mkString(",\n               ")
 
+  /** D9's incremental-admission pipeline with a pluggable banded-hash
+    * kernel (portable md5 = the oracle configuration; xxhash64 = the
+    * 100 TB configuration, KernelParitySpec pins decision parity).
+    * Input needs (doc_id, text); doc_id % 5 == 0 plays the incoming
+    * batch, the rest the existing corpus. */
+  private[graft] def incrementalDedup(docs: org.apache.spark.sql.DataFrame,
+      kernel: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = portableKernel,
+      bandKernel: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column = portableHash)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 5 === 0).as("is_new"),
+        fingerprint(col("text")).as("fp")) // d1's exact-dedup kernel
+    // materialized once: new and corpus sides are differing filters of
+    // the same subtree, which blocks ReusedExchange — without this the
+    // sign pipeline runs once per join side
+    val banded = bandedSignatures(base, carry = Seq("is_new"), kernel, bandKernel)
+      .select("doc_id", "is_new", "band_hash")
+      .localCheckpoint(true)
+    val near = banded.filter(col("is_new"))
+      .join(banded.filter(!col("is_new"))
+        .select(col("doc_id").as("c_id"), col("band_hash")), "band_hash")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("c_id")).as("n_near_candidates"))
+    val corpusFp = base.filter(!col("is_new")).select("fp").distinct()
+      .withColumn("dup", lit(true))
+    base.filter(col("is_new"))
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("exact_dup"))
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_near_candidates"), lit(0L)).as("n_near_candidates"),
+        (!col("exact_dup")).as("admit"))
+  }
+
+  /** D11's contamination matrix with a pluggable banded-hash kernel —
+    * same kernel contract as [[incrementalDedup]]. Input needs
+    * (doc_id, text, source). */
+  private[graft] def sourceOverlap(docs: org.apache.spark.sql.DataFrame,
+      kernel: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = portableKernel,
+      bandKernel: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column = portableHash)
+      : org.apache.spark.sql.DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    lshPairs(docs.select(col("doc_id"), col("text")), kernel, bandKernel)
+      .select("a_id", "b_id")
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** D4's exact-Jaccard pair computation, shared with d6's clustering.
     *
     * Prefix-filtered (the PPJoin family, Xiao et al. WWW'08): a naive
@@ -453,32 +506,8 @@ object Dedup extends QueryGroup {
     // static pre-built index keyed by band hash, and each incoming batch
     // probes it without re-signing the corpus.
     "d9_incremental_dedup" -> QueryDef(
-      build = (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), col("text"),
-            (col("doc_id") % 5 === 0).as("is_new"),
-            fingerprint(col("text")).as("fp")) // d1's exact-dedup kernel
-        // materialized once: new and corpus sides are differing filters of
-        // the same subtree, which blocks ReusedExchange — without this the
-        // sign pipeline runs once per join side
-        val banded = bandedSignatures(base, carry = Seq("is_new"))
-          .select("doc_id", "is_new", "band_hash")
-          .localCheckpoint(true)
-        val near = banded.filter(col("is_new"))
-          .join(banded.filter(!col("is_new"))
-            .select(col("doc_id").as("c_id"), col("band_hash")), "band_hash")
-          .groupBy("doc_id")
-          .agg(countDistinct(col("c_id")).as("n_near_candidates"))
-        val corpusFp = base.filter(!col("is_new")).select("fp").distinct()
-          .withColumn("dup", lit(true))
-        base.filter(col("is_new"))
-          .join(corpusFp, Seq("fp"), "left")
-          .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("exact_dup"))
-          .join(near, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("exact_dup"),
-            coalesce(col("n_near_candidates"), lit(0L)).as("n_near_candidates"),
-            (!col("exact_dup")).as("admit"))
-      },
+      build = (s, d) => incrementalDedup(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
       oracle = Some {
         s"""
         WITH base AS (
@@ -565,17 +594,8 @@ object Dedup extends QueryGroup {
     // pair so the matrix is order-independent. Output is #sources², a
     // constant, whatever the corpus size.
     "d11_source_overlap" -> QueryDef(
-      build = (s, d) => {
-        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        lshPairs(Tables.documents(s, d).select(col("doc_id"), col("text")))
-          .select("a_id", "b_id")
-          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
-          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
-          .groupBy(
-            least(col("sa"), col("sb")).as("source_a"),
-            greatest(col("sa"), col("sb")).as("source_b"))
-          .agg(count(lit(1)).as("n_pairs"))
-      },
+      build = (s, d) => sourceOverlap(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))),
       oracle = Some {
         val simExpr = (0 until 16)
           .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")

@@ -23,6 +23,31 @@ import graft.streaming.Streams
   */
 object Streaming extends QueryGroup {
 
+  /** ST14's admission pipeline with a pluggable fingerprint kernel —
+    * portable md5 ([[graft.functions.TextFunctions.fingerprint]], the
+    * oracle configuration) vs engine-native xxhash64
+    * ([[graft.functions.TextFunctions.fingerprintNative]], the 100 TB
+    * configuration; KernelParitySpec pins that both admit the same
+    * doc_ids). A continuous crawl stream (doc_id % 5 == 0 plays the
+    * incoming batch) is admitted only if its content fingerprint is
+    * absent from the existing corpus, via a stream-static LEFT ANTI
+    * join — stateless, so no watermark or store to size. */
+  private[graft] def corpusAdmission(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.fingerprint): org.apache.spark.sql.DataFrame = {
+    val corpusFp = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(fp(col("text")).as("fp"))
+      .distinct()
+    val incoming = Streams.tableStream(s, d, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), fp(col("text")).as("fp"))
+    Streams.runToMemory(
+      incoming.join(corpusFp, Seq("fp"), "left_anti"), "append")
+      .select(col("doc_id"), col("fp"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // ST1+ST3: watermarked tumbling-window aggregation (1h windows per
     // event type), complete mode (ST9) for batch-equivalent output.
@@ -415,19 +440,7 @@ object Streaming extends QueryGroup {
     // per micro-batch; the stream never re-signs the corpus, and state is
     // ZERO — admission is stateless, so no watermark or store to size.
     "st14_stream_corpus_dedup" -> QueryDef(
-      build = (s, d) => {
-        val corpusFp = Tables.documents(s, d)
-          .filter(col("doc_id") % 5 =!= 0)
-          .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-          .distinct()
-        val incoming = Streams.tableStream(s, d, "documents")
-          .filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-        Streams.runToMemory(
-          incoming.join(corpusFp, Seq("fp"), "left_anti"), "append")
-          .select(col("doc_id"), col("fp"))
-      },
+      build = (s, d) => corpusAdmission(s, d),
       oracle = Some("""
         WITH fps AS (
           SELECT doc_id,

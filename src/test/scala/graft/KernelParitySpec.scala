@@ -41,6 +41,71 @@ class KernelParitySpec extends SparkSpec {
       s"native kernel: ${native.diff(planted)} extra / ${planted.diff(native)} missing")
   }
 
+  /** Corpus shaped for the d9/st14 admission semantics: doc_id % 5 == 0
+    * plays the incoming batch; corpus-side copies (ids 1001–1004, none
+    * divisible by 5) of four NEW docs plant exact dups the admission
+    * must catch under either kernel. */
+  private def admissionCorpus() = {
+    val rnd = new Random(7)
+    val base = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(40)(s"w${rnd.nextInt(5000)}").mkString(" "))
+    }
+    val copies = (0 until 4).map(i => (1001L + i, base(i * 5)._2))
+    (base ++ copies).toDF("doc_id", "text")
+  }
+
+  test("d9 incremental dedup: xxhash64 and md5 banded kernels agree row-for-row") {
+    val docs = admissionCorpus()
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toSet
+    val portable = run(Dedup.incrementalDedup(docs))
+    val native = run(Dedup.incrementalDedup(docs, xxhashKernel, xxhashBandKernel))
+    assert(portable == native,
+      s"portable-only ${portable -- native}, native-only ${native -- portable}")
+    // the planted corpus copies must be flagged under both kernels
+    val flagged = portable.filter(_._2).map(_._1)
+    assert(flagged == Set(0L, 5L, 10L, 15L), s"exact dups flagged: $flagged")
+    assert(portable.filter(r => Set(0L, 5L, 10L, 15L)(r._1)).forall(_._3 >= 1L),
+      "exact dups must also band-collide with their corpus twin")
+  }
+
+  test("d11 contamination matrix: xxhash64 and md5 banded kernels agree") {
+    val docs = corpus().withColumn("source",
+      when(col("doc_id") < 1000, "crawlA").otherwise("crawlB"))
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val portable = run(Dedup.sourceOverlap(docs))
+    val native = run(Dedup.sourceOverlap(docs, xxhashKernel, xxhashBandKernel))
+    val expected = Map(("crawlA", "crawlB") -> 20L) // the 20 planted cross-source dups
+    assert(portable == expected, s"portable matrix: $portable")
+    assert(native == expected, s"native matrix: $native")
+  }
+
+  test("st14 corpus admission: md5 and xxhash64 fingerprints admit the same doc_ids") {
+    // match the testdata layout: documents.parquet is a single FILE (the
+    // streaming source symlinks it), not a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_st14_par_").toString
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st14_w_").toString
+    admissionCorpus()
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("crawl").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    def admitted(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val portable = admitted(graft.queries.Streaming.corpusAdmission(spark, dir))
+    val native = admitted(graft.queries.Streaming.corpusAdmission(spark, dir,
+      graft.functions.TextFunctions.fingerprintNative))
+    val expectedNew = (0L until 120L).filter(_ % 5 == 0).toSet -- Set(0L, 5L, 10L, 15L)
+    assert(portable == expectedNew, s"portable admitted: ${portable -- expectedNew} extra, " +
+      s"${expectedNew -- portable} missing")
+    assert(native == expectedNew, s"native admitted: ${native -- expectedNew} extra, " +
+      s"${expectedNew -- native} missing")
+  }
+
   test("native-kernel signatures equal independently computed per-seed minima") {
     // pins minhashSignature's array/transform plumbing under xxhash64:
     // sig[seed] must equal min over the doc's shingles of
