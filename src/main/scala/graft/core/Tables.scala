@@ -37,6 +37,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Local-parallelism shim for single-file scans: spread a small
+    * one-split table across the session's cores (`defaultParallelism`,
+    * never a baked-in count — on a 1000-executor cluster this follows
+    * the cluster, on local[5] it follows local[5]). A real multi-split
+    * 100 TB scan already yields enough partitions and needs no exchange;
+    * use only where a one-file test input would serialize the pipeline. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Injected "as of" clock (SURVEY.md §7.4.3): all recency/freshness math
     * uses these fixed instants instead of wall-clock so the DuckDB oracle
     * hash-matches deterministically. Orders span 1995-01-01..2001-08-01;

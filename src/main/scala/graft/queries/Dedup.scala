@@ -436,7 +436,7 @@ object Dedup extends QueryGroup {
     "d8_semdedup" -> QueryDef(
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .withColumn("nrm", sqrt(call_function("vec_dot",
             col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
           .select(col("vec_id"),

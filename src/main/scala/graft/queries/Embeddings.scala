@@ -73,7 +73,7 @@ object Embeddings extends QueryGroup {
     "e1_cosine_topk" -> QueryDef(
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -196,7 +196,7 @@ object Embeddings extends QueryGroup {
     "e4_ann_ivf" -> QueryDef(
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -304,7 +304,7 @@ object Embeddings extends QueryGroup {
         // column-pruned parquet scan under the re-rank joins remains
         // auditable in the final plan (PushdownSpec reads its ReadSchema).
         val vn = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -424,7 +424,7 @@ object Embeddings extends QueryGroup {
     "e3_embedding_neardup" -> QueryDef(
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .withColumn("nrm", norm(col("embedding")))
           .select(col("label"), col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -481,7 +481,7 @@ object Embeddings extends QueryGroup {
         // repartition = local-parallelism shim for the single small test
         // file (same as e1); a real multi-split scan needs no exchange
         val v = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .select(col("vec_id"), col("embedding"))
         // the oracle checks the shared ops/KMeans kernel directly: one
         // zero-shuffle fold assignment + one integer-micro mean update
@@ -527,7 +527,7 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         import graft.ops.KMeans
         val v = Tables.embeddings(s, d)
-          .repartition(16)
+          .transform(Tables.spread)
           .select(col("vec_id"), col("embedding"))
         val assigned = KMeans.assign(v, KMeans.seedCentroids(v, 8))
           .select(col("cluster_id"), col("vec_id"))
