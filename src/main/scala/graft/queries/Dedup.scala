@@ -441,7 +441,7 @@ object Dedup extends QueryGroup {
             col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
-        val cents = vn.filter(col("vec_id") % 20 === 0)
+        val cents = Embeddings.sqrtSample(vn, vn)
           .select(col("vec_id").as("cid"), col("ne").as("ce"))
         val assign = vn.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("ne"),
@@ -471,7 +471,8 @@ object Dedup extends QueryGroup {
                    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(range(1, len(embedding)+1),
                         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) AS ne
           FROM embeddings),
-        c AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id % 20 = 0),
+        c AS (SELECT vec_id AS cid, ne AS ce FROM n, ${Embeddings.sqlCentStats}
+              WHERE ${Embeddings.sqlCentGate}),
         avb AS (
           SELECT n.vec_id, c.cid,
                  list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos

@@ -64,6 +64,37 @@ object Embeddings extends QueryGroup {
       if (graft.functions.TextFunctions.portableHash60(s"$p:$i") % 2 == 0) 1.0 else -1.0
     }
 
+  /** Deterministic √N centroid/codebook sample for d8/e4/e5: admit
+    * vec_ids with pmod(portableHash(vec_id), n_vecs) < k_cent, where
+    * k_cent = ceil(√n_vecs). Unlike the previous `vec_id % 20` rule
+    * (sample grows linearly with the corpus), the admitted count tracks
+    * √N — at 100 TB the codebook stays bounded while cluster sizes grow
+    * as √N, the standard IVF sizing (SCALE.md's claim, now implemented).
+    * The (n_vecs, k_cent) scalars ride in as a broadcast 1-row aggregate
+    * computed from `counted` (one row per vector) — no driver-side
+    * count(), no collect. `df` is the frame to gate (may be multi-row
+    * per vec_id, e.g. e5's subspace slices). Deterministic under any
+    * partitioning; the DuckDB oracle applies [[sqlCentGate]], the exact
+    * same rule. */
+  private[graft] def sqrtSample(df: org.apache.spark.sql.DataFrame,
+      counted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.crossJoin(broadcast(counted
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(col("n_vecs"),
+          ceil(sqrt(col("n_vecs"))).cast("long").as("k_cent"))))
+      .filter(pmod(graft.functions.TextFunctions.portableHash(
+        col("vec_id").cast("string"), "cent:"), col("n_vecs")) < col("k_cent"))
+      .drop("n_vecs", "k_cent")
+
+  /** DuckDB twin of [[sqrtSample]]'s admission predicate; pair with
+    * [[sqlCentStats]] in the FROM clause. */
+  private[graft] val sqlCentGate =
+    "(CAST(concat('0x', substr(md5(concat('cent:', CAST(vec_id AS VARCHAR))),1,15)) AS BIGINT) % n_vecs) < k_cent"
+
+  /** DuckDB twin of the broadcast (n_vecs, k_cent) stats row. */
+  private[graft] val sqlCentStats =
+    "(SELECT count(*) AS n_vecs, CAST(ceil(sqrt(count(*))) AS BIGINT) AS k_cent FROM embeddings) stats"
+
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
     // Vectors are L2-normalized ONCE up front (cosine = plain dot after),
@@ -184,14 +215,14 @@ object Embeddings extends QueryGroup {
       }),
 
     // E4: ANN via IVF (inverted file index) — the OTHER standard ANN scale
-    // path next to e2's LSH. Centroids are a deterministic corpus sample
-    // (every 20th vector — production IVF trains them offline; the index
-    // shape is identical), every vector is assigned to its nearest
-    // centroid (one broadcast scoring pass + one keyed argmax shuffle),
-    // and each query probes its 5 nearest centroids' buckets only. Every
-    // step is deterministic arithmetic, so unlike most ANN indexes this
-    // one is FULLY oracle-checked. At 100 TB: more centroids (~sqrt(N)),
-    // same probe join keyed on centroid id (probe count tunes recall/cost: 3→0.78, 5→higher), hot buckets salt like any
+    // path next to e2's LSH. Centroids are a deterministic hash-threshold
+    // corpus sample sized ~√N (sqrtSample — production IVF trains them
+    // offline; the index shape is identical), every vector is assigned to
+    // its nearest centroid (one broadcast scoring pass + one keyed argmax
+    // shuffle), and each query probes its 5 nearest centroids' buckets
+    // only. Every step is deterministic arithmetic, so unlike most ANN
+    // indexes this one is FULLY oracle-checked. At 100 TB the √N sizing
+    // holds as-is; the probe join stays keyed on centroid id (probe count tunes recall/cost), hot buckets salt like any
     // skewed key.
     "e4_ann_ivf" -> QueryDef(
       build = (s, d) => {
@@ -200,7 +231,7 @@ object Embeddings extends QueryGroup {
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
-        val cents = vn.filter(col("vec_id") % 20 === 0)
+        val cents = sqrtSample(vn, vn)
           .select(col("vec_id").as("cid"), col("ne").as("ce"))
         // nearest centroid per vector: argmax by (cos, -cid) — ties to
         // the lowest centroid id, same as the oracle's row_number order
@@ -239,7 +270,7 @@ object Embeddings extends QueryGroup {
                  list_transform(embedding,
                    x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
           FROM embeddings),
-        c AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id % 20 = 0),
+        c AS (SELECT vec_id AS cid, ne AS ce FROM n, $sqlCentStats WHERE $sqlCentGate),
         avb AS (
           SELECT n.vec_id, c.cid,
                  list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
@@ -281,7 +312,7 @@ object Embeddings extends QueryGroup {
     // top-k, so only |Q|·partitions·50 rows shuffle. The ADC top-50
     // shortlist is then re-ranked EXACTLY (the standard PQ serving
     // pipeline: at 100 TB the full-precision pass touches |Q|·50 vectors,
-    // not the corpus — measured recall@5 0.911 on the e1-shared queries vs ADC-only ~0.44). Every
+    // not the corpus — measured recall@5 0.889 on the e1-shared queries vs ADC-only ~0.44). Every
     // step is deterministic arithmetic → fully oracle-checked; recall
     // additionally gated vs exact in EmbeddingsSpec.
     "e5_pq_adc_topk" -> QueryDef(
@@ -313,9 +344,10 @@ object Embeddings extends QueryGroup {
           .select(col("vec_id"), col("s"),
             slice(col("ne"), ((col("s") - 1) * subDim + 1).cast("int"), lit(subDim)).as("sv"))
           .localCheckpoint(true)
-        // codebook: subspace slices of every 20th vector; rnk is the
-        // centroid's dense 1-based index (same order both engines)
-        val cents = sub.filter(col("vec_id") % 20 === 0)
+        // codebook: subspace slices of a ~√N hash-threshold vector sample
+        // (sqrtSample); rnk is the centroid's dense 1-based index (same
+        // order both engines)
+        val cents = sqrtSample(sub, vn)
           .select(col("s"),
             dense_rank().over(Window.partitionBy(col("s")).orderBy(col("vec_id"))).as("rnk"),
             col("sv").as("cv"))
@@ -380,7 +412,7 @@ object Embeddings extends QueryGroup {
           FROM n, unnest(range(1, 17)) AS t(s)),
         cent AS (
           SELECT s, dense_rank() OVER (PARTITION BY s ORDER BY vec_id) AS rnk, sv AS cv
-          FROM sub WHERE vec_id % 20 = 0),
+          FROM sub, $sqlCentStats WHERE $sqlCentGate),
         enc AS (
           SELECT sub.vec_id, sub.s, cent.rnk,
                  list_sum(list_transform(range(1, 5),

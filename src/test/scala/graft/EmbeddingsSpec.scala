@@ -69,12 +69,12 @@ class EmbeddingsSpec extends SparkSpec {
       e1(q).intersect(e4(q)).size.toDouble / e1(q).size
     }.sum / shared.size
     info(f"IVF recall@5 vs exact top-k: $recall%.3f over ${shared.size} shared queries")
-    // 5-probe measured recall@5 = 0.822 (3-probe was 0.778); deterministic
+    // 5-probe measured recall@5 = 0.733 with the ~sqrt(N) centroid sample; deterministic
     assert(recall >= 0.7, f"IVF recall@5 $recall%.3f below the 0.7 gate")
   }
 
   test("e5 PQ recall gate: >= 0.8 against exact top-k on shared queries at sf0.01") {
-    // PQ + ADC shortlist-50 + exact re-rank; measured recall@5 = 0.911 on the e1-shared queries
+    // PQ + ADC shortlist-50 + exact re-rank; measured recall@5 = 0.889 on the e1-shared queries
     // (ADC-only would be 0.436 — the re-rank stage is what makes PQ a
     // serving-grade index). Deterministic end to end.
     val sf = "/root/testdata/sf0.01"
