@@ -101,6 +101,7 @@ object KMeans {
     * Plain double sum: summation order is partition-dependent at ulp
     * scale, so compare with a tolerance, never for equality. */
   def sse(vectors: DataFrame, centroids: DataFrame): Double =
-    assign(vectors, centroids).agg(sum(col("dist")))
+    assign(vectors, centroids)
+      .agg(coalesce(sum(col("dist")), lit(0.0)).as("sse")) // empty input → 0, not a SQL NULL NPE
       .collect()(0).getDouble(0)
 }

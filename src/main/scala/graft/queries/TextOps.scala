@@ -722,8 +722,13 @@ object TextOps extends QueryGroup {
     // small sources, damp dominant ones, then draw a deterministic
     // pseudo-random per-source sample to quota. α = 0.5 on purpose:
     // sqrt is IEEE-correctly-rounded on BOTH engines (a general pow()
-    // is not), so the single float op per source is bit-exact, and all
-    // quota math after the floor-to-micro is pure integer division.
+    // is not), so the single float op per source is bit-exact. The
+    // quota itself is floor(wm·B/W) in IEEE double: multiply and divide
+    // are correctly rounded, so both engines produce identical quotas
+    // at ANY corpus size (an Int64 product wm·B would wrap silently in
+    // Spark but raise in DuckDB past ~4×10⁹ docs); below 2^53 the
+    // double math is exact, above it quotas stay engine-identical
+    // within one doc of true — under the draw's own √quota jitter.
     // Selection inside a source orders by (content md5, doc_id) — a
     // deterministic stand-in for a uniform draw that reproduces on any
     // cluster with no RNG state.
@@ -746,7 +751,9 @@ object TextOps extends QueryGroup {
         val tot = broadcast(counts.agg(
           sum(col("wm")).as("W"), expr("sum(n) * 2 div 5").as("B")))
         val quotas = broadcast(counts.crossJoin(tot)
-          .withColumn("quota", expr("wm * B div W"))
+          .withColumn("quota",
+            floor(col("wm").cast("double") * col("B").cast("double")
+              / col("W").cast("double")).cast("long"))
           .select("source", "quota"))
         doc
           .withColumn("rnk", row_number().over(
@@ -763,7 +770,10 @@ object TextOps extends QueryGroup {
               FROM c),
         tot AS (SELECT CAST(sum(wm) AS BIGINT) AS W,
                        CAST(sum(n) AS BIGINT) * 2 // 5 AS B FROM w),
-        q AS (SELECT source, wm * B // W AS quota FROM w CROSS JOIN tot),
+        q AS (SELECT source,
+                     CAST(floor(CAST(wm AS DOUBLE) * CAST(B AS DOUBLE)
+                                / CAST(W AS DOUBLE)) AS BIGINT) AS quota
+              FROM w CROSS JOIN tot),
         ranked AS (
           SELECT source, doc_id,
                  CAST(row_number() OVER (PARTITION BY source
@@ -784,10 +794,15 @@ object TextOps extends QueryGroup {
     // like the domain you want more of.
     //
     // Exactness: both smoothed probabilities are ratios of integers, so
-    // each per-token weight is ONE ln of an integer-product ratio
-    // (floor-scaled to micros before the per-doc sum — t14/t15's proven
-    // exposure); products stay far under 2^63. Top-50 by the total
-    // order (dsir_micro DESC, doc_id ASC).
+    // each per-token weight is ONE ln of a product ratio (floor-scaled
+    // to micros before the per-doc sum — t14/t15's proven exposure).
+    // Each factor casts to DOUBLE BEFORE the multiply: IEEE mult/div
+    // are correctly rounded, so the ln input is bit-identical across
+    // engines at any corpus size — an Int64 product (ct+1)·(Tc+V) would
+    // overflow past Tc ≈ 10¹³ corpus tokens (silent wrap in Spark,
+    // error in DuckDB); double factors never do, and below 2^53 the
+    // products are exact. Top-50 by the total order
+    // (dsir_micro DESC, doc_id ASC).
     //
     // Scale: the token stream materializes once; both LMs are map-side-
     // combinable token counts; the per-token weight table is vocab-sized
@@ -812,8 +827,9 @@ object TextOps extends QueryGroup {
           .na.fill(0L, Seq("ct"))
           .crossJoin(totals)
           .withColumn("w_micro",
-            floor(log(((col("ct") + 1L) * (col("Tc") + col("V"))).cast("double") /
-              ((col("cc") + 1L) * (col("Tt") + col("V"))).cast("double"))
+            floor(log(
+              (col("ct") + 1L).cast("double") * (col("Tc") + col("V")).cast("double") /
+                ((col("cc") + 1L).cast("double") * (col("Tt") + col("V")).cast("double")))
               * 1000000.0).cast("long"))
           .select("token", "w_micro")
         tok.crossJoin(tgt).filter(col("source") =!= col("tgt"))
@@ -838,8 +854,8 @@ object TextOps extends QueryGroup {
         w AS (
           SELECT cc.token,
                  CAST(floor(ln(
-                   CAST((coalesce(ct.ct, 0) + 1) * (Tc + V) AS DOUBLE) /
-                   CAST((cc.cc + 1) * (Tt + V) AS DOUBLE))
+                   CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(Tc + V AS DOUBLE) /
+                   (CAST(cc.cc + 1 AS DOUBLE) * CAST(Tt + V AS DOUBLE)))
                    * 1000000.0) AS BIGINT) AS w_micro
           FROM cc LEFT JOIN ct ON cc.token = ct.token CROSS JOIN tot)
         SELECT t.doc_id, count(*) AS n_tokens,

@@ -33,6 +33,12 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("sse on an empty vectors frame is 0.0, not an NPE") {
+    val v = randomVectors(10, 4, seed = 5)
+    val c = KMeans.seedCentroids(v, 2)
+    assert(KMeans.sse(v.filter(col("vec_id") < 0), c) == 0.0)
+  }
+
   test("fit on real testdata keeps centroid count and dimensionality") {
     val v = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))

@@ -13,7 +13,8 @@ run() { # run <sfdir> <cpus> <outdir>
   echo "=== verify $sfdir (local[$cpus]) -> $out"
   rm -rf "$out"
   SPARK_GRAFT_CPUS=$cpus sbt -batch "runMain graft.Verify $sfdir $out" \
-    > "$out.verify.log" 2>&1
+    > "$out.verify.log" 2>&1 \
+    || { echo "verify FAILED; tail of $out.verify.log:"; tail -20 "$out.verify.log"; exit 1; }
   # don't die inside the redirect — print the tail first, then gate
   python3 tools/selfcheck.py "$sfdir" "$out" > "$out.selfcheck.log" 2>&1 || true
   tail -3 "$out.selfcheck.log"
