@@ -8,12 +8,17 @@ import graft.quality.Quality
 /** Declarative pipeline runner — the OSS substitute for the reference's
   * DLT layer (src/dlt_pipelines modules, SURVEY.md §2.12): named table
   * definitions with expectations, dependency-resolved execution, per-table
-  * quality metrics.
+  * quality metrics, and per-table retry/timeout policies matching the
+  * reference's orchestration contract
+  * (orchestration/workflow_definitions.json:22-180: max_retries,
+  * min_retry_interval_millis, timeout_seconds, retry_on_timeout).
   *
   * A table body reads upstream tables via `read(name)`; dependencies are
   * whatever it actually reads (recorded at registration, declared
   * explicitly). Execution memoizes each table once per run — the DAG is
-  * topologically executed by recursion, cycles rejected.
+  * topologically executed by recursion, cycles rejected. A table that
+  * exhausts its retries throws, which stops its dependents exactly as an
+  * expectation-gate failure does.
   */
 final class Pipeline(spark: SparkSession) {
 
@@ -21,16 +26,19 @@ final class Pipeline(spark: SparkSession) {
       name: String,
       deps: Seq[String],
       rules: Seq[Quality.Rule],
+      policy: Pipeline.RetryPolicy,
       body: Map[String, DataFrame] => DataFrame)
 
   private val defs = mutable.LinkedHashMap.empty[String, TableDef]
   private val metricsLog = mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Register a table: `deps` are upstream table names passed to `body`. */
-  def table(name: String, deps: Seq[String] = Nil, rules: Seq[Quality.Rule] = Nil)(
+  /** Register a table: `deps` are upstream table names passed to `body`;
+    * `policy` governs retries/timeout of the table's build+gate. */
+  def table(name: String, deps: Seq[String] = Nil, rules: Seq[Quality.Rule] = Nil,
+      policy: Pipeline.RetryPolicy = Pipeline.RetryPolicy())(
       body: Map[String, DataFrame] => DataFrame): this.type = {
     require(!defs.contains(name), s"duplicate table $name")
-    defs(name) = TableDef(name, deps, rules, body)
+    defs(name) = TableDef(name, deps, rules, policy, body)
     this
   }
 
@@ -44,8 +52,12 @@ final class Pipeline(spark: SparkSession) {
       require(inFlight.add(name), s"dependency cycle through $name")
       val td = defs(name)
       val inputs = td.deps.map(dep => dep -> build(dep)).toMap
-      val raw = td.body(inputs)
-      val out =
+      // the attempt covers body + expectation gate: the gate is the
+      // materializing action for rule-bearing tables (a ruleless table's
+      // body is lazy plan construction — wrap your own action in the
+      // body if its failure should be retryable)
+      val out = Pipeline.withPolicy(name, td.policy) {
+        val raw = td.body(inputs)
         if (td.rules.isEmpty) raw
         else {
           val res = Quality.apply(raw, td.rules)
@@ -55,6 +67,7 @@ final class Pipeline(spark: SparkSession) {
             org.apache.spark.sql.functions.lit(name))
           res.clean
         }
+      }
       inFlight.remove(name)
       done(name) = out
       out
@@ -66,4 +79,61 @@ final class Pipeline(spark: SparkSession) {
 
   /** Per-table, per-rule pass/fail counts accumulated by the last run. */
   def metrics: Option[DataFrame] = metricsLog.reduceOption(_.unionByName(_))
+}
+
+object Pipeline {
+
+  /** Per-table retry/timeout contract, field-for-field the reference's
+    * task retry_policy + timeout_seconds
+    * (orchestration/workflow_definitions.json:22-180; its production
+    * defaults are maxRetries = 2, minRetryIntervalMillis = 60000,
+    * retryOnTimeout = true). Defaults here are inert (no retry, no
+    * timeout) so existing pipelines are unchanged. timeoutMillis <= 0
+    * disables the timeout. */
+  final case class RetryPolicy(
+      maxRetries: Int = 0,
+      minRetryIntervalMillis: Long = 0L,
+      timeoutMillis: Long = 0L,
+      retryOnTimeout: Boolean = true)
+
+  /** A table attempt exceeded its policy timeout. */
+  final class TaskTimeoutException(name: String, millis: Long)
+    extends RuntimeException(s"table $name timed out after ${millis}ms")
+
+  /** Run `thunk` under `policy`: per-attempt timeout on a daemon thread
+    * (cancelled with interrupt on expiry — Spark jobs abort on thread
+    * interrupt), up to maxRetries re-attempts with the configured pause.
+    * Deterministic failures (e.g. expectation-gate require) burn their
+    * retries and still throw — same observable contract as the
+    * reference, where the orchestrator can't tell flaky from broken. */
+  private[pipeline] def withPolicy[T](name: String, policy: RetryPolicy)(thunk: => T): T = {
+    def once(): T =
+      if (policy.timeoutMillis <= 0) thunk
+      else {
+        val task = new java.util.concurrent.FutureTask[T](() => thunk)
+        val t = new Thread(task, s"graft-pipeline-$name")
+        t.setDaemon(true)
+        t.start()
+        try task.get(policy.timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            task.cancel(true)
+            throw new TaskTimeoutException(name, policy.timeoutMillis)
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    var attemptsLeft = policy.maxRetries
+    while (true) {
+      try return once()
+      catch {
+        case e: Throwable =>
+          val retryable = !e.isInstanceOf[TaskTimeoutException] || policy.retryOnTimeout
+          if (attemptsLeft <= 0 || !retryable) throw e
+          attemptsLeft -= 1
+          if (policy.minRetryIntervalMillis > 0)
+            Thread.sleep(policy.minRetryIntervalMillis)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -63,6 +63,61 @@ class QualitySpec extends SparkSpec {
     assert(err.getMessage.contains("no_negatives"))
   }
 
+  test("pipeline retry: a flaky table succeeds on the second retry") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pipe = new Pipeline(spark)
+    pipe.table("flaky",
+      policy = Pipeline.RetryPolicy(maxRetries = 2)) { _ =>
+      if (attempts.incrementAndGet() < 3) sys.error("transient ingest failure")
+      df
+    }
+    pipe.table("downstream", deps = Seq("flaky")) { in => in("flaky") }
+    val out = pipe.run()
+    assert(attempts.get() == 3, s"expected 3 attempts, saw ${attempts.get()}")
+    assert(out("downstream").count() == df.count())
+  }
+
+  test("pipeline retry: a persistent failure exhausts retries and stops dependents") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dependentRan = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pipe = new Pipeline(spark)
+    pipe.table("broken",
+      policy = Pipeline.RetryPolicy(maxRetries = 2, minRetryIntervalMillis = 10)) { _ =>
+      attempts.incrementAndGet(); sys.error("permanent failure")
+    }
+    pipe.table("dependent", deps = Seq("broken")) { in =>
+      dependentRan.incrementAndGet(); in("broken")
+    }
+    val err = intercept[RuntimeException](pipe.run())
+    assert(err.getMessage.contains("permanent failure"))
+    assert(attempts.get() == 3, "1 attempt + 2 retries")
+    assert(dependentRan.get() == 0, "dependent must never build after upstream failure")
+  }
+
+  test("pipeline timeout: a hung table times out; retryOnTimeout=false fails fast") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pipe = new Pipeline(spark)
+    pipe.table("hung",
+      policy = Pipeline.RetryPolicy(maxRetries = 2, timeoutMillis = 200,
+        retryOnTimeout = false)) { _ =>
+      attempts.incrementAndGet(); Thread.sleep(10000); df
+    }
+    val err = intercept[Pipeline.TaskTimeoutException](pipe.run())
+    assert(err.getMessage.contains("timed out after 200ms"))
+    assert(attempts.get() == 1, "retryOnTimeout=false must not re-attempt")
+
+    // and with retryOnTimeout (the reference default), timeouts DO retry
+    val retried = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pipe2 = new Pipeline(spark)
+    pipe2.table("hung_then_ok",
+      policy = Pipeline.RetryPolicy(maxRetries = 1, timeoutMillis = 500)) { _ =>
+      if (retried.incrementAndGet() == 1) Thread.sleep(10000)
+      df
+    }
+    assert(pipe2.run()("hung_then_ok").count() == df.count())
+    assert(retried.get() == 2)
+  }
+
   test("pipeline: cycle detection") {
     val pipe = new Pipeline(spark)
     pipe.table("a", deps = Seq("b")) { in => in("b") }
