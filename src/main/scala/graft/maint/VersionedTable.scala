@@ -805,6 +805,125 @@ final class VersionedTable(spark: SparkSession, root: String) {
     write(clustered, s"cluster_${cols.mkString("_")}", partitionBy = parts)
   }
 
+  /** Partition-scoped OPTIMIZE (the M5/M6 `WHERE` variant — the
+    * reference runs OPTIMIZE with a partition filter,
+    * performance_optimization.py:42-76): re-cluster ONLY the Hive
+    * partition dirs whose partition-column values satisfy `predicate`.
+    * Every other data file carries into the new version BYTE-IDENTICAL
+    * via hard links (the local analogue of Delta OPTIMIZE keeping the
+    * untouched add-file entries in its log — on an object store this is
+    * a metadata copy, no data motion), and those files' data-skipping
+    * stats rows carry forward WITHOUT re-scanning. Rewrite + stats cost
+    * ∝ matched partitions, not table size — what makes a nightly
+    * OPTIMIZE affordable on a 100 TB table where only yesterday's
+    * partition changed.
+    *
+    * `predicate` may reference partition columns only (enforced before
+    * any work) — that is what guarantees it selects whole dirs. A
+    * logical-delete head must [[compact]] first: its version-wide
+    * predicates would be materialized in the rewritten dirs but silently
+    * dropped for the carried ones. No matching partition → no-op,
+    * returns the unchanged head. */
+  def clusterWhere(predicate: String, cols: Seq[String], numFiles: Int = 4): Long = {
+    import spark.implicits._
+    val refs = spark.sessionState.sqlParser.parseExpression(predicate)
+      .references.map(_.name).toSet
+    def toFsPath(u: String): String =
+      if (u.startsWith("file:")) u.stripPrefix("file:").replaceFirst("^//(?=/)", "")
+      else u
+    var attempt = 0
+    while (true) {
+      val head = latestVersion.getOrElse(sys.error(s"empty table at $root"))
+      val hc = commits.find(_.version == head).get
+      val parts = hc.partitionBy
+      require(parts.nonEmpty, s"clusterWhere needs a partitioned head at $root")
+      require(refs.nonEmpty && refs.subsetOf(parts.toSet),
+        s"clusterWhere predicate must reference only partition columns " +
+          s"(${parts.mkString(", ")}); got ${refs.mkString(", ")}")
+      require(hc.deletePredicates.isEmpty,
+        s"clusterWhere on a logical-delete head of $root: compact() first " +
+          "to materialize the delete predicates")
+      require(!cols.exists(parts.contains),
+        s"cannot cluster by partition column(s) ${cols.filter(parts.contains).mkString(", ")}")
+      val next = head + 1
+      val dir = Paths.get(dataDir(head)).toAbsolutePath.toString
+      val base = spark.read.parquet(dir)
+      // whole-dir match is guaranteed by the partition-column-only rule;
+      // partition pruning makes this listing a metadata-scale job
+      val matchedRel = base.filter(expr(predicate))
+        .select(input_file_name()).distinct()
+        .collect().map(r => toFsPath(r.getString(0)).stripPrefix(s"$dir/")).toSet
+      if (matchedRel.isEmpty) return head
+      val allRel = {
+        val s = Files.walk(Paths.get(dir))
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(p => p.toAbsolutePath.toString.stripPrefix(s"$dir/")).toVector
+        finally s.close()
+      }
+      val carriedRel = allRel.filterNot(matchedRel)
+      val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
+      val keys = (parts ++ cols).map(col)
+      base.filter(expr(predicate))
+        .repartitionByRange(numFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(s"$stage/data")
+      // stats: ONE scan over the rewritten dirs only; the carried files'
+      // rows come from the head's stats table, never from their data
+      val rewrittenRows = writeStats(s"$stage/data", s"$stage/stats_new")
+      val carriedStats = spark.read.parquet(statsDir(head))
+        .join(carriedRel.toDF("file"), Seq("file"), "left_semi")
+        .localCheckpoint(true)
+      val carriedRows = carriedStats.agg(coalesce(sum(col("cnt")), lit(0L)))
+        .collect()(0).getLong(0)
+      spark.read.parquet(s"$stage/stats_new").unionByName(carriedStats)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+      deleteTree(Paths.get(s"$stage/stats_new"))
+      carriedRel.foreach { rel =>
+        val src = Paths.get(dir, rel)
+        val dst = Paths.get(s"$stage/data", rel)
+        Files.createDirectories(dst.getParent)
+        // hard link = byte-identical share of the existing file; copy is
+        // the cross-device fallback (still byte-identical)
+        try Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(src, dst)
+        }
+      }
+      val rows = rewrittenRows + carriedRows
+      val won = VersionedTable.commitLock(root).synchronized {
+        if (latestVersion.map(_ + 1).getOrElse(0L) != next) false
+        else {
+          deleteTree(Paths.get(s"$root/_changes/v=$next"))
+          deleteTree(Paths.get(s"$root/v=$next"))
+          deleteTree(Paths.get(s"$root/_stats/v=$next"))
+          Files.createDirectories(Paths.get(s"$root/_stats"))
+          Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
+          Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
+          val partField = parts.map(c => s""""$c"""")
+            .mkString(""","partitionBy":[""", ",", "]")
+          Files.writeString(
+            manifestPath,
+            s"""{"version":$next,"operation":"cluster_where","rows":$rows$partField}""" + "\n",
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          true
+        }
+      }
+      deleteTree(Paths.get(stage))
+      if (won) {
+        maintainBloomIndexes(next)
+        return next
+      }
+      attempt += 1
+      if (attempt > 20) throw new IllegalStateException(
+        s"clusterWhere of $root contended $attempt times; giving up")
+    }
+    -1L // unreachable
+  }
+
   /** OPTIMIZE ZORDER BY (M6, the real space-filling curve): rewrite the
     * head in bit-interleaved z-order so [[readWhere]] prunes files on ANY
     * clustered column alone — a lexical sort only prunes on the leading

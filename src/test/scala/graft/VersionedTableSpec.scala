@@ -563,6 +563,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(rd.filter(col("status") === "F").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("clusterWhere rewrites only matching partition dirs; others carry byte-identical") {
+    val t = freshTable()
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map(i => (i, if (i % 2 == 0) "F" else "O", rnd.nextInt(1000)))
+      .toDF("id", "status", "k")
+      .repartition(4) // several files per partition dir
+    t.write(df, partitionBy = Seq("status"))
+    val root = t.detail().collect()(0).getString(0)
+    def fileBytes(version: Long, dir: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(s"$root/v=$version/$dir")
+      d.listFiles.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val beforeO = fileBytes(0, "status=O")
+    val beforeF = fileBytes(0, "status=F")
+    val v1 = t.clusterWhere("status = 'F'", Seq("k"), numFiles = 2)
+    assert(v1 == 1)
+    // untouched partition: same file names, same bytes
+    assert(fileBytes(1, "status=O") == beforeO, "status=O files must carry byte-identical")
+    // matched partition: actually rewritten (clustered into 2 files)
+    val afterF = fileBytes(1, "status=F")
+    assert(afterF.keySet != beforeF.keySet, "status=F must be rewritten")
+    assert(afterF.size == 2, s"expected 2 clustered files, got ${afterF.size}")
+    // data identical version-over-version; manifest row count exact
+    assert(t.read(Some(1)).count() == 400 && t.countFast(Some(1)) == 400)
+    assert(t.read(Some(0)).select("id").except(t.read(Some(1)).select("id")).isEmpty)
+    assert(t.history().filter(col("operation") === "cluster_where").count() == 1)
+    // stats carried + recomputed: readWhere on the cluster key still prunes
+    // and stays lossless; the carried dir's stats rows still resolve
+    val viaStats = t.readWhere("k", 0, 100).select("id")
+    assert(viaStats.except(t.read().filter(col("k").between(0, 100)).select("id")).isEmpty)
+    // predicate on a non-partition column is rejected before any work
+    val err = intercept[IllegalArgumentException](t.clusterWhere("k > 3", Seq("id")))
+    assert(err.getMessage.contains("partition columns"))
+    // no matching partition → no-op, head unchanged
+    assert(t.clusterWhere("status = 'ZZZ'", Seq("k")) == 1)
+    assert(t.latestVersion.contains(1L))
+  }
+
   test("partitioned write: stats skipping composes (readWhere prunes inside the layout)") {
     val t = freshTable()
     t.write(
