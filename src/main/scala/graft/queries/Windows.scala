@@ -15,9 +15,10 @@ import graft.core.Tables
   * (user_id / custkey / returnflag+month) — one hash-partition shuffle, no
   * global sort — EXCEPT w5/w6/w7 which the reference defines over a global
   * ordering. Those are inherently single-partition in any engine; our RFM
-  * scoring ships an additional percent_rank formulation (gold/Rfm.scala)
-  * for the 100 TB path, and w6/w7 operate on already-aggregated inputs
-  * (days / segments — tiny by construction).
+  * scoring ships an additional percent_rank formulation
+  * (`w9_percent_rank_scores` below) for the 100 TB path, and w6/w7
+  * operate on already-aggregated inputs (days / segments — tiny by
+  * construction).
   */
 object Windows extends QueryGroup {
 
@@ -125,8 +126,8 @@ object Windows extends QueryGroup {
         FROM monthly""")),
 
     // W5: ntile quintile scoring (RFM) — global window with deterministic
-    // unique-key tiebreaks. (percent_rank variant for scale lives in
-    // graft.gold.Rfm.)
+    // unique-key tiebreaks. (The partitioned percent_rank variant for
+    // scale is w9_percent_rank_scores.)
     "w5_rfm_ntile" -> QueryDef(
       build = (s, d) => {
         val rfm = Tables.orders(s, d).groupBy("o_custkey")
