@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{PortableHash60Expr, VecDot}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot expects exactly 2 arguments")
         VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_hash60"),
+      new ExpressionInfo(classOf[PortableHash60Expr].getName, "portable_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "portable_hash60 expects exactly 2 arguments: (s, prefix)")
+        PortableHash60Expr(children.head, children(1))
       }))
   }
 }

@@ -62,14 +62,17 @@ object TextFunctions {
   }
 
   /** Cross-engine-portable 60-bit hash: the decimal value of the first 15
-    * hex chars of md5(prefix ++ s). Bit-identical in Spark
-    * (`conv(substr(md5(..),1,15),16,10)`) and DuckDB
-    * (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`) — the hash family that
+    * hex chars of md5(prefix ++ s). Bit-identical to Spark's
+    * `conv(substr(md5(..),1,15),16,10)` and DuckDB's
+    * `CAST('0x'||substr(md5(..),1,15) AS BIGINT)` — the hash family that
     * lets MinHash/LSH/SimHash results be oracle-verified across engines.
-    * ~20× slower than xxhash64 per call; at 100 TB flip the kernel
-    * argument below back to the engine-native default. */
+    * Computed by the native codegen expression `portable_hash60`
+    * ([[PortableHash60Expr]] — thread-local digest over raw bytes, no
+    * hex-string/conv allocation; KernelParitySpec pins equality with the
+    * built-in chain). Still costlier than xxhash64; at 100 TB flip the
+    * kernel argument below to the engine-native default. */
   def portableHash(s: Column, prefix: String): Column =
-    conv(substring(md5(concat(lit(prefix), s)), 1, 15), 16, 10).cast("long")
+    call_function("portable_hash60", s, lit(prefix))
 
   /** JVM-side scalar twin of [[portableHash]] — the SAME md5-first-15-hex
     * kernel for plan-build-time constants (LSH plane weights) and
@@ -131,7 +134,7 @@ object TextFunctions {
     * DuckDB for oracle checks (60 bits because the portable hash is 15
     * hex chars). */
   def simhashPortable60(tokensColName: String): Column = {
-    val ph = "CAST(conv(substr(md5(concat('t:', t)), 1, 15), 16, 10) AS BIGINT)"
+    val ph = "portable_hash60(t, 't:')"
     val counts =
       s"""aggregate($tokensColName, array_repeat(0L, 60),
             (acc, t) -> zip_with(acc,

@@ -627,6 +627,7 @@ object Dedup extends QueryGroup {
         JOIN documents da ON c.a_id = da.doc_id
         JOIN documents db ON c.b_id = db.doc_id
         GROUP BY 1, 2"""
-      })
+      },
+      bench = true)
   )
 }

@@ -543,7 +543,8 @@ object Embeddings extends QueryGroup {
                count(*) AS n_members,
                CAST(sum(micro) AS BIGINT) AS sum_micro,
                CAST(sum(micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c_val
-        FROM comps GROUP BY cluster_id, dim""")),
+        FROM comps GROUP BY cluster_id, dim"""),
+      bench = true),
 
     // E7: cluster-balanced diversity sample — the downstream USE of e6's
     // clustering in a curation pipeline: an equal-sized, deterministic

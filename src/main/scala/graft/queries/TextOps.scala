@@ -590,7 +590,8 @@ object TextOps extends QueryGroup {
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(nll) AS BIGINT) AS nll_sum,
                CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
-        FROM scored GROUP BY doc_id""")),
+        FROM scored GROUP BY doc_id"""),
+      bench = true),
 
     // PL2: the LLM-corpus pipeline END-TO-END through the declarative DAG
     // runner — bronze (quality gate drops short docs) → silver (exact
@@ -715,7 +716,8 @@ object TextOps extends QueryGroup {
         SELECT doc_id, count(*) AS n_terms,
                CAST(sum(micro) AS BIGINT) AS bm25_micro
         FROM scored GROUP BY doc_id
-        ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20""")),
+        ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20"""),
+      bench = true),
 
     // T17: temperature-scaled source rebalancing — the standard multi-
     // source/multilingual mixing technique (weights ∝ n^α): upweight
@@ -863,6 +865,7 @@ object TextOps extends QueryGroup {
         FROM tok t CROSS JOIN tgt JOIN w ON t.token = w.token
         WHERE t.source <> tgt
         GROUP BY t.doc_id
-        ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50"""))
+        ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50"""),
+      bench = true)
   )
 }

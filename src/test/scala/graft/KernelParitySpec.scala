@@ -106,6 +106,24 @@ class KernelParitySpec extends SparkSpec {
       s"${expectedNew -- native} missing")
   }
 
+  test("portable_hash60 expression == built-in md5 chain == JVM scalar twin") {
+    val rnd = new Random(99)
+    val strs = (0 until 500).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) ++
+      Seq("", " ", "täst ünïcode ✓", "a b  c")
+    val df = strs.toDF("s")
+    val rows = df.select(col("s"),
+      call_function("portable_hash60", col("s"), lit("7:")).as("native"),
+      conv(substring(md5(concat(lit("7:"), col("s"))), 1, 15), 16, 10)
+        .cast("long").as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"expression diverged from built-in chain on '${r.getString(0)}'")
+      assert(r.getLong(1) == portableHash60(s"7:${r.getString(0)}"),
+        s"expression diverged from scalar twin on '${r.getString(0)}'")
+    }
+  }
+
   test("native-kernel signatures equal independently computed per-seed minima") {
     // pins minhashSignature's array/transform plumbing under xxhash64:
     // sig[seed] must equal min over the doc's shingles of
