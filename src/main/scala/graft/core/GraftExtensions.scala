@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PortableHash60Expr, VecDot}
+import graft.functions.{PortableHash60Expr, PortableMinhash60, TokenizeWs, VecDot, WordShingles}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -28,6 +28,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "portable_hash60 expects exactly 2 arguments: (s, prefix)")
         PortableHash60Expr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize_ws"),
+      new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "tokenize_ws expects exactly 1 argument")
+        TokenizeWs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "word_shingles expects exactly 2 arguments: (tokens, n)")
+        WordShingles(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_minhash60"),
+      new ExpressionInfo(classOf[PortableMinhash60].getName, "portable_minhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "portable_minhash60 expects exactly 2 arguments: (shingles, k)")
+        PortableMinhash60(children.head, children(1))
       }))
   }
 }

@@ -40,11 +40,17 @@ object Tables {
   /** Local-parallelism shim for single-file scans: spread a small
     * one-split table across the session's cores (`defaultParallelism`,
     * never a baked-in count — on a 1000-executor cluster this follows
-    * the cluster, on local[5] it follows local[5]). A real multi-split
-    * 100 TB scan already yields enough partitions and needs no exchange;
-    * use only where a one-file test input would serialize the pipeline. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * the cluster, on local[5] it follows local[5]). Conditional: a real
+    * multi-split 100 TB scan already yields >= defaultParallelism
+    * partitions and passes through untouched — the exchange exists only
+    * where a one-file test input would serialize a CPU-heavy pipeline
+    * (signature computation, vector math). Results are partition-count
+    * invariant (the local[5] sweep gates that), so skipping the
+    * repartition never changes output. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Injected "as of" clock (SURVEY.md §7.4.3): all recency/freshness math
     * uses these fixed instants instead of wall-clock so the DuckDB oracle

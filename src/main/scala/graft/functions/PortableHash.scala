@@ -63,11 +63,17 @@ object PortableHash60Expr {
   /** md5(prefix ++ s) → first 15 hex chars as a long == first 8 digest
     * bytes, big-endian unsigned, >>> 4 (drops the 16th hex char). Public
     * and static-shaped: the generated code calls it directly. */
-  def hash(prefix: UTF8String, s: UTF8String): Long = {
+  def hash(prefix: UTF8String, s: UTF8String): Long =
+    hashBytes(prefix.getBytes, s.getBytes)
+
+  /** Byte-level form for callers that already hold UTF-8 bytes (the
+    * multi-seed loop in [[TextKernels.minhash]] hashes each shingle k
+    * times — extracting the bytes once saves k−1 copies). */
+  def hashBytes(prefix: Array[Byte], s: Array[Byte]): Long = {
     val d = md.get()
     d.reset()
-    d.update(prefix.getBytes)
-    d.update(s.getBytes)
+    d.update(prefix)
+    d.update(s)
     val out = d.digest()
     val be =
       ((out(0) & 0xffL) << 56) | ((out(1) & 0xffL) << 48) |

@@ -19,9 +19,12 @@ object TextFunctions {
     Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with",
       "row", "table", "value", "key")
 
-  /** Whitespace tokens of lower-cased text, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  /** Whitespace tokens of lower-cased text, empties dropped. Native
+    * codegen kernel ([[TokenizeWs]]); value-identical to
+    * `filter(split(lower(trim(text)), "\\s+"), t => t =!= "")`
+    * (KernelParitySpec pins it) without the interpreted higher-order
+    * `filter` pass or per-call regex compile. */
+  def tokens(text: Column): Column = call_function("tokenize_ws", text)
 
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
@@ -50,16 +53,15 @@ object TextFunctions {
   def fingerprintNative(text: Column): Column = xxhash64(normalize(text))
 
   /** Token n-gram shingles ("a b c", n=2 → ["a b","b c"]). Documents with
-    * fewer than n tokens yield an empty array — `sequence(1, stop)` must
-    * never see stop < 1 (Spark then DESCENDS, emitting index 0, which
-    * makes 1-based `slice` throw at runtime). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+    * fewer than n tokens yield an empty array. Native codegen kernel
+    * ([[WordShingles]] over [[TokenizeWs]]); the Column formulation it
+    * replaces — `transform(sequence(1, size-n+1), i -> concat_ws(" ",
+    * slice(toks, i, n)))` — re-evaluated the `toks` subtree once PER
+    * SHINGLE under interpreted higher-order eval (O(tokens²) per row,
+    * the former CPU ceiling of the whole MinHash family).
+    * KernelParitySpec pins value equality with that chain. */
+  def shingles(text: Column, n: Int): Column =
+    call_function("word_shingles", tokens(text), lit(n))
 
   /** Cross-engine-portable 60-bit hash: the decimal value of the first 15
     * hex chars of md5(prefix ++ s). Bit-identical to Spark's
@@ -100,12 +102,19 @@ object TextFunctions {
     (s, seed) => portableHash(s, s"$seed:")
 
   /** MinHash signature: k minima over kernel(shingle, seed). Seeds make
-    * k independent hash functions from one hash kernel. */
+    * k independent hash functions from one hash kernel. The portable
+    * kernel takes the native one-pass path ([[PortableMinhash60]]: one
+    * tight loop per row instead of k interpreted `transform` passes —
+    * same values, KernelParitySpec pins it); any other kernel uses the
+    * generic per-seed formulation. */
   def minhashSignature(
       shingleCol: Column, k: Int,
       kernel: (Column, Int) => Column = xxhashKernel): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(shingleCol, s => kernel(s, seed)))): _*)
+    if (kernel eq portableKernel)
+      call_function("portable_minhash60", shingleCol, lit(k))
+    else
+      array((0 until k).map(seed =>
+        array_min(transform(shingleCol, s => kernel(s, seed)))): _*)
 
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =

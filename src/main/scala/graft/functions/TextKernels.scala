@@ -1,0 +1,196 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen twins of the engine's hot text kernels.
+  *
+  * The Column formulations they replace are built-in higher-order
+  * functions (`transform`/`filter`), which Spark evaluates INTERPRETED —
+  * they break whole-stage codegen, box every element, and (the killer)
+  * re-evaluate any non-attribute subtree inside the lambda once PER
+  * ELEMENT: `shingles`' old `transform(sequence(..), i -> concat_ws(" ",
+  * slice(toks, i, n)))` re-tokenized the whole document for every
+  * shingle, O(tokens²) per row. These expressions do the same work in
+  * one tight JVM pass per row and keep the surrounding plan inside
+  * whole-stage codegen.
+  *
+  * Each is pinned bit-for-bit against its Column twin in
+  * KernelParitySpec, so the DuckDB oracles built on the old chains hold
+  * unchanged — a pure execution-tier swap, like [[PortableHash60Expr]]
+  * and [[VecDot]].
+  */
+object TextKernels {
+
+  /** Same regex the Column chain passed to `split` (java.util.regex in
+    * both paths — StringSplit routes through UTF8String.split, which
+    * compiles the pattern per call; here it's compiled once). */
+  private val Ws = Pattern.compile("\\s+")
+
+  /** tokenize_ws(text) == filter(split(lower(trim(text)), "\\s+"),
+    * t -> t != ""). Uses the SAME UTF8String trim/toLowerCase the
+    * built-in StringTrim/Lower call, then the cached pattern. */
+  def tokenize(s: UTF8String): ArrayData = {
+    val parts = Ws.split(s.trim().toLowerCase().toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (!parts(i).isEmpty) n += 1; i += 1 }
+    val out = new Array[AnyRef](n)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { out(j) = UTF8String.fromString(parts(i)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** word_shingles(toks, n) == transform(sequence(1, size-n+1),
+    * i -> concat_ws(" ", slice(toks, i, n))); empty when size < n. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, Space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // per-k cache of the seed prefix bytes ("0:".."k-1:"); k is a plan
+  // constant so this holds one entry in practice
+  @volatile private var prefixCache: (Int, Array[Array[Byte]]) = null
+
+  private def prefixes(k: Int): Array[Array[Byte]] = {
+    val c = prefixCache
+    if (c != null && c._1 == k) return c._2
+    val p = Array.tabulate(k)(seed =>
+      (seed.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    prefixCache = (k, p)
+    p
+  }
+
+  /** portable_minhash60(shingles, k): per seed s in [0, k), the minimum
+    * over the array of md5("s:" ++ shingle) first-15-hex-chars-as-long
+    * ([[PortableHash60Expr.hash]] — same kernel, same value). Equals
+    * array(array_min(transform(sh, x -> portable_hash60(x, "s:"))) for
+    * s <- 0 until k); all-null signature for an empty array, matching
+    * array_min's null on empty. */
+  def minhash(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(new Array[AnyRef](k))
+    val pfx = prefixes(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val bytes = sh.getUTF8String(i).getBytes
+      var seed = 0
+      while (seed < k) {
+        val h = PortableHash60Expr.hashBytes(pfx(seed), bytes)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+case class TokenizeWs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokenize_ws expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "tokenize_ws"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.tokenize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.tokenize($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeWs =
+    copy(child = newChild)
+}
+
+case class WordShingles(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == IntegerType && right.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects (array<string>, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    TextKernels.shingles(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, n) =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($toks, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+case class PortableMinhash60(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == IntegerType && right.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"portable_minhash60 expects (array<string>, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  // null elements only for the empty-input signature (array_min-on-empty
+  // semantics of the Column twin)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = "portable_minhash60"
+
+  override protected def nullSafeEval(sh: Any, k: Any): Any =
+    TextKernels.minhash(sh.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, k) =>
+      s"${ev.value} = graft.functions.TextKernels.minhash($sh, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PortableMinhash60 =
+    copy(left = newLeft, right = newRight)
+}

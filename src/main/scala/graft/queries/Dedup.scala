@@ -66,7 +66,10 @@ object Dedup extends QueryGroup {
       kernel: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = portableKernel,
       bandKernel: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column = portableHash)
       : org.apache.spark.sql.DataFrame = {
-    val sigs = docs
+    // 16 hash passes per shingle is the CPU hot loop of the whole dedup
+    // family — never let a one-split test scan serialize it (no-op on a
+    // real multi-split corpus)
+    val sigs = docs.transform(Tables.spread)
       .withColumn("sh", shingles(col("text"), 2))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), 16, kernel))
@@ -254,6 +257,7 @@ object Dedup extends QueryGroup {
     "d2_minhash_signature" -> QueryDef(
       build = (s, d) =>
         Tables.documents(s, d)
+          .transform(Tables.spread)
           .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"),
@@ -327,6 +331,7 @@ object Dedup extends QueryGroup {
     "d5_simhash_pairs" -> QueryDef(
       build = (s, d) => simhashBandedPairs(
         Tables.documents(s, d)
+          .transform(Tables.spread)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .filter(size(col("toks")) > 0)
           .select(col("doc_id"), col("source"), simhashPortable60("toks").as("sh"))),

@@ -106,6 +106,51 @@ class KernelParitySpec extends SparkSpec {
       s"${expectedNew -- native} missing")
   }
 
+  test("tokenize_ws == filter(split(lower(trim)))) and word_shingles == transform chain") {
+    val rnd = new Random(4242)
+    val texts = (0 until 300).map { _ =>
+      val n = rnd.nextInt(12)
+      Seq.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+        .mkString(Seq(" ", "  ", "\t", "\n", " \t ")(rnd.nextInt(5)))
+    } ++ Seq("", " ", "\t\n", "  Mixed CASE  words ", "täst ÜNÏCODE ✓ x",
+      "one", "a b", "trailing space ", " nbsp stays one token")
+    val df = texts.toDF("text")
+    val oldToks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    def oldShingles(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    for (n <- Seq(2, 3, 5)) {
+      val bad = df.select(col("text"),
+          tokens(col("text")).as("nt"), oldToks.as("ot"),
+          shingles(col("text"), n).as("ns"), oldShingles(oldToks, n).as("os"))
+        .filter(not(col("nt") === col("ot")) || not(col("ns") === col("os")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n divergence on: ${bad.map(_.getString(0)).mkString("|")}")
+    }
+  }
+
+  test("portable_minhash60 == per-seed array_min(transform) minima") {
+    val docs = corpus()
+    // a kernel that is value-equal to portableKernel but not `eq` it, so
+    // minhashSignature takes the generic per-seed path
+    val genericPortable: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+      (s, seed) => portableKernel(s, seed)
+    val bad = docs
+      .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), 16, portableKernel).as("fast"),
+        minhashSignature(col("sh"), 16, genericPortable).as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .collect()
+    assert(bad.isEmpty, s"signature divergence on ids ${bad.map(_.getLong(0)).mkString(",")}")
+    // empty shingle input: all-null signature, matching array_min-on-empty
+    val row = Seq(Tuple1(Array.empty[String])).toDF("sh")
+      .select(minhashSignature(col("sh"), 4, portableKernel).as("sig"))
+      .collect()(0).getSeq[Any](0)
+    assert(row.size == 4 && row.forall(_ == null), s"empty-input signature was $row")
+  }
+
   test("portable_hash60 expression == built-in md5 chain == JVM scalar twin") {
     val rnd = new Random(99)
     val strs = (0 until 500).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) ++
