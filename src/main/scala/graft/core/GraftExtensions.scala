@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PortableHash60Expr, PortableMinhash60, TokenizeWs, VecDot, WordShingles}
+import graft.functions.{PortableHash60Expr, PortableMinhash60, PortableSimhash60, TokenizeWs, VecDot, WordShingles}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "word_shingles expects exactly 2 arguments: (tokens, n)")
         WordShingles(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_simhash60"),
+      new ExpressionInfo(classOf[PortableSimhash60].getName, "portable_simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "portable_simhash60 expects exactly 1 argument: (tokens)")
+        PortableSimhash60(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("portable_minhash60"),

@@ -141,22 +141,12 @@ object TextFunctions {
   /** 60-bit SimHash over a token array column using the portable md5
     * kernel — same vote semantics as [[simhash64]] but reproducible in
     * DuckDB for oracle checks (60 bits because the portable hash is 15
-    * hex chars). */
-  def simhashPortable60(tokensColName: String): Column = {
-    val ph = "portable_hash60(t, 't:')"
-    val counts =
-      s"""aggregate($tokensColName, array_repeat(0L, 60),
-            (acc, t) -> zip_with(acc,
-              transform(sequence(0, 59),
-                i -> CASE WHEN ($ph & shiftleft(1L, i)) != 0
-                          THEN 1L ELSE -1L END),
-              (a, b) -> a + b))"""
-    expr(
-      s"""aggregate(
-            zip_with($counts, sequence(0, 59),
-              (c, i) -> CASE WHEN c > 0L THEN shiftleft(1L, i) ELSE 0L END),
-            0L, (a, b) -> a + b)""")
-  }
+    * hex chars). Native codegen kernel ([[PortableSimhash60]]): one
+    * hash + one vote pass per token; the SQL-lambda chain it replaces
+    * recomputed the hash inside the per-bit CASE — 60 digests per token
+    * under interpreted eval (KernelParitySpec pins value equality). */
+  def simhashPortable60(tokensColName: String): Column =
+    call_function("portable_simhash60", col(tokensColName))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

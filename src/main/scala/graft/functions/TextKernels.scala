@@ -86,6 +86,35 @@ object TextKernels {
     p
   }
 
+  private val SimhashPrefix = "t:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** portable_simhash60(toks): the 60-bit SimHash vote —
+    * h = md5-60("t:" ++ token) once per token, each bit position
+    * accumulates +1 if set else −1, final bit = (count > 0). Equals the
+    * SQL-lambda chain in TextFunctions.simhashPortable60, whose per-bit
+    * CASE recomputed the hash 60× per token under interpreted eval. */
+  def simhash(toks: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = PortableHash60Expr.hashBytes(SimhashPrefix, toks.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
   /** portable_minhash60(shingles, k): per seed s in [0, k), the minimum
     * over the array of md5("s:" ++ shingle) first-15-hex-chars-as-long
     * ([[PortableHash60Expr.hash]] — same kernel, same value). Equals
@@ -162,6 +191,30 @@ case class WordShingles(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
     copy(left = newLeft, right = newRight)
+}
+
+case class PortableSimhash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"portable_simhash60 expects array<string>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "portable_simhash60"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextKernels.simhash(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.functions.TextKernels.simhash($toks);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimhash60 =
+    copy(child = newChild)
 }
 
 case class PortableMinhash60(left: Expression, right: Expression)

@@ -151,6 +151,32 @@ class KernelParitySpec extends SparkSpec {
     assert(row.size == 4 && row.forall(_ == null), s"empty-input signature was $row")
   }
 
+  test("portable_simhash60 == SQL-lambda vote chain") {
+    val docs = corpus().select(col("doc_id"), tokens(col("text")).as("toks"))
+    val ph = "portable_hash60(t, 't:')"
+    val counts =
+      s"""aggregate(toks, array_repeat(0L, 60),
+            (acc, t) -> zip_with(acc,
+              transform(sequence(0, 59),
+                i -> CASE WHEN ($ph & shiftleft(1L, i)) != 0
+                          THEN 1L ELSE -1L END),
+              (a, b) -> a + b))"""
+    val lambdaChain = expr(
+      s"""aggregate(
+            zip_with($counts, sequence(0, 59),
+              (c, i) -> CASE WHEN c > 0L THEN shiftleft(1L, i) ELSE 0L END),
+            0L, (a, b) -> a + b)""")
+    val bad = docs
+      .select(col("doc_id"), simhashPortable60("toks").as("fast"), lambdaChain.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .collect()
+    assert(bad.isEmpty, s"simhash divergence on ids ${bad.map(_.getLong(0)).mkString(",")}")
+    // empty token array: zero votes everywhere -> signature 0
+    val z = Seq(Tuple1(Array.empty[String])).toDF("toks")
+      .select(simhashPortable60("toks")).collect()(0).getLong(0)
+    assert(z == 0L, s"empty-input simhash was $z")
+  }
+
   test("portable_hash60 expression == built-in md5 chain == JVM scalar twin") {
     val rnd = new Random(99)
     val strs = (0 until 500).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) ++
