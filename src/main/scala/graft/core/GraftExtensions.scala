@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PortableHash60Expr, PortableMinhash60, PortableSimhash60, TokenizeWs, VecDot, WordShingles}
+import graft.functions.{PortableHash60Expr, PortableMinhash60, PortableSimhash60, TokenizeWs, VecDot, WordShingles, XxMinhash64}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "word_shingles expects exactly 2 arguments: (tokens, n)")
         WordShingles(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("xx_minhash64"),
+      new ExpressionInfo(classOf[XxMinhash64].getName, "xx_minhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "xx_minhash64 expects exactly 2 arguments: (shingles, k)")
+        XxMinhash64(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("portable_simhash60"),

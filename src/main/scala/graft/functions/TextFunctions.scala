@@ -112,6 +112,8 @@ object TextFunctions {
       kernel: (Column, Int) => Column = xxhashKernel): Column =
     if (kernel eq portableKernel)
       call_function("portable_minhash60", shingleCol, lit(k))
+    else if (kernel eq xxhashKernel)
+      call_function("xx_minhash64", shingleCol, lit(k))
     else
       array((0 until k).map(seed =>
         array_min(transform(shingleCol, s => kernel(s, seed)))): _*)

@@ -115,6 +115,37 @@ object TextKernels {
     sh
   }
 
+  /** xx_minhash64(shingles, k): the engine-native (100 TB configuration)
+    * MinHash signature — per seed s in [0, k), the minimum over the
+    * array of `xxhash64(shingle, s)`. Spark's multi-arg xxhash64 chains
+    * the running hash (h1 = hash(shingle, 42); h2 = hash(s, h1)), so the
+    * string part is seed-INDEPENDENT: this kernel hashes each shingle's
+    * bytes once and folds k O(1) int-hash steps — k× less string
+    * hashing than the Column chain, same values (same public
+    * XxHash64Function entry points, KernelParitySpec pins it). */
+  def minhashXx(sh: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(new Array[AnyRef](k))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      // the same public entry the interpreted XxHash64 expression folds
+      // through, with the same (value, type, running-seed) sequence
+      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      var seed = 0
+      while (seed < k) {
+        val h2 = XxHash64Function.hash(seed, IntegerType, h1)
+        if (h2 < mins(seed)) mins(seed) = h2
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** portable_minhash60(shingles, k): per seed s in [0, k), the minimum
     * over the array of md5("s:" ++ shingle) first-15-hex-chars-as-long
     * ([[PortableHash60Expr.hash]] — same kernel, same value). Equals
@@ -190,6 +221,35 @@ case class WordShingles(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+case class XxMinhash64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == IntegerType && right.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"xx_minhash64 expects (array<string>, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = "xx_minhash64"
+
+  override protected def nullSafeEval(sh: Any, k: Any): Any =
+    TextKernels.minhashXx(sh.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, k) =>
+      s"${ev.value} = graft.functions.TextKernels.minhashXx($sh, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): XxMinhash64 =
     copy(left = newLeft, right = newRight)
 }
 

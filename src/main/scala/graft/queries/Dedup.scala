@@ -302,7 +302,8 @@ object Dedup extends QueryGroup {
             ON a.doc_id < b.doc_id
            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
         WHERE est_sim >= 0.5"""
-      }),
+      },
+      bench = true),
 
     // D4: exact n-gram Jaccard verification over bounded blocks (same
     // source), floor-scaled — the oracle-checked ground truth for d2/d3.
@@ -349,7 +350,8 @@ object Dedup extends QueryGroup {
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 6""")),
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6"""),
+      bench = true),
 
     // D6: duplicate-cluster resolution — near-dup PAIRS (d4's oracle-
     // checked exact-Jaccard edges) collapsed into duplicate CLUSTERS via
