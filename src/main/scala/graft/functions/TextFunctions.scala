@@ -118,9 +118,13 @@ object TextFunctions {
       array((0 until k).map(seed =>
         array_min(transform(shingleCol, s => kernel(s, seed)))): _*)
 
-  /** Estimated Jaccard from two equal-length MinHash signatures. */
+  /** Estimated Jaccard from two equal-length MinHash signatures. Runs
+    * per CANDIDATE PAIR in the LSH verify step, so the agreement count
+    * is the native [[SigAgree]] kernel (one primitive loop) rather than
+    * interpreted zip_with + filter per pair; value-identical
+    * (KernelParitySpec pins the chain). */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+    call_function("sig_agree", sigA, sigB)
       .cast("double") / size(sigA).cast("double")
 
   /** 64-bit SimHash over a token array column (by name, via SQL lambda:

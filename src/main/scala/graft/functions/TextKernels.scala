@@ -73,6 +73,23 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** sig_agree(a, b): positions where both signatures are non-null and
+    * equal — the numerator of the MinHash similarity estimate. Equals
+    * size(filter(zip_with(a, b, (x, y) -> x = y), p -> p)): null-vs-
+    * anything compares null and is dropped by the filter; length
+    * mismatch zip-pads with null, contributing nothing. */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        agree += 1
+      i += 1
+    }
+    agree
+  }
+
   // per-k cache of the seed prefix bytes ("0:".."k-1:"); k is a plan
   // constant so this holds one entry in practice
   @volatile private var prefixCache: (Int, Array[Array[Byte]]) = null
@@ -221,6 +238,35 @@ case class WordShingles(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SigAgree(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean =
+    t.isInstanceOf[ArrayType] && t.asInstanceOf[ArrayType].elementType == LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_agree expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.sigAgree($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgree =
     copy(left = newLeft, right = newRight)
 }
 

@@ -151,6 +151,22 @@ class KernelParitySpec extends SparkSpec {
     assert(row.size == 4 && row.forall(_ == null), s"empty-input signature was $row")
   }
 
+  test("sig_agree == size(filter(zip_with)) chain, nulls and length mismatch included") {
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 9L, 3L, 4L)),
+      (2L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (3L, Seq[java.lang.Long](5L, 6L), Seq[java.lang.Long](5L, 6L, 7L)),
+      (4L, Seq.empty[java.lang.Long], Seq[java.lang.Long](1L)),
+      (5L, Seq[java.lang.Long](null), Seq[java.lang.Long](null)))
+      .toDF("id", "a", "b")
+    val chain = size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), p => p))
+    val bad = rows.select(col("id"),
+        call_function("sig_agree", col("a"), col("b")).as("fast"), chain.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .collect()
+    assert(bad.isEmpty, s"sig_agree divergence on ids ${bad.map(_.getLong(0)).mkString(",")}")
+  }
+
   test("portable_simhash60 == SQL-lambda vote chain") {
     val docs = corpus().select(col("doc_id"), tokens(col("text")).as("toks"))
     val ph = "portable_hash60(t, 't:')"
