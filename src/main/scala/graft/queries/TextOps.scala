@@ -719,6 +719,10 @@ object TextOps extends QueryGroup {
         ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20"""),
       bench = true),
 
+    // (t17's quota table and the rank-free 100 TB admission variant are
+    // defined below the queries map: temperatureQuotas /
+    // temperatureMixRankFree)
+
     // T17: temperature-scaled source rebalancing — the standard multi-
     // source/multilingual mixing technique (weights ∝ n^α): upweight
     // small sources, damp dominant ones, then draw a deterministic
@@ -746,22 +750,11 @@ object TextOps extends QueryGroup {
         val w = org.apache.spark.sql.expressions.Window
         val doc = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"))
-        val counts = doc.groupBy("source").agg(count(lit(1)).as("n"))
-          .withColumn("wm",
-            floor(sqrt(col("n").cast("double")) * 1000000.0).cast("long"))
-        // 40% token... doc budget, temperature-split: quota_i = wm_i*B/W
-        val tot = broadcast(counts.agg(
-          sum(col("wm")).as("W"), expr("sum(n) * 2 div 5").as("B")))
-        val quotas = broadcast(counts.crossJoin(tot)
-          .withColumn("quota",
-            floor(col("wm").cast("double") * col("B").cast("double")
-              / col("W").cast("double")).cast("long"))
-          .select("source", "quota"))
         doc
           .withColumn("rnk", row_number().over(
             w.partitionBy(col("source"))
               .orderBy(fingerprint(col("text")), col("doc_id"))).cast("long"))
-          .join(quotas, "source")
+          .join(temperatureQuotas(doc).select("source", "quota"), "source")
           .filter(col("rnk") <= col("quota"))
           .select("source", "doc_id", "rnk")
       },
@@ -868,4 +861,43 @@ object TextOps extends QueryGroup {
         ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50"""),
       bench = true)
   )
+
+  /** t17's broadcast quota table: (source, n, quota) with
+    * wm = floor(√n · 1e6), W = Σwm, B = 40% of the doc count, and
+    * quota = floor(wm·B/W) — every factor cast to double BEFORE the
+    * multiply so the arithmetic is engine-identical at any corpus size
+    * (exact below 2^53; an Int64 product would wrap past ~4×10⁹ docs).
+    * A handful of rows whatever the corpus size: broadcast. */
+  private[graft] def temperatureQuotas(
+      doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = doc.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("wm",
+        floor(sqrt(col("n").cast("double")) * 1000000.0).cast("long"))
+    val tot = broadcast(counts.agg(
+      sum(col("wm")).as("W"), expr("sum(n) * 2 div 5").as("B")))
+    broadcast(counts.crossJoin(tot)
+      .withColumn("quota",
+        floor(col("wm").cast("double") * col("B").cast("double")
+          / col("W").cast("double")).cast("long"))
+      .select("source", "n", "quota"))
+  }
+
+  /** The documented 100 TB relaxation of t17 (its header's "rank-free
+    * variant", now real): hash-threshold admission instead of the exact
+    * per-source rank. Admit iff pmod(h, n) < quota, where h is the
+    * portable 60-bit hash of the content fingerprint — deterministic on
+    * any cluster, no RNG state, and ZERO corpus shuffle: the quota table
+    * broadcasts and the admission test is row-local, so the corpus runs
+    * at scan speed (the exact path pays one source-keyed rank shuffle).
+    * Cost: the admitted count per source is binomial around the
+    * quota instead of exactly the quota — ±O(√quota) jitter
+    * (TextOpsSpec bounds the measured deviation at 4√quota + 3; at
+    * sf0.01's 5-source corpus the worst observed deviation is recorded
+    * in SCALE.md). Same temperature semantics, same determinism. */
+  private[graft] def temperatureMixRankFree(
+      doc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    doc.join(temperatureQuotas(doc), "source")
+      .filter(pmod(portableHash(fingerprint(col("text")), "t17admit:"),
+        col("n")) < col("quota"))
+      .select("source", "doc_id")
 }

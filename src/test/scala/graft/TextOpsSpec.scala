@@ -147,6 +147,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t17 rank-free admission lands within 4*sqrt(quota)+3 of each exact quota") {
+    // sources sized 1200/300/75: big enough that the binomial jitter of
+    // the hash-threshold admit is visibly smaller than the quotas
+    val docs = (1 to 1200).map(i => (i.toLong, s"alpha doc $i unique words", "A")) ++
+      (1 to 300).map(i => (2000L + i, s"beta doc $i unique words", "B")) ++
+      (1 to 75).map(i => (3000L + i, s"gamma doc $i unique words", "C"))
+    val doc = docs.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("source"), col("text"))
+    val quotas = graft.queries.TextOps.temperatureQuotas(doc)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val admitted = graft.queries.TextOps.temperatureMixRankFree(doc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val perSource = admitted.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    quotas.foreach { case (src, q) =>
+      val got = perSource.getOrElse(src, 0L)
+      val bound = 4 * math.sqrt(q.toDouble) + 3
+      info(f"$src: quota $q, admitted $got, deviation ${got - q} (bound ±$bound%.0f)")
+      assert(math.abs(got - q) <= bound,
+        s"$src admitted $got vs quota $q — outside ±$bound")
+    }
+    // deterministic: a second run admits the exact same set
+    val again = graft.queries.TextOps.temperatureMixRankFree(doc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(admitted.toSet == again.toSet, "admission must be deterministic")
+  }
+
   test("t18: DSIR micros match the closed form; domain-like docs outrank") {
     // target = source 'a_tgt' (lexicographic min). domainword is target-
     // loaded, otherword exists only in candidates, common is everywhere.
