@@ -95,6 +95,26 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("d2's signature pipeline stays codegen: no interpreted higher-order funcs") {
+    // the text kernels exist so the tokenize->shingle->signature hot loop
+    // runs inside WholeStageCodegen; a refactor that reintroduces a
+    // built-in transform/filter/aggregate lambda here silently falls back
+    // to interpreted eval (the O(tokens^2) d11 regression of round 6)
+    val df = SparkEntry.queries("d2_minhash_signature")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    for (hof <- Seq("transform(", "aggregate(", "array_filter", "zip_with(")) {
+      assert(!p.toLowerCase.contains(hof),
+        s"interpreted higher-order '$hof' back in d2's plan:\n$p")
+    }
+    // `*(n)` prefixes mark WholeStageCodegen spans in the final plan; the
+    // signature Project must carry one
+    assert("""\*\(\d+\) Project \[doc_id""".r.findFirstIn(p).isDefined,
+      s"signature projection outside WholeStageCodegen:\n$p")
+    assert(p.contains("portable_minhash60") && p.contains("word_shingles"),
+      s"native kernels missing from d2's plan:\n$p")
+  }
+
   test("aggregation combines map-side: a1 has partial HashAggregate below the exchange") {
     val p = plan("a1_customer_order_profile")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")
