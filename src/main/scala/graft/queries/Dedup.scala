@@ -73,9 +73,12 @@ object Dedup extends QueryGroup {
       .withColumn("sh", shingles(col("text"), 2))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), 16, kernel))
+    // four element_at's, not transform(slice(..)): same comma-joined
+    // value, but pure builtins keep the banding projection inside
+    // whole-stage codegen (transform is interpreted higher-order eval)
     def bandHash(b: Int) = bandKernel(
-      concat_ws(",", transform(slice(col("sig"), b * 4 + 1, 4),
-        x => x.cast("string"))), s"b$b:")
+      concat_ws(",", (1 to 4).map(j =>
+        element_at(col("sig"), b * 4 + j).cast("string")): _*), s"b$b:")
     sigs.select(
       (col("doc_id") +: carry.map(col)) ++ Seq(col("sig"),
         posexplode(array((0 until 4).map(bandHash): _*))
