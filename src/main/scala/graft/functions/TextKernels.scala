@@ -73,6 +73,27 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** array_max_count(arr): the multiplicity of the most-repeated element
+    * — one hash-map pass. Equals array_max(transform(array_distinct(a),
+    * t -> size(filter(a, x -> x = t)))) for non-empty input, which is
+    * O(distinct × n) with an interpreted filter scan per distinct
+    * element. Returns 0 on empty input where the chain gives null —
+    * call sites guard with when(size(a) > 0, ...) to keep parity total. */
+  def maxCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val c = counts.merge(t, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** sig_agree(a, b): positions where both signatures are non-null and
     * equal — the numerator of the MinHash similarity estimate. Equals
     * size(filter(zip_with(a, b, (x, y) -> x = y), p -> p)): null-vs-
@@ -239,6 +260,30 @@ case class WordShingles(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
     copy(left = newLeft, right = newRight)
+}
+
+case class ArrayMaxCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_max_count expects array<string>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "array_max_count"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    TextKernels.maxCount(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.TextKernels.maxCount($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayMaxCount =
+    copy(child = newChild)
 }
 
 case class SigAgree(left: Expression, right: Expression)

@@ -355,12 +355,14 @@ object TextOps extends QueryGroup {
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(col("bg")).cast("long").as("n_bigrams"),
-            array_max(transform(array_distinct(col("toks")),
-              t => size(filter(col("toks"), x => x === t)))).cast("long")
+            // native one-pass multiplicity kernel; the transform(filter)
+            // chain it replaces was O(distinct x n) interpreted per row.
+            // Guarded so empty input stays null like array_max-on-empty
+            when(size(col("toks")) > 0,
+              call_function("array_max_count", col("toks")).cast("long"))
               .as("top_token_cnt"),
             when(size(col("bg")) > 0,
-              array_max(transform(array_distinct(col("bg")),
-                b => size(filter(col("bg"), x => x === b)))).cast("long"))
+              call_function("array_max_count", col("bg")).cast("long"))
               .as("top_bigram_cnt"),
             when(size(col("bg")) > 0,
               (size(col("bg")) - size(array_distinct(col("bg")))).cast("long"))

@@ -167,6 +167,22 @@ class KernelParitySpec extends SparkSpec {
     assert(bad.isEmpty, s"sig_agree divergence on ids ${bad.map(_.getLong(0)).mkString(",")}")
   }
 
+  test("array_max_count == array_max(transform(array_distinct, filter-count)) chain") {
+    val rnd = new Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"t${rnd.nextInt(8)}"))
+    } :+ ((999L, Seq("only"))) :+ ((1000L, Seq("a", "a", "a")))
+    val df = rows.toDF("id", "arr")
+    val chain = array_max(transform(array_distinct(col("arr")),
+      t => size(filter(col("arr"), x => x === t))))
+    val bad = df.select(col("id"),
+        call_function("array_max_count", col("arr")).as("fast"), chain.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .collect()
+    assert(bad.isEmpty, s"max-count divergence on ids ${bad.map(_.getLong(0)).mkString(",")}")
+  }
+
   test("portable_simhash60 == SQL-lambda vote chain") {
     val docs = corpus().select(col("doc_id"), tokens(col("text")).as("toks"))
     val ph = "portable_hash60(t, 't:')"
