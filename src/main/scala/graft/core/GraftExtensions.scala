@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayMaxCount, PortableHash60Expr, PortableMinhash60, PortableSimhash60, SigAgree, TokenizeWs, VecDot, WordShingles, XxMinhash64}
+import graft.functions.{ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, SigAgree, TokenizeWs, VecDot, WordShingles, XxMinhash64}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "word_shingles expects exactly 2 arguments: (tokens, n)")
         WordShingles(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_class_counts"),
+      new ExpressionInfo(classOf[BpeClassCounts].getName, "bpe_class_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "bpe_class_counts expects exactly 1 argument: (text)")
+        BpeClassCounts(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("array_max_count"),

@@ -73,6 +73,33 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** The GPT-2-style pre-tokenization split t10 shares verbatim with its
+    * DuckDB oracle: letter runs | digit runs | single non-alnum-non-ws. */
+  private val BpePat = Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  /** bpe_class_counts(text) → struct(n, alpha, digit, punct): one
+    * matcher pass replacing FOUR regexp_extract_all evaluations plus
+    * three interpreted filter+rlike passes. Classification is the
+    * match's first character (the classes partition: a match never
+    * starts with whitespace), identical to rlike("^[A-Za-z]") etc. on
+    * the extracted token. */
+  def bpeClassCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val subject = s.toString
+    val m = BpePat.matcher(subject)
+    var n = 0
+    var alpha = 0
+    var digit = 0
+    var punct = 0
+    while (m.find()) {
+      n += 1
+      val c = subject.charAt(m.start())
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else punct += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, alpha, digit, punct)
+  }
+
   /** array_max_count(arr): the multiplicity of the most-repeated element
     * — one hash-map pass. Equals array_max(transform(array_distinct(a),
     * t -> size(filter(a, x -> x = t)))) for non-empty input, which is
@@ -260,6 +287,32 @@ case class WordShingles(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
     copy(left = newLeft, right = newRight)
+}
+
+case class BpeClassCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_class_counts expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("digit", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false)))
+
+  override def prettyName: String = "bpe_class_counts"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.bpeClassCounts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.bpeClassCounts($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeClassCounts =
+    copy(child = newChild)
 }
 
 case class ArrayMaxCount(child: Expression) extends UnaryExpression {

@@ -317,14 +317,15 @@ object TextOps extends QueryGroup {
     // regex syntax).
     "t10_bpe_token_counts" -> QueryDef(
       build = (s, d) => {
-        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-        val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+        // one native matcher pass (KernelParitySpec pins it against the
+        // four-expression regexp_extract_all + filter/rlike chain)
+        val c = call_function("bpe_class_counts", col("text"))
         Tables.documents(s, d).select(
           col("doc_id"),
-          size(toks).cast("long").as("n_bpe_tokens"),
-          size(filter(toks, t => t.rlike("^[A-Za-z]"))).cast("long").as("n_alpha_runs"),
-          size(filter(toks, t => t.rlike("^[0-9]"))).cast("long").as("n_digit_runs"),
-          size(filter(toks, t => t.rlike("^[^A-Za-z0-9]"))).cast("long").as("n_punct"))
+          c.getField("n").cast("long").as("n_bpe_tokens"),
+          c.getField("alpha").cast("long").as("n_alpha_runs"),
+          c.getField("digit").cast("long").as("n_digit_runs"),
+          c.getField("punct").cast("long").as("n_punct"))
       },
       oracle = Some("""
         SELECT doc_id,

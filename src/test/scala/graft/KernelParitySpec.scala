@@ -167,6 +167,34 @@ class KernelParitySpec extends SparkSpec {
     assert(bad.isEmpty, s"sig_agree divergence on ids ${bad.map(_.getLong(0)).mkString(",")}")
   }
 
+  test("bpe_class_counts == regexp_extract_all + filter/rlike chain") {
+    val rnd = new Random(11)
+    val texts = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(5) match {
+        case 0 => rnd.alphanumeric.filter(_.isLetter).take(3).mkString
+        case 1 => rnd.nextInt(1000).toString
+        case 2 => Seq(",", "!", "?", ";", "#")(rnd.nextInt(5))
+        case 3 => " "
+        case _ => "mix3d t0k3n"
+      }).mkString
+    } ++ Seq("", "   ", "abc", "123", "!!!", "a1! b2? ünïcode ✓ x9")
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+    val c = call_function("bpe_class_counts", col("text"))
+    val bad = texts.toDF("text").select(col("text"),
+        c.getField("n").as("fn"), size(toks).as("sn"),
+        c.getField("alpha").as("fa"),
+        size(filter(toks, t => t.rlike("^[A-Za-z]"))).as("sa"),
+        c.getField("digit").as("fd"),
+        size(filter(toks, t => t.rlike("^[0-9]"))).as("sd"),
+        c.getField("punct").as("fp"),
+        size(filter(toks, t => t.rlike("^[^A-Za-z0-9]"))).as("sp"))
+      .filter(col("fn") =!= col("sn") || col("fa") =!= col("sa") ||
+        col("fd") =!= col("sd") || col("fp") =!= col("sp"))
+      .collect()
+    assert(bad.isEmpty, s"bpe class divergence on: ${bad.map(_.getString(0)).mkString("|")}")
+  }
+
   test("array_max_count == array_max(transform(array_distinct, filter-count)) chain") {
     val rnd = new Random(7)
     val rows = (0 until 200).map { i =>
