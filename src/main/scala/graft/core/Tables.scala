@@ -14,16 +14,28 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a long (nanos since epoch) and
-    * truncate to microseconds — the same truncation DuckDB applies — so the
-    * oracle sees identical instants.
+  /** `events.ts` has shipped in two physical representations across
+    * testdata generations: parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader surfaces as a nanos-since-epoch long under
+    * `nanosAsLong` — and parquet TIMESTAMP(MICROS) without timezone,
+    * which Spark reads natively as TIMESTAMP_NTZ. Normalize either to a
+    * session-zoned TimestampType column holding the same microsecond
+    * instant (the session is pinned to UTC, so the NTZ cast is a pure
+    * type change), matching what DuckDB sees on the same file.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

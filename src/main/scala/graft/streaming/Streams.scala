@@ -36,7 +36,7 @@ object Streams {
       streamDir.resolve(s"$name.parquet"),
       java.nio.file.Paths.get(path))
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    if (name == "events") raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") graft.core.Tables.normalizeEventTs(raw)
     else raw
   }
 
