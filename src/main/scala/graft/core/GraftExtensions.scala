@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, SigAgree, TokenizeWs, VecDot, WordShingles, XxMinhash64}
+import graft.functions.{ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, SigAgree, TokenizeWs, VecDot, WinnowFps, WordShingles, XxMinhash64}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "portable_simhash60 expects exactly 1 argument: (tokens)")
         PortableSimhash60(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "winnow_fps expects exactly 2 arguments: (shingles, w)")
+        WinnowFps(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("portable_minhash60"),

@@ -63,6 +63,16 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     call_function("word_shingles", tokens(text), lit(n))
 
+  /** Winnowing fingerprint set (Schleimer et al., SIGMOD'03): the
+    * distinct window-minima of the portable 60-bit hashes of the
+    * document's k-gram shingles, window w. Native one-pass codegen
+    * kernel ([[WinnowFps]] over [[WordShingles]]/[[TokenizeWs]]); any
+    * shared run of >= w + k − 1 tokens between two documents yields at
+    * least one common fingerprint — local/partial-overlap detection, vs
+    * the whole-document signatures of [[minhashSignature]]. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    call_function("winnow_fps", shingles(text, k), lit(w))
+
   /** Cross-engine-portable 60-bit hash: the decimal value of the first 15
     * hex chars of md5(prefix ++ s). Bit-identical to Spark's
     * `conv(substr(md5(..),1,15),16,10)` and DuckDB's

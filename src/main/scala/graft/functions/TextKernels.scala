@@ -211,6 +211,50 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  private val WinnowPrefix = "win:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** winnow_fps(shingles, w): the winnowing fingerprint set (Schleimer,
+    * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03). Hash each shingle with the portable
+    * 60-bit kernel (prefix "win:", DuckDB-reproducible), slide a
+    * w-window over the hash sequence, select each full window's minimum,
+    * return the distinct selected values. Guarantees any shared token
+    * run long enough to span one full window (w + shingle_k − 1 tokens)
+    * contributes at least one common fingerprint — the partial-overlap /
+    * containment detection that whole-document hashing and whole-document
+    * MinHash signatures both miss. Value-equal to
+    * `list_distinct(list_transform(range(1, n−w+2), i ->
+    * list_min(list_slice(hs, i, i+w−1))))` (the DuckDB twin); the
+    * classic rightmost-tie POSITION rule only matters for positional
+    * fingerprints and cannot change the distinct value set. Empty when
+    * fewer than w shingles (no full window). One O(n) pass: the running
+    * window minimum is carried forward and rescanned only when it falls
+    * out of the window (amortized O(1) per slide). */
+  def winnowFps(sh: ArrayData, w: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[AnyRef])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = PortableHash60Expr.hashBytes(WinnowPrefix, sh.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[AnyRef]()
+    var minPos = -1
+    i = 0
+    while (i <= n - w) {
+      val last = i + w - 1
+      if (minPos < i) {
+        minPos = i
+        var j = i + 1
+        while (j <= last) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+      } else if (hs(last) <= hs(minPos)) minPos = last
+      out.add(java.lang.Long.valueOf(hs(minPos)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** portable_minhash60(shingles, k): per seed s in [0, k), the minimum
     * over the array of md5("s:" ++ shingle) first-15-hex-chars-as-long
     * ([[PortableHash60Expr.hash]] — same kernel, same value). Equals
@@ -419,6 +463,35 @@ case class PortableSimhash60(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PortableSimhash60 =
     copy(child = newChild)
+}
+
+case class WinnowFps(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == IntegerType && right.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects (array<string>, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(sh: Any, w: Any): Any =
+    TextKernels.winnowFps(sh.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, w) =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFps($sh, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowFps =
+    copy(left = newLeft, right = newRight)
 }
 
 case class PortableMinhash60(left: Expression, right: Expression)

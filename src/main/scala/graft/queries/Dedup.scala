@@ -638,6 +638,69 @@ object Dedup extends QueryGroup {
         JOIN documents db ON c.b_id = db.doc_id
         GROUP BY 1, 2"""
       },
+      bench = true),
+
+    // D12: winnowing partial-overlap pairs (Schleimer et al., SIGMOD'03
+    // — the MOSS fingerprinting algorithm). Whole-document MinHash
+    // (d2/d3) estimates GLOBAL similarity, so a short passage copied
+    // into an otherwise-unrelated document scores near zero; winnowing
+    // fingerprints LOCAL regions: every full w-window of 3-gram hashes
+    // contributes its minimum, so any shared run of >= w + 2 tokens
+    // guarantees a common fingerprint whatever surrounds it. Pairs
+    // sharing >= 2 fingerprints are reported with a containment score
+    // (shared / smaller fingerprint set, floor-scaled ppm — exact
+    // integer math, engine-independent).
+    //
+    // Scale: fingerprint selection is row-local (one codegen kernel
+    // pass, winnow_fps); only (doc_id, 8-byte fp) rows shuffle. Pairs
+    // form inside per-fingerprint buckets — d3's bucket-join shape,
+    // never all-pairs; a fingerprint shared by k docs costs k² locally
+    // and hot buckets salt/cap like any skewed key (a fingerprint hot
+    // enough to bucket thousands of docs is boilerplate — cap it, the
+    // same move as t9). The per-doc size table joins the tiny pair list
+    // on its keys; text never moves.
+    "d12_winnow_overlap" -> QueryDef(
+      build = (s, d) => {
+        val doc = Tables.spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        // feeds three consumers (both join sides + the size table) with
+        // differing projections — materialize once (the d3/d4 lesson)
+        val fp = doc.select(col("doc_id"),
+            explode(winnowFingerprints(col("text"))).as("h"))
+          .localCheckpoint(true)
+        val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+        val pairs = fp.select(col("h"), col("doc_id").as("a_id"))
+          .join(fp.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+        pairs
+          .join(sz.select(col("doc_id").as("a_id"), col("nfp").as("na")), "a_id")
+          .join(sz.select(col("doc_id").as("b_id"), col("nfp").as("nb")), "b_id")
+          .select(col("a_id"), col("b_id"), col("shared"),
+            expr("shared * 1000000 div least(na, nb)").as("containment_ppm"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS sh
+              FROM t),
+        hs AS (SELECT doc_id, list_transform(sh, s ->
+                 ${sqlPortableHash("s", "win:")}) AS h FROM g),
+        f AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(h) - 2, 1)),
+                  i -> list_min(list_slice(h, i, i + 3))))) AS h FROM hs),
+        sz AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+               FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT p.a_id, p.b_id, CAST(p.shared AS BIGINT) AS shared,
+               CAST(p.shared * 1000000 // least(sa.nfp, sb.nfp) AS BIGINT)
+                 AS containment_ppm
+        FROM pr p
+        JOIN sz sa ON sa.doc_id = p.a_id
+        JOIN sz sb ON sb.doc_id = p.b_id
+        WHERE p.shared >= 2"""),
       bench = true)
   )
 }

@@ -194,4 +194,51 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(("srcA", "srcA") -> 1L, ("srcA", "srcB") -> 2L),
       s"matrix: $got")
   }
+
+  test("winnow_fps kernel == naive window-min reference on a seeded corpus") {
+    // plain-Scala reference: hash every 3-shingle, slide a 4-window,
+    // collect the distinct window minima — the definition, executed
+    // naively, vs the kernel's amortized-O(1) carry-forward loop
+    def naive(text: String, k: Int = 3, w: Int = 4): Set[Long] = {
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val sh = toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+      if (sh.length < w) Set.empty
+      else {
+        val hs = sh.map(s => graft.functions.TextFunctions.portableHash60("win:" + s))
+        (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ax", "by", "cz", "dw", "ev", "fu", "gt", "hs", "ir", "jq")
+    val corpus = (0L until 60L).map { id =>
+      val n = rnd.nextInt(20) // includes < w+k-1 and empty docs
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    corpus.foreach { case (id, text) =>
+      assert(got(id) == naive(text), s"doc $id: kernel ${got(id)} != naive ${naive(text)}")
+    }
+  }
+
+  test("d12: a copied passage in an otherwise-unrelated document is caught") {
+    // the case whole-document MinHash misses: doc 2 embeds a 12-token
+    // run of doc 1 inside unrelated text — global similarity is low,
+    // but the run spans full winnow windows (>= w + k - 1 = 6 tokens),
+    // so the pair MUST share fingerprints
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val host = "one two three four five " + passage + " six seven eight nine ten"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12_").toString
+    Seq((1L, base + " " + passage), (2L, host), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d12_winnow_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.contains((1L, 2L)), s"embedded passage pair missing: $rows")
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated doc must not pair: $rows")
+  }
 }
