@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, SigAgree, TokenizeWs, VecDot, WinnowFps, WordShingles, XxMinhash64}
+import graft.functions.{ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, SigAgree, TokenizeWs, VecDot, WinnowFps, WordShingles, XxMinhash64, XxWinnowFps}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -91,6 +91,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "winnow_fps expects exactly 2 arguments: (shingles, w)")
         WinnowFps(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("xx_winnow_fps"),
+      new ExpressionInfo(classOf[XxWinnowFps].getName, "xx_winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "xx_winnow_fps expects exactly 2 arguments: (shingles, w)")
+        XxWinnowFps(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("portable_minhash60"),

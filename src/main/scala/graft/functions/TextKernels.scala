@@ -239,9 +239,38 @@ object TextKernels {
       hs(i) = PortableHash60Expr.hashBytes(WinnowPrefix, sh.getUTF8String(i).getBytes)
       i += 1
     }
+    winnowOf(hs, w)
+  }
+
+  /** xx_winnow_fps(shingles, w): [[winnowFps]] with the engine-native
+    * xxhash64 shingle hash (same public XxHash64Function entry as the
+    * built-in expression, seed 42) instead of the portable md5 kernel —
+    * the 100 TB pairing, ~20× less hash CPU per shingle. Winnowing's
+    * detection guarantee is hash-agnostic (a shared run spanning a full
+    * window shares its window minimum WHATEVER the hash function), so
+    * flipping the kernel changes which shingles are selected but not
+    * whether overlaps are caught — DedupSpec pins the planted-passage
+    * case under both kernels. Not DuckDB-reproducible, hence not the
+    * oracle configuration. */
+  def winnowFpsXx(sh: ArrayData, w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val n = sh.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[AnyRef])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XxHash64Function.hash(sh.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    winnowOf(hs, w)
+  }
+
+  /** The shared window-minimum selection over a precomputed hash array. */
+  private def winnowOf(hs: Array[Long], w: Int): ArrayData = {
+    val n = hs.length
     val out = new java.util.LinkedHashSet[AnyRef]()
     var minPos = -1
-    i = 0
+    var i = 0
     while (i <= n - w) {
       val last = i + w - 1
       if (minPos < i) {
@@ -491,6 +520,35 @@ case class WinnowFps(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WinnowFps =
+    copy(left = newLeft, right = newRight)
+}
+
+case class XxWinnowFps(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+      right.dataType == IntegerType && right.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"xx_winnow_fps expects (array<string>, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "xx_winnow_fps"
+
+  override protected def nullSafeEval(sh: Any, w: Any): Any =
+    TextKernels.winnowFpsXx(sh.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, w) =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFpsXx($sh, $w);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): XxWinnowFps =
     copy(left = newLeft, right = newRight)
 }
 

@@ -240,5 +240,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.contains((1L, 2L)), s"embedded passage pair missing: $rows")
     assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L },
       s"unrelated doc must not pair: $rows")
+
+    // winnowing's guarantee is hash-agnostic: the engine-native xxhash64
+    // kernel (the 100 TB configuration) must catch the same embedded
+    // passage and keep the unrelated doc unpaired, even though it selects
+    // different shingles
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fpx = docs.select(col("doc_id"),
+      explode(winnowFingerprintsNative(col("text"))).as("h"))
+    val pairsX = fpx.select(col("h"), col("doc_id").as("a_id"))
+      .join(fpx.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsX.contains((1L, 2L)), s"native kernel missed the passage: $pairsX")
+    assert(!pairsX.exists { case (a, b) => a == 3L || b == 3L },
+      s"native kernel paired the unrelated doc: $pairsX")
   }
 }

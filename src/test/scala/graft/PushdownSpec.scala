@@ -115,6 +115,30 @@ class PushdownSpec extends SparkSpec {
       s"native kernels missing from d2's plan:\n$p")
   }
 
+  test("d12's pair join buckets on the fingerprint — never a nested-loop plan") {
+    // winnowing's scale contract: pairs form ONLY inside per-fingerprint
+    // equi-join buckets (d3's shape); a refactor that loses the equi-key
+    // (e.g. moving the a_id < b_id predicate into the join condition of a
+    // non-equi join) degrades to BroadcastNestedLoop/Cartesian — all-pairs
+    val df = SparkEntry.queries("d12_winnow_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin")) {
+      assert(!p.contains(bad), s"$bad in d12's plan — all-pairs regression:\n$p")
+    }
+    // the fingerprint subtree is localCheckpoint'd (it feeds three
+    // consumers), so the kernel itself is behind the ExistingRDD leaves;
+    // assert it on the un-checkpointed fingerprint projection instead
+    val fpPlan = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowFingerprints(col("text"))).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(fpPlan.contains("winnow_fps"), s"native winnow kernel missing:\n$fpPlan")
+    // the shared-count aggregation must combine map-side
+    assert(p.contains("partial_") || p.contains("partial "),
+      s"no partial-mode aggregation in d12 plan:\n$p")
+  }
+
   test("aggregation combines map-side: a1 has partial HashAggregate below the exchange") {
     val p = plan("a1_customer_order_profile")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")
