@@ -47,6 +47,20 @@ object Dedup extends QueryGroup {
   private def sqlMinhash(i: Int) =
     s"CAST(list_min(list_transform(shingles, s -> ${sqlPortableHash("s", s"$i:")})) AS BIGINT) AS h$i"
 
+  /** DuckDB twin of the winnowing fingerprint pipeline (d12 / st15):
+    * 3-gram shingles → portable 60-bit hash (prefix "win:") → distinct
+    * sliding-4-window minima. Produces CTE `f(doc_id, h)`. */
+  private[queries] val sqlWinnowCtes: String = s"""
+        t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS sh
+              FROM t),
+        hs AS (SELECT doc_id, list_transform(sh, s ->
+                 ${sqlPortableHash("s", "win:")}) AS h FROM g),
+        f AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(h) - 2, 1)),
+                  i -> list_min(list_slice(h, i, i + 3))))) AS h FROM hs)"""
+
   /** DuckDB twin of TextFunctions.fingerprint (md5 of normalized text). */
   private val sqlFingerprint =
     """md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"""
@@ -681,15 +695,7 @@ object Dedup extends QueryGroup {
             expr("shared * 1000000 div least(na, nb)").as("containment_ppm"))
       },
       oracle = Some(s"""
-        WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-        g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 1)),
-                i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS sh
-              FROM t),
-        hs AS (SELECT doc_id, list_transform(sh, s ->
-                 ${sqlPortableHash("s", "win:")}) AS h FROM g),
-        f AS (SELECT doc_id, unnest(list_distinct(
-                list_transform(range(1, greatest(len(h) - 2, 1)),
-                  i -> list_min(list_slice(h, i, i + 3))))) AS h FROM hs),
+        WITH $sqlWinnowCtes,
         sz AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
                FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id

@@ -450,6 +450,61 @@ object Streaming extends QueryGroup {
         FROM fps f
         WHERE f.doc_id % 5 = 0
           AND NOT EXISTS (SELECT 1 FROM fps c
-                          WHERE c.doc_id % 5 <> 0 AND c.fp = f.fp)"""))
+                          WHERE c.doc_id % 5 <> 0 AND c.fp = f.fp)""")),
+
+    // ST15: streaming corpus admission with PARTIAL-overlap awareness.
+    // st14 gates on the exact whole-document fingerprint, so a candidate
+    // that embeds a long passage of the corpus inside fresh text sails
+    // through; st15 gates on winnowing fingerprints (d12's kernel): a
+    // candidate whose known fingerprints reach half its own fingerprint
+    // set (shared*2 >= n_fp, a containment gate — integer-exact at any
+    // scale) is rejected. Admission depends only on (doc, corpus index) — no
+    // streaming state at all — so the decision is micro-batch-split
+    // invariant by construction; the per-batch body (join + count + anti
+    // join) is the production foreachBatch shape, like st6's MERGE.
+    //
+    // Scale: the corpus index is ~2/w fingerprints per shingle — a keyed
+    // join table, NOT a broadcast; each batch probes it with one shuffle
+    // of (doc_id, 8-byte fp) rows (st14's anti-join posture), and a
+    // bloom filter on fp cuts the probe before the exchange. Admitted
+    // docs extend the index incrementally by unioning their own
+    // fingerprints — cost ∝ batch, never corpus.
+    "st15_winnow_admission" -> QueryDef(
+      build = (s, d) => {
+        import graft.functions.TextFunctions.winnowFingerprints
+        val corpusIdx = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(explode(winnowFingerprints(col("text"))).as("h"))
+          .distinct()
+        val incoming = Streams.tableStream(s, d, "documents")
+          .filter(col("doc_id") % 5 === 0)
+        Streams.runBatchwise(incoming) { batch =>
+          val fps = batch.select(col("doc_id"),
+            explode(winnowFingerprints(col("text"))).as("h"))
+          val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+          val rejected = fps.join(corpusIdx, Seq("h"))
+            .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+            .join(nf, Seq("doc_id"))
+            .filter(col("shared") * 2 >= col("n_fp"))
+            .select("doc_id")
+          batch.select("doc_id")
+            .join(rejected, Seq("doc_id"), "left_anti")
+            .join(nf, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+        }
+      },
+      oracle = Some(s"""
+        WITH ${Dedup.sqlWinnowCtes},
+        corpus AS (SELECT DISTINCT h FROM f WHERE doc_id % 5 <> 0),
+        inc AS (SELECT doc_id, h FROM f WHERE doc_id % 5 = 0),
+        nf AS (SELECT doc_id, count(*) AS c FROM inc GROUP BY doc_id),
+        sh AS (SELECT i.doc_id, count(*) AS shared FROM inc i
+               JOIN corpus c ON i.h = c.h GROUP BY i.doc_id),
+        rej AS (SELECT sh.doc_id FROM sh JOIN nf ON nf.doc_id = sh.doc_id
+                WHERE sh.shared * 2 >= nf.c)
+        SELECT d.doc_id, CAST(COALESCE(nf.c, 0) AS BIGINT) AS n_fp
+        FROM documents d LEFT JOIN nf ON nf.doc_id = d.doc_id
+        WHERE d.doc_id % 5 = 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM rej)"""))
   )
 }

@@ -71,6 +71,31 @@ object Streams {
     df.sparkSession.read.parquet(out)
   }
 
+  /** Run a RAW streaming DF through foreachBatch, applying an arbitrary
+    * batch transformation to each micro-batch and appending its result to
+    * a scratch parquet dir; returns the accumulated rows. The production
+    * shape for per-batch logic the streaming engine cannot express in one
+    * unbounded plan (joins + aggregation + anti join per batch, the same
+    * way st6's MERGE runs upserts batchwise). The body must be
+    * batch-split invariant (each output row a function of its input row
+    * and static state only) for the result to be deterministic under any
+    * micro-batch partitioning — st15's admission test is, by
+    * construction.
+    */
+  def runBatchwise(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft_bw_").toString + "/out"
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        body(batch).write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    df.sparkSession.read.parquet(out)
+  }
+
   /** The canonical Silver streaming sink (ST6/J9/M1): per-micro-batch MERGE
     * into a parquet-backed target — latest (version, key) wins, replays
     * idempotent because merging the same batch twice is a no-op.

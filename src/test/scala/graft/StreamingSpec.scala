@@ -385,4 +385,36 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(15L, 20L, 25L), s"admitted: $got")
   }
+
+  test("st15: winnow admission rejects the passage-embedder st14 admits") {
+    // the case exact-fingerprint admission cannot catch: doc 5 wraps a
+    // long corpus passage in fresh padding, so its WHOLE-document
+    // fingerprint is new (st14 admits) but most of its winnow
+    // fingerprints are the corpus passage's (st15 rejects at the 50%
+    // containment gate). Doc 10 is genuinely novel: both admit.
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15_").toString
+    Seq(
+      (1L, "corpus filler one two three " + passage),
+      (2L, "other corpus doc about nothing in particular at all"),
+      (5L, "fresh intro " + passage + " fresh outro"),
+      (10L, "wholly original writing with unseen vocabulary here today"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    val part = Files.list(java.nio.file.Paths.get(dir, "_stage"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val exact = SparkEntry.queries("st14_stream_corpus_dedup")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(5L, 10L),
+      s"st14 should admit both (whole-doc fps are new): $exact")
+    val winnow = SparkEntry.queries("st15_winnow_admission")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(winnow == Set(10L),
+      s"st15 must reject the passage-embedder, admit the novel doc: $winnow")
+  }
 }
