@@ -674,39 +674,113 @@ object Dedup extends QueryGroup {
     // same move as t9). The per-doc size table joins the tiny pair list
     // on its keys; text never moves.
     "d12_winnow_overlap" -> QueryDef(
+      build = (s, d) => winnowOverlapPairs(s, d),
+      oracle = Some(s"""
+        WITH $sqlWinnowPairCtes
+        SELECT a_id, b_id, shared, containment_ppm FROM wp"""),
+      bench = true),
+
+    // D13 (end-to-end artifact, the d7 analogue for the OVERLAP family):
+    // resolve d12's containment pairs into overlap GROUPS and ship one
+    // row per multi-member group — the review/collapse work-list a
+    // pipeline acts on (which documents quote, embed, or extend each
+    // other), with the canonical keeper (min id), member/edge counts and
+    // the group's strongest containment. Edges gate at 50% containment
+    // (st15's admission rule — the two thresholds deliberately agree, so
+    // a group here is exactly what st15 would have refused to re-admit).
+    //
+    // Scale: edges are the d12 pair table (already bucketed, never
+    // all-pairs); resolution is d6's min-label propagation (one edge
+    // join + one min-aggregate per round, rounds = component diameter —
+    // tiny for overlap groups); the per-group rollup is one map-side-
+    // combinable groupBy on the label. Output ∝ overlap groups, not
+    // corpus.
+    "d13_overlap_keep_list" -> QueryDef(
       build = (s, d) => {
-        val doc = Tables.spread(
-          Tables.documents(s, d).select(col("doc_id"), col("text")))
-        // feeds three consumers (both join sides + the size table) with
-        // differing projections — materialize once (the d3/d4 lesson)
-        val fp = doc.select(col("doc_id"),
-            explode(winnowFingerprints(col("text"))).as("h"))
-          .localCheckpoint(true)
-        val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-        val pairs = fp.select(col("h"), col("doc_id").as("a_id"))
-          .join(fp.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 2)
-        pairs
-          .join(sz.select(col("doc_id").as("a_id"), col("nfp").as("na")), "a_id")
-          .join(sz.select(col("doc_id").as("b_id"), col("nfp").as("nb")), "b_id")
-          .select(col("a_id"), col("b_id"), col("shared"),
-            expr("shared * 1000000 div least(na, nb)").as("containment_ppm"))
+        val pairs = winnowOverlapPairs(s, d).localCheckpoint(true)
+        val edges = pairs.filter(col("containment_ppm") >= 500000)
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val clusters = graft.ops.ConnectedComponents
+          .minLabel(edges.select("a_id", "b_id"), "a_id", "b_id", docs, "doc_id")
+        val members = clusters.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+        val edgeStats = edges
+          .join(clusters.select(col("doc_id").as("a_id"), col("cluster")), "a_id")
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_edges"),
+            max(col("containment_ppm")).as("max_containment_ppm"))
+        // inner join keeps exactly the clusters that have edges — the
+        // multi-member overlap groups; singletons drop out here
+        members.join(edgeStats, Seq("cluster"))
+          .select(col("cluster").as("keep_doc_id"), col("n_members"),
+            col("n_edges"), col("max_containment_ppm"))
       },
       oracle = Some(s"""
-        WITH $sqlWinnowCtes,
+        WITH RECURSIVE $sqlWinnowPairCtes,
+        e AS (SELECT a_id, b_id, containment_ppm FROM wp
+              WHERE containment_ppm >= 500000),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM e
+                  UNION SELECT b_id, a_id FROM e),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src
+          WHERE e2.dst <> r.a),
+        cl AS (SELECT d.doc_id,
+                 CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT)
+                   AS cluster_id
+               FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+               GROUP BY d.doc_id),
+        mem AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1),
+        es AS (SELECT c.cluster_id, count(*) AS n_edges,
+                      max(e.containment_ppm) AS max_containment_ppm
+               FROM e JOIN cl c ON c.doc_id = e.a_id GROUP BY 1)
+        SELECT m.cluster_id AS keep_doc_id,
+               CAST(m.n_members AS BIGINT) AS n_members,
+               CAST(es.n_edges AS BIGINT) AS n_edges,
+               CAST(es.max_containment_ppm AS BIGINT) AS max_containment_ppm
+        FROM mem m JOIN es ON es.cluster_id = m.cluster_id"""))
+  )
+
+  /** The d12 pair pipeline (shared with d13): winnow fingerprints →
+    * per-fingerprint bucket join → pairs sharing >= 2 window minima,
+    * scored with the floor-scaled ppm containment
+    * (shared / smaller fingerprint set). */
+  private def winnowOverlapPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val doc = Tables.spread(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // feeds three consumers (both join sides + the size table) with
+    // differing projections — materialize once (the d3/d4 lesson)
+    val fp = doc.select(col("doc_id"),
+        explode(winnowFingerprints(col("text"))).as("h"))
+      .localCheckpoint(true)
+    val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val pairs = fp.select(col("h"), col("doc_id").as("a_id"))
+      .join(fp.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    pairs
+      .join(sz.select(col("doc_id").as("a_id"), col("nfp").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("nfp").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("shared"),
+        expr("shared * 1000000 div least(na, nb)").as("containment_ppm"))
+  }
+
+  /** [[sqlWinnowCtes]] extended through the pair pipeline: CTE
+    * `wp(a_id, b_id, shared, containment_ppm)` — the DuckDB twin of
+    * [[winnowOverlapPairs]]. */
+  private val sqlWinnowPairCtes: String = s"""$sqlWinnowCtes,
         sz AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
                FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-        SELECT p.a_id, p.b_id, CAST(p.shared AS BIGINT) AS shared,
-               CAST(p.shared * 1000000 // least(sa.nfp, sb.nfp) AS BIGINT)
-                 AS containment_ppm
-        FROM pr p
-        JOIN sz sa ON sa.doc_id = p.a_id
-        JOIN sz sb ON sb.doc_id = p.b_id
-        WHERE p.shared >= 2"""),
-      bench = true)
-  )
+               GROUP BY 1, 2),
+        wp AS (SELECT p.a_id, p.b_id, CAST(p.shared AS BIGINT) AS shared,
+                      CAST(p.shared * 1000000 // least(sa.nfp, sb.nfp) AS BIGINT)
+                        AS containment_ppm
+               FROM pr p
+               JOIN sz sa ON sa.doc_id = p.a_id
+               JOIN sz sb ON sb.doc_id = p.b_id
+               WHERE p.shared >= 2)"""
 }

@@ -257,5 +257,12 @@ class DedupSpec extends SparkSpec {
     assert(pairsX.contains((1L, 2L)), s"native kernel missed the passage: $pairsX")
     assert(!pairsX.exists { case (a, b) => a == 3L || b == 3L },
       s"native kernel paired the unrelated doc: $pairsX")
+
+    // d13 resolves the pair into one overlap group: keeper = min id,
+    // two members, the unrelated doc in no group at all
+    val groups = SparkEntry.queries("d13_overlap_keep_list")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 2L),
+      s"expected one group kept by doc 1 with 2 members: $groups")
   }
 }
