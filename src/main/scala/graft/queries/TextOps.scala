@@ -862,7 +862,47 @@ object TextOps extends QueryGroup {
         WHERE t.source <> tgt
         GROUP BY t.doc_id
         ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50"""),
-      bench = true)
+      bench = true),
+
+    // T19: per-document novelty/redundancy profile — what fraction of a
+    // document's winnowed regions (d12's local fingerprints) appears
+    // NOWHERE else in the corpus. The corpus-curation signal behind
+    // redundancy-aware sampling weights: boilerplate-heavy or
+    // template-cloned docs score near 0, genuinely novel writing near
+    // 1e6; unlike whole-doc dedup it grades PARTIAL redundancy
+    // continuously. Floor-scaled ppm (integer-exact in any engine).
+    // Docs too short to fill one winnow window have no fingerprints and
+    // no profile row (they carry no region evidence either way).
+    //
+    // Scale: two keyed shuffles of 8-byte fingerprint rows — one on h
+    // for the document-frequency count, one on doc_id for the rollup;
+    // both aggregations combine map-side. Never text, never pairs.
+    "t19_novelty_profile" -> QueryDef(
+      build = (s, d) => {
+        import graft.functions.TextFunctions.winnowFingerprints
+        val fp = Tables.spread(
+            Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            explode(winnowFingerprints(col("text"))).as("h"))
+          .localCheckpoint(true) // feeds the df count AND the per-doc rollup
+        val df = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        fp.join(df, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_fp"), col("n_unique"),
+            expr("n_unique * 1000000 div n_fp").as("novelty_ppm"))
+      },
+      oracle = Some(s"""
+        WITH ${graft.queries.Dedup.sqlWinnowCtes},
+        df AS (SELECT h, count(*) AS df FROM f GROUP BY 1)
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique,
+               CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS novelty_ppm
+        FROM f JOIN df ON df.h = f.h
+        GROUP BY f.doc_id"""))
   )
 
   /** t17's broadcast quota table: (source, n, quota) with

@@ -203,4 +203,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(10L)._2 > got(12L)._2 && got(12L)._2 > got(11L)._2,
       "importance order must be domain-like > neutral > anti-domain")
   }
+
+  test("t19: twin docs score zero novelty, a unique doc scores 1e6") {
+    // twins 1/2 share every winnow region (df = 2 for each fingerprint
+    // -> novelty 0); doc 3 shares none (df = 1 throughout -> 1e6); doc 4
+    // is one token short of a full window -> no fingerprints, no row
+    val dir = java.nio.file.Files.createTempDirectory("graft_t19_").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "tiny doc here now end")) // 3 shingles < w=4 -> no window
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t19_novelty_profile")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1000000L),
+      s"novelty profile: $got")
+  }
 }
