@@ -91,9 +91,12 @@ object Bench {
       SparkEntry.benchQueries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    // Min over two timed runs: the box is shared with the driver, so a
-    // single run can absorb a multi-second contention spike (r2 recorded
-    // w8 at 28 s vs its 1.3 s steady state). The min measures the plan.
+    // Min over three timed runs (floor protocol): the box is shared with
+    // the driver, so any single run can absorb a multi-second contention
+    // spike (r2 recorded w8 at 28 s vs its 1.3 s steady state; r6's
+    // three spark-submit runs spanned 32.9→23.7 s on identical plans).
+    // The min measures the plan, and the recorded artifact IS the floor
+    // — no separate floor run needed.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -107,7 +110,7 @@ object Bench {
       // query's timing was measured to inflate the LAST query (w8) up to
       // 7× on a loaded box
       System.gc()
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

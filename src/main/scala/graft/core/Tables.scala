@@ -29,7 +29,13 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      // the generator has changed ts's physical type once already; a
+      // THIRD representation must fail loudly at load time, not surface
+      // as downstream oracle hash mismatches
+      case other => sys.error(
+        s"events.ts: unhandled physical type $other — " +
+          "testdata generation changed again; extend normalizeEventTs")
     }
   }
 

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level bloom pre-probe for stream-static joins (st15; the same
+  * shape Spark's InjectRuntimeFilter produces for selective shuffle
+  * joins, built explicitly here because the creation side — a static
+  * corpus fingerprint index — lives across micro-batches, outside any
+  * single plan the optimizer could inject into).
+  *
+  * The filter is a one-row DataFrame holding the bitset as
+  * `array<long>` words, cross-joined with `broadcast()` onto the probe
+  * side and tested with pure builtin expressions (xxhash64 / shiftright
+  * / bitwiseAND / element_at) — the whole membership test stays inside
+  * whole-stage codegen; no UDF, no driver-side per-row call.
+  *
+  * Guarantee: NO false negatives — build and probe use the identical
+  * hash family, so every key actually present passes and the downstream
+  * exact join sees exactly the rows it would have seen unfiltered.
+  * False positives only cost a wasted probe row. That makes the bloom a
+  * pure plan optimization: results (and oracles) are unchanged.
+  *
+  * Scale: the bitset is sized ~1.2 bytes/key at fpp=1% and capped at
+  * [[BloomProbe.MaxBits]] (16 MiB of words) to stay cheaply
+  * broadcastable — past the cap the fpp degrades gracefully (more
+  * false positives reach the exact join; never a wrong result). The
+  * build is one distinct-count plus one shuffle of (pos) ints; at
+  * 100 TB you would build it once per index version alongside the
+  * corpus fingerprint table and reuse it across every micro-batch.
+  */
+object BloomProbe {
+
+  /** 2^27 bits = 16 MiB of longs — comfortably broadcastable. */
+  val MaxBits: Long = 1L << 27
+
+  /** A built filter: `words` is a single-row frame with column
+    * `bloom_words: array<long>`; `bits`/`hashes` parameterize the probe
+    * (must match the build — [[mightContain]] takes them back). */
+  final case class Bloom(words: DataFrame, bits: Long, hashes: Int)
+
+  /** Build the bitset over the distinct values of `keyCol` (long-typed
+    * keys). One count job to size, one aggregation to assemble. */
+  def build(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Bloom = {
+    val n = math.max(1L, keys.select(keyCol).distinct().count())
+    val ln2 = math.log(2)
+    val ideal = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
+    // round up to whole words; cap for broadcastability
+    val bits = math.min(MaxBits, math.max(64L, ((ideal + 63) / 64) * 64))
+    val hashes = math.max(1, math.min(8, math.round(bits.toDouble / n * ln2).toInt))
+    val nWords = bits / 64
+    val positions = keys.select(col(keyCol).as("k")).distinct()
+      .select(explode(array((0 until hashes).map(i =>
+        pmod(xxhash64(col("k"), lit(i)), lit(bits))): _*)).as("pos"))
+    // set bits → per-word OR → dense word array (absent words are 0)
+    val words = positions.distinct()
+      .groupBy(shiftright(col("pos"), 6).as("widx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT)))")
+        .as("word"))
+      .groupBy()
+      .agg(map_from_arrays(
+        collect_list(col("widx")), collect_list(col("word"))).as("m"))
+      .select(expr(
+        s"transform(sequence(0L, ${nWords - 1}L), " +
+          "i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))")
+        .as("bloom_words"))
+    Bloom(words.localCheckpoint(true), bits, hashes)
+  }
+
+  /** Membership test for `h` against the `bloom_words` column (after
+    * `crossJoin(broadcast(bloom.words))`). Pure builtins — codegen. */
+  def mightContain(h: Column, words: Column, bits: Long, hashes: Int): Column =
+    (0 until hashes).map { i =>
+      val pos = pmod(xxhash64(h, lit(i)), lit(bits))
+      val word = element_at(words, shiftright(pos, 6).cast("int") + lit(1))
+      val mask = call_function("shiftleft",
+        lit(1L), pos.bitwiseAND(lit(63L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+}

@@ -668,11 +668,13 @@ object Dedup extends QueryGroup {
     // Scale: fingerprint selection is row-local (one codegen kernel
     // pass, winnow_fps); only (doc_id, 8-byte fp) rows shuffle. Pairs
     // form inside per-fingerprint buckets — d3's bucket-join shape,
-    // never all-pairs; a fingerprint shared by k docs costs k² locally
-    // and hot buckets salt/cap like any skewed key (a fingerprint hot
-    // enough to bucket thousands of docs is boilerplate — cap it, the
-    // same move as t9). The per-doc size table joins the tiny pair list
-    // on its keys; text never moves.
+    // never all-pairs — and the hot-fingerprint df gate ([[WinnowMaxDf]])
+    // bounds every bucket: a fingerprint hot enough to bucket thousands
+    // of docs is boilerplate and is dropped BEFORE the self-join (the
+    // same judgment t9 makes for boilerplate n-grams), so no bucket ever
+    // exceeds WinnowMaxDf² local pairs whatever the corpus size. The
+    // per-doc size table joins the tiny pair list on its keys; text
+    // never moves.
     "d12_winnow_overlap" -> QueryDef(
       build = (s, d) => winnowOverlapPairs(s, d),
       oracle = Some(s"""
@@ -685,9 +687,12 @@ object Dedup extends QueryGroup {
     // row per multi-member group — the review/collapse work-list a
     // pipeline acts on (which documents quote, embed, or extend each
     // other), with the canonical keeper (min id), member/edge counts and
-    // the group's strongest containment. Edges gate at 50% containment
-    // (st15's admission rule — the two thresholds deliberately agree, so
-    // a group here is exactly what st15 would have refused to re-admit).
+    // the group's strongest containment. Edges gate at 50% containment —
+    // the same threshold as st15's admission rule, over slightly
+    // different denominators: d12's containment divides by the SMALLER
+    // of the two docs' surviving fingerprint sets, st15 by the incoming
+    // candidate's own count, so the two can diverge when the candidate
+    // is the larger doc of a pair.
     //
     // Scale: edges are the d12 pair table (already bucketed, never
     // all-pairs); resolution is d6's min-label propagation (one edge
@@ -742,19 +747,59 @@ object Dedup extends QueryGroup {
         FROM mem m JOIN es ON es.cluster_id = m.cluster_id"""))
   )
 
-  /** The d12 pair pipeline (shared with d13): winnow fingerprints →
-    * per-fingerprint bucket join → pairs sharing >= 2 window minima,
-    * scored with the floor-scaled ppm containment
-    * (shared / smaller fingerprint set). */
-  private def winnowOverlapPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val doc = Tables.spread(
-      Tables.documents(s, d).select(col("doc_id"), col("text")))
-    // feeds three consumers (both join sides + the size table) with
-    // differing projections — materialize once (the d3/d4 lesson)
-    val fp = doc.select(col("doc_id"),
-        explode(winnowFingerprints(col("text"))).as("h"))
+  /** Document-frequency cap for winnow fingerprints in the d12/d13 pair
+    * pipeline. A fingerprint hot enough to bucket this many documents is
+    * boilerplate (license headers, templates) — the t9 judgment applied
+    * to local fingerprints. Without the cap, one fingerprint shared by k
+    * docs costs k² inside its bucket (10⁶ docs sharing a license-header
+    * fingerprint → ~5×10¹¹ candidate pairs from a single bucket); with
+    * it, any bucket is at most [[WinnowMaxDf]]² locally, whatever the
+    * corpus size. Capped fingerprints carry no overlap EVIDENCE either
+    * (everything matches boilerplate), so they leave both the numerator
+    * (shared) and the denominator (per-doc fingerprint count) of the
+    * containment score — mirrored exactly in the DuckDB oracle. */
+  private[graft] val WinnowMaxDf = 1000
+
+  /** Shared winnow index — the ONE definition of the corpus fingerprint
+    * frames that d12/d13 pairing, t19's novelty profile, and st15's
+    * streaming admission all read:
+    *  - `fp(doc_id, h)`: exploded winnow fingerprints, materialized once
+    *    (feeds both join sides, the df count, and per-doc rollups — the
+    *    d3/d4 lesson).
+    *  - `df(h, df)`: per-fingerprint document frequency — t19's novelty
+    *    denominator and d12's hot-fingerprint gate are the same frame.
+    */
+  private[graft] final case class WinnowIndex(
+      fp: org.apache.spark.sql.DataFrame, df: org.apache.spark.sql.DataFrame)
+
+  /** Winnow fingerprint extraction over a (doc_id, text[, ...]) frame —
+    * the single kernel call every winnow consumer shares. */
+  private[graft] def winnowFps(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(winnowFingerprints(col("text"))).as("h"))
+
+  private[graft] def winnowIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): WinnowIndex = {
+    val fp = winnowFps(Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
       .localCheckpoint(true)
+    WinnowIndex(fp, fp.groupBy("h").agg(count(lit(1)).as("df")))
+  }
+
+  /** The d12 pair pipeline (shared with d13): winnow fingerprints →
+    * hot-fingerprint df gate ([[WinnowMaxDf]]) → per-fingerprint bucket
+    * join → pairs sharing >= 2 surviving window minima, scored with the
+    * floor-scaled ppm containment (shared / smaller SURVIVING
+    * fingerprint set — boilerplate fingerprints are excluded from both
+    * sides of the ratio, see [[WinnowMaxDf]]). */
+  private[graft] def winnowOverlapPairs(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      maxDf: Int = WinnowMaxDf): org.apache.spark.sql.DataFrame = {
+    val idx = winnowIndex(s, d)
+    // the cap: a left-semi probe of the kept-fingerprint set — one keyed
+    // join on h, the same shuffle key the pair join needs anyway
+    val fp = idx.fp.join(
+      idx.df.filter(col("df") <= maxDf), Seq("h"), "left_semi")
     val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val pairs = fp.select(col("h"), col("doc_id").as("a_id"))
       .join(fp.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
@@ -770,11 +815,15 @@ object Dedup extends QueryGroup {
 
   /** [[sqlWinnowCtes]] extended through the pair pipeline: CTE
     * `wp(a_id, b_id, shared, containment_ppm)` — the DuckDB twin of
-    * [[winnowOverlapPairs]]. */
+    * [[winnowOverlapPairs]], including the [[WinnowMaxDf]] gate (`fk` is
+    * the kept-fingerprint frame; sizes and pairs both read it). */
   private val sqlWinnowPairCtes: String = s"""$sqlWinnowCtes,
-        sz AS (SELECT doc_id, count(*) AS nfp FROM f GROUP BY doc_id),
+        wdf AS (SELECT h, count(*) AS df FROM f GROUP BY h),
+        fk AS (SELECT f.doc_id, f.h FROM f
+               JOIN wdf ON wdf.h = f.h WHERE wdf.df <= $WinnowMaxDf),
+        sz AS (SELECT doc_id, count(*) AS nfp FROM fk GROUP BY doc_id),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-               FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+               FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
         wp AS (SELECT p.a_id, p.b_id, CAST(p.shared AS BIGINT) AS shared,
                       CAST(p.shared * 1000000 // least(sa.nfp, sb.nfp) AS BIGINT)

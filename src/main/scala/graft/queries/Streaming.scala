@@ -465,24 +465,35 @@ object Streaming extends QueryGroup {
     //
     // Scale: the corpus index is ~2/w fingerprints per shingle — a keyed
     // join table, NOT a broadcast; each batch probes it with one shuffle
-    // of (doc_id, 8-byte fp) rows (st14's anti-join posture), and a
-    // bloom filter on fp cuts the probe before the exchange. Admitted
-    // docs extend the index incrementally by unioning their own
-    // fingerprints — cost ∝ batch, never corpus.
+    // of (doc_id, 8-byte fp) rows (st14's anti-join posture), after a
+    // broadcast bloom pre-probe (ops/BloomProbe: a one-row bitset built
+    // once from the index, tested with pure builtin expressions inside
+    // codegen) drops definitely-unknown fingerprints BEFORE the
+    // exchange — no false negatives, so the exact join sees the same
+    // rows and the result is bit-identical with or without it. The
+    // index is STATIC over the run: admitted docs do not extend it
+    // (incremental index extension per committed batch is the
+    // production upgrade path); that is also what keeps admission
+    // stateless and micro-batch-split invariant.
     "st15_winnow_admission" -> QueryDef(
       build = (s, d) => {
-        import graft.functions.TextFunctions.winnowFingerprints
-        val corpusIdx = Tables.documents(s, d)
-          .filter(col("doc_id") % 5 =!= 0)
-          .select(explode(winnowFingerprints(col("text"))).as("h"))
-          .distinct()
+        val corpusIdx = Dedup.winnowFps(Tables.documents(s, d)
+            .filter(col("doc_id") % 5 =!= 0))
+          .select("h").distinct().localCheckpoint(true)
+        val bloom = graft.ops.BloomProbe.build(corpusIdx, "h")
         val incoming = Streams.tableStream(s, d, "documents")
           .filter(col("doc_id") % 5 === 0)
         Streams.runBatchwise(incoming) { batch =>
-          val fps = batch.select(col("doc_id"),
-            explode(winnowFingerprints(col("text"))).as("h"))
+          val fps = Dedup.winnowFps(batch)
+          // n_fp counts the candidate's OWN fingerprints — computed
+          // before the bloom cut, which may only drop rows that cannot
+          // match the corpus (so `shared` below is unaffected too)
           val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-          val rejected = fps.join(corpusIdx, Seq("h"))
+          val probed = fps.crossJoin(broadcast(bloom.words))
+            .filter(graft.ops.BloomProbe.mightContain(
+              col("h"), col("bloom_words"), bloom.bits, bloom.hashes))
+            .select("doc_id", "h")
+          val rejected = probed.join(corpusIdx, Seq("h"))
             .groupBy("doc_id").agg(count(lit(1)).as("shared"))
             .join(nf, Seq("doc_id"))
             .filter(col("shared") * 2 >= col("n_fp"))

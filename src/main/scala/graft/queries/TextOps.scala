@@ -879,13 +879,12 @@ object TextOps extends QueryGroup {
     // both aggregations combine map-side. Never text, never pairs.
     "t19_novelty_profile" -> QueryDef(
       build = (s, d) => {
-        import graft.functions.TextFunctions.winnowFingerprints
-        val fp = Tables.spread(
-            Tables.documents(s, d).select(col("doc_id"), col("text")))
-          .select(col("doc_id"),
-            explode(winnowFingerprints(col("text"))).as("h"))
-          .localCheckpoint(true) // feeds the df count AND the per-doc rollup
-        val df = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        // the shared winnow index (Dedup.winnowIndex): fp is the same
+        // materialized fingerprint frame d12/d13 pair over, df the same
+        // document-frequency frame their hot-fingerprint gate reads —
+        // one definition across the winnow family
+        val idx = graft.queries.Dedup.winnowIndex(s, d)
+        val (fp, df) = (idx.fp, idx.df)
         fp.join(df, Seq("h"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fp"),

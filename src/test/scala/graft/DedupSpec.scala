@@ -265,4 +265,39 @@ class DedupSpec extends SparkSpec {
     assert(groups == Map(1L -> 2L),
       s"expected one group kept by doc 1 with 2 members: $groups")
   }
+
+  test("d12 hot-fingerprint cap bounds a boilerplate bucket") {
+    // every doc opens with the same license-header boilerplate; two docs
+    // (1, 2) additionally share a genuine 12-token passage. Ungated, the
+    // boilerplate fingerprints alone pair ALL docs (~n²/2 pairs from hot
+    // buckets); with the df gate those fingerprints are dropped before
+    // the self-join and only the genuine overlap survives.
+    val boiler = "this software is provided as is without warranty of any " +
+      "kind express or implied including the implied warranties of " +
+      "merchantability and fitness for a particular purpose"
+    val passage = "quantum chromodynamics binds quarks into hadrons via " +
+      "gluon exchange across color charge"
+    val n = 24
+    val docs = (0 until n).map { i =>
+      val unique = (0 until 12).map(j => s"tok${i}x$j").mkString(" ")
+      val body = if (i == 1 || i == 2) s"$unique $passage" else unique
+      (i.toLong, s"$boiler $body")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12cap_").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // ungated (maxDf >= n): the boilerplate flood — every doc pairs
+    val flood = graft.queries.Dedup.winnowOverlapPairs(spark, dir, maxDf = n)
+      .count()
+    assert(flood >= n.toLong * (n - 1) / 2,
+      s"expected the ungated boilerplate to pair all docs, got $flood pairs")
+
+    // gated below the boilerplate df (= n): ONLY the genuine pair forms;
+    // candidate volume is bounded by the surviving (df <= maxDf) buckets
+    val gated = graft.queries.Dedup.winnowOverlapPairs(spark, dir, maxDf = n - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated == Set((1L, 2L)),
+      s"gated pairs must be exactly the genuine overlap, got $gated")
+  }
 }
