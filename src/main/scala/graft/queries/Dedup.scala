@@ -162,6 +162,54 @@ object Dedup extends QueryGroup {
       .distinct() // a pair may share several blocks; emit it once
   }
 
+  /** Manku's multi-block key generalization of [[simhashBandedPairs]]
+    * for TIGHTER Hamming budgets (WWW'07 §4.1 "exploring the design
+    * space"): with B = 7 blocks and budget k, Hamming(a, b) <= k flips
+    * bits in at most k blocks, so the pair agrees VERBATIM on at least
+    * B − k blocks — and therefore on at least one specific
+    * (B − k)-subset. Join keys are the C(B, k) block combinations, each
+    * packing its blocks' bits into one long: a budget-3 key carries
+    * >= 33 signature bits, vastly more selective than the single
+    * 8–9-bit block of the k = 6 scheme, so buckets stay near-singleton
+    * even at a corpus size where every 9-bit block value collects
+    * n / 512 docs. Cost: C(B, k) exploded rows per doc (35 at k = 3)
+    * instead of 7 — Manku's standard space-for-selectivity trade.
+    * Lossless for hamming <= budget by pigeonhole (DedupSpec pins
+    * parity against the all-pairs comparison on a seeded corpus).
+    * Input needs (doc_id, source, sh); output (a_id, b_id, hamming).
+    */
+  private[graft] def simhashMultiBlockPairs(
+      sigs: org.apache.spark.sql.DataFrame, budget: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val blockDefs = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+    val nBlocks = blockDefs.size
+    require(budget >= 1 && budget < nBlocks,
+      s"Hamming budget must be in [1, ${nBlocks - 1}], got $budget")
+    val combos = blockDefs.indices.combinations(nBlocks - budget).toSeq
+    // key for one combo: its blocks' bits concatenated into a single
+    // long (<= 60 bits total) — pure builtins, stays in codegen
+    def comboKey(c: Seq[Int]): org.apache.spark.sql.Column =
+      c.foldLeft(lit(0L)) { (acc, i) =>
+        val (off, sz) = blockDefs(i)
+        shiftleft(acc, sz).bitwiseOR(
+          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << sz) - 1)))
+      }
+    val pinned = sigs.localCheckpoint(true)
+    val exploded = pinned.select(col("source"), col("doc_id"), col("sh"),
+      posexplode(array(combos.map(comboKey): _*))
+        .as(Seq("combo_idx", "key_bits")))
+    val a = exploded.select(col("source"), col("combo_idx"), col("key_bits"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = exploded.select(col("source"), col("combo_idx"), col("key_bits"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("source", "combo_idx", "key_bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+      .filter(col("hamming") <= budget)
+      .distinct() // a pair may agree on several combos; emit it once
+  }
+
   /** DuckDB twin of the band hashes (columns b0..b3 over h0..h15). */
   private val sqlBandExprs: String = (0 until 4).map { b =>
     val vals = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ',', ")

@@ -183,6 +183,36 @@ object Sources extends QueryGroup {
                     ELSE '_pre_evolution' END AS status,
                count(*) AS cnt,
                round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    // S7: sharing-protocol scan (delta_sharing_recipient.py:122-135 —
+    // format("...Sharing").load("<profile>#share.schema.table")). The
+    // provider side publishes `customer` into a local share manifest and
+    // mints a tokened profile (delta_sharing_provider.py's CREATE SHARE /
+    // ADD TABLE / grant flow); the recipient side reads it back through
+    // the graftSharing DataSource V2, which resolves the fully-qualified
+    // name and DELEGATES the scan to Spark's native parquet table — so
+    // the filter below pushes into the shared scan (PushedFilters,
+    // spec-asserted in PushdownSpec). The oracle sees only the original
+    // parquet: a resolver fault (wrong table, lost rows, broken token
+    // plumbing) breaks the hash.
+    "src8_shared_table_scan" -> QueryDef(
+      build = (s, d) => {
+        val endpoint = Files.createTempDirectory("graft_share_").toString
+        val profile = graft.sources.SharingProtocol.publishLocal(
+          endpoint, share = "analytics", schema = "crm", table = "customer",
+          location = s"$d/customer.parquet", token = "graft-recipient-1")
+        s.read.format("graftSharing")
+          .load(s"$profile#analytics.crm.customer")
+          .filter(col("c_acctbal") > 5000.0)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            round(Exact.moneySum("c_acctbal"), 4).as("balance_sum"))
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment, count(*) AS cnt,
+               round(${Exact.sqlMoneySum("c_acctbal")}, 4) AS balance_sum
+        FROM customer WHERE c_acctbal > 5000.0
+        GROUP BY c_mktsegment"""))
   )
 }

@@ -129,6 +129,45 @@ class DedupSpec extends SparkSpec {
     assert(allPairs.exists(_._3 > 0), "need pairs with 0 < hamming <= 6")
   }
 
+  test("d5 multi-block keys (budget 3) == all-pairs Hamming<=3 on a seeded corpus") {
+    // The tighter-budget generalization: C(7,3) = 35 combo keys of
+    // >= 33 bits each must reproduce the all-pairs Hamming<=3 result
+    // exactly — including pairs whose 3 differing bits land in 3
+    // distinct blocks (where no single-block scheme with B = 4 would
+    // need pigeonhole, but our 7-block combos must still cover it).
+    val rnd = new scala.util.Random(1337)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc() = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 30).map(i => (i.toLong, doc()))
+    // single-token swaps on long docs → very small Hamming distances
+    val muts = (0 until 40).map { i =>
+      val (_, t) = bases(rnd.nextInt(bases.size))
+      val toks = t.split(" ")
+      (100L + i,
+        toks.updated(rnd.nextInt(toks.length), vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val sigs = (bases ++ muts).toDF("doc_id", "text")
+      .withColumn("source", (col("doc_id") % 2).cast("string"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"), simhashPortable60("toks").as("sh"))
+    def toPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = toPairs(graft.queries.Dedup.simhashMultiBlockPairs(sigs, budget = 3))
+    val allPairs = toPairs {
+      val a = sigs.select(col("source"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = sigs.select(col("source"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, "source").filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
+    assert(multi == allPairs,
+      s"multi-block missed ${allPairs -- multi}, invented ${multi -- allPairs}")
+    assert(allPairs.nonEmpty, "seeded corpus must contain Hamming<=3 pairs")
+    assert(allPairs.exists(_._3 > 0), "need pairs with 0 < hamming <= 3")
+  }
+
   test("d1 exact dedup keeps lowest doc_id per normalized text") {
     val messy = Seq((10L, "Hello  World"), (11L, "hello world"), (12L, "bye"))
       .toDF("doc_id", "text")

@@ -179,4 +179,39 @@ class PushdownSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sharing scan delegates to native parquet: filters push through src8") {
+    // the graftSharing DSv2 source must be a pure resolver — the scan
+    // underneath is Spark's parquet table, so a recipient-side filter
+    // reaches the file source as PushedFilters and the projection prunes
+    val endpoint = java.nio.file.Files.createTempDirectory("graft_shspec_").toString
+    val profile = graft.sources.SharingProtocol.publishLocal(
+      endpoint, "s", "db", "customer", s"$sf/customer.parquet", "tok")
+    val df = spark.read.format("graftSharing").load(s"$profile#s.db.customer")
+      .filter(col("c_custkey") === 7L).select("c_custkey", "c_mktsegment")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(c_custkey,7)"),
+      s"filter did not push into the shared scan:\n${p.take(800)}")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"projection did not prune the shared scan:\n${p.take(800)}")
+    // the protocol itself: a wrong token and an unshared table fail
+    // loudly at resolve time, never as an empty scan
+    val bad = org.scalatest.Assertions.intercept[Exception] {
+      graft.sources.SharingProtocol.resolve(
+        s"${profile.replace(".share", "_bad.share")}#s.db.customer")
+    }
+    assert(bad != null)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(endpoint, "evil.share"),
+      """{"shareCredentialsVersion":1,"endpoint":"""" + endpoint +
+        """","bearerToken":"WRONG"}""")
+    val tok = org.scalatest.Assertions.intercept[RuntimeException] {
+      graft.sources.SharingProtocol.resolve(s"$endpoint/evil.share#s.db.customer")
+    }
+    assert(tok.getMessage.contains("bearer token rejected"), tok.getMessage)
+    val missing = org.scalatest.Assertions.intercept[RuntimeException] {
+      graft.sources.SharingProtocol.resolve(s"$profile#s.db.nope")
+    }
+    assert(missing.getMessage.contains("not shared"), missing.getMessage)
+  }
 }
