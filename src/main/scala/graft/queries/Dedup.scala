@@ -792,8 +792,102 @@ object Dedup extends QueryGroup {
                CAST(m.n_members AS BIGINT) AS n_members,
                CAST(es.n_edges AS BIGINT) AS n_edges,
                CAST(es.max_containment_ppm AS BIGINT) AS max_containment_ppm
-        FROM mem m JOIN es ON es.cluster_id = m.cluster_id"""))
+        FROM mem m JOIN es ON es.cluster_id = m.cluster_id""")),
+
+    // D14: sequential admission with incremental index extension — see
+    // [[sequentialAdmission]] for semantics and the scale story. The
+    // member the streaming family can't express statelessly: admission
+    // that depends on what THIS run already admitted.
+    "d14_sequential_admission" -> QueryDef(
+      build = (s, d) => sequentialAdmission(s, d),
+      oracle = Some(s"WITH $sqlSequentialAdmission"))
   )
+
+  /** D14: SEQUENTIAL admission with incremental index extension — the
+    * production upgrade path st15's header points at, as real code.
+    * st15 gates every incoming doc against a STATIC corpus index, so
+    * two near-identical docs arriving in the same run both pass; d14
+    * replays the incoming docs in deterministic epochs ((doc_id div 5)
+    * mod 4 — a stand-in for arrival order) and, after each epoch,
+    * unions the ADMITTED docs' winnow fingerprints into the index
+    * before the next epoch is gated. The intra-stream duplicate is now
+    * caught: a copy admitted in epoch 0 blocks its twin in epoch 1
+    * (DedupSpec pins exactly that case). Same 50% containment rule as
+    * st15, same fp-less-doc posture (no fingerprints → no region
+    * evidence → admitted with n_fp = 0).
+    *
+    * Scale: per epoch, one keyed probe of the index (8-byte fp rows,
+    * st14's posture) + one left-semi to collect admitted fingerprints —
+    * cost ∝ epoch batch, while the index grows only by admitted docs'
+    * fingerprints (localCheckpoint pins each generation, the streaming
+    * foreachBatch analogue of committing the index table per batch).
+    * The epoch loop is a driver-side fold over micro-batches — exactly
+    * the production foreachBatch cadence, not a per-row loop. The
+    * DuckDB oracle chains one CTE generation per epoch, so the
+    * sequential semantics are hash-checked end to end. */
+  private val AdmissionEpochs = 4
+
+  private def sequentialAdmission(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val fpAll = winnowIndex(s, d).fp
+    val incDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), expr("(doc_id div 5) % 4").as("epoch"))
+    val inc = fpAll.filter(col("doc_id") % 5 === 0)
+      .withColumn("epoch", expr("(doc_id div 5) % 4"))
+    val nf = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    var index = fpAll.filter(col("doc_id") % 5 =!= 0)
+      .select("h").distinct().localCheckpoint(true)
+    val admitted = (0 until AdmissionEpochs).map { e =>
+      val efps = inc.filter(col("epoch") === e).select("doc_id", "h")
+      val rejected = efps.join(index, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+        .join(nf, Seq("doc_id"))
+        .filter(col("shared") * 2 >= col("n_fp"))
+        .select("doc_id")
+      val adm = incDocs.filter(col("epoch") === e)
+        .join(rejected, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      index = index
+        .union(efps.join(adm.select("doc_id"), Seq("doc_id"), "left_semi").select("h"))
+        .distinct().localCheckpoint(true)
+      adm
+    }
+    admitted.reduce(_ unionByName _)
+      .join(nf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+  }
+
+  /** Chained-CTE DuckDB twin of [[sequentialAdmission]]: one
+    * (rej, adm, corp) generation per epoch, corp(e+1) = corp(e) ∪
+    * admitted epoch-e fingerprints. */
+  private val sqlSequentialAdmission: String = {
+    val epochs = (0 until AdmissionEpochs).map { e =>
+      s"""rej$e AS (SELECT sh.doc_id FROM (
+               SELECT i.doc_id, count(*) AS shared FROM incf i
+               JOIN corp$e x ON i.h = x.h WHERE i.epoch = $e GROUP BY 1) sh
+             JOIN nf ON nf.doc_id = sh.doc_id WHERE sh.shared * 2 >= nf.c),
+        adm$e AS (SELECT d.doc_id, d.epoch FROM alldocs d
+             WHERE d.epoch = $e
+               AND d.doc_id NOT IN (SELECT doc_id FROM rej$e)),
+        corp${e + 1} AS (SELECT h FROM corp$e UNION
+             SELECT i.h FROM incf i JOIN adm$e a ON a.doc_id = i.doc_id)"""
+    }.mkString(",\n        ")
+    val admUnion = (0 until AdmissionEpochs)
+      .map(e => s"SELECT doc_id, epoch FROM adm$e").mkString(" UNION ALL ")
+    s"""$sqlWinnowCtes,
+        corp0 AS (SELECT DISTINCT h FROM f WHERE doc_id % 5 <> 0),
+        incf AS (SELECT doc_id, (doc_id // 5) % 4 AS epoch, h FROM f
+                 WHERE doc_id % 5 = 0),
+        alldocs AS (SELECT doc_id, (doc_id // 5) % 4 AS epoch FROM documents
+                    WHERE doc_id % 5 = 0),
+        nf AS (SELECT doc_id, count(*) AS c FROM incf GROUP BY doc_id),
+        $epochs,
+        admall AS ($admUnion)
+        SELECT a.doc_id, CAST(a.epoch AS BIGINT) AS epoch,
+               CAST(COALESCE(nf.c, 0) AS BIGINT) AS n_fp
+        FROM admall a LEFT JOIN nf ON nf.doc_id = a.doc_id"""
+  }
 
   /** Document-frequency cap for winnow fingerprints in the d12/d13 pair
     * pipeline. A fingerprint hot enough to bucket this many documents is

@@ -471,10 +471,12 @@ object Streaming extends QueryGroup {
     // codegen) drops definitely-unknown fingerprints BEFORE the
     // exchange — no false negatives, so the exact join sees the same
     // rows and the result is bit-identical with or without it. The
-    // index is STATIC over the run: admitted docs do not extend it
-    // (incremental index extension per committed batch is the
-    // production upgrade path); that is also what keeps admission
-    // stateless and micro-batch-split invariant.
+    // index is STATIC over the run: admitted docs do not extend it —
+    // that is what keeps admission stateless and micro-batch-split
+    // invariant. The extension path (gate each batch against corpus ∪
+    // everything already admitted THIS run) is implemented as
+    // d14_sequential_admission (Dedup.sequentialAdmission), oracle-
+    // checked over deterministic epochs.
     "st15_winnow_admission" -> QueryDef(
       build = (s, d) => {
         val corpusIdx = Dedup.winnowFps(Tables.documents(s, d)

@@ -305,6 +305,26 @@ class DedupSpec extends SparkSpec {
       s"expected one group kept by doc 1 with 2 members: $groups")
   }
 
+  test("d14 sequential admission: an intra-run duplicate is rejected by the extended index") {
+    // the case the static-index gate (st15) structurally cannot catch:
+    // doc 0 (epoch 0) brings fresh text and is admitted; doc 5
+    // (epoch 1) is an exact copy — absent from the ORIGINAL corpus, so
+    // a static gate would admit it, but d14's index was extended with
+    // doc 0's fingerprints at the epoch boundary, so the twin is
+    // rejected. doc 10 (epoch 2) is genuinely fresh and still passes.
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one red two blue three green four yellow five orange six purple seven"
+    val corpusDoc = "solar lunar stellar nebula quasar pulsar comet meteor asteroid orbit axis tilt"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d14_").toString
+    Seq((0L, textA), (5L, textA), (10L, textB), (1L, corpusDoc))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d14_sequential_admission")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 10L -> 2L),
+      s"expected doc 0 (epoch 0) and doc 10 (epoch 2) admitted, doc 5 rejected: $got")
+  }
+
   test("d12 hot-fingerprint cap bounds a boilerplate bucket") {
     // every doc opens with the same license-header boilerplate; two docs
     // (1, 2) additionally share a genuine 12-token passage. Ungated, the
