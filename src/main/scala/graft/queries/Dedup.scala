@@ -800,7 +800,8 @@ object Dedup extends QueryGroup {
     // that depends on what THIS run already admitted.
     "d14_sequential_admission" -> QueryDef(
       build = (s, d) => sequentialAdmission(s, d),
-      oracle = Some(s"WITH $sqlSequentialAdmission"))
+      oracle = Some(s"WITH $sqlSequentialAdmission"),
+      bench = true)
   )
 
   /** D14: SEQUENTIAL admission with incremental index extension — the

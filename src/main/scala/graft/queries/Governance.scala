@@ -83,50 +83,13 @@ object Governance extends QueryGroup {
     // one keyed diff join per commit (ops/ChangeFeed.scala).
     "cdf1_change_feed" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
-        val t = new graft.maint.VersionedTable(s, s"$scratch/customer")
-        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-        val v0 = c.filter(col("c_custkey") % 10 =!= 0)
-        val v1 = c.filter(col("c_custkey") % 13 =!= 0)
-          .withColumn("c_acctbal",
-            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
-              .otherwise(col("c_acctbal")))
-        t.writeWithChangeFeed(v0, Seq("c_custkey"), "seed", "2001-09-01 00:00:00")
-        t.writeWithChangeFeed(v1, Seq("c_custkey"), "merge", "2001-09-02 00:00:00")
+        val t = new graft.maint.VersionedTable(s, buildCdfCustomerTable(s, d))
         t.changeFeed(fromVersion = 1)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("_change_type"), col("_commit_version"),
             date_format(col("_commit_timestamp"), "yyyy-MM-dd HH:mm:ss").as("_commit_ts"))
       },
-      oracle = Some("""
-        WITH v0 AS (
-          SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 <> 0),
-        v1 AS (
-          SELECT c_custkey, c_name,
-                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
-          FROM customer WHERE c_custkey % 13 <> 0),
-        j AS (
-          SELECT coalesce(v0.c_custkey, v1.c_custkey) AS k,
-                 v0.c_name AS pre_name, v0.c_acctbal AS pre_bal,
-                 v1.c_name AS post_name, v1.c_acctbal AS post_bal,
-                 CASE WHEN v0.c_custkey IS NULL THEN 'insert'
-                      WHEN v1.c_custkey IS NULL THEN 'delete'
-                      WHEN v0.c_acctbal <> v1.c_acctbal OR v0.c_name <> v1.c_name THEN 'update'
-                      ELSE 'none' END AS typ
-          FROM v0 FULL JOIN v1 ON v0.c_custkey = v1.c_custkey)
-        SELECT k AS c_custkey, post_name AS c_name, post_bal AS c_acctbal,
-               'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
-               '2001-09-02 00:00:00' AS _commit_ts
-        FROM j WHERE typ = 'insert'
-        UNION ALL
-        SELECT k, pre_name, pre_bal, 'delete', CAST(1 AS BIGINT), '2001-09-02 00:00:00'
-        FROM j WHERE typ = 'delete'
-        UNION ALL
-        SELECT k, pre_name, pre_bal, 'update_preimage', CAST(1 AS BIGINT), '2001-09-02 00:00:00'
-        FROM j WHERE typ = 'update'
-        UNION ALL
-        SELECT k, post_name, post_bal, 'update_postimage', CAST(1 AS BIGINT), '2001-09-02 00:00:00'
-        FROM j WHERE typ = 'update'""")),
+      oracle = Some(sqlCdf1Oracle)),
 
     // S4: STREAMING change-feed scan — the committed `_changes` log is
     // itself a file-stream source (the Delta-CDF `readStream` shape), so
@@ -707,4 +670,55 @@ object Governance extends QueryGroup {
         SELECT 'lineitem',
                (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM kept_orders))"""))
   )
+
+  /** The cdf1 fixture, reusable (src9 publishes the same table through
+    * the sharing protocol and reads its feed back): v0 = 90% seed
+    * snapshot, v1 = inserts/updates/deletes, committed with change feed;
+    * returns the table root. */
+  private[queries] def buildCdfCustomerTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+    val t = new graft.maint.VersionedTable(s, s"$scratch/customer")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    val v0 = c.filter(col("c_custkey") % 10 =!= 0)
+    val v1 = c.filter(col("c_custkey") % 13 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+    t.writeWithChangeFeed(v0, Seq("c_custkey"), "seed", "2001-09-01 00:00:00")
+    t.writeWithChangeFeed(v1, Seq("c_custkey"), "merge", "2001-09-02 00:00:00")
+    s"$scratch/customer"
+  }
+
+  /** DuckDB twin of the cdf1/src9 feed read (fromVersion = 1): the v0→v1
+    * diff expressed as a FULL JOIN, one branch per change type. */
+  private[queries] val sqlCdf1Oracle: String = """
+        WITH v0 AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 <> 0),
+        v1 AS (
+          SELECT c_custkey, c_name,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+          FROM customer WHERE c_custkey % 13 <> 0),
+        j AS (
+          SELECT coalesce(v0.c_custkey, v1.c_custkey) AS k,
+                 v0.c_name AS pre_name, v0.c_acctbal AS pre_bal,
+                 v1.c_name AS post_name, v1.c_acctbal AS post_bal,
+                 CASE WHEN v0.c_custkey IS NULL THEN 'insert'
+                      WHEN v1.c_custkey IS NULL THEN 'delete'
+                      WHEN v0.c_acctbal <> v1.c_acctbal OR v0.c_name <> v1.c_name THEN 'update'
+                      ELSE 'none' END AS typ
+          FROM v0 FULL JOIN v1 ON v0.c_custkey = v1.c_custkey)
+        SELECT k AS c_custkey, post_name AS c_name, post_bal AS c_acctbal,
+               'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+               '2001-09-02 00:00:00' AS _commit_ts
+        FROM j WHERE typ = 'insert'
+        UNION ALL
+        SELECT k, pre_name, pre_bal, 'delete', CAST(1 AS BIGINT), '2001-09-02 00:00:00'
+        FROM j WHERE typ = 'delete'
+        UNION ALL
+        SELECT k, pre_name, pre_bal, 'update_preimage', CAST(1 AS BIGINT), '2001-09-02 00:00:00'
+        FROM j WHERE typ = 'update'
+        UNION ALL
+        SELECT k, post_name, post_bal, 'update_postimage', CAST(1 AS BIGINT), '2001-09-02 00:00:00'
+        FROM j WHERE typ = 'update'"""
 }

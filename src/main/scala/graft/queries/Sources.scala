@@ -213,6 +213,32 @@ object Sources extends QueryGroup {
         SELECT c_mktsegment, count(*) AS cnt,
                round(${Exact.sqlMoneySum("c_acctbal")}, 4) AS balance_sum
         FROM customer WHERE c_acctbal > 5000.0
-        GROUP BY c_mktsegment"""))
+        GROUP BY c_mktsegment""")),
+
+    // S7 change-feed half (delta_sharing_recipient.py:152-158 —
+    // `.option("readChangeFeed","true").option("startingVersion",N)`):
+    // the provider publishes a VersionedTable ROOT; the recipient reads
+    // its committed `_changes` feed through the sharing source, which
+    // resolves versions >= startingVersion to their feed dirs and scans
+    // them with the native parquet table — incremental sync without
+    // re-reading the shared snapshot (rows carry _change_type /
+    // _commit_version). Same fixture and oracle as cdf1, so the sharing
+    // path is held to the exact hash the direct changeFeed() read is.
+    "src9_shared_cdf" -> QueryDef(
+      build = (s, d) => {
+        val root = Governance.buildCdfCustomerTable(s, d)
+        val endpoint = Files.createTempDirectory("graft_share_cdf_").toString
+        val profile = graft.sources.SharingProtocol.publishLocal(
+          endpoint, share = "analytics", schema = "crm", table = "customer_cdf",
+          location = root, token = "graft-recipient-1")
+        s.read.format("graftSharing")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", 1)
+          .load(s"$profile#analytics.crm.customer_cdf")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("_change_type"), col("_commit_version"),
+            date_format(col("_commit_timestamp"), "yyyy-MM-dd HH:mm:ss").as("_commit_ts"))
+      },
+      oracle = Some(Governance.sqlCdf1Oracle))
   )
 }

@@ -42,7 +42,37 @@ class SharingSource extends TableProvider with DataSourceRegister {
   private def resolved(options: CaseInsensitiveStringMap): (String, Seq[String]) = {
     val url = Option(options.get("path")).getOrElse(sys.error(
       """graftSharing needs load("<profile>#<share>.<schema>.<table>")"""))
-    SharingProtocol.resolve(url)
+    val (fqn, paths) = SharingProtocol.resolve(url)
+    // CDF read (reference delta_sharing_recipient.py:152-158 —
+    // option("readChangeFeed","true").option("startingVersion",N)): the
+    // shared location must be a VersionedTable root, whose committed
+    // feed is parquet under `_changes/v=N` — the CDF resolve is just a
+    // different path listing, the scan stays the native parquet table
+    if (options.getBoolean("readChangeFeed", false)) {
+      val starting = options.getLong("startingVersion", 0L)
+      val feedDirs = paths.flatMap { root =>
+        val changes = Paths.get(root, "_changes")
+        if (!Files.isDirectory(changes)) sys.error(
+          s"shared table '$fqn' at $root has no change feed (_changes missing)")
+        val s = Files.list(changes)
+        try {
+          val it = s.iterator()
+          var acc = List.empty[(Long, String)]
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.startsWith("v=")) {
+              val v = n.stripPrefix("v=").toLong
+              if (v >= starting) acc ::= (v, p.toString)
+            }
+          }
+          acc.sortBy(_._1).map(_._2)
+        } finally s.close()
+      }
+      if (feedDirs.isEmpty) sys.error(
+        s"shared table '$fqn' has no feed versions >= $starting")
+      (s"$fqn@cdf", feedDirs)
+    } else (fqn, paths)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
