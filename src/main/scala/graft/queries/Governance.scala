@@ -675,7 +675,7 @@ object Governance extends QueryGroup {
     * the sharing protocol and reads its feed back): v0 = 90% seed
     * snapshot, v1 = inserts/updates/deletes, committed with change feed;
     * returns the table root. */
-  private[queries] def buildCdfCustomerTable(
+  private[graft] def buildCdfCustomerTable(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
     val t = new graft.maint.VersionedTable(s, s"$scratch/customer")

@@ -151,6 +151,41 @@ object SharingProtocol {
     (fqn, Seq(hit.path("location").asText))
   }
 
+  /** Streaming read of a shared table's change feed (reference
+    * delta_sharing_recipient.py:186-192 — `readStream` +
+    * `readChangeFeed`): resolve the share once, then stream the
+    * committed `_changes` log as a file-stream source, so downstream
+    * CDC consumers run as ordinary Structured Streaming with
+    * checkpointed offsets (new feed versions are new files — picked up
+    * per micro-batch; cost ∝ new commits, the shared snapshot is never
+    * re-read). `startingVersion` filters on the committed
+    * `_commit_version` column the feed rows carry. */
+  def changeStream(spark: org.apache.spark.sql.SparkSession, url: String,
+      startingVersion: Long = 0L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (fqn, paths) = resolve(url)
+    val root = paths.head
+    val changes = Paths.get(root, "_changes")
+    require(Files.isDirectory(changes),
+      s"shared table '$fqn' at $root has no change feed (_changes missing)")
+    val firstVersion = {
+      val s = Files.list(changes)
+      try {
+        val it = s.iterator()
+        var vs = List.empty[Long]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("v=")) vs ::= n.stripPrefix("v=").toLong
+        }
+        if (vs.isEmpty) sys.error(s"shared table '$fqn' has an empty change feed")
+        vs.min
+      } finally s.close()
+    }
+    val schema = spark.read.parquet(s"$root/_changes/v=$firstVersion").schema
+    spark.readStream.schema(schema).parquet(s"$root/_changes/*")
+      .filter(col("_commit_version") >= startingVersion)
+  }
+
   private implicit class JListOps[A](private val l: java.util.List[A]) {
     def asScalaSeq: Seq[A] = {
       val b = Seq.newBuilder[A]

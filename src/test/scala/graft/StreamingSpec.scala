@@ -417,4 +417,31 @@ class StreamingSpec extends SparkSpec {
     assert(winnow == Set(10L),
       s"st15 must reject the passage-embedder, admit the novel doc: $winnow")
   }
+
+  test("shared change feed streams: changeStream == batch changeFeed, startingVersion honored") {
+    // the S7 streaming third: a recipient streams a shared table's
+    // committed feed through the sharing resolver; the drained stream
+    // must equal the direct batch changeFeed read, and startingVersion
+    // must cut the seed commit
+    val root = graft.queries.Governance.buildCdfCustomerTable(
+      spark, "/root/testdata/sf0.001")
+    val endpoint = java.nio.file.Files.createTempDirectory("graft_shstream_").toString
+    val profile = graft.sources.SharingProtocol.publishLocal(
+      endpoint, "s", "db", "cust_cdf", root, "tok")
+    val url = s"$profile#s.db.cust_cdf"
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("c_custkey", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = key(graft.streaming.Streams.runToMemory(
+      graft.sources.SharingProtocol.changeStream(spark, url), "append"))
+    val direct = key(new graft.maint.VersionedTable(spark, root).changeFeed(0))
+    assert(streamed == direct, s"streamed feed != direct feed " +
+      s"(missing ${direct -- streamed}, extra ${streamed -- direct})")
+    val fromV1 = key(graft.streaming.Streams.runToMemory(
+      graft.sources.SharingProtocol.changeStream(spark, url, startingVersion = 1L),
+      "append"))
+    assert(fromV1 == direct.filter(_._3 >= 1L),
+      "startingVersion=1 must drop the v0 seed inserts")
+    assert(fromV1.nonEmpty && fromV1.size < direct.size)
+  }
 }
