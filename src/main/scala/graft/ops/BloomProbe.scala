@@ -42,14 +42,18 @@ object BloomProbe {
   /** Build the bitset over the distinct values of `keyCol` (long-typed
     * keys). One count job to size, one aggregation to assemble. */
   def build(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Bloom = {
-    val n = math.max(1L, keys.select(keyCol).distinct().count())
+    // distinct once, pinned: the count (for sizing) and the position
+    // explode both read it — without the checkpoint each would re-run
+    // the distinct shuffle over the full key set
+    val dk = keys.select(col(keyCol).as("k")).distinct().localCheckpoint(true)
+    val n = math.max(1L, dk.count())
     val ln2 = math.log(2)
     val ideal = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
     // round up to whole words; cap for broadcastability
     val bits = math.min(MaxBits, math.max(64L, ((ideal + 63) / 64) * 64))
     val hashes = math.max(1, math.min(8, math.round(bits.toDouble / n * ln2).toInt))
     val nWords = bits / 64
-    val positions = keys.select(col(keyCol).as("k")).distinct()
+    val positions = dk
       .select(explode(array((0 until hashes).map(i =>
         pmod(xxhash64(col("k"), lit(i)), lit(bits))): _*)).as("pos"))
     // set bits → per-word OR → dense word array (absent words are 0)

@@ -139,9 +139,16 @@ object Dedup extends QueryGroup {
     * B−k blocks) without changing the operator shape.
     * Input needs (doc_id, source, sh); output (a_id, b_id, hamming ≤ 6).
     */
+  /** The Manku block layout over the 60-bit signature, shared by the
+    * single-block ([[simhashBandedPairs]]) and multi-block
+    * ([[simhashMultiBlockPairs]]) schemes — one definition so a retune
+    * cannot silently de-synchronize them. */
+  private val SimhashBlockDefs: Seq[(Int, Int)] =
+    Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+
   private[graft] def simhashBandedPairs(sigs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val blockDefs = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+    val blockDefs = SimhashBlockDefs
     // the signature subtree feeds both join sides with differing
     // projections, which blocks ReusedExchange (the d3/d9 lesson) —
     // materialize once so tokenize+simhash runs a single time
@@ -181,7 +188,7 @@ object Dedup extends QueryGroup {
   private[graft] def simhashMultiBlockPairs(
       sigs: org.apache.spark.sql.DataFrame, budget: Int)
       : org.apache.spark.sql.DataFrame = {
-    val blockDefs = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+    val blockDefs = SimhashBlockDefs
     val nBlocks = blockDefs.size
     require(budget >= 1 && budget < nBlocks,
       s"Hamming budget must be in [1, ${nBlocks - 1}], got $budget")
@@ -832,9 +839,10 @@ object Dedup extends QueryGroup {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fpAll = winnowIndex(s, d).fp
     val incDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), expr("(doc_id div 5) % 4").as("epoch"))
+      .select(col("doc_id"),
+        expr(s"(doc_id div 5) % $AdmissionEpochs").as("epoch"))
     val inc = fpAll.filter(col("doc_id") % 5 === 0)
-      .withColumn("epoch", expr("(doc_id div 5) % 4"))
+      .withColumn("epoch", expr(s"(doc_id div 5) % $AdmissionEpochs"))
     val nf = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     var index = fpAll.filter(col("doc_id") % 5 =!= 0)
       .select("h").distinct().localCheckpoint(true)
@@ -878,10 +886,10 @@ object Dedup extends QueryGroup {
       .map(e => s"SELECT doc_id, epoch FROM adm$e").mkString(" UNION ALL ")
     s"""$sqlWinnowCtes,
         corp0 AS (SELECT DISTINCT h FROM f WHERE doc_id % 5 <> 0),
-        incf AS (SELECT doc_id, (doc_id // 5) % 4 AS epoch, h FROM f
-                 WHERE doc_id % 5 = 0),
-        alldocs AS (SELECT doc_id, (doc_id // 5) % 4 AS epoch FROM documents
-                    WHERE doc_id % 5 = 0),
+        incf AS (SELECT doc_id, (doc_id // 5) % $AdmissionEpochs AS epoch, h
+                 FROM f WHERE doc_id % 5 = 0),
+        alldocs AS (SELECT doc_id, (doc_id // 5) % $AdmissionEpochs AS epoch
+                    FROM documents WHERE doc_id % 5 = 0),
         nf AS (SELECT doc_id, count(*) AS c FROM incf GROUP BY doc_id),
         $epochs,
         admall AS ($admUnion)

@@ -39,38 +39,40 @@ class SharingSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftSharing"
   override def supportsExternalMetadata(): Boolean = true
 
+  // one resolve per scan: inferSchema and getTable both land here, and
+  // without the memo each would re-read the profile, re-scan the
+  // manifest, and (for CDF) re-list the feed dirs — doubled metadata
+  // work, and two listings that could disagree mid-commit
+  @volatile private var resolvedCache: Option[(String, (String, Seq[String]))] = None
+
   private def resolved(options: CaseInsensitiveStringMap): (String, Seq[String]) = {
     val url = Option(options.get("path")).getOrElse(sys.error(
       """graftSharing needs load("<profile>#<share>.<schema>.<table>")"""))
+    val cdf = options.getBoolean("readChangeFeed", false)
+    val starting = options.getLong("startingVersion", 0L)
+    val key = s"$url|$cdf|$starting"
+    resolvedCache match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = doResolve(url, cdf, starting)
+        resolvedCache = Some((key, v))
+        v
+    }
+  }
+
+  private def doResolve(url: String, cdf: Boolean,
+      starting: Long): (String, Seq[String]) = {
     val (fqn, paths) = SharingProtocol.resolve(url)
     // CDF read (reference delta_sharing_recipient.py:152-158 —
     // option("readChangeFeed","true").option("startingVersion",N)): the
     // shared location must be a VersionedTable root, whose committed
     // feed is parquet under `_changes/v=N` — the CDF resolve is just a
     // different path listing, the scan stays the native parquet table
-    if (options.getBoolean("readChangeFeed", false)) {
-      val starting = options.getLong("startingVersion", 0L)
-      val feedDirs = paths.flatMap { root =>
-        val changes = Paths.get(root, "_changes")
-        if (!Files.isDirectory(changes)) sys.error(
-          s"shared table '$fqn' at $root has no change feed (_changes missing)")
-        val s = Files.list(changes)
-        try {
-          val it = s.iterator()
-          var acc = List.empty[(Long, String)]
-          while (it.hasNext) {
-            val p = it.next()
-            val n = p.getFileName.toString
-            if (n.startsWith("v=")) {
-              val v = n.stripPrefix("v=").toLong
-              if (v >= starting) acc ::= (v, p.toString)
-            }
-          }
-          acc.sortBy(_._1).map(_._2)
-        } finally s.close()
-      }
+    if (cdf) {
+      val feedDirs = paths.flatMap(root =>
+        SharingProtocol.committedFeedDirs(fqn, root, starting))
       if (feedDirs.isEmpty) sys.error(
-        s"shared table '$fqn' has no feed versions >= $starting")
+        s"shared table '$fqn' has no committed feed versions >= $starting")
       (s"$fqn@cdf", feedDirs)
     } else (fqn, paths)
   }
@@ -104,23 +106,61 @@ object SharingProtocol {
   /** Provider: publish `location` as `share.schema.table` under the
     * endpoint dir, mint a recipient profile honoring `token`, and
     * return the profile path (what the provider hands the recipient).
-    */
+    *
+    * Re-publish semantics: publishing the same fully-qualified table
+    * again REPLACES its manifest row (last publish wins — recipients see
+    * the new location/token, never a stale first row), and the minted
+    * profile filename carries the table + a token digest, so a second
+    * grant with a different token mints a NEW profile instead of
+    * silently overwriting the one handed to an earlier recipient. */
   def publishLocal(endpointDir: String, share: String, schema: String,
       table: String, location: String, token: String): String = {
     Files.createDirectories(Paths.get(endpointDir))
+    val manifest = Paths.get(endpointDir, "shares.json")
+    val kept =
+      if (!Files.isRegularFile(manifest)) Seq.empty[String]
+      else Files.readAllLines(manifest).asScalaSeq.filter(_.trim.nonEmpty)
+        .filterNot { l =>
+          val r = om.readTree(l)
+          r.path("share").asText == share &&
+            r.path("schema").asText == schema &&
+            r.path("table").asText == table
+        }
     val row = om.createObjectNode()
     row.put("share", share); row.put("schema", schema); row.put("table", table)
     row.put("location", location); row.put("bearerToken", token)
-    Files.writeString(Paths.get(endpointDir, "shares.json"),
-      om.writeValueAsString(row) + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    Files.writeString(manifest,
+      (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
     val profile = om.createObjectNode()
     profile.put("shareCredentialsVersion", 1)
     profile.put("endpoint", endpointDir)
     profile.put("bearerToken", token)
-    val p = Paths.get(endpointDir, s"$share.share")
+    val digest = Integer.toHexString(token.hashCode)
+    val p = Paths.get(endpointDir, s"$share.$schema.$table-$digest.share")
     Files.writeString(p, om.writeValueAsString(profile))
     p.toString
+  }
+
+  /** Manifest-committed feed dirs for a shared versioned-table root —
+    * mirrors `VersionedTable.changeFeed`'s filtering. The raw `_changes`
+    * listing is NOT the source of truth: the commit protocol stages
+    * `_changes/v=N` before the manifest line lands, so a mid-commit or
+    * crashed writer can leave a staged feed dir for a version that was
+    * never committed. A shared read must exclude those exactly as the
+    * direct read does, or src9's hash-equals-changeFeed guarantee breaks
+    * the moment a writer races the recipient. */
+  private[sources] def committedFeedDirs(fqn: String, root: String,
+      starting: Long): Seq[String] = {
+    val manifest = Paths.get(root, "_manifest")
+    if (!Files.isRegularFile(manifest)) sys.error(
+      s"shared table '$fqn' at $root has no commit manifest — not a versioned table")
+    val vRe = """"version":(\d+)""".r
+    Files.readAllLines(manifest).asScalaSeq
+      .flatMap(l => vRe.findFirstMatchIn(l).map(_.group(1).toLong))
+      .filter(v => v >= starting &&
+        Files.isDirectory(Paths.get(root, "_changes", s"v=$v")))
+      .sorted
+      .map(v => Paths.get(root, "_changes", s"v=$v").toString)
   }
 
   /** Recipient: `<profilePath>#<share>.<schema>.<table>` → (fqn, data
@@ -159,29 +199,25 @@ object SharingProtocol {
     * checkpointed offsets (new feed versions are new files — picked up
     * per micro-batch; cost ∝ new commits, the shared snapshot is never
     * re-read). `startingVersion` filters on the committed
-    * `_commit_version` column the feed rows carry. */
+    * `_commit_version` column the feed rows carry.
+    *
+    * Caveat vs the batch path: schema discovery uses only
+    * manifest-COMMITTED feed versions, but the file-stream glob itself
+    * trails the raw directory, so a feed version staged by a writer
+    * mid-commit can enter a micro-batch moments before its manifest
+    * line lands (the real CDF source reads the transaction log per
+    * batch instead; closing that gap here means a log-driven streaming
+    * source, the production upgrade). With the single-writer publish
+    * cadence a share normally has, staged == about-to-commit and the
+    * window is the final two statements of the commit critical section. */
   def changeStream(spark: org.apache.spark.sql.SparkSession, url: String,
       startingVersion: Long = 0L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val (fqn, paths) = resolve(url)
     val root = paths.head
-    val changes = Paths.get(root, "_changes")
-    require(Files.isDirectory(changes),
-      s"shared table '$fqn' at $root has no change feed (_changes missing)")
-    val firstVersion = {
-      val s = Files.list(changes)
-      try {
-        val it = s.iterator()
-        var vs = List.empty[Long]
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.startsWith("v=")) vs ::= n.stripPrefix("v=").toLong
-        }
-        if (vs.isEmpty) sys.error(s"shared table '$fqn' has an empty change feed")
-        vs.min
-      } finally s.close()
-    }
-    val schema = spark.read.parquet(s"$root/_changes/v=$firstVersion").schema
+    val committed = committedFeedDirs(fqn, root, 0L)
+    if (committed.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
+    val schema = spark.read.parquet(committed.head).schema
     spark.readStream.schema(schema).parquet(s"$root/_changes/*")
       .filter(col("_commit_version") >= startingVersion)
   }

@@ -213,5 +213,20 @@ class PushdownSpec extends SparkSpec {
       graft.sources.SharingProtocol.resolve(s"$profile#s.db.nope")
     }
     assert(missing.getMessage.contains("not shared"), missing.getMessage)
+
+    // multiple grants in one endpoint: a second publish with a different
+    // token must not invalidate the first recipient's profile, and a
+    // re-publish of the same table must replace its row (last wins),
+    // never leave the recipient on the stale first location
+    val p2 = graft.sources.SharingProtocol.publishLocal(
+      endpoint, "s", "db", "nation", s"$sf/nation.parquet", "tok2")
+    assert(graft.sources.SharingProtocol.resolve(s"$profile#s.db.customer")
+      ._2 == Seq(s"$sf/customer.parquet"), "first grant broken by second publish")
+    assert(graft.sources.SharingProtocol.resolve(s"$p2#s.db.nation")
+      ._2 == Seq(s"$sf/nation.parquet"))
+    val p3 = graft.sources.SharingProtocol.publishLocal(
+      endpoint, "s", "db", "customer", s"$sf/supplier.parquet", "tok")
+    assert(graft.sources.SharingProtocol.resolve(s"$p3#s.db.customer")
+      ._2 == Seq(s"$sf/supplier.parquet"), "re-publish must replace the row")
   }
 }
