@@ -151,6 +151,41 @@ class PushdownSpec extends SparkSpec {
       s"no partial-mode aggregation in a1 plan:\n$p")
   }
 
+  test("rank-filter window bounds map-side: w8 has WindowGroupLimit Partial below the exchange") {
+    // rank() <= 3 must become Spark's WindowGroupLimit in BOTH modes: a
+    // Partial below the window exchange (each map task forwards at most k
+    // rows per group, so the shuffle is top-k-bounded) and a Final above.
+    // This is the shape SCALE.md's window-shuffle story rests on; a
+    // refactor that obscures the rank predicate (e.g. filtering on a
+    // derived column) silently ships every (supplier, part) row instead.
+    val p = plan("w8_rank_top_parts")
+    val partialIdx = p.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0 && p.indexOf("WindowGroupLimit", partialIdx + 1) > 0,
+      s"w8 lost its two-mode WindowGroupLimit:\n$p")
+    // plan text prints parents above children: the LAST WindowGroupLimit
+    // (the partial, deepest) must sit below the window's hash exchange
+    val lastWgl = p.lastIndexOf("WindowGroupLimit")
+    val exchange = p.indexOf("Exchange hashpartitioning(l_suppkey")
+    assert(exchange >= 0 && lastWgl > exchange,
+      s"no partial WindowGroupLimit below the window exchange:\n$p")
+  }
+
+  test("w11's three funnel stages share one user_id exchange and one key sort") {
+    // three per-user window aggregates + the final rollup: exactly ONE
+    // hashpartitioning(user_id) exchange may plan — Catalyst must reuse
+    // it across stages. The windows have no ORDER BY, so the only sort is
+    // the single partition-local key-grouping sort Spark's Window operator
+    // requires — on user_id alone (not a data ordering), shared by all
+    // three Window nodes, below the exchange.
+    val p = plan("w11_funnel_stages")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"w11 plans $exchanges user_id exchanges (want 1):\n$p")
+    val sorts = "Sort \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(sorts.size == 1, s"w11 should share ONE window key sort, got $sorts:\n$p")
+    assert(sorts.head.matches("user_id#\\d+L ASC NULLS FIRST"),
+      s"w11's sort orders by more than the partition key: ${sorts.head}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB shape: a shuffle join where one side carries a selective
     // filter — Catalyst should inject a bloom filter built from the small
