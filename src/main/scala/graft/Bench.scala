@@ -84,11 +84,18 @@ object Bench {
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPath))
     catch { case _: Throwable => () }
     val spark = graft.core.GraftSession.local(cpus)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows the set for local iteration on
+    // one query's floor; the driver never sets it, so its artifact always
+    // covers the full bench set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchSet = only.fold(SparkEntry.benchQueries)(names =>
+      SparkEntry.benchQueries.view.filterKeys(names).toMap)
     // Untimed warmup at the smallest SF: pays JIT/codegen/parquet-footer
     // costs once so the timed runs measure the engine, not JVM warmup.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.benchQueries.foreach { case (_, fn) =>
+      benchSet.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Min over three timed runs (floor protocol): the box is shared with
@@ -102,7 +109,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain accumulated state BETWEEN queries, outside the timed
       // section: prior queries' checkpoint/broadcast blocks are freed by
       // the ContextCleaner only after their DataFrames are GC'd, and
