@@ -205,11 +205,11 @@ object SharingProtocol {
     * manifest-COMMITTED feed versions, but the file-stream glob itself
     * trails the raw directory, so a feed version staged by a writer
     * mid-commit can enter a micro-batch moments before its manifest
-    * line lands (the real CDF source reads the transaction log per
-    * batch instead; closing that gap here means a log-driven streaming
-    * source, the production upgrade). With the single-writer publish
-    * cadence a share normally has, staged == about-to-commit and the
-    * window is the final two statements of the commit critical section. */
+    * line lands. [[committedChangeBatches]] is the log-driven
+    * consumption that closes this race — the manifest IS its offset
+    * log, so staged dirs are invisible by construction; prefer it for
+    * recipients that may race a writer. This glob path remains for
+    * consumers that want a plain unbounded DataFrame. */
   def changeStream(spark: org.apache.spark.sql.SparkSession, url: String,
       startingVersion: Long = 0L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -220,6 +220,53 @@ object SharingProtocol {
     val schema = spark.read.parquet(committed.head).schema
     spark.readStream.schema(schema).parquet(s"$root/_changes/*")
       .filter(col("_commit_version") >= startingVersion)
+  }
+
+  /** Log-driven consumption of a shared change feed — the production
+    * upgrade [[changeStream]]'s caveat points at, as real code. One call
+    * is one `Trigger.AvailableNow` pass: every manifest-COMMITTED feed
+    * version above the checkpoint watermark (and >= `startingVersion`)
+    * is read as a batch DataFrame and handed to `f` in version order,
+    * then the watermark advances. The manifest is the offset log, so a
+    * feed dir staged by a mid-commit writer is invisible by
+    * construction — no glob race, unlike the file-stream path.
+    *
+    * Delivery contract is foreachBatch's: exactly-once when `f` is
+    * idempotent per version — a crash between `f` returning and the
+    * watermark write redelivers that one version on resume (the same
+    * window Spark's foreachBatch has between sink commit and offset-log
+    * advance). The watermark write is atomic (temp file + move), so a
+    * crash can never leave a half-written offset.
+    *
+    * Scale: one manifest read per pass (metadata, KB-scale) + one
+    * parquet batch per NEW commit — cost ∝ new commits; the snapshot
+    * and already-delivered versions are never re-read.
+    *
+    * @return versions delivered this pass, in order */
+  def committedChangeBatches(spark: SparkSession, url: String,
+      checkpointDir: String, startingVersion: Long = 0L)(
+      f: (org.apache.spark.sql.DataFrame, Long) => Unit): Seq[Long] = {
+    val (fqn, paths) = resolve(url)
+    val root = paths.head
+    val offsetFile = Paths.get(checkpointDir, "committed-version-watermark")
+    val watermark =
+      if (Files.isRegularFile(offsetFile)) Files.readString(offsetFile).trim.toLong
+      else Long.MinValue
+    val vRe = """v=(\d+)$""".r
+    val due = committedFeedDirs(fqn, root, startingVersion)
+      .flatMap(dir => vRe.findFirstMatchIn(dir).map(m => (m.group(1).toLong, dir)))
+      .filter(_._1 > watermark)
+      .sortBy(_._1)
+    Files.createDirectories(Paths.get(checkpointDir))
+    due.map { case (v, dir) =>
+      f(spark.read.parquet(dir), v)
+      val tmp = Files.createTempFile(Paths.get(checkpointDir), ".watermark", ".tmp")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, offsetFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
   }
 
   private implicit class JListOps[A](private val l: java.util.List[A]) {

@@ -444,4 +444,50 @@ class StreamingSpec extends SparkSpec {
       "startingVersion=1 must drop the v0 seed inserts")
     assert(fromV1.nonEmpty && fromV1.size < direct.size)
   }
+
+  test("committed-batch shared feed: staged dirs invisible, watermark resumes exactly-once") {
+    // the log-driven consumption that closes changeStream's glob race:
+    // the manifest is the offset log, so a feed dir staged by a
+    // mid-commit writer must never be delivered, and a checkpointed
+    // recipient must see each committed version exactly once
+    import graft.sources.SharingProtocol
+    val sf = "/root/testdata/sf0.001"
+    val root = graft.queries.Governance.buildCdfCustomerTable(spark, sf)
+    val endpoint = java.nio.file.Files.createTempDirectory("graft_cb_ep_").toString
+    val profile = SharingProtocol.publishLocal(
+      endpoint, "s", "db", "cust_cdf", root, "tok")
+    val url = s"$profile#s.db.cust_cdf"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cb_ck_").toString
+    val t = new graft.maint.VersionedTable(spark, root)
+
+    var seen = Vector.empty[(Long, Long)] // (version, rows delivered)
+    def pass(c: String = ckpt, from: Long = 0L): Seq[Long] =
+      SharingProtocol.committedChangeBatches(spark, url, c, from) { (df, v) =>
+        seen :+= (v, df.count())
+      }
+
+    assert(pass() == Seq(0L, 1L), "first pass must deliver both committed versions")
+    seen.foreach { case (v, n) =>
+      val direct = t.changeFeed(v).filter(col("_commit_version") === v).count()
+      assert(n == direct, s"v=$v delivered $n rows, direct feed has $direct")
+    }
+
+    // a writer mid-commit: feed dir staged, manifest line not yet landed —
+    // exactly the state the file-glob path can leak; must stay invisible
+    spark.read.parquet(s"$root/_changes/v=1")
+      .write.parquet(s"$root/_changes/v=7")
+    assert(pass().isEmpty, "staged-but-uncommitted v=7 must not be delivered")
+
+    // a real commit is picked up — and ONLY it (no redelivery of 0/1)
+    val c = graft.core.Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
+    t.writeWithChangeFeed(c.filter(col("c_custkey") % 11 =!= 0),
+      Seq("c_custkey"), "merge", "2001-09-03 00:00:00")
+    assert(pass() == Seq(2L), "resume must deliver only the new commit")
+    assert(pass().isEmpty, "nothing new => nothing delivered")
+
+    // fresh checkpoint + startingVersion: the seed commit is cut
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cb_ck2_").toString
+    assert(pass(ckpt2, from = 1L) == Seq(1L, 2L),
+      "startingVersion=1 from a fresh checkpoint must skip the v0 seed")
+  }
 }
