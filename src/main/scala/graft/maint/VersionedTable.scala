@@ -825,7 +825,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * dropped for the carried ones. No matching partition → no-op,
     * returns the unchanged head. */
   def clusterWhere(predicate: String, cols: Seq[String], numFiles: Int = 4): Long = {
-    import spark.implicits._
     val refs = spark.sessionState.sqlParser.parseExpression(predicate)
       .references.map(_.name).toSet
     def toFsPath(u: String): String =
@@ -845,7 +844,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
           "to materialize the delete predicates")
       require(!cols.exists(parts.contains),
         s"cannot cluster by partition column(s) ${cols.filter(parts.contains).mkString(", ")}")
-      val next = head + 1
       val dir = Paths.get(dataDir(head)).toAbsolutePath.toString
       val base = spark.read.parquet(dir)
       // whole-dir match is guaranteed by the partition-column-only rule;
@@ -854,72 +852,201 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .select(input_file_name()).distinct()
         .collect().map(r => toFsPath(r.getString(0)).stripPrefix(s"$dir/")).toSet
       if (matchedRel.isEmpty) return head
-      val allRel = {
-        val s = Files.walk(Paths.get(dir))
-        try s.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            !p.getFileName.toString.startsWith("_") &&
-            !p.getFileName.toString.startsWith("."))
-          .map(p => p.toAbsolutePath.toString.stripPrefix(s"$dir/")).toVector
-        finally s.close()
-      }
-      val carriedRel = allRel.filterNot(matchedRel)
+      val carriedRel = dataFilesRel(head).filterNot(matchedRel)
       val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
       val keys = (parts ++ cols).map(col)
       base.filter(expr(predicate))
         .repartitionByRange(numFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
         .write.mode("overwrite").partitionBy(parts: _*).parquet(s"$stage/data")
-      // stats: ONE scan over the rewritten dirs only; the carried files'
-      // rows come from the head's stats table, never from their data
-      val rewrittenRows = writeStats(s"$stage/data", s"$stage/stats_new")
-      val carriedStats = spark.read.parquet(statsDir(head))
-        .join(carriedRel.toDF("file"), Seq("file"), "left_semi")
-        .localCheckpoint(true)
-      val carriedRows = carriedStats.agg(coalesce(sum(col("cnt")), lit(0L)))
-        .collect()(0).getLong(0)
-      spark.read.parquet(s"$stage/stats_new").unionByName(carriedStats)
-        .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
-      deleteTree(Paths.get(s"$stage/stats_new"))
-      carriedRel.foreach { rel =>
-        val src = Paths.get(dir, rel)
-        val dst = Paths.get(s"$stage/data", rel)
-        Files.createDirectories(dst.getParent)
-        // hard link = byte-identical share of the existing file; copy is
-        // the cross-device fallback (still byte-identical)
-        try Files.createLink(dst, src)
-        catch {
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            Files.copy(src, dst)
-        }
+      commitWithCarry(head, stage, carriedRel, "cluster_where", parts) match {
+        case Some(v) => return v
+        case None =>
+          attempt += 1
+          if (attempt > 20) throw new IllegalStateException(
+            s"clusterWhere of $root contended $attempt times; giving up")
       }
-      val rows = rewrittenRows + carriedRows
-      val won = VersionedTable.commitLock(root).synchronized {
-        if (latestVersion.map(_ + 1).getOrElse(0L) != next) false
-        else {
-          deleteTree(Paths.get(s"$root/_changes/v=$next"))
-          deleteTree(Paths.get(s"$root/v=$next"))
-          deleteTree(Paths.get(s"$root/_stats/v=$next"))
-          Files.createDirectories(Paths.get(s"$root/_stats"))
-          Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
-          Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
-          val partField = parts.map(c => s""""$c"""")
+    }
+    -1L // unreachable
+  }
+
+  /** Data files of a committed version, RELATIVE to its data dir (empty
+    * if the version's files are gone, e.g. vacuumed). */
+  private def dataFilesRel(v: Long): Vector[String] = {
+    val dir = Paths.get(dataDir(v)).toAbsolutePath
+    if (!Files.isDirectory(dir)) return Vector.empty
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => p.toAbsolutePath.toString.stripPrefix(s"$dir/")).toVector
+    finally s.close()
+  }
+
+  /** Shared tail of every partial-rewrite commit ([[clusterWhere]],
+    * [[append]], [[clusterIncremental]]): freshly written files are
+    * already at `$stage/data`; `carriedRel` files from version `head`
+    * hard-link in byte-identical (copy is the cross-device fallback)
+    * with their stats rows riding forward from the head's stats table —
+    * ONE stats scan over the new files only, never the carried data.
+    * Commits under the table lock with the same orphan-clearing critical
+    * section as [[commit]]; returns None if `head` moved (caller
+    * re-derives its file sets against the new head and retries). */
+  private def commitWithCarry(head: Long, stage: String,
+      carriedRel: Seq[String], operation: String, parts: Seq[String],
+      commitTs: Option[String] = None): Option[Long] = {
+    import spark.implicits._
+    val dir = Paths.get(dataDir(head)).toAbsolutePath.toString
+    val next = head + 1
+    val rewrittenRows = writeStats(s"$stage/data", s"$stage/stats_new")
+    val carriedStats = spark.read.parquet(statsDir(head))
+      .join(carriedRel.toDF("file"), Seq("file"), "left_semi")
+      .localCheckpoint(true)
+    val carriedRows = carriedStats.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .collect()(0).getLong(0)
+    spark.read.parquet(s"$stage/stats_new").unionByName(carriedStats)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+    deleteTree(Paths.get(s"$stage/stats_new"))
+    carriedRel.foreach { rel =>
+      val src = Paths.get(dir, rel)
+      val dst = Paths.get(s"$stage/data", rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst)
+      }
+    }
+    val rows = rewrittenRows + carriedRows
+    val won = VersionedTable.commitLock(root).synchronized {
+      if (latestVersion.map(_ + 1).getOrElse(0L) != next) false
+      else {
+        deleteTree(Paths.get(s"$root/_changes/v=$next"))
+        deleteTree(Paths.get(s"$root/v=$next"))
+        deleteTree(Paths.get(s"$root/_stats/v=$next"))
+        Files.createDirectories(Paths.get(s"$root/_stats"))
+        Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
+        Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
+        val tsField = commitTs.map(t => s""","ts":"$t"""").getOrElse("")
+        val partField =
+          if (parts.isEmpty) ""
+          else parts.map(c => s""""$c"""")
             .mkString(""","partitionBy":[""", ",", "]")
-          Files.writeString(
-            manifestPath,
-            s"""{"version":$next,"operation":"cluster_where","rows":$rows$partField}""" + "\n",
-            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-          true
-        }
+        Files.writeString(
+          manifestPath,
+          s"""{"version":$next,"operation":"$operation","rows":$rows$tsField$partField}""" + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        true
       }
-      deleteTree(Paths.get(stage))
-      if (won) {
-        maintainBloomIndexes(next)
-        return next
+    }
+    deleteTree(Paths.get(stage))
+    if (won) { maintainBloomIndexes(next); Some(next) } else None
+  }
+
+  /** Append-only commit (Delta `mode("append")` — the reference's Bronze
+    * posture, "append-only: never update or delete",
+    * docs/ARCHITECTURE.md:104-108): ONLY the incoming rows are written
+    * and scanned; every head file carries into the new version
+    * byte-identical via hard links with its stats row riding forward.
+    * Commit cost is ∝ appended data, not table size — the 100 TB
+    * ingestion path ([[write]] is a full-snapshot rewrite by contrast;
+    * on an object store the links are the log's carried add-file
+    * entries, a metadata copy). Schema-enforced strictly against the
+    * head; CHECK constraints validate the incoming rows (the head
+    * already passed at its own commit). Requires a compacted head (no
+    * logical-delete predicates — carried files cannot materialize
+    * version-wide predicates, the [[clusterWhere]] rule). A partitioned
+    * head keeps its layout: appended rows land in their own
+    * `col=value/` dirs. Empty table → plain [[write]]. */
+  def append(df: DataFrame, operation: String = "append",
+      commitTs: Option[String] = None): Long = {
+    validateConstraints(df)
+    var attempt = 0
+    while (true) {
+      latestVersion match {
+        case None => return write(df, operation, commitTs)
+        case Some(head) =>
+          enforceSchema(df, mergeSchema = false, overwriteSchema = false)
+          val hc = commits.find(_.version == head).get
+          require(hc.deletePredicates.isEmpty,
+            s"append on a logical-delete head of $root: compact() first " +
+              "to materialize the delete predicates")
+          val parts = hc.partitionBy
+          val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
+          val w = df.write.mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+            .parquet(s"$stage/data")
+          commitWithCarry(head, stage, dataFilesRel(head), operation, parts,
+            commitTs) match {
+            case Some(v) => return v
+            case None =>
+              attempt += 1
+              if (attempt > 20) throw new IllegalStateException(
+                s"append to $root contended $attempt times; giving up")
+          }
       }
-      attempt += 1
-      if (attempt > 20) throw new IllegalStateException(
-        s"clusterWhere of $root contended $attempt times; giving up")
+    }
+    -1L // unreachable
+  }
+
+  /** Incremental clustering (M7 — liquid-clustering maintenance
+    * semantics, the reference's CLUSTER BY table without the full
+    * rewrite): re-cluster ONLY the files added since the last clustering
+    * commit on the same keys; files already clustered at that commit
+    * (identified by name against its file listing) carry byte-identical
+    * with their stats. Each increment is range-compact WITHIN itself:
+    * increments overlap in key range — liquid's actual layout — so
+    * min/max skipping stays selective per file while the rewrite cost is
+    * ∝ data appended since the last OPTIMIZE, never table size. That is
+    * what makes nightly clustering affordable on a 100 TB append-mostly
+    * table. No unclustered files → no-op, returns the unchanged head.
+    * Any full rewrite in between (write/compact/cluster) renames every
+    * file, so the next call correctly degenerates to a full re-cluster.
+    * Prior-version listing comes from the filesystem and tolerates a
+    * vacuumed ancestor (treated as nothing-clustered). */
+  def clusterIncremental(cols: Seq[String], numFiles: Int = 4): Long = {
+    require(cols.nonEmpty, "clusterIncremental needs clustering columns")
+    val marker = s"cluster_inc_${cols.mkString("_")}"
+    val fullMarker = s"cluster_${cols.mkString("_")}"
+    var attempt = 0
+    while (true) {
+      val head = latestVersion.getOrElse(sys.error(s"empty table at $root"))
+      val hc = commits.find(_.version == head).get
+      val parts = hc.partitionBy
+      require(hc.deletePredicates.isEmpty,
+        s"clusterIncremental on a logical-delete head of $root: compact() " +
+          "first to materialize the delete predicates")
+      require(!cols.exists(parts.contains),
+        s"cannot cluster by partition column(s) ${cols.filter(parts.contains).mkString(", ")}")
+      val headFiles = dataFilesRel(head).toSet
+      val clusteredRel = commits
+        .filter(c => c.version <= head &&
+          (c.operation == marker || c.operation == fullMarker))
+        .map(_.version).maxOption
+        .map(v => dataFilesRel(v).toSet & headFiles)
+        .getOrElse(Set.empty[String])
+      val unclustered = (headFiles -- clusteredRel).toVector.sorted
+      if (unclustered.isEmpty) return head
+      val dir = Paths.get(dataDir(head)).toAbsolutePath.toString
+      val keys = (parts ++ cols).map(col)
+      // read ONLY the unclustered files (basePath keeps partition columns)
+      val fresh = spark.read.option("basePath", dir)
+        .parquet(unclustered.map(r => s"$dir/$r"): _*)
+        .repartitionByRange(numFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
+      val w = fresh.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .parquet(s"$stage/data")
+      commitWithCarry(head, stage, clusteredRel.toVector.sorted, marker,
+        parts) match {
+        case Some(v) => return v
+        case None =>
+          attempt += 1
+          if (attempt > 20) throw new IllegalStateException(
+            s"clusterIncremental of $root contended $attempt times; giving up")
+      }
     }
     -1L // unreachable
   }

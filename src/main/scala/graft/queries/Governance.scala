@@ -589,6 +589,58 @@ object Governance extends QueryGroup {
                               AND TIMESTAMP '1996-12-31 00:00:00'
           AND o_orderkey IN (7, 137, 1234, 4242)""")),
 
+    // M7 as LIQUID-CLUSTERING maintenance, end to end: seed → full
+    // cluster → two appends (each commit writes ONLY its new rows; head
+    // files hard-link-carry with their stats) → clusterIncremental
+    // rewrites ONLY the files appended since the clustering baseline.
+    // Three in-plan booleans gate the maintenance economics in the hash:
+    // the clustered baseline carried by name, no appended file survived
+    // the increment, and the stats-pruned range read skipped files over
+    // the mixed carried+increment layout. The oracle recomputes the rows
+    // from scratch, so a hash match proves three incremental steps lost
+    // nothing. At 100 TB this is the append-mostly table's nightly
+    // OPTIMIZE: cost ∝ data since the last increment, never table size.
+    "v8_incremental_clustering" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_liq_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+        t.write(o.filter(col("o_orderkey") % 3 === 0))
+        t.cluster(Seq("o_orderdate"), numFiles = 4) // v1: clustered baseline
+        def names(v: Option[Long] = None): Set[String] =
+          t.read(v).inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        val clustered = names()
+        t.append(o.filter(col("o_orderkey") % 3 === 1)) // v2
+        t.append(o.filter(col("o_orderkey") % 3 === 2)) // v3
+        val appended = names() -- clustered
+        t.clusterIncremental(Seq("o_orderdate"), numFiles = 2) // v4
+        val head = names()
+        val carriedClustered = clustered.subsetOf(head)
+        val rewroteOnlyAppended = (head & appended).isEmpty &&
+          (head -- clustered).nonEmpty
+        val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+        val hi = java.time.LocalDateTime.parse("1996-06-30T00:00:00")
+        val pruned = t.readWhere("o_orderdate", lo, hi)
+        val filesPruned =
+          pruned.inputFiles.length < t.read().inputFiles.length
+        pruned.agg(
+            count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("carried_clustered", lit(carriedClustered))
+          .withColumn("rewrote_only_appended", lit(rewroteOnlyAppended))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS carried_clustered,
+               TRUE AS rewrote_only_appended,
+               TRUE AS files_pruned
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-06-30 00:00:00'""")),
+
     // S6/M2/M3: time travel + history over the versioned parquet table —
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(

@@ -1085,6 +1085,88 @@ class VersionedTableSpec extends SparkSpec {
     val got = t.readFiltered("id = 150").collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(150L))
   }
+
+  test("append carries every head file byte-identical; only new rows are written") {
+    val t = freshTable()
+    t.write(spark.range(0, 1000).toDF("id").repartition(4))
+    val root = t.detail().collect()(0).getString(0)
+    def files(v: Long): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(s"$root/v=$v")
+      d.listFiles.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val before = files(0)
+    val v1 = t.append(spark.range(1000, 1500).toDF("id").coalesce(1))
+    assert(v1 == 1)
+    val after = files(1)
+    // every v0 file present at v1 under its own name, same bytes
+    before.foreach { case (name, bytes) =>
+      assert(after.get(name).contains(bytes), s"head file $name not carried byte-identical")
+    }
+    assert(after.size == before.size + 1, "append must add exactly the new file(s)")
+    assert(t.read().count() == 1500 && t.countFast() == 1500)
+    assert(t.read(Some(0)).count() == 1000)
+    // stats carried + computed for the new rows only: skipping stays lossless
+    val viaStats = t.readWhere("id", 1200L, 1300L).select("id")
+    assert(viaStats.except(t.read().filter(col("id").between(1200, 1300)).select("id")).isEmpty)
+    // schema enforcement holds on the append path
+    val err = intercept[IllegalArgumentException](
+      t.append(Seq((1L, "x")).toDF("id", "extra")))
+    assert(err.getMessage.contains("new columns"))
+    // CHECK constraints validate the incoming rows
+    t.addConstraint("id_nonneg", "id >= 0")
+    intercept[IllegalArgumentException](t.append(Seq(-5L).toDF("id")))
+    // partitioned head: appended rows land in their own partition dirs
+    val tp = freshTable()
+    tp.write(Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "v", "p"),
+      partitionBy = Seq("p"))
+    tp.append(Seq((3, "c", "x"), (4, "d", "z")).toDF("id", "v", "p"))
+    assert(tp.read().count() == 4)
+    assert(tp.read().filter(col("p") === "z").count() == 1)
+    // append to an empty table is a plain first write
+    val te = freshTable()
+    assert(te.append(Seq(1L).toDF("id")) == 0L)
+  }
+
+  test("clusterIncremental rewrites only files appended since the last clustering") {
+    val t = freshTable()
+    val rnd = new scala.util.Random(31)
+    t.write((1 to 600).map(i => (i, rnd.nextInt(1000))).toDF("id", "k").repartition(3))
+    t.cluster(Seq("k"), numFiles = 4) // v1: clustered baseline, 4 files
+    val root = t.detail().collect()(0).getString(0)
+    def names(v: Long): Set[String] = {
+      val d = new java.io.File(s"$root/v=$v")
+      d.listFiles.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).toSet
+    }
+    val clustered = names(1)
+    t.append((601 to 800).map(i => (i, rnd.nextInt(1000))).toDF("id", "k").coalesce(1)) // v2
+    t.append((801 to 900).map(i => (i, rnd.nextInt(1000))).toDF("id", "k").coalesce(1)) // v3
+    val v4 = t.clusterIncremental(Seq("k"), numFiles = 2)
+    assert(v4 == 4)
+    val head = names(4)
+    // the clustered baseline carried untouched...
+    assert(clustered.subsetOf(head), "v1-clustered files must carry by name")
+    // ...and ONLY the two appended files were rewritten (into 2 new files)
+    assert((head -- clustered).size == 2,
+      s"expected 2 increment files, got ${(head -- clustered).size}")
+    assert(!head.exists(n => (names(3) -- names(1)).contains(n)),
+      "appended unclustered files must not survive the increment")
+    assert(t.read().count() == 900 && t.countFast() == 900)
+    assert(t.history().filter(col("operation") === "cluster_inc_k").count() == 1)
+    // skipping stays lossless over carried + increment files
+    val viaStats = t.readWhere("k", 0, 200).select("id")
+    assert(viaStats.except(t.read().filter(col("k").between(0, 200)).select("id")).isEmpty)
+    // nothing new since the increment → no-op, head unchanged
+    assert(t.clusterIncremental(Seq("k"), numFiles = 2) == 4L)
+    assert(t.latestVersion.contains(4L))
+    // a later append makes exactly that delta the next increment's work
+    t.append((901 to 950).map(i => (i, rnd.nextInt(1000))).toDF("id", "k").coalesce(1)) // v5
+    val v6 = t.clusterIncremental(Seq("k"), numFiles = 1)
+    assert(v6 == 6 && names(6).size == names(4).size + 1,
+      "second increment must rewrite only the newest append")
+    assert(t.read().count() == 950)
+  }
 }
 
 object VersionedTableSpec {
