@@ -895,10 +895,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * re-derives its file sets against the new head and retries). */
   private def commitWithCarry(head: Long, stage: String,
       carriedRel: Seq[String], operation: String, parts: Seq[String],
-      commitTs: Option[String] = None): Option[Long] = {
+      commitTs: Option[String] = None,
+      stageFeed: Option[(Long, String, Seq[String]) => Unit] = None): Option[Long] = {
     import spark.implicits._
     val dir = Paths.get(dataDir(head)).toAbsolutePath.toString
     val next = head + 1
+    // capture the freshly WRITTEN files before carried links join them in
+    // the same dir — a feed must derive from the new rows only
+    val newFilesAbs: Seq[String] = {
+      val base = Paths.get(s"$stage/data")
+      val s0 = Files.walk(base)
+      try s0.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.toAbsolutePath.toString).toVector
+      finally s0.close()
+    }
     val rewrittenRows = writeStats(s"$stage/data", s"$stage/stats_new")
     val carriedStats = spark.read.parquet(statsDir(head))
       .join(carriedRel.toDF("file"), Seq("file"), "left_semi")
@@ -925,6 +938,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         deleteTree(Paths.get(s"$root/_changes/v=$next"))
         deleteTree(Paths.get(s"$root/v=$next"))
         deleteTree(Paths.get(s"$root/_stats/v=$next"))
+        stageFeed.foreach(f => f(next, s"$stage/data", newFilesAbs))
         Files.createDirectories(Paths.get(s"$root/_stats"))
         Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
         Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
@@ -958,14 +972,46 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * logical-delete predicates — carried files cannot materialize
     * version-wide predicates, the [[clusterWhere]] rule). A partitioned
     * head keeps its layout: appended rows land in their own
-    * `col=value/` dirs. Empty table → plain [[write]]. */
+    * `col=value/` dirs. Empty table → plain [[write]]. Not CDC-visible
+    * (the [[deleteWhere]] convention) — [[appendWithChangeFeed]] stages
+    * the pure-insert feed when downstream consumers read the feed. */
   def append(df: DataFrame, operation: String = "append",
-      commitTs: Option[String] = None): Long = {
+      commitTs: Option[String] = None): Long =
+    appendImpl(df, operation, commitTs, stageFeed = None)
+
+  /** [[append]] with Delta-CDF parity: an appended version's feed is its
+    * own rows, all `insert` — derived from the freshly STAGED files only
+    * (never a diff join against the head, never a re-execution of `df`'s
+    * upstream), so the feed costs one scan of the appended data. Feed
+    * and data become visible atomically, like [[writeWithChangeFeed]].
+    * Empty table → all-insert v0 via [[writeWithChangeFeed]]. */
+  def appendWithChangeFeed(df: DataFrame, operation: String = "append",
+      commitTs: String = "2001-09-01 00:00:00"): Long =
+    appendImpl(df, operation, Some(commitTs), stageFeed = Some {
+      (next, stagedData, newFiles) =>
+        val staged = spark.read
+          .option("basePath", stagedData)
+          .parquet(newFiles: _*)
+          .select(df.schema.fields.toIndexedSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        graft.ops.ChangeFeed.allInserts(staged)
+          .withColumn(graft.ops.ChangeFeed.CommitVersionCol, lit(next))
+          .withColumn(graft.ops.ChangeFeed.CommitTimestampCol,
+            to_timestamp(lit(commitTs)))
+          .write.mode("overwrite").parquet(s"$root/_changes/v=$next")
+    })
+
+  private def appendImpl(df: DataFrame, operation: String,
+      commitTs: Option[String],
+      stageFeed: Option[(Long, String, Seq[String]) => Unit]): Long = {
     validateConstraints(df)
     var attempt = 0
     while (true) {
       latestVersion match {
-        case None => return write(df, operation, commitTs)
+        case None =>
+          return if (stageFeed.isEmpty) write(df, operation, commitTs)
+          else writeWithChangeFeed(df, Seq.empty, operation,
+            commitTs.getOrElse("2001-09-01 00:00:00"))
         case Some(head) =>
           enforceSchema(df, mergeSchema = false, overwriteSchema = false)
           val hc = commits.find(_.version == head).get
@@ -978,7 +1024,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
             .parquet(s"$stage/data")
           commitWithCarry(head, stage, dataFilesRel(head), operation, parts,
-            commitTs) match {
+            commitTs, stageFeed) match {
             case Some(v) => return v
             case None =>
               attempt += 1

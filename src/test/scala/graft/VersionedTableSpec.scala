@@ -1128,6 +1128,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(te.append(Seq(1L).toDF("id")) == 0L)
   }
 
+  test("appendWithChangeFeed: the appended version's feed is its own rows, all insert") {
+    val t = freshTable()
+    t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      commitTs = "2001-09-01 00:00:00")
+    val v1 = t.appendWithChangeFeed(Seq((3L, "c"), (4L, "d")).toDF("id", "v"),
+      commitTs = "2001-09-02 00:00:00")
+    assert(v1 == 1 && t.read().count() == 4)
+    val feed = t.changeFeed(fromVersion = 1).collect()
+    assert(feed.length == 2, "feed must hold exactly the appended rows")
+    assert(feed.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(feed.forall(_.getAs[Long]("_commit_version") == 1L))
+    assert(feed.map(_.getAs[Long]("id")).toSet == Set(3L, 4L))
+    // the full feed still reconstructs the head via CDC apply semantics:
+    // v0 inserts + v1 inserts == current table
+    assert(t.changeFeed(0).filter(col("_change_type") === "insert").count() == 4)
+    // plain append stays CDC-invisible (the deleteWhere convention):
+    // the feed read skips its version rather than inventing rows
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    assert(t.changeFeed(0).count() == 4 && t.read().count() == 5)
+    // empty table: all-insert v0 through the same entry point
+    val te = freshTable()
+    assert(te.appendWithChangeFeed(Seq((9L, "z")).toDF("id", "v")) == 0L)
+    assert(te.changeFeed(0).count() == 1)
+  }
+
   test("clusterIncremental rewrites only files appended since the last clustering") {
     val t = freshTable()
     val rnd = new scala.util.Random(31)
