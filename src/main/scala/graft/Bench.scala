@@ -89,6 +89,13 @@ object Bench {
     // covers the full bench set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.benchQueries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown bench queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (a typo here would " +
+          s"otherwise write a silently empty bench artifact)")
+    }
     val benchSet = only.fold(SparkEntry.benchQueries)(names =>
       SparkEntry.benchQueries.view.filterKeys(names).toMap)
     // Untimed warmup at the smallest SF: pays JIT/codegen/parquet-footer

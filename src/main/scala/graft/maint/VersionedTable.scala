@@ -452,10 +452,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
         val k = math.min(8, math.max(1, math.round(m.toDouble / n * ln2).toInt))
         (m, k)
       }
+    bloomRows(df, column, bits, hashes)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_bloom/$column/v=$v")
+  }
+
+  /** Per-file bloom position-set rows for `df`'s files (file key anchored
+    * on the version dir, like the stats table — nested partition dirs
+    * keep their col=value/ prefix). */
+  private def bloomRows(df: DataFrame, column: String,
+      bits: Int, hashes: Int): DataFrame = {
     val positions = array((0 until hashes).map(i =>
       pmod(xxhash64(col(column), lit(i)), lit(bits)).cast("int")): _*)
-    // anchor the per-file key on the version dir, like the stats table
-    // (nested partition dirs keep their col=value/ prefix)
     df
       .select(regexp_replace(input_file_name(), "^.*/v=\\d+/", "").as("file"),
         explode(positions).as("pos"))
@@ -464,8 +472,62 @@ final class VersionedTable(spark: SparkSession, root: String) {
         lit(bits).as("bits"), lit(hashes).as("hashes"),
         // probe literals must hash as THIS type — record it in the index
         lit(df.schema(column).dataType.catalogString).as("coltype"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/_bloom/$column/v=$v")
+  }
+
+  /** Bloom maintenance for a carry commit ([[append]] /
+    * [[clusterIncremental]] / [[clusterWhere]]): carried files keep their
+    * position-set rows from the previous version's index — only the new
+    * files are scanned, so index upkeep stays ∝ rewritten data, matching
+    * the carry commit's own cost story. The carried rows are only valid
+    * under the SAME (bits, hashes) sizing, so the auto-sized path first
+    * checks adequacy: if the new files' densest distinct count still fits
+    * the prior sizing's capacity (n* = m·ln2/k), the prior parameters are
+    * kept; if a new file outgrows them (rare — capacity grows with the
+    * densest file ever seen), fall back to a full [[buildBloomFor]]
+    * rebuild, the exact behavior a fixed-size index must avoid and an
+    * auto-sized one must have (a saturated filter prunes nothing). */
+  private def maintainBloomIndexesIncremental(prev: Long, next: Long,
+      carriedRel: Set[String]): Unit = {
+    import spark.implicits._
+    bloomConfigs.foreach { case (c, b0, h0, fpp) =>
+      val nextDf = spark.read.parquet(dataDir(next))
+      if (nextDf.columns.contains(c)) {
+        val prevIdx = Paths.get(s"$root/_bloom/$c/v=$prev")
+        val newRel = dataFilesRel(next).filterNot(carriedRel)
+        if (!Files.isDirectory(prevIdx)) buildBloomFor(next, c, b0, h0, fpp)
+        else if (newRel.isEmpty) {
+          // pure carry (e.g. clusterWhere matched nothing new): the prior
+          // index rows for surviving files ARE the next index
+          val kept = spark.read.parquet(prevIdx.toString)
+            .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi")
+          kept.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/_bloom/$c/v=$next")
+        } else {
+          val dir = Paths.get(dataDir(next)).toAbsolutePath.toString
+          val newDf = spark.read.option("basePath", dir)
+            .parquet(newRel.map(r => s"$dir/$r"): _*)
+          val prior = spark.read.parquet(prevIdx.toString)
+          val head = prior.select("bits", "hashes").limit(1).collect().headOption
+          val sized = head.map(h => (h.getInt(0), h.getInt(1)))
+          val fixedOk = b0 > 0 && h0 > 0 && sized.contains((b0, h0))
+          val autoOk = b0 == 0 && sized.exists { case (m, k) =>
+            val maxRow = newDf
+              .groupBy(input_file_name()).agg(countDistinct(col(c)).as("n"))
+              .agg(max(col("n"))).collect()(0)
+            maxRow.isNullAt(0) ||
+              maxRow.getLong(0) <= math.floor(m * math.log(2) / k).toLong
+          }
+          if (fixedOk || autoOk) {
+            val (m, k) = sized.get
+            bloomRows(newDf, c, m, k)
+              .unionByName(prior
+                .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/_bloom/$c/v=$next")
+          } else buildBloomFor(next, c, b0, h0, fpp)
+        }
+      }
+    }
   }
 
   /** Bloom indexes available for version `v`: column → (index df, bits,
@@ -802,7 +864,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val clustered = read()
       .repartitionByRange(numFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
-    write(clustered, s"cluster_${cols.mkString("_")}", partitionBy = parts)
+    // comma-delimited key list: unambiguous for column names containing
+    // underscores (cluster(Seq("a","b")) vs cluster(Seq("a_b"))), which
+    // clusterIncremental relies on when matching its baseline commit
+    write(clustered, s"cluster:${cols.mkString(",")}", partitionBy = parts)
   }
 
   /** Partition-scoped OPTIMIZE (the M5/M6 `WHERE` variant — the
@@ -918,7 +983,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .localCheckpoint(true)
     val carriedRows = carriedStats.agg(coalesce(sum(col("cnt")), lit(0L)))
       .collect()(0).getLong(0)
-    spark.read.parquet(s"$stage/stats_new").unionByName(carriedStats)
+    val newStats = spark.read.parquet(s"$stage/stats_new")
+    // fail LOUDLY if partition-dir type inference gave the staged batch a
+    // different stats schema than the head's (e.g. a string partition
+    // column whose batch values are all-numeric infers int): a silent
+    // unionByName coercion would mix orderings inside the min/max structs
+    // and readWhere pruning on that column could drop matching files
+    if (carriedRel.nonEmpty)
+      require(newStats.schema == carriedStats.schema,
+        s"stats schema drift on $root (partition-dir type inference?): " +
+          s"staged ${newStats.schema.simpleString} vs head " +
+          s"${carriedStats.schema.simpleString}")
+    newStats.unionByName(carriedStats)
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
     deleteTree(Paths.get(s"$stage/stats_new"))
     carriedRel.foreach { rel =>
@@ -955,7 +1031,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
     }
     deleteTree(Paths.get(stage))
-    if (won) { maintainBloomIndexes(next); Some(next) } else None
+    if (won) {
+      maintainBloomIndexesIncremental(head, next, carriedRel.toSet)
+      Some(next)
+    } else None
   }
 
   /** Append-only commit (Delta `mode("append")` — the reference's Bronze
@@ -1009,9 +1088,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     while (true) {
       latestVersion match {
         case None =>
-          return if (stageFeed.isEmpty) write(df, operation, commitTs)
-          else writeWithChangeFeed(df, Seq.empty, operation,
-            commitTs.getOrElse("2001-09-01 00:00:00"))
+          // Bootstrap under the commit lock: two concurrent appends that
+          // both observe an empty table must not both take the full-write
+          // path — the loser's write() retry would commit a full SNAPSHOT
+          // at v1 and silently drop the winner's appended rows from the
+          // head. Holding the lock across the first write serializes only
+          // the empty-table bootstrap (commit() re-enters the same lock —
+          // it is reentrant for this thread); a competitor that slept here
+          // re-checks and falls through to the carry path.
+          VersionedTable.commitLock(root).synchronized {
+            if (latestVersion.isEmpty)
+              return if (stageFeed.isEmpty) write(df, operation, commitTs)
+              else writeWithChangeFeed(df, Seq.empty, operation,
+                commitTs.getOrElse("2001-09-01 00:00:00"))
+          }
         case Some(head) =>
           enforceSchema(df, mergeSchema = false, overwriteSchema = false)
           val hc = commits.find(_.version == head).get
@@ -1053,8 +1143,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * vacuumed ancestor (treated as nothing-clustered). */
   def clusterIncremental(cols: Seq[String], numFiles: Int = 4): Long = {
     require(cols.nonEmpty, "clusterIncremental needs clustering columns")
-    val marker = s"cluster_inc_${cols.mkString("_")}"
-    val fullMarker = s"cluster_${cols.mkString("_")}"
+    val marker = s"cluster_inc:${cols.mkString(",")}"
+    val fullMarker = s"cluster:${cols.mkString(",")}"
     var attempt = 0
     while (true) {
       val head = latestVersion.getOrElse(sys.error(s"empty table at $root"))

@@ -122,6 +122,13 @@ object Dedup extends QueryGroup {
       .filter(col("est_sim") >= 0.5)
   }
 
+  /** The Manku block layout over the 60-bit signature, shared by the
+    * single-block ([[simhashBandedPairs]]) and multi-block
+    * ([[simhashMultiBlockPairs]]) schemes — one definition so a retune
+    * cannot silently de-synchronize them. */
+  private val SimhashBlockDefs: Seq[(Int, Int)] =
+    Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
+
   /** D5's banded SimHash pair pipeline (the bit-block scheme of Manku et
     * al., "Detecting Near-Duplicates for Web Crawling", WWW'07): the
     * 60-bit signature splits into 7 contiguous blocks (9,9,9,9,8,8,8
@@ -139,13 +146,6 @@ object Dedup extends QueryGroup {
     * B−k blocks) without changing the operator shape.
     * Input needs (doc_id, source, sh); output (a_id, b_id, hamming ≤ 6).
     */
-  /** The Manku block layout over the 60-bit signature, shared by the
-    * single-block ([[simhashBandedPairs]]) and multi-block
-    * ([[simhashMultiBlockPairs]]) schemes — one definition so a retune
-    * cannot silently de-synchronize them. */
-  private val SimhashBlockDefs: Seq[(Int, Int)] =
-    Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
-
   private[graft] def simhashBandedPairs(sigs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val blockDefs = SimhashBlockDefs

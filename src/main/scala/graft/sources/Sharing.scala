@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.connector.catalog.TableProvider
@@ -103,6 +105,12 @@ class SharingSource extends TableProvider with DataSourceRegister {
 object SharingProtocol {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private val endpointLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def endpointLock(dir: String): Object =
+    endpointLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.toString, _ => new Object)
+
   /** Provider: publish `location` as `share.schema.table` under the
     * endpoint dir, mint a recipient profile honoring `token`, and
     * return the profile path (what the provider hands the recipient).
@@ -117,20 +125,31 @@ object SharingProtocol {
       table: String, location: String, token: String): String = {
     Files.createDirectories(Paths.get(endpointDir))
     val manifest = Paths.get(endpointDir, "shares.json")
-    val kept =
-      if (!Files.isRegularFile(manifest)) Seq.empty[String]
-      else Files.readAllLines(manifest).asScalaSeq.filter(_.trim.nonEmpty)
-        .filterNot { l =>
-          val r = om.readTree(l)
-          r.path("share").asText == share &&
-            r.path("schema").asText == schema &&
-            r.path("table").asText == table
-        }
-    val row = om.createObjectNode()
-    row.put("share", share); row.put("schema", schema); row.put("table", table)
-    row.put("location", location); row.put("bearerToken", token)
-    Files.writeString(manifest,
-      (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
+    // the replace is a read-modify-write of the whole manifest: serialize
+    // concurrent publishers per endpoint (JVM-level — a real server owns
+    // its manifest in one process) and land the new content atomically
+    // (temp + move), so a racing resolve() always reads a complete
+    // manifest, never a truncated one
+    endpointLock(endpointDir).synchronized {
+      val kept =
+        if (!Files.isRegularFile(manifest)) Seq.empty[String]
+        else Files.readAllLines(manifest).asScala.toSeq.filter(_.trim.nonEmpty)
+          .filterNot { l =>
+            val r = om.readTree(l)
+            r.path("share").asText == share &&
+              r.path("schema").asText == schema &&
+              r.path("table").asText == table
+          }
+      val row = om.createObjectNode()
+      row.put("share", share); row.put("schema", schema); row.put("table", table)
+      row.put("location", location); row.put("bearerToken", token)
+      val tmp = Files.createTempFile(Paths.get(endpointDir), ".shares", ".tmp")
+      Files.writeString(tmp,
+        (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
+      Files.move(tmp, manifest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val profile = om.createObjectNode()
     profile.put("shareCredentialsVersion", 1)
     profile.put("endpoint", endpointDir)
@@ -155,7 +174,7 @@ object SharingProtocol {
     if (!Files.isRegularFile(manifest)) sys.error(
       s"shared table '$fqn' at $root has no commit manifest — not a versioned table")
     val vRe = """"version":(\d+)""".r
-    Files.readAllLines(manifest).asScalaSeq
+    Files.readAllLines(manifest).asScala.toSeq
       .flatMap(l => vRe.findFirstMatchIn(l).map(_.group(1).toLong))
       .filter(v => v >= starting &&
         Files.isDirectory(Paths.get(root, "_changes", s"v=$v")))
@@ -179,7 +198,7 @@ object SharingProtocol {
     val token = profile.path("bearerToken").asText("")
     val manifest = Paths.get(endpoint, "shares.json")
     require(Files.isRegularFile(manifest), s"no share manifest at $manifest")
-    val rows = Files.readAllLines(manifest).asScalaSeq
+    val rows = Files.readAllLines(manifest).asScala.toSeq
       .filter(_.trim.nonEmpty).map(om.readTree)
     val hit = rows.find(r =>
       r.path("share").asText == parts(0) &&
@@ -217,7 +236,13 @@ object SharingProtocol {
     val root = paths.head
     val committed = committedFeedDirs(fqn, root, 0L)
     if (committed.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
-    val schema = spark.read.parquet(committed.head).schema
+    // merge schemas across ALL committed feed versions: a mergeSchema
+    // commit adds columns to later feeds, and pinning the oldest
+    // version's schema would silently drop them from every micro-batch
+    // (older files surface the new columns as null, the mergeSchema read
+    // contract); footer-only work, ∝ committed versions
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(committed: _*).schema
     spark.readStream.schema(schema).parquet(s"$root/_changes/*")
       .filter(col("_commit_version") >= startingVersion)
   }
@@ -269,11 +294,4 @@ object SharingProtocol {
     }
   }
 
-  private implicit class JListOps[A](private val l: java.util.List[A]) {
-    def asScalaSeq: Seq[A] = {
-      val b = Seq.newBuilder[A]
-      l.forEach(a => b += a)
-      b.result()
-    }
-  }
 }

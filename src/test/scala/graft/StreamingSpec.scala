@@ -443,6 +443,18 @@ class StreamingSpec extends SparkSpec {
     assert(fromV1 == direct.filter(_._3 >= 1L),
       "startingVersion=1 must drop the v0 seed inserts")
     assert(fromV1.nonEmpty && fromV1.size < direct.size)
+
+    // schema evolution: a mergeSchema commit adds a column to later feed
+    // versions; the stream schema must surface it (merged across ALL
+    // committed feeds), not pin the oldest version's column set
+    val t = new graft.maint.VersionedTable(spark, root)
+    t.writeWithChangeFeed(
+      t.read().withColumn("c_flag", lit(1L)),
+      Seq("c_custkey"), commitTs = "2001-09-03 00:00:00", mergeSchema = true)
+    val evolved = graft.sources.SharingProtocol.changeStream(spark, url)
+    assert(evolved.schema.fieldNames.contains("c_flag"),
+      s"evolved feed column missing from stream schema: " +
+        s"${evolved.schema.fieldNames.mkString(", ")}")
   }
 
   test("committed-batch shared feed: staged dirs invisible, watermark resumes exactly-once") {

@@ -1128,6 +1128,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(te.append(Seq(1L).toDF("id")) == 0L)
   }
 
+  test("concurrent appends to an EMPTY table keep both batches at head") {
+    // the bootstrap race: both appenders observe an empty table; the
+    // loser must fall through to the carry path on the winner's v0, not
+    // commit a full snapshot that drops the winner's rows
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(0L, 100L).map { base =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.append(spark.range(base, base + 10).toDF("id"))
+        })
+      }
+      val got = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet == Set(0L, 1L), s"appends must land on v0 and v1: $got")
+    } finally pool.shutdown()
+    assert(t.read().count() == 20, "head lost an appended batch")
+    assert(t.read().select("id").distinct().count() == 20)
+  }
+
+  test("append maintains a registered bloom index by carrying per-file rows") {
+    val t = freshTable()
+    t.write(spark.range(0, 2000).toDF("id").repartition(4))
+    t.buildBloomIndex("id")
+    val root = t.detail().collect()(0).getString(0)
+    val before = spark.read.parquet(s"$root/_bloom/id/v=0")
+      .select("file", "positions").collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    t.append(spark.range(2000, 2100).toDF("id").coalesce(1)) // v1
+    val after = spark.read.parquet(s"$root/_bloom/id/v=1")
+      .select("file", "positions").collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    // carried files keep their EXACT position sets (not recomputed under
+    // different sizing), and the appended file gains a row
+    before.foreach { case (f, pos) =>
+      assert(after.get(f).contains(pos), s"carried bloom row changed for $f")
+    }
+    assert(after.size == before.size + 1, "appended file missing from the index")
+    // the index still answers point lookups on both old and new rows
+    val hitOld = t.readFiltered("id = 7").collect()
+    val hitNew = t.readFiltered("id = 2050").collect()
+    assert(hitOld.map(_.getLong(0)).toSeq == Seq(7L))
+    assert(hitNew.map(_.getLong(0)).toSeq == Seq(2050L))
+  }
+
   test("appendWithChangeFeed: the appended version's feed is its own rows, all insert") {
     val t = freshTable()
     t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
@@ -1178,7 +1222,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(!head.exists(n => (names(3) -- names(1)).contains(n)),
       "appended unclustered files must not survive the increment")
     assert(t.read().count() == 900 && t.countFast() == 900)
-    assert(t.history().filter(col("operation") === "cluster_inc_k").count() == 1)
+    assert(t.history().filter(col("operation") === "cluster_inc:k").count() == 1)
     // skipping stays lossless over carried + increment files
     val viaStats = t.readWhere("k", 0, 200).select("id")
     assert(viaStats.except(t.read().filter(col("k").between(0, 200)).select("id")).isEmpty)
