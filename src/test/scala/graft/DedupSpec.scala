@@ -359,4 +359,50 @@ class DedupSpec extends SparkSpec {
     assert(gated == Set((1L, 2L)),
       s"gated pairs must be exactly the genuine overlap, got $gated")
   }
+
+  test("persistent admission: a VersionedTable-backed winnow index survives runs") {
+    // d14's epoch loop productionized across PROCESS lifetimes: the
+    // winnow fingerprint index lives in a versioned table; each batch
+    // opens fresh handles (nothing in-memory survives between runs),
+    // probes the persisted index with one keyed join, and extends it via
+    // append — only the batch's genuinely NEW fingerprints are written
+    // (left_anti against the index), so per-run cost is ∝ batch while
+    // the index accretes like st15/d14's in-memory generations.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_pa_").toString
+    def admitBatch(docs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val idxT = new graft.maint.VersionedTable(spark, s"$scratch/winnow_index")
+      val fps = graft.queries.Dedup.winnowFps(docs).localCheckpoint(true)
+      val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val index =
+        if (idxT.latestVersion.isEmpty) Seq.empty[Long].toDF("h")
+        else idxT.read()
+      val rejected = fps.join(index, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+        .join(nf, Seq("doc_id"))
+        .filter(col("shared") * 2 >= col("n_fp"))
+        .select("doc_id")
+      val admitted = docs.join(rejected, Seq("doc_id"), "left_anti")
+        .select("doc_id").localCheckpoint(true)
+      val newFps = fps.join(admitted, Seq("doc_id"), "left_semi")
+        .select("h").distinct()
+        .join(index, Seq("h"), "left_anti")
+      if (idxT.latestVersion.isEmpty) idxT.write(newFps)
+      else idxT.append(newFps)
+      admitted.collect().map(_.getLong(0)).toSet
+    }
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one red two blue three green four yellow five orange six purple seven"
+    val textC = "solar lunar stellar nebula quasar pulsar comet meteor asteroid orbit axis tilt"
+    val run1 = admitBatch(Seq((0L, textA), (1L, textB)).toDF("doc_id", "text"))
+    assert(run1 == Set(0L, 1L), s"empty index must admit both: $run1")
+    // run 2: a near-copy of run 1's admission must be rejected by the
+    // PERSISTED index; fresh text still passes
+    val run2 = admitBatch(Seq((5L, textA), (10L, textC)).toDF("doc_id", "text"))
+    assert(run2 == Set(10L), s"persisted index must reject the twin: $run2")
+    // the index grew by exactly one append of run 2's new fingerprints
+    val idxT = new graft.maint.VersionedTable(spark, s"$scratch/winnow_index")
+    assert(idxT.versions == Seq(0L, 1L))
+    assert(idxT.read().select("h").distinct().count() == idxT.read().count(),
+      "index must stay a set — append wrote an already-known fingerprint")
+  }
 }
