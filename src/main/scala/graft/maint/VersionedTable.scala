@@ -308,8 +308,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * commit needs no second counting scan). One stats row per data file —
     * at 100 TB this is the same "stats ride with the commit" shape as the
     * Delta log, and the skipping decision reads only this tiny table. */
-  private def writeStats(dataDir: String, statsOut: String): Long = {
-    val written = spark.read.parquet(dataDir)
+  private def writeStats(dataDir: String, statsOut: String,
+      schemaHint: Option[StructType] = None): Long = {
+    // a hint pins partition-column types to the head's read-back schema:
+    // partition-dir inference is value-dependent (an all-numeric batch of
+    // a string partition column infers int), and stats must union with
+    // the head's rows under ONE schema — see commitWithCarry
+    val reader = schemaHint.fold(spark.read)(h => spark.read.schema(h))
+    val written = reader.parquet(dataDir)
     val cols = statColumns(written.schema)
     val aggs =
       count(lit(1L)).as("cnt") +:
@@ -439,22 +445,45 @@ final class VersionedTable(spark: SparkSession, root: String) {
       else {
         // auto-size from the densest file of THIS version; an empty
         // version has no max (NULL) — no rows, nothing to index
-        val maxRow = df
-          .groupBy(input_file_name()).agg(countDistinct(col(column)).as("n"))
-          .agg(max(col("n"))).collect()(0)
-        if (maxRow.isNullAt(0)) {
+        val dense = densestDistinct(df, column)
+        if (dense.isEmpty) {
           deleteTree(Paths.get(s"$root/_bloom/$column/v=$v"))
           return
         }
-        val n = math.max(1L, maxRow.getLong(0))
+        val n = math.max(1L, dense.get)
         val ln2 = math.log(2)
         val m = math.max(64, math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toInt)
         val k = math.min(8, math.max(1, math.round(m.toDouble / n * ln2).toInt))
         (m, k)
       }
-    bloomRows(df, column, bits, hashes)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/_bloom/$column/v=$v")
+    writeBloomDir(bloomRows(df, column, bits, hashes), column, v)
+  }
+
+  /** Land a bloom index dir ATOMICALLY (stage + rename): index writes
+    * happen after the commit point, so a concurrent committer's
+    * incremental maintenance may read the PREVIOUS version's index while
+    * it is being written — with a plain overwrite it could see a
+    * _temporary-only or partial dir. An atomic dir rename means readers
+    * observe either no dir (→ full-rebuild fallback) or a complete one,
+    * never a torn index. */
+  private def writeBloomDir(rows: DataFrame, column: String, v: Long): Unit = {
+    val tmp = s"$root/_bloom/$column/.stage-${java.util.UUID.randomUUID()}"
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dest = Paths.get(s"$root/_bloom/$column/v=$v")
+    deleteTree(dest)
+    Files.move(Paths.get(tmp), dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Densest per-file distinct count of `column` over `df` — the sizing
+    * statistic shared by [[buildBloomFor]]'s auto-sizer and the
+    * incremental adequacy check (one definition, so they cannot
+    * de-synchronize). None = no rows. */
+  private def densestDistinct(df: DataFrame, column: String): Option[Long] = {
+    val row = df
+      .groupBy(input_file_name()).agg(countDistinct(col(column)).as("n"))
+      .agg(max(col("n"))).collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
   /** Per-file bloom position-set rows for `df`'s files (file key anchored
@@ -489,43 +518,51 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private def maintainBloomIndexesIncremental(prev: Long, next: Long,
       carriedRel: Set[String]): Unit = {
     import spark.implicits._
-    bloomConfigs.foreach { case (c, b0, h0, fpp) =>
-      val nextDf = spark.read.parquet(dataDir(next))
-      if (nextDf.columns.contains(c)) {
+    val configs = bloomConfigs
+    if (configs.isEmpty) return
+    // loop invariants hoisted: one schema read + one file walk per commit,
+    // not per indexed column
+    val nextCols = spark.read.parquet(dataDir(next)).columns.toSet
+    val newRel = dataFilesRel(next).filterNot(carriedRel)
+    val dir = Paths.get(dataDir(next)).toAbsolutePath.toString
+    configs.foreach { case (c, b0, h0, fpp) =>
+      if (nextCols.contains(c)) {
         val prevIdx = Paths.get(s"$root/_bloom/$c/v=$prev")
-        val newRel = dataFilesRel(next).filterNot(carriedRel)
-        if (!Files.isDirectory(prevIdx)) buildBloomFor(next, c, b0, h0, fpp)
-        else if (newRel.isEmpty) {
-          // pure carry (e.g. clusterWhere matched nothing new): the prior
-          // index rows for surviving files ARE the next index
-          val kept = spark.read.parquet(prevIdx.toString)
-            .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi")
-          kept.coalesce(1).write.mode("overwrite")
-            .parquet(s"$root/_bloom/$c/v=$next")
-        } else {
-          val dir = Paths.get(dataDir(next)).toAbsolutePath.toString
-          val newDf = spark.read.option("basePath", dir)
-            .parquet(newRel.map(r => s"$dir/$r"): _*)
-          val prior = spark.read.parquet(prevIdx.toString)
-          val head = prior.select("bits", "hashes").limit(1).collect().headOption
-          val sized = head.map(h => (h.getInt(0), h.getInt(1)))
-          val fixedOk = b0 > 0 && h0 > 0 && sized.contains((b0, h0))
-          val autoOk = b0 == 0 && sized.exists { case (m, k) =>
-            val maxRow = newDf
-              .groupBy(input_file_name()).agg(countDistinct(col(c)).as("n"))
-              .agg(max(col("n"))).collect()(0)
-            maxRow.isNullAt(0) ||
-              maxRow.getLong(0) <= math.floor(m * math.log(2) / k).toLong
-          }
-          if (fixedOk || autoOk) {
+        // the prev index may be mid-write by the previous committer or
+        // mid-delete by a concurrent vacuum; its WRITES are atomic (dir
+        // rename), so the only failure shape is absence — but guard the
+        // read anyway and fall back to a full rebuild from the committed
+        // data, which is always correct
+        def incremental(): Boolean =
+          try {
+            if (!Files.isDirectory(prevIdx)) return false
+            val prior = spark.read.parquet(prevIdx.toString)
+            if (newRel.isEmpty) {
+              // pure carry (e.g. clusterWhere matched nothing new): the
+              // prior rows for surviving files ARE the next index
+              writeBloomDir(prior
+                .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi"),
+                c, next)
+              return true
+            }
+            val newDf = spark.read.option("basePath", dir)
+              .parquet(newRel.map(r => s"$dir/$r"): _*)
+            val sized = prior.select("bits", "hashes").limit(1).collect()
+              .headOption.map(h => (h.getInt(0), h.getInt(1)))
+            val fixedOk = b0 > 0 && h0 > 0 && sized.contains((b0, h0))
+            val autoOk = b0 == 0 && sized.exists { case (m, k) =>
+              densestDistinct(newDf, c)
+                .forall(_ <= math.floor(m * math.log(2) / k).toLong)
+            }
+            if (!fixedOk && !autoOk) return false
             val (m, k) = sized.get
-            bloomRows(newDf, c, m, k)
-              .unionByName(prior
-                .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi"))
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$root/_bloom/$c/v=$next")
-          } else buildBloomFor(next, c, b0, h0, fpp)
-        }
+            writeBloomDir(
+              bloomRows(newDf, c, m, k).unionByName(prior
+                .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi")),
+              c, next)
+            true
+          } catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!incremental()) buildBloomFor(next, c, b0, h0, fpp)
       }
     }
   }
@@ -965,6 +1002,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     import spark.implicits._
     val dir = Paths.get(dataDir(head)).toAbsolutePath.toString
     val next = head + 1
+    // read the staged batch under the HEAD's read-back schema, so
+    // partition-dir type inference on the batch's own values cannot give
+    // the new stats a different schema than the carried rows (the require
+    // below stays as the backstop for shapes a declared schema can't fix)
+    val headSchema = spark.read.parquet(dir).schema
     // capture the freshly WRITTEN files before carried links join them in
     // the same dir — a feed must derive from the new rows only
     val newFilesAbs: Seq[String] = {
@@ -977,7 +1019,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .map(_.toAbsolutePath.toString).toVector
       finally s0.close()
     }
-    val rewrittenRows = writeStats(s"$stage/data", s"$stage/stats_new")
+    val rewrittenRows =
+      writeStats(s"$stage/data", s"$stage/stats_new", Some(headSchema))
     val carriedStats = spark.read.parquet(statsDir(head))
       .join(carriedRel.toDF("file"), Seq("file"), "left_semi")
       .localCheckpoint(true)
@@ -1145,6 +1188,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(cols.nonEmpty, "clusterIncremental needs clustering columns")
     val marker = s"cluster_inc:${cols.mkString(",")}"
     val fullMarker = s"cluster:${cols.mkString(",")}"
+    // legacy underscore spellings (pre-colon-encoding commits) still count
+    // as baselines — without this, the first incremental run on an
+    // upgraded table would silently degenerate to a full re-cluster. New
+    // commits always write the unambiguous colon form, so the underscore
+    // aliasing risk (a_b vs a,b) is confined to legacy manifests.
+    val legacy = Set(s"cluster_inc_${cols.mkString("_")}",
+      s"cluster_${cols.mkString("_")}")
     var attempt = 0
     while (true) {
       val head = latestVersion.getOrElse(sys.error(s"empty table at $root"))
@@ -1158,7 +1208,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val headFiles = dataFilesRel(head).toSet
       val clusteredRel = commits
         .filter(c => c.version <= head &&
-          (c.operation == marker || c.operation == fullMarker))
+          (c.operation == marker || c.operation == fullMarker ||
+            legacy.contains(c.operation)))
         .map(_.version).maxOption
         .map(v => dataFilesRel(v).toSet & headFiles)
         .getOrElse(Set.empty[String])

@@ -109,7 +109,9 @@ object SharingProtocol {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def endpointLock(dir: String): Object =
     endpointLocks.computeIfAbsent(
-      Paths.get(dir).toAbsolutePath.toString, _ => new Object)
+      // normalize so "/a/ep" and "/a/./ep" take the SAME lock — distinct
+      // spellings of one endpoint must not interleave manifest rewrites
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
 
   /** Provider: publish `location` as `share.schema.table` under the
     * endpoint dir, mint a recipient profile honoring `token`, and
@@ -144,11 +146,13 @@ object SharingProtocol {
       row.put("share", share); row.put("schema", schema); row.put("table", table)
       row.put("location", location); row.put("bearerToken", token)
       val tmp = Files.createTempFile(Paths.get(endpointDir), ".shares", ".tmp")
-      Files.writeString(tmp,
-        (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
-      Files.move(tmp, manifest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.writeString(tmp,
+          (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
+        Files.move(tmp, manifest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
     }
     val profile = om.createObjectNode()
     profile.put("shareCredentialsVersion", 1)
