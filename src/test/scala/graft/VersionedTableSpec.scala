@@ -1147,6 +1147,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read().select("id").distinct().count() == 20)
   }
 
+  test("concurrent appends to a NON-empty table both land; union of batches at head") {
+    // the general append race: the loser must re-derive its carry set
+    // against the winner's head (which now contains the winner's file)
+    // and retry — no lost batch, no duplicated rows
+    val t = freshTable()
+    t.write(spark.range(0, 50).toDF("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(100L, 200L).map { base =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.append(spark.range(base, base + 25).toDF("id"))
+        })
+      }
+      val got = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet == Set(1L, 2L), s"appends must land on v1 and v2: $got")
+    } finally pool.shutdown()
+    assert(t.read().count() == 100, "head must hold seed + both batches")
+    assert(t.read().select("id").distinct().count() == 100)
+    assert(t.countFast() == 100, "manifest row count must match")
+  }
+
   test("append maintains a registered bloom index by carrying per-file rows") {
     val t = freshTable()
     t.write(spark.range(0, 2000).toDF("id").repartition(4))
