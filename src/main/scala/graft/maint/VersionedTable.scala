@@ -68,6 +68,29 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   private def commits: Seq[Commit] = manifestLines.map(parse)
 
+  /** The ONE manifest-line serializer. Four commit paths write lines;
+    * the regex parser is field-order-independent, but hand-rolled copies
+    * had already drifted comma conventions between sites — a new field
+    * gets added here or nowhere. */
+  private def manifestLine(version: Long, operation: String, rows: Long,
+      ts: Option[String] = None,
+      location: Option[String] = None, statsLocation: Option[String] = None,
+      deletePredicates: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): String = {
+    val sb = new StringBuilder(
+      s"""{"version":$version,"operation":"$operation","rows":$rows""")
+    ts.foreach(t => sb.append(s""","ts":"$t""""))
+    location.foreach(l => sb.append(s""","location":"$l""""))
+    statsLocation.foreach(l => sb.append(s""","statsLocation":"$l""""))
+    if (deletePredicates.nonEmpty)
+      sb.append(deletePredicates.map(p => s""""$p"""")
+        .mkString(""","deletePredicates":[""", ",", "]"))
+    if (partitionBy.nonEmpty)
+      sb.append(partitionBy.map(c => s""""$c"""")
+        .mkString(""","partitionBy":[""", ",", "]"))
+    sb.append("}\n").toString
+  }
+
   /** Data directory of a committed version — local `v=N` unless the
     * manifest entry points elsewhere (shallow clone). */
   private def dataDir(v: Long): String =
@@ -182,12 +205,28 @@ final class VersionedTable(spark: SparkSession, root: String) {
       // from is the local analogue of Delta's ConcurrentWrite metadata-
       // conflict resolution: the conflicting retry FAILS instead. The
       // lock's head re-check below guarantees no commit lands on a head
-      // this validation didn't see.
+      // this validation didn't see. (Yes, the first attempt re-validates
+      // what the entry check already saw — but the constraint pass
+      // between them is a full Spark job, ample time for a concurrent
+      // mergeSchema commit to move the head; one footer read is the
+      // price of validating against the head `next` actually derives
+      // from.)
       enforceSchema(df, mergeSchema, overwriteSchema)
       val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
       val writer = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(s"$stage/data")
+      // fail with the actual cause: an empty snapshot under partitionBy
+      // stages no files at all (the dynamic-partition writer is per-row),
+      // and this parquet stand-in has no log-recorded schema to give such
+      // a version — the schema-less stats read below would otherwise die
+      // with an opaque 'unable to infer schema'
+      if (stagedDataFiles(stage).isEmpty) {
+        deleteTree(Paths.get(stage))
+        sys.error(s"commit of $root staged zero data files (empty snapshot" +
+          " with partitionBy?): a readable version needs at least one" +
+          " schema-bearing parquet file")
+      }
       val rows = writeStats(s"$stage/data", s"$stage/stats")
       val won = VersionedTable.commitLock(root).synchronized {
         val headNow = latestVersion
@@ -209,17 +248,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
           Files.createDirectories(Paths.get(s"$root/_stats"))
           Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
           Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
-          val tsField = commitTs.map(t => s""","ts":"$t"""").getOrElse("")
           // partition columns are recorded in the commit (the stand-in
           // for Delta's log schema): readers of the manifest know them
           // without trusting partition-dir type inference
-          val partField =
-            if (partitionBy.isEmpty) ""
-            else partitionBy.map(c => s""""$c"""")
-              .mkString(""","partitionBy":[""", ",", "]")
           Files.writeString(
             manifestPath,
-            s"""{"version":$next,"operation":"$operation","rows":$rows$tsField$partField}""" + "\n",
+            manifestLine(next, operation, rows, ts = commitTs,
+              partitionBy = partitionBy),
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
           true
         }
@@ -330,7 +365,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // cannot reappear deeper: partition dirs always contain `=` and
     // special chars in values are URL-encoded.
     val stats = written
-      .groupBy(regexp_replace(input_file_name(), "^.*/data/", "").as("file"))
+      .groupBy(VersionedTable.decodedRelFile("^.*/data/").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     stats.coalesce(1).write.mode("overwrite").parquet(statsOut)
     spark.read.parquet(statsOut)
@@ -430,11 +465,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * commit" shape as [[writeStats]]. Columns absent from the snapshot
     * (schema evolution) are skipped; readFiltered then simply has no
     * index for them on this version. */
-  private def maintainBloomIndexes(v: Long): Unit =
-    bloomConfigs.foreach { case (c, b, h, f) =>
-      if (spark.read.parquet(dataDir(v)).columns.contains(c))
-        buildBloomFor(v, c, b, h, f)
+  private def maintainBloomIndexes(v: Long): Unit = {
+    val configs = bloomConfigs
+    if (configs.isEmpty) return
+    // one schema read per commit, not per indexed column
+    val cols = spark.read.parquet(dataDir(v)).columns.toSet
+    configs.foreach { case (c, b, h, f) =>
+      if (cols.contains(c)) buildBloomFor(v, c, b, h, f)
     }
+  }
 
   private def buildBloomFor(v: Long, column: String, bits0: Int,
       hashes0: Int, fpp: Double): Unit = {
@@ -494,7 +533,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val positions = array((0 until hashes).map(i =>
       pmod(xxhash64(col(column), lit(i)), lit(bits)).cast("int")): _*)
     df
-      .select(regexp_replace(input_file_name(), "^.*/v=\\d+/", "").as("file"),
+      .select(VersionedTable.decodedRelFile("^.*/v=\\d+/").as("file"),
         explode(positions).as("pos"))
       .groupBy("file")
       .agg(sort_array(collect_set(col("pos"))).as("positions"),
@@ -561,7 +600,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
                 .join(carriedRel.toSeq.toDF("file"), Seq("file"), "left_semi")),
               c, next)
             true
-          } catch { case _: org.apache.spark.sql.AnalysisException => false }
+          } catch {
+            // index writes are atomic, but a concurrent vacuum can still
+            // delete the prev dir between listing and read, and a torn
+            // LEGACY dir (pre-atomic-rename) fails at execution time,
+            // not analysis — any failure here falls back to the full
+            // rebuild from committed data, which is always correct
+            case scala.util.control.NonFatal(_) => false
+          }
         if (!incremental()) buildBloomFor(next, c, b0, h0, fpp)
       }
     }
@@ -597,6 +643,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
       if (Files.isDirectory(p)) Files.createDirectories(tgt)
       else Files.copy(p, tgt)
     } finally s.close()
+  }
+
+  /** [[copyTree]] landing ATOMICALLY (stage + rename) — bloom index dirs
+    * carried after a commit point must appear complete-or-absent, the
+    * same invariant [[writeBloomDir]] keeps for freshly built ones: a
+    * crash or racing reader mid-copy must never observe a torn index. */
+  private def copyTreeAtomic(src: Path, dest: Path): Unit = {
+    val tmp = dest.resolveSibling(s".stage-${java.util.UUID.randomUUID()}")
+    copyTree(src, tmp)
+    deleteTree(dest)
+    Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** General predicate-pruned read — [[readWhere]]'s single-column range
@@ -656,19 +713,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val statsLoc = Paths.get(statsDir(v)).toAbsolutePath.toString
     // delete predicates travel with the clone (its v0 must read the same
     // logical rows as the source head)
-    val predsField =
-      if (src.deletePredicates.isEmpty) ""
-      else src.deletePredicates.map(p => s""""$p"""")
-        .mkString(""","deletePredicates":[""", ",", "]")
-    val partField =
-      if (src.partitionBy.isEmpty) ""
-      else src.partitionBy.map(c => s""""$c"""")
-        .mkString(""","partitionBy":[""", ",", "]")
     Files.createDirectories(Paths.get(destRoot))
     Files.writeString(
       Paths.get(destRoot, "_manifest"),
-      s"""{"version":0,"operation":"clone_of:$root@v$v","rows":${src.rows},""" +
-        s""""location":"$dataLoc","statsLocation":"$statsLoc"$predsField$partField}""" + "\n",
+      manifestLine(0L, s"clone_of:$root@v$v", src.rows,
+        location = Some(dataLoc), statsLocation = Some(statsLoc),
+        deletePredicates = src.deletePredicates,
+        partitionBy = src.partitionBy),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     // table metadata travels with the clone: CHECK constraints keep
     // enforcing on the clone's own commits (Delta CLONE copies properties)
@@ -681,7 +732,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       bloomConfigs.foreach { case (c, _, _, _) =>
         val srcIdx = Paths.get(s"$root/_bloom/$c/v=$v")
         if (Files.isDirectory(srcIdx))
-          copyTree(srcIdx, Paths.get(s"$destRoot/_bloom/$c/v=0"))
+          copyTreeAtomic(srcIdx, Paths.get(s"$destRoot/_bloom/$c/v=0"))
       }
     }
     dest
@@ -733,7 +784,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val vs = versions.filter(_ >= fromVersion)
       .filter(v => Files.exists(Paths.get(s"$root/_changes/v=$v")))
     require(vs.nonEmpty, s"no change-feed versions >= $fromVersion at $root")
-    spark.read.parquet(vs.map(v => s"$root/_changes/v=$v"): _*)
+    // mergeSchema: a feed spanning a mergeSchema evolution would
+    // otherwise pin whichever version's schema wins inference and
+    // silently drop the evolved column from the other versions' rows
+    spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(v => s"$root/_changes/v=$v"): _*)
   }
 
   /** Time-travel read (S6): latest version, or `VERSION AS OF v`. */
@@ -778,7 +833,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .filter(!coalesce(expr(condition), lit(false))).count()
       val dataLoc = Paths.get(dataDir(v)).toAbsolutePath.toString
       val statsLoc = Paths.get(statsDir(v)).toAbsolutePath.toString
-      val predsJson = preds.map(p => s""""$p"""").mkString("[", ",", "]")
       val won = VersionedTable.commitLock(root).synchronized {
         if (latestVersion.map(_ + 1).getOrElse(0L) != next) false
         else {
@@ -788,15 +842,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
           // record the commit timestamp like write() does — without it a
           // readAsOf(ts) after the delete resolves to the last ts-bearing
           // PRE-delete version and resurrects logically deleted rows
-          val tsField = commitTs.map(t => s""""ts":"$t",""").getOrElse("")
           Files.writeString(
             manifestPath,
-            s"""{"version":$next,"operation":"delete_where","rows":$rows,$tsField""" +
-              s""""location":"$dataLoc","statsLocation":"$statsLoc",""" +
-              s""""deletePredicates":$predsJson${
-                if (base.partitionBy.isEmpty) ""
-                else base.partitionBy.map(c => s""""$c"""")
-                  .mkString(""","partitionBy":[""", ",", "]")}}""" + "\n",
+            manifestLine(next, "delete_where", rows, ts = commitTs,
+              location = Some(dataLoc), statsLocation = Some(statsLoc),
+              deletePredicates = preds, partitionBy = base.partitionBy),
             StandardOpenOption.CREATE, StandardOpenOption.APPEND)
           true
         }
@@ -807,11 +857,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
         // (deleteWhere must stay O(metadata))
         bloomConfigs.foreach { case (c, _, _, _) =>
           val prev = Paths.get(s"$root/_bloom/$c/v=$v")
-          if (Files.isDirectory(prev)) {
-            val dest = Paths.get(s"$root/_bloom/$c/v=$next")
-            deleteTree(dest)
-            copyTree(prev, dest)
-          }
+          if (Files.isDirectory(prev))
+            copyTreeAtomic(prev, Paths.get(s"$root/_bloom/$c/v=$next"))
         }
         return next
       }
@@ -929,9 +976,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def clusterWhere(predicate: String, cols: Seq[String], numFiles: Int = 4): Long = {
     val refs = spark.sessionState.sqlParser.parseExpression(predicate)
       .references.map(_.name).toSet
-    def toFsPath(u: String): String =
-      if (u.startsWith("file:")) u.stripPrefix("file:").replaceFirst("^//(?=/)", "")
-      else u
     var attempt = 0
     while (true) {
       val head = latestVersion.getOrElse(sys.error(s"empty table at $root"))
@@ -952,7 +996,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
       // partition pruning makes this listing a metadata-scale job
       val matchedRel = base.filter(expr(predicate))
         .select(input_file_name()).distinct()
-        .collect().map(r => toFsPath(r.getString(0)).stripPrefix(s"$dir/")).toSet
+        .collect()
+        .map(r => VersionedTable.rawFsPath(r.getString(0)).stripPrefix(s"$dir/"))
+        .toSet
       if (matchedRel.isEmpty) return head
       val carriedRel = dataFilesRel(head).filterNot(matchedRel)
       val stage = s"$root/_staging/${java.util.UUID.randomUUID()}"
@@ -970,6 +1016,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
     }
     -1L // unreachable
+  }
+
+  /** Data files currently staged under `$stage/data` (absolute paths). */
+  private def stagedDataFiles(stage: String): Vector[String] = {
+    val base = Paths.get(s"$stage/data")
+    if (!Files.isDirectory(base)) return Vector.empty
+    val s = Files.walk(base)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toAbsolutePath.toString).toVector
+    finally s.close()
   }
 
   /** Data files of a committed version, RELATIVE to its data dir (empty
@@ -1009,16 +1068,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val headSchema = spark.read.parquet(dir).schema
     // capture the freshly WRITTEN files before carried links join them in
     // the same dir — a feed must derive from the new rows only
-    val newFilesAbs: Seq[String] = {
-      val base = Paths.get(s"$stage/data")
-      val s0 = Files.walk(base)
-      try s0.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(_.toAbsolutePath.toString).toVector
-      finally s0.close()
-    }
+    val newFilesAbs: Seq[String] = stagedDataFiles(stage)
     val rewrittenRows =
       writeStats(s"$stage/data", s"$stage/stats_new", Some(headSchema))
     val carriedStats = spark.read.parquet(statsDir(head))
@@ -1061,14 +1111,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
         Files.createDirectories(Paths.get(s"$root/_stats"))
         Files.move(Paths.get(s"$stage/data"), Paths.get(s"$root/v=$next"))
         Files.move(Paths.get(s"$stage/stats"), Paths.get(s"$root/_stats/v=$next"))
-        val tsField = commitTs.map(t => s""","ts":"$t"""").getOrElse("")
-        val partField =
-          if (parts.isEmpty) ""
-          else parts.map(c => s""""$c"""")
-            .mkString(""","partitionBy":[""", ",", "]")
         Files.writeString(
           manifestPath,
-          s"""{"version":$next,"operation":"$operation","rows":$rows$tsField$partField}""" + "\n",
+          manifestLine(next, operation, rows, ts = commitTs,
+            partitionBy = parts),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         true
       }
@@ -1156,6 +1202,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
           val w = df.write.mode("overwrite")
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
             .parquet(s"$stage/data")
+          // an empty batch on a partitioned head stages ZERO files (the
+          // dynamic-partition writer creates files per row): appending
+          // nothing is a no-op, not a new version — and the schema-less
+          // staged read below could not even infer a stats schema
+          if (stagedDataFiles(stage).isEmpty) {
+            deleteTree(Paths.get(stage))
+            return head
+          }
           commitWithCarry(head, stage, dataFilesRel(head), operation, parts,
             commitTs, stageFeed) match {
             case Some(v) => return v
@@ -1259,6 +1313,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * kept version still references it (a deleteWhere head referencing an
     * old version's files keeps those files alive). */
   def vacuum(keepLast: Int = 1): Seq[Long] = {
+    // the Delta retention-check analogue: keepLast=0 would delete the
+    // HEAD's data while the manifest still lists it — an irrecoverably
+    // emptied table with no error at call time
+    require(keepLast >= 1, s"vacuum(keepLast=$keepLast): must keep >= 1 version")
     val all = commits
     // resolve dirs from the ONE parsed manifest — dataDir/statsDir would
     // re-read and re-parse the file per call, O(versions²) on big tables
@@ -1336,4 +1394,25 @@ object VersionedTable {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLock(root: String): Object =
     locks.computeIfAbsent(root, _ => new Object)
+
+  /** One key space for file names: `input_file_name()` returns a
+    * percent-encoded URI while every `Files.walk`-derived listing is a
+    * raw filesystem name — a partition value with a space would
+    * otherwise produce stats/bloom keys (`p=a%20b/…`) that no carry
+    * join or re-anchored read can match. Strip the anchor, then decode
+    * %XX exactly; a literal '+' is pre-escaped so URLDecoder's
+    * form-encoding quirk cannot turn it into a space. */
+  private[maint] def decodedRelFile(anchorPattern: String): org.apache.spark.sql.Column =
+    url_decode(regexp_replace(
+      regexp_replace(input_file_name(), anchorPattern, ""), "\\+", "%2B"))
+
+  /** Driver-side twin of [[decodedRelFile]]'s decoding for collected
+    * `input_file_name()` URIs. */
+  private[maint] def rawFsPath(u: String): String = {
+    val p =
+      if (u.startsWith("file:")) u.stripPrefix("file:").replaceFirst("^//(?=/)", "")
+      else u
+    java.net.URLDecoder.decode(p.replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
 }

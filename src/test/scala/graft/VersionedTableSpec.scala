@@ -1193,6 +1193,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(hitNew.map(_.getLong(0)).toSeq == Seq(2050L))
   }
 
+  test("URI-encodable partition values: stats/carry keys survive a space in the value") {
+    // input_file_name() returns percent-encoded URIs ('a b' -> 'a%20b')
+    // while filesystem listings are raw — stats keys are decoded at the
+    // source so the carry semi-join and re-anchored pruned reads agree
+    val t = freshTable()
+    t.write(Seq((1L, "a b"), (2L, "plain"), (3L, "a b")).toDF("id", "p"),
+      partitionBy = Seq("p"))
+    assert(t.countFast() == 3)
+    // pruned read must resolve the space-dir files from their stats keys
+    val viaStats = t.readWhere("id", 1L, 3L).select("id")
+    assert(viaStats.count() == 3, "stats-pruned read lost the space-partition files")
+    // append: the carried files' stats rows must survive the carry join
+    t.append(Seq((4L, "a b")).toDF("id", "p"))
+    assert(t.countFast() == 4, "carried stats rows lost for the space partition")
+    assert(t.readWhere("id", 1L, 4L).count() == 4)
+    // clusterWhere on the space-valued partition: matched set must
+    // resolve (decoded) so the rewrite neither duplicates nor drops rows
+    t.clusterWhere("p = 'a b'", Seq("id"), numFiles = 1)
+    assert(t.read().count() == 4 && t.countFast() == 4)
+    assert(t.read().filter(col("p") === "a b").count() == 3)
+  }
+
+  test("append of an empty batch is a no-op; vacuum(0) is rejected") {
+    val t = freshTable()
+    t.write(Seq((1L, "x")).toDF("id", "p"), partitionBy = Seq("p"))
+    // empty batch on a partitioned head stages zero files -> same head
+    assert(t.append(Seq.empty[(Long, String)].toDF("id", "p")) == 0L)
+    assert(t.latestVersion.contains(0L) && t.read().count() == 1)
+    val err = intercept[IllegalArgumentException](t.vacuum(0))
+    assert(err.getMessage.contains("must keep"))
+  }
+
   test("appendWithChangeFeed: the appended version's feed is its own rows, all insert") {
     val t = freshTable()
     t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
