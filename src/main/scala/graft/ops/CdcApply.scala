@@ -17,13 +17,18 @@ object CdcApply {
   /** @param changes rows with `opCol` in (insert, update, delete) — any
     *                `preimage` ops must be filtered upstream (P10)
     * @param versionCols ordering columns, latest wins (ties broken by the
-    *                later column list order)
+    *                later column list order; a FULL tie falls through to
+    *                the op column — descending, so 'update' > 'insert' >
+    *                'delete' lexically — making the pick deterministic
+    *                for feeds whose version column is coarser than the
+    *                real op order, instead of shuffle-order roulette
+    *                between runs)
     */
   def latestState(
       changes: DataFrame, key: String, opCol: String,
       versionCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(key))
-      .orderBy(versionCols.map(col(_).desc): _*)
+      .orderBy(versionCols.map(col(_).desc) :+ col(opCol).desc: _*)
     changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= "delete")

@@ -100,14 +100,24 @@ object Stateful {
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
               }
             }
-            // persist the still-open session + arm its event-time timeout,
-            // clamped above the current watermark (late data can leave the
-            // natural deadline already passed — fire at the next tick
-            // instead of crashing the query)
+            // persist the still-open session + arm its event-time timeout.
+            // If the natural deadline already trails the watermark (late
+            // data opened or extended an already-expired session), CLOSE
+            // it here instead of arming a timer: late events never advance
+            // the watermark, so a wm+1 timer armed by the FINAL batch of a
+            // drain would never fire and the session would be lost. No
+            // in-time event can merge into it anyway (its ts > watermark >
+            // end + gap), so emitting now equals what the timeout branch
+            // would do one tick later.
             open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(
-                math.max((s.end_us + gapUs) / 1000, state.getCurrentWatermarkMs() + 1))
+              val deadlineMs = (s.end_us + gapUs) / 1000
+              if (deadlineMs <= state.getCurrentWatermarkMs()) {
+                closed += ClosedSession(uid, s.start_us, s.end_us, s.n_events)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(deadlineMs)
+              }
             }
             closed.iterator
           }

@@ -32,9 +32,12 @@ object Streams {
     // The file source wants a directory to watch; expose the (read-only)
     // table file through a scratch dir symlink.
     val streamDir = Files.createTempDirectory("graft_src_")
+    // absolute target: a relative `dir` would otherwise produce a symlink
+    // resolved against the scratch dir — dangling, and the stream would
+    // silently drain zero rows
     Files.createSymbolicLink(
       streamDir.resolve(s"$name.parquet"),
-      java.nio.file.Paths.get(path))
+      java.nio.file.Paths.get(path).toAbsolutePath)
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
     if (name == "events") graft.core.Tables.normalizeEventTs(raw)
     else raw
@@ -57,19 +60,8 @@ object Streams {
 
   /** Run a streaming DF through foreachBatch, appending every micro-batch
     * to a scratch parquet dir; returns the accumulated rows. */
-  def runViaForeachBatch(df: DataFrame, outputMode: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_fb_").toString + "/out"
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    df.sparkSession.read.parquet(out)
-  }
+  def runViaForeachBatch(df: DataFrame, outputMode: String): DataFrame =
+    runBatchwise(df, outputMode)(identity)
 
   /** Run a RAW streaming DF through foreachBatch, applying an arbitrary
     * batch transformation to each micro-batch and appending its result to
@@ -82,10 +74,11 @@ object Streams {
     * micro-batch partitioning — st15's admission test is, by
     * construction.
     */
-  def runBatchwise(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+  def runBatchwise(df: DataFrame, outputMode: String = "append")(
+      body: DataFrame => DataFrame): DataFrame = {
     val out = Files.createTempDirectory("graft_bw_").toString + "/out"
     val q = df.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -141,8 +134,13 @@ object Streams {
       }
       .start()
     q.awaitTermination()
+    // pin the result (eager localCheckpoint): the returned DataFrame would
+    // otherwise lazily re-read a snapshot dir that the NEXT run on this
+    // target deletes when it flips the pointer — deferred consumption
+    // would hit FileNotFoundException on files that were live at return
     spark.read.parquet(resolveCurrent(targetDir)
       .getOrElse(sys.error(s"no committed snapshot at $targetDir")))
+      .localCheckpoint(true)
   }
 
   /** Versioned snapshot commit: write to a NEW dir, then flip the pointer
@@ -162,7 +160,9 @@ object Streams {
       val dir = java.nio.file.Paths.get(prev)
       if (Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        val s = Files.walk(dir)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally s.close()
       }
     }
   }
@@ -202,8 +202,10 @@ object Streams {
       }
       .start()
     q.awaitTermination()
+    // same pinning rationale as runMergeSink's return
     spark.read.parquet(resolveCurrent(targetDir)
       .getOrElse(sys.error(s"no committed snapshot at $targetDir")))
+      .localCheckpoint(true)
   }
 }
 
@@ -212,8 +214,16 @@ object Streams {
   * transform_customers.py:171-202). */
 object MergeOps {
   /** Union target+source, keep the latest row per key: version desc, then
-    * source-over-target, then `tiebreak` columns desc — a total order, so
-    * the merge result is deterministic (and replay-idempotent). */
+    * `tiebreak` columns desc, then source-over-target — a total order, so
+    * the merge result is deterministic (and replay-idempotent). The
+    * tiebreak MUST outrank the source bit: with source-first, two rows
+    * tied on version but differing in tiebreak would resolve by
+    * micro-batch arrival order (one batch: tiebreak decides; split
+    * batches: the later batch's row wins as "source"), making the merged
+    * state depend on batch partitioning. Source-over-target is only the
+    * FINAL tie-break — it decides the exact-duplicate case (same version,
+    * same tiebreak values), where taking the incoming row is the
+    * update-overwrites semantics and replays stay no-ops. */
   def upsertLatestWins(
       target: DataFrame, source: DataFrame,
       keyCols: Seq[String], versionCol: String,
@@ -222,8 +232,8 @@ object MergeOps {
     val t = target.withColumn("_src_rank", lit(0))
     val s = source.select(target.columns.map(col).toSeq: _*).withColumn("_src_rank", lit(1))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc +: col("_src_rank").desc +:
-        tiebreak.map(col(_).desc): _*)
+      .orderBy((col(versionCol).desc +: tiebreak.map(col(_).desc)) :+
+        col("_src_rank").desc: _*)
     t.unionByName(s)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

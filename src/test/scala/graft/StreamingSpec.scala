@@ -24,6 +24,30 @@ class StreamingSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("MergeOps: version ties resolve by tiebreak, not micro-batch arrival order") {
+    // the batch-split invariance contract: a version-tied pair must pick
+    // the same winner whether it arrives in one batch (tiebreak decides)
+    // or split across two (where a source-over-target-first ordering
+    // would let the LATER batch's row win as "source")
+    val a = Seq((1L, "early", 10L, 3L)).toDF("k", "v", "ver", "tb")
+    val b = Seq((1L, "late", 10L, 9L)).toDF("k", "v", "ver", "tb")
+    val empty = a.limit(0)
+    // one batch: both rows in the source
+    val oneBatch = MergeOps.upsertLatestWins(
+      empty, a.unionByName(b), Seq("k"), "ver", tiebreak = Seq("tb"))
+    // split batches, both orders
+    val splitAB = MergeOps.upsertLatestWins(
+      MergeOps.upsertLatestWins(empty, a, Seq("k"), "ver", Seq("tb")),
+      b, Seq("k"), "ver", Seq("tb"))
+    val splitBA = MergeOps.upsertLatestWins(
+      MergeOps.upsertLatestWins(empty, b, Seq("k"), "ver", Seq("tb")),
+      a, Seq("k"), "ver", Seq("tb"))
+    def v(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getString(1)).toSeq
+    assert(v(oneBatch) == Seq("late"), "tiebreak=9 must win the version tie")
+    assert(v(splitAB) == Seq("late") && v(splitBA) == Seq("late"),
+      "split delivery must resolve the tie identically in either order")
+  }
+
   test("merge sink replay with same checkpoint is a no-op (exactly-once)") {
     val scratch = Files.createTempDirectory("graft_eo_").toString
     val ck = Files.createTempDirectory("graft_eo_ck_").toString
