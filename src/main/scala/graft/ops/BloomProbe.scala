@@ -56,8 +56,11 @@ object BloomProbe {
     val positions = dk
       .select(explode(array((0 until hashes).map(i =>
         pmod(xxhash64(col("k"), lit(i)), lit(bits))): _*)).as("pos"))
-    // set bits → per-word OR → dense word array (absent words are 0)
-    val words = positions.distinct()
+    // set bits → per-word OR → dense word array (absent words are 0).
+    // No distinct() on positions: OR-ing a duplicate mask is a no-op and
+    // bit_or partial-aggregates map-side — a distinct would be a second
+    // full shuffle of the largest intermediate for nothing
+    val words = positions
       .groupBy(shiftright(col("pos"), 6).as("widx"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT)))")
         .as("word"))

@@ -35,7 +35,15 @@ object ConnectedComponents {
       .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
+    // seed labels from nodes ∪ edge endpoints: an endpoint missing from
+    // `nodes` would otherwise never compete as a label (its id is absent
+    // from the pool) and its change would be invisible to the convergence
+    // count — mislabeling the component relative to alternatingStar,
+    // which derives its universe from the edges themselves
+    var labels = nodes.select(col(idCol).as("_id"))
+      .union(directed.select(col("_src").as("_id")))
+      .distinct()
+      .select(col("_id"), col("_id").as("_lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0

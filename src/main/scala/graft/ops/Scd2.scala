@@ -26,11 +26,17 @@ object Scd2 {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
     changes
       .withColumn("_prev", lag(col(tracked), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(tracked))
+      .withColumn("_first", row_number().over(w) === 1)
+      // null-SAFE change test, with the first observation kept explicitly:
+      // `_prev =!= tracked` is NULL (filtered) for a value→NULL
+      // transition, silently erasing the NULL period — and `_prev.isNull`
+      // cannot distinguish "first row" from "previous value was NULL", so
+      // consecutive NULL observations would fail to collapse
+      .filter(col("_first") || !(col("_prev") <=> col(tracked)))
       .withColumn("effective_start", col(ts))
       .withColumn("effective_end", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("effective_end").isNull)
-      .drop("_prev", ts)
+      .drop("_prev", "_first", ts)
   }
 
   /** Union-staged single-pass SCD2 merge: apply a batch of updates to an
@@ -44,14 +50,26 @@ object Scd2 {
   def applyUpdates(
       current: DataFrame, updates: DataFrame,
       key: String, ts: String, tracked: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc)
+    // dedup to the latest update per key; the tracked value is the final
+    // tiebreak so a ts tie resolves deterministically under any shuffle
+    // order, not by whichever row arrives first
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tracked).desc)
     val latestUpdate = updates
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      .select(col(key), col(tracked).as("_new_val"), col(ts).as("_new_ts"))
+      .select(col(key), col(tracked).as("_new_val"), col(ts).as("_new_ts"),
+        lit(true).as("_has_upd"))
 
     val joined = current.join(latestUpdate, Seq(key), "left")
-    val changedCurrent = col("is_current") && col("_new_val").isNotNull &&
-      col("_new_val") =!= col(tracked)
+    // null-SAFE change test, with an explicit has-an-update marker:
+    // `_new_val.isNotNull` cannot distinguish "no update for this key"
+    // from "update to NULL", and `=!=` goes NULL (no close) when either
+    // side is NULL — a NULL-valued current row would keep TWO current
+    // rows after a real update. A STALE update (ts not after the current
+    // row's start) is ignored rather than writing an inverted interval.
+    val changedCurrent = col("is_current") && col("_has_upd") &&
+      !(col("_new_val") <=> col(tracked)) &&
+      col("_new_ts") > col("effective_start")
 
     // Existing rows: close the current row of changed keys, keep the rest.
     val kept = joined.select(
@@ -61,11 +79,15 @@ object Scd2 {
         .as("effective_end"),
       when(changedCurrent, lit(false)).otherwise(col("is_current")).as("is_current"))
 
-    // New version rows for changed keys + first-ever rows for new keys.
+    // New version rows for changed keys + first-ever rows for new keys —
+    // the SAME null-safe gate as the close above, so the exactly-one-
+    // current invariant holds for NULL values and stale updates alike.
     val currentVals = current.filter(col("is_current"))
-      .select(col(key), col(tracked).as("_cur_val"))
+      .select(col(key), col(tracked).as("_cur_val"),
+        col("effective_start").as("_cur_start"), lit(true).as("_has_cur"))
     val inserts = latestUpdate.join(currentVals, Seq(key), "left")
-      .filter(col("_cur_val").isNull || col("_cur_val") =!= col("_new_val"))
+      .filter(col("_has_cur").isNull ||
+        (!(col("_cur_val") <=> col("_new_val")) && col("_new_ts") > col("_cur_start")))
       .select(
         col(key), col("_new_val").as(tracked),
         col("_new_ts").as("effective_start"),

@@ -40,7 +40,14 @@ object SimilarityJoin {
       docs: DataFrame, blockCol: String, idCol: String, tokensCol: String,
       p: Int, q: Int): DataFrame = {
     require(p > 0 && q >= p, s"threshold $p/$q must be in (0, 1]")
-    val toks = docs.select(
+    // set semantics, enforced: Jaccard is defined on SETS, but a caller
+    // passing raw token arrays would have duplicate tokens inflate the
+    // size/prefix math while array_intersect dedups — silently dropping
+    // true pairs at the threshold. array_distinct is a no-op for callers
+    // that already dedup (d4's tokenSet) and makes the lossless claim
+    // hold for every caller.
+    val setDocs = docs.withColumn(tokensCol, array_distinct(col(tokensCol)))
+    val toks = setDocs.select(
       col(blockCol), col(idCol).as("_id"), explode(col(tokensCol)).as("_tok"))
     // document frequency via groupBy + join, NOT a count window over the
     // token partition: the aggregate combines map-side and its (tiny)
@@ -80,7 +87,7 @@ object SimilarityJoin {
     // dim joins keyed on (block, id): ids unique per block suffice here,
     // though callers should still prefer globally-unique ids (the a < b
     // candidate ordering compares raw ids)
-    val dim = docs.select(col(blockCol), col(idCol).as("_did"),
+    val dim = setDocs.select(col(blockCol), col(idCol).as("_did"),
       col(tokensCol).as("_ts"), size(col(tokensCol)).cast("long").as("_dn"))
     candidates
       .join(dim.select(col(blockCol), col("_did").as("a_id"), col("_ts").as("a_ts"),

@@ -44,6 +44,10 @@ final class Pipeline(spark: SparkSession) {
 
   /** Execute the DAG; returns every materialized table by name. */
   def run(): Map[String, DataFrame] = {
+    // `metrics` is "accumulated by the LAST run": without the reset a
+    // re-run would union the previous run's frames too, double-counting
+    // every rule
+    metricsLog.clear()
     val done = mutable.LinkedHashMap.empty[String, DataFrame]
     val inFlight = mutable.Set.empty[String]
 
@@ -56,18 +60,24 @@ final class Pipeline(spark: SparkSession) {
       // materializing action for rule-bearing tables (a ruleless table's
       // body is lazy plan construction — wrap your own action in the
       // body if its failure should be retryable)
-      val out = Pipeline.withPolicy(name, td.policy) {
+      // the attempt thunk RETURNS its metrics instead of appending them:
+      // a timed-out attempt's abandoned thread could otherwise complete
+      // late and append concurrently with (and in addition to) the retry
+      // — a data race on the buffer plus double-counted metrics for an
+      // attempt that was reported dead. Only the winning attempt's
+      // metrics are recorded, from the calling thread.
+      val (out, attemptMetrics) = Pipeline.withPolicy(name, td.policy) {
         val raw = td.body(inputs)
-        if (td.rules.isEmpty) raw
+        if (td.rules.isEmpty) (raw, None)
         else {
           val res = Quality.apply(raw, td.rules)
           require(res.failures.isEmpty,
             s"table $name failed expectations: ${res.failures.mkString(",")}")
-          metricsLog += res.metrics.withColumn("table_name",
-            org.apache.spark.sql.functions.lit(name))
-          res.clean
+          (res.clean, Some(res.metrics.withColumn("table_name",
+            org.apache.spark.sql.functions.lit(name))))
         }
       }
+      attemptMetrics.foreach(metricsLog += _)
       inFlight.remove(name)
       done(name) = out
       out

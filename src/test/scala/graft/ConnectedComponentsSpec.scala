@@ -73,6 +73,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L), "whole chain must collapse to label 0")
   }
 
+  test("edge endpoints missing from the node set still label correctly") {
+    // an endpoint absent from `nodes` must still contribute its id to the
+    // label pool — minLabel and alternatingStar must agree on it
+    val edges = Seq((5L, 3L)).toDF("src", "dst")
+    val nodes = Seq(5L).toDF("id")
+    val viaMin = ConnectedComponents.minLabel(edges, "src", "dst", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMin.get(5L).contains(3L),
+      s"node 5 must take the missing endpoint's smaller id 3: $viaMin")
+    val viaStar = ConnectedComponents.alternatingStar(edges, "src", "dst", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar.get(5L) == viaMin.get(5L), "the two variants must agree")
+  }
+
   test("non-convergence within maxIter is an error, not a wrong answer") {
     val edges = (0 until 9).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
     val nodes = (0 until 10).map(_.toLong).toDF("id")

@@ -72,4 +72,53 @@ class Scd2Spec extends SparkSpec {
     val twice = Scd2.applyUpdates(once, updates, "k", "ts", "v")
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
+
+  test("NULL tracked values: transitions to/from NULL version correctly; one current per key") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // history: a -> NULL -> NULL (collapse) -> a  — the NULL period must
+    // appear as its own version, consecutive NULLs must collapse
+    val changes = Seq(
+      (1L, t("2024-01-01 00:00:00"), Option("a")),
+      (1L, t("2024-02-01 00:00:00"), Option.empty[String]),
+      (1L, t("2024-03-01 00:00:00"), Option.empty[String]),
+      (1L, t("2024-04-01 00:00:00"), Option("a"))).toDF("k", "ts", "v")
+    val hist = Scd2.fromHistory(changes, "k", "ts", "v").orderBy("effective_start")
+    val vals = hist.collect().map(r => Option(r.getString(1))).toSeq
+    assert(vals == Seq(Some("a"), None, Some("a")),
+      s"expected a -> NULL -> a versions, got $vals")
+    assert(hist.filter(col("is_current")).count() == 1)
+
+    // applyUpdates: a NULL-valued current row + a real update must close
+    // the NULL row, leaving exactly one current row
+    val current = Seq((1L, Option.empty[String],
+      t("2024-01-01 00:00:00"), Option.empty[Timestamp], true))
+      .toDF("k", "v", "effective_start", "effective_end", "is_current")
+    val upd = Seq((1L, Option("x"), t("2024-05-01 00:00:00"))).toDF("k", "v", "ts")
+    val out = Scd2.applyUpdates(current, upd, "k", "ts", "v")
+    assert(out.filter(col("is_current")).count() == 1,
+      "NULL current + update must leave exactly one current row")
+    assert(out.filter(col("is_current")).collect()(0).getString(1) == "x")
+    // and an update TO NULL closes a non-null current row the same way
+    val current2 = Seq((2L, Option("a"),
+      t("2024-01-01 00:00:00"), Option.empty[Timestamp], true))
+      .toDF("k", "v", "effective_start", "effective_end", "is_current")
+    val updNull = Seq((2L, Option.empty[String], t("2024-06-01 00:00:00")))
+      .toDF("k", "v", "ts")
+    val out2 = Scd2.applyUpdates(current2, updNull, "k", "ts", "v")
+    assert(out2.filter(col("is_current")).count() == 1)
+    assert(out2.filter(col("is_current")).collect()(0).isNullAt(1))
+  }
+
+  test("stale updates (ts not after current start) are ignored, never inverted") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val current = Seq((1L, "a", t("2024-05-01 00:00:00"), Option.empty[Timestamp], true))
+      .toDF("k", "v", "effective_start", "effective_end", "is_current")
+    val stale = Seq((1L, "b", t("2024-01-01 00:00:00"))).toDF("k", "v", "ts")
+    val out = Scd2.applyUpdates(current, stale, "k", "ts", "v")
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "a" && rows(0).getBoolean(4),
+      "a stale update must leave the current row untouched")
+  }
 }
