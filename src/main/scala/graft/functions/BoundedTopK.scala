@@ -47,7 +47,14 @@ class BoundedTopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 object BoundedTopK {
   /** `topK(5)(scoreCol, idCol)` → array<struct<score,id>> of the group's
     * top 5 by (score DESC, id ASC), with bounded shuffle. */
+  /** INPUT CONTRACT: score and id must be non-null — the input encoder
+    * uses primitive fields (no per-row boxing on the hot scoring path),
+    * so a NULL input fails deserialization instead of ranking NULLS LAST
+    * like the row_number window this replaces. Every caller scores with
+    * total functions (vec_dot, counts) where NULL is impossible;
+    * coalesce() upstream if a nullable score expression ever feeds one. */
   def topK(k: Int): (Column, Column) => Column = {
+    require(k >= 1, s"topK(k=$k): k must be >= 1")
     val fn = udaf(new BoundedTopK(k), ExpressionEncoder[Scored]())
     (score, id) => fn(score, id)
   }

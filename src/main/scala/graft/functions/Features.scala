@@ -40,9 +40,12 @@ object Features {
   def maskName(name: Column, keep: Int = 10): Column =
     concat(substring(name, 1, keep), lit("***"))
 
-  /** Mask the local part of an email, keep the domain. */
+  /** Mask the local part of an email, keep the domain. substring_index,
+    * not element_at(split(..), 2): under Spark 4's default ANSI mode an
+    * out-of-range element_at THROWS, so one '@'-less malformed value
+    * would abort the whole masking job instead of masking it. */
   def maskEmail(email: Column): Column =
-    concat(substring(email, 1, 1), lit("***@"), element_at(split(email, "@"), 2))
+    concat(substring(email, 1, 1), lit("***@"), substring_index(email, "@", -1))
 
   /** Register all of the above as SQL functions on the session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {

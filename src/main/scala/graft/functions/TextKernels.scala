@@ -57,7 +57,8 @@ object TextKernels {
     * i -> concat_ws(" ", slice(toks, i, n))); empty when size < n. */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val len = toks.numElements()
-    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    // n <= 0 would pass the len<n guard and index past the array end
+    if (n <= 0 || len < n) return new GenericArrayData(Array.empty[AnyRef])
     val out = new Array[AnyRef](len - n + 1)
     var i = 0
     while (i <= len - n) {

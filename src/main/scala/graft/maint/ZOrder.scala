@@ -28,10 +28,13 @@ object ZOrder {
     * no direct double cast; ordering is what matters, not the epoch). */
   private def asDoubleSql(df: DataFrame, c: String): String = {
     import org.apache.spark.sql.types._
+    // backtick-quoted: a reserved-word or dashed column name would
+    // otherwise break (or silently re-parse as arithmetic) in the
+    // approx_percentile expr text
     df.schema(c).dataType match {
       case TimestampType | TimestampNTZType | DateType =>
-        s"CAST(CAST($c AS TIMESTAMP) AS DOUBLE)"
-      case _: NumericType => s"CAST($c AS DOUBLE)"
+        s"CAST(CAST(`$c` AS TIMESTAMP) AS DOUBLE)"
+      case _: NumericType => s"CAST(`$c` AS DOUBLE)"
       case other => sys.error(s"z-order column $c has un-orderable type $other")
     }
   }
@@ -53,17 +56,20 @@ object ZOrder {
       // column — degrade to a single bucket rather than NPE
       val bounds = Option(boundsRow.getSeq[Double](i))
         .getOrElse(Seq.empty).distinct.sorted
-      // bucket = #boundaries <= value (sorted fold stays in codegen; a
-      // null value sorts to bucket 0)
+      // bucket = #boundaries <= value, as a COMPILED comparison chain
+      // against literal boundaries (a null value fails every comparison
+      // and sorts to bucket 0). The previous aggregate() HOF was
+      // interpreted — it broke whole-stage codegen for the layout job
+      // and re-evaluated the CAST subtree once per boundary element, the
+      // exact pathology TextKernels exists to kill; here the cast binds
+      // once to a temp column and each term is a codegen'd when().
       if (bounds.isEmpty) d.withColumn(s"_zb_$c", lit(0L))
-      else {
-        val arr = array(bounds.map(lit(_)): _*)
-        d.withColumn(s"_zb_$c",
-          coalesce(
-            aggregate(arr, lit(0L),
-              (acc, b) => acc + when(expr(asDoubleSql(df, c)) >= b, 1L).otherwise(0L)),
-            lit(0L)))
-      }
+      else d
+        .withColumn(s"_zv_$c", expr(asDoubleSql(df, c)))
+        .withColumn(s"_zb_$c",
+          bounds.map(b => when(col(s"`_zv_$c`") >= lit(b), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .drop(s"_zv_$c")
     }
     // interleave: bit j of column i's bucket -> z bit j*ncols + i
     val z: Column = cols.zipWithIndex.flatMap { case (c, ci) =>

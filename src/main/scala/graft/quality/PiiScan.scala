@@ -41,10 +41,17 @@ object PiiScan {
       else {
         val sample = df.select(stringCols.map(org.apache.spark.sql.functions.col): _*)
           .limit(sampleN).collect()
+        // compiled once per pattern and matched with find(), not
+        // String.matches(".*re.*"): matches() anchors the whole string
+        // and '.' never crosses '\n', so a multiline value containing
+        // PII would silently scan clean
+        val compiled = valuePatterns.toSeq.map { case (kind, re) =>
+          (kind, java.util.regex.Pattern.compile(re))
+        }
         stringCols.toSeq.zipWithIndex.flatMap { case (c, i) =>
           val values = sample.toSeq.map(_.getString(i)).filter(_ != null)
-          valuePatterns.collectFirst {
-            case (kind, re) if values.exists(_.matches(s".*$re.*")) =>
+          compiled.collectFirst {
+            case (kind, p) if values.exists(v => p.matcher(v).find()) =>
               Finding(c, kind, "value_sample")
           }
         }

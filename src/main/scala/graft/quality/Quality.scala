@@ -35,25 +35,43 @@ object Quality {
     * whether to abort — the engine never throws mid-pipeline).
     */
   def apply(df: DataFrame, rules: Seq[Rule]): Result = {
-    val metrics = df.agg(
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (rules.isEmpty)
+      // no rules: everything is clean, nothing quarantined, empty metrics
+      // (the stack() path would otherwise emit the unparseable 'stack(0,)')
+      return Result(df, df.limit(0),
+        Seq.empty[(String, String, Long, Long)]
+          .toDF("rule_name", "action", "failed_rows", "total_rows"),
+        Seq.empty)
+
+    // ONE aggregation pass, collected ONCE: the per-rule counts feed both
+    // the metrics frame (built driver-side — rule names are data, never
+    // spliced into SQL text, so quotes/dashes in a name cannot break the
+    // query) and fail detection. The previous shape aggregated twice —
+    // an eager collect for fail rules PLUS a re-aggregation whenever the
+    // caller consumed the lazy metrics frame.
+    val row = df.agg(
       count(lit(1)).as("total_rows"),
       rules.map(r =>
         sum(when(expr(r.condition), 0L).otherwise(1L)).as(s"failed_${r.name}")): _*)
-
-    val metricsLong = {
-      val stacked = rules.map(r =>
-        s"('${r.name}', '${r.action.toString.toLowerCase}', failed_${r.name})")
-      metrics.selectExpr(
-        "total_rows",
-        s"stack(${rules.size}, ${stacked.map(s => s.stripPrefix("(").stripSuffix(")")).mkString(", ")}) AS (rule_name, action, failed_rows)")
-        .select(col("rule_name"), col("action"), col("failed_rows"), col("total_rows"))
-    }
+      .collect()(0)
+    val total = row.getLong(0)
+    def failedCount(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+    val metricsLong = rules.zipWithIndex.map { case (r, i) =>
+      (r.name, r.action.toString.toLowerCase, failedCount(i), total)
+    }.toDF("rule_name", "action", "failed_rows", "total_rows")
 
     val dropCond = rules.filter(_.action == Drop)
       .map(r => expr(r.condition)).reduceOption(_ && _).getOrElse(lit(true))
     val quarantineRules = rules.filter(_.action == Quarantine)
+    // NULL-as-violated, matching the metrics count (a row fails a rule
+    // whenever the condition is not TRUE — `!expr(cond)` alone goes NULL
+    // on a NULL condition and the row would silently land in `clean`
+    // while the metrics counted it failed)
     val qReason = quarantineRules.foldRight(lit(null).cast("string")) {
-      case (r, acc) => when(!expr(r.condition), r.name).otherwise(acc)
+      case (r, acc) =>
+        when(!coalesce(expr(r.condition), lit(false)), r.name).otherwise(acc)
     }
 
     val flagged = df.withColumn("_q_reason", qReason)
@@ -61,14 +79,8 @@ object Quality {
     val quarantined = flagged.filter(col("_q_reason").isNotNull)
       .withColumnRenamed("_q_reason", "quarantine_reason")
 
-    val failViolations = {
-      val failRules = rules.filter(_.action == Fail)
-      if (failRules.isEmpty) Seq.empty
-      else {
-        val row = metrics.collect()(0)
-        failRules.filter(r => row.getAs[Long](s"failed_${r.name}") > 0).map(_.name)
-      }
-    }
+    val failViolations = rules.zipWithIndex
+      .collect { case (r, i) if r.action == Fail && failedCount(i) > 0 => r.name }
     Result(clean, quarantined, metricsLong, failViolations)
   }
 }
