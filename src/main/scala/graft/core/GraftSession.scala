@@ -29,6 +29,17 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate returns any PRE-EXISTING session as-is — extensions,
+    // timezone, and configs silently dropped. The first symptom would be
+    // an oracle hash mismatch (NTZ casts in a non-UTC zone) or an
+    // 'undefined function' deep inside a query; fail at the factory with
+    // the actual cause instead.
+    require(spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")),
+      "SparkSession exists without GraftExtensions (another component " +
+        "created it first?) — all sessions must come from GraftSession")
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "session timezone is not UTC — oracle determinism requires it")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

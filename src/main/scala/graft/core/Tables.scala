@@ -67,7 +67,15 @@ object Tables {
     * repartition never changes output. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    // scan-shaped probe: df.inputFiles is a listing, where df.rdd would
+    // physically PLAN the frame just to read a partition count (and,
+    // applied mid-pipeline under AQE, could even execute upstream
+    // stages for the probe). spread's callers apply it directly on table
+    // loads, where "few input files" IS the under-parallelism being
+    // fixed; a single large well-split file pays one redundant (cheap,
+    // rare) repartition rather than every caller paying a re-plan.
+    val files = df.inputFiles.length
+    if (files == 0 || files >= p) df else df.repartition(p)
   }
 
   /** Injected "as of" clock (SURVEY.md §7.4.3): all recency/freshness math

@@ -22,8 +22,17 @@ object ChurnModel {
       featureImportances: Map[String, Double])
 
   final case class Trained(models: Seq[ModelResult]) {
-    /** Highest holdout AUC (name tiebreak for determinism). */
-    val best: ModelResult = models.maxBy(m => (m.aucRoc, m.name))
+    /** Highest holdout AUC (name tiebreak for determinism). NaN AUC — the
+      * evaluator's result on an empty or single-class holdout — ranks
+      * BELOW every real number here (Scala's Double ordering would rank
+      * it above, silently crowning an unevaluable model); all-NaN fails
+      * loudly instead of returning a meaningless winner. */
+    val best: ModelResult = {
+      require(models.exists(!_.aucRoc.isNaN),
+        "no model has a valid holdout AUC (empty or single-class holdout?)")
+      models.maxBy(m =>
+        (if (m.aucRoc.isNaN) Double.NegativeInfinity else m.aucRoc, m.name))
+    }
     def model: org.apache.spark.ml.PipelineModel = best.model
     def aucRoc: Double = best.aucRoc
     def featureImportances: Map[String, Double] = best.featureImportances
@@ -34,6 +43,17 @@ object ChurnModel {
     * both fitted pipelines with holdout AUC + per-feature importances. */
   def train(features: DataFrame, featureCols: Seq[String], labelCol: String,
       seed: Long = 42L): Trained = {
+    // scalar columns only: a vector-typed input would expand to multiple
+    // assembler slots, and featureCols.zip(importances) would silently
+    // truncate with SHIFTED alignment — every importance after the vector
+    // attributed to the wrong feature
+    featureCols.foreach { c =>
+      require(features.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"feature column $c must be a numeric scalar (got " +
+          s"${features.schema(c).dataType.simpleString}); explode vector " +
+          "columns into scalars before train() or importances misalign")
+    }
     val prepared = features.withColumn("label",
       org.apache.spark.sql.functions.col(labelCol).cast("double"))
     val Array(trainDf, testDf) = prepared.randomSplit(Array(0.8, 0.2), seed)

@@ -20,12 +20,21 @@ import org.apache.spark.sql.types._
 object MediaOps {
 
   /** Magic-number format sniffing over the first payload bytes — a pure
-    * column expression (runs at scan, codegen'd). */
-  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(substring(hex(payload), 1, 8) === "89504E47", "png")
-      .when(substring(hex(payload), 1, 8) === "52494646", "riff")
-      .when(substring(hex(payload), 1, 8) === "66747970", "mp4")
+    * column expression (runs at scan, codegen'd). Only the first 8 bytes
+    * are hex-encoded (hex of the WHOLE payload would materialize a
+    * 2×-payload string per row on multi-MB media blobs just to compare 8
+    * chars). 'ftyp' is recognized at byte offset 0 (this harness's
+    * synthetic payloads) AND at offset 4, where real ISO-BMFF files put
+    * it after the 4-byte box size — so the sniff keeps working when
+    * StubCodec is swapped for a real decoder. */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val head = hex(substring(payload, 1, 4))
+    val box = hex(substring(payload, 5, 4))
+    when(head === "89504E47", "png")
+      .when(head === "52494646", "riff")
+      .when(head === "66747970" || box === "66747970", "mp4")
       .otherwise("unknown")
+  }
 
   /** Typed metadata for a media column: byte size + sniffed container. */
   def withMediaMetadata(df: DataFrame, payloadCol: String): DataFrame =
@@ -103,7 +112,10 @@ object MediaOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.iterator.map { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          // a NULL payload (legal for a nullable binary column) decodes
+          // as empty bytes — deterministic features, not an NPE mid-task
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
           val fmt = r.getString(2)
           val f = StubCodec.decode(payload, md)
           val (rw, rh) = StubCodec.resizePlan(f, maxDim)

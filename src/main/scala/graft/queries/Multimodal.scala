@@ -47,10 +47,10 @@ object Multimodal extends QueryGroup {
           FROM documents)
         SELECT doc_id, media_kind,
                octet_length(payload) AS n_bytes,
-               CASE substring(hex(payload), 1, 8)
-                 WHEN '89504E47' THEN 'png'
-                 WHEN '52494646' THEN 'riff'
-                 WHEN '66747970' THEN 'mp4'
+               CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'png'
+                 WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'riff'
+                 WHEN substring(hex(payload), 1, 8) = '66747970'
+                   OR substring(hex(payload), 9, 8) = '66747970' THEN 'mp4'
                  ELSE 'unknown' END AS format
         FROM media""")),
 
@@ -78,10 +78,10 @@ object Multimodal extends QueryGroup {
           FROM documents),
         hashed AS (
           SELECT doc_id,
-                 CASE substring(hex(payload), 1, 8)
-                   WHEN '89504E47' THEN 'png'
-                   WHEN '52494646' THEN 'riff'
-                   WHEN '66747970' THEN 'mp4'
+                 CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'png'
+                   WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'riff'
+                   WHEN substring(hex(payload), 1, 8) = '66747970'
+                     OR substring(hex(payload), 9, 8) = '66747970' THEN 'mp4'
                    ELSE 'unknown' END AS format,
                  CAST(concat('0x', substr(md5(hex(payload)), 1, 15)) AS BIGINT) AS hv
           FROM media),
@@ -136,10 +136,10 @@ object Multimodal extends QueryGroup {
           FROM documents),
         hashed AS (
           SELECT doc_id,
-                 CASE substring(hex(payload), 1, 8)
-                   WHEN '89504E47' THEN 'png'
-                   WHEN '52494646' THEN 'riff'
-                   WHEN '66747970' THEN 'mp4'
+                 CASE WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'png'
+                   WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'riff'
+                   WHEN substring(hex(payload), 1, 8) = '66747970'
+                     OR substring(hex(payload), 9, 8) = '66747970' THEN 'mp4'
                    ELSE 'unknown' END AS format,
                  CAST(concat('0x', substr(md5(hex(payload)), 1, 15)) AS BIGINT) AS hv
           FROM media),

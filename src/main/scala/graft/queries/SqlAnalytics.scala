@@ -21,29 +21,37 @@ object SqlAnalytics extends QueryGroup {
     "sql1_revenue_dashboard" -> QueryDef(
       build = (s, d) => {
         register(s, d)
+        // the moving average floor-scales from integer CENTS — a
+        // round(double_sum/count, 4) would sit exactly on the repo-
+        // documented HALF_UP-vs-double-rounding boundary (Exact's
+        // raison d'être) and flake whenever a quotient lands on a
+        // x.xxxx5 grid point
         s.sql("""
           WITH daily AS (
             SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
                    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents,
                    count(*) AS n_orders
             FROM orders_sql GROUP BY 1)
           SELECT order_day, n_orders,
                  round(CAST(rev AS DOUBLE), 4) AS day_revenue,
-                 round(CAST(sum(rev) OVER (ORDER BY order_day
-                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 floor(CAST(sum(rev_cents) OVER (ORDER BY order_day
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) * 100
                        / count(*) OVER (ORDER BY order_day
-                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS revenue_30d_ma
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+                       / CAST(10000 AS DOUBLE) AS revenue_30d_ma
           FROM daily""")
       },
       oracle = Some("""
         WITH daily AS (
           SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents,
                  count(*) AS n_orders
           FROM orders GROUP BY 1)
         SELECT order_day, n_orders,
                round(CAST(rev AS DOUBLE), 4) AS day_revenue,
-               round(CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 4) AS revenue_30d_ma
+               floor(CAST(sum(rev_cents) OVER w AS DOUBLE) * 100 / count(*) OVER w) / 10000.0 AS revenue_30d_ma
         FROM daily
         WINDOW w AS (ORDER BY order_day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""")),
 
