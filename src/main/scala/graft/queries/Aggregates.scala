@@ -191,12 +191,19 @@ object Aggregates extends QueryGroup {
           sum(col("n_orders") * col("n_orders")).cast("double").as("ss"))
         daily.crossJoin(broadcast(stats))
           .withColumn("mu", col("s") / col("n_days"))
+          // try_divide on BOTH divisors: a single-day dataset ((n_days-1)=0)
+          // or all-equal daily counts (sigma=0) throws DIVIDE_BY_ZERO under
+          // Spark 4 ANSI where DuckDB's double division yields NULL — in
+          // either engine such rows must simply not pass the z filter
           .withColumn("sigma",
-            sqrt(greatest((col("ss") - col("s") * col("s") / col("n_days")) / (col("n_days") - 1), lit(0.0))))
+            sqrt(greatest(try_divide(col("ss") - col("s") * col("s") / col("n_days"),
+              col("n_days") - 1), lit(0.0))))
           .select(
             col("order_day"), col("n_orders"),
-            round((col("n_orders") - col("mu")) / col("sigma"), 4).as("zscore"))
-          .filter(abs((col("n_orders") - col("mu")) / col("sigma")) > 2.0)
+            round(try_divide(col("n_orders") - col("mu"),
+              nullif(col("sigma"), lit(0.0))), 4).as("zscore"))
+          .filter(abs(try_divide(col("n_orders") - col("mu"),
+            nullif(col("sigma"), lit(0.0)))) > 2.0)
       },
       oracle = Some("""
         WITH daily AS (
@@ -224,13 +231,17 @@ object Aggregates extends QueryGroup {
           .agg(
             date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("latest_ts"),
             count(lit(1)).as("event_cnt"),
-            round((unix_micros(to_timestamp(lit(Tables.EventsAsOf))).cast("double") -
-              unix_micros(max(col("ts"))).cast("double")) / 3.6e9, 4).as("age_hours")),
+            // floor-scaled: the µs difference can land age_hours·1e4 exactly
+            // half-integral, where Spark round (HALF_UP) and DuckDB round
+            // (double-scaled) disagree
+            (floor((unix_micros(to_timestamp(lit(Tables.EventsAsOf))).cast("double") -
+              unix_micros(max(col("ts"))).cast("double")) / 360000.0) / 10000.0)
+              .as("age_hours")),
       oracle = Some(s"""
         SELECT event_type,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
                count(*) AS event_cnt,
-               round((epoch_us(TIMESTAMP '${Tables.EventsAsOf}') - epoch_us(max(ts))) / 3600000000.0, 4) AS age_hours
+               floor((epoch_us(TIMESTAMP '${Tables.EventsAsOf}') - epoch_us(max(ts))) / 360000.0) / 10000.0 AS age_hours
         FROM events GROUP BY event_type""")),
 
     // A11: quality-metrics collection — one-pass pass/fail counts per rule

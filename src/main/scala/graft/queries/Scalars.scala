@@ -31,7 +31,11 @@ object Scalars extends QueryGroup {
           concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
           regexp_replace(col("c_name"), "[0-9]", "").as("name_nodigits"),
           substring(col("c_name"), 1, 8).as("name_prefix"),
-          element_at(split(col("c_name"), "#"), 2).as("name_id_part"),
+          // split_part parity under Spark 4 ANSI: element_at throws on a
+          // '#'-less value where DuckDB's split_part returns '' — one
+          // malformed name in regenerated testdata would abort the query
+          coalesce(try_element_at(split(col("c_name"), "#"), lit(2)), lit(""))
+            .as("name_id_part"),
           length(col("c_name")).cast("long").as("name_len"),
           reverse(col("c_name")).as("name_rev"),
           lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
@@ -72,7 +76,7 @@ object Scalars extends QueryGroup {
                month(o_orderdate) AS order_month_num,
                dayofweek(o_orderdate) + 1 AS order_dow,
                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-               datediff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') AS days_since,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '${Tables.OrdersAsOf.take(10)}') AS days_since,
                strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
                epoch_us(o_orderdate) // 1000000 AS epoch_s
         FROM orders""")),
@@ -166,8 +170,8 @@ object Scalars extends QueryGroup {
         WITH metrics AS (
           SELECT o_custkey, count(*) AS order_cnt,
                  ${Exact.sqlMoneySumCents("o_totalprice")} AS spend_cents,
-                 datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS recency_days,
-                 datediff('day', CAST(min(o_orderdate) AS DATE), DATE '2001-09-01') AS tenure_days
+                 datediff('day', CAST(max(o_orderdate) AS DATE), DATE '${Tables.OrdersAsOf.take(10)}') AS recency_days,
+                 datediff('day', CAST(min(o_orderdate) AS DATE), DATE '${Tables.OrdersAsOf.take(10)}') AS tenure_days
           FROM orders GROUP BY o_custkey)
         SELECT o_custkey,
                CASE WHEN tenure_days < 180 THEN 'new'

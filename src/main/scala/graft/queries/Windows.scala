@@ -146,7 +146,7 @@ object Windows extends QueryGroup {
       oracle = Some(s"""
         WITH rfm AS (
           SELECT o_custkey,
-                 datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS recency_days,
+                 datediff('day', CAST(max(o_orderdate) AS DATE), DATE '${Tables.OrdersAsOf.take(10)}') AS recency_days,
                  count(*) AS frequency,
                  round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS monetary
           FROM orders GROUP BY o_custkey)
@@ -189,12 +189,16 @@ object Windows extends QueryGroup {
         val seg = Tables.customer(s, d).groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
         seg.select(
           col("c_mktsegment"), col("cnt"),
-          round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 4).as("pct_of_total"))
+          // floor-scaled, not round(): pct·1e4 lands exactly half-integral
+          // whenever the total's 2-adic valuation is high enough, and
+          // Spark HALF_UP vs DuckDB double-rounding then disagree
+          (floor(col("cnt") * 1000000.0 / sum(col("cnt")).over(Window.partitionBy()))
+            / 10000.0).as("pct_of_total"))
       },
       oracle = Some("""
         WITH seg AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1)
         SELECT c_mktsegment, cnt,
-               round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct_of_total
+               floor(cnt * 1000000.0 / sum(cnt) OVER ()) / 10000.0 AS pct_of_total
         FROM seg""")),
 
     // W10/A5: session aggregates with the reference's bounce/conversion
@@ -308,8 +312,11 @@ object Windows extends QueryGroup {
             countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("n_clicked"),
             countDistinct(when(col("t_buy").isNotNull, col("user_id"))).as("n_purchased"))
           .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
-            (floor(col("n_clicked") * 10000.0 / col("n_viewed")) / 10000.0).as("click_rate"),
-            (floor(col("n_purchased") * 10000.0 / col("n_clicked")) / 10000.0).as("purchase_rate"))
+            // try_divide: a zero count throws DIVIDE_BY_ZERO under Spark 4
+            // ANSI where DuckDB's double division yields NULL — the rates
+            // must go NULL on both engines for an empty funnel stage
+            (floor(try_divide(col("n_clicked") * 10000.0, col("n_viewed"))) / 10000.0).as("click_rate"),
+            (floor(try_divide(col("n_purchased") * 10000.0, col("n_clicked"))) / 10000.0).as("purchase_rate"))
       },
       oracle = Some("""
         WITH v AS (
