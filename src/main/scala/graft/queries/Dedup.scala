@@ -63,7 +63,7 @@ object Dedup extends QueryGroup {
 
   /** DuckDB twin of TextFunctions.fingerprint (md5 of normalized text). */
   private val sqlFingerprint =
-    """md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"""
+    """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
 
   /** Shared d3/d9 banded-MinHash pipeline: 16-hash signature over
     * 2-shingles, 4 bands x 4 rows; band hash = kernel hash of the
@@ -320,7 +320,7 @@ object Dedup extends QueryGroup {
       },
       oracle = Some("""
         SELECT min(doc_id) AS doc_id,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         FROM documents
         GROUP BY fp""")),
 
@@ -516,8 +516,9 @@ object Dedup extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", sqrt(call_function("vec_dot",
-            col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
+          .withColumn("nrm", nullif(sqrt(call_function("vec_dot",
+            col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"))), lit(0.0)))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val cents = Embeddings.sqrtSample(vn, vn)

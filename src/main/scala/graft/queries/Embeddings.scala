@@ -105,7 +105,7 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", norm(col("embedding")))
+          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val q = vn.filter(col("label") === 0)
@@ -118,7 +118,9 @@ object Embeddings extends QueryGroup {
         // (vs every scored pair through a row_number window — the r1
         // scale-killer). Rank order (cos DESC, vec_id ASC) is total, so the
         // result is deterministic and identical to the window formulation.
-        scored.groupBy(col("q_id"))
+        scored
+          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
+          .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
           .select(col("q_id"), col("col.id").as("vec_id"),
@@ -176,8 +178,9 @@ object Embeddings extends QueryGroup {
         v.join(q, "bkt")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            (dot(col("q_vec"), col("embedding")) /
-              (norm(col("q_vec")) * norm(col("embedding")))).as("cos"))
+            try_divide(dot(col("q_vec"), col("embedding")),
+              norm(col("q_vec")) * norm(col("embedding"))).as("cos"))
+          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -228,7 +231,7 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", norm(col("embedding")))
+          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val cents = sqrtSample(vn, vn)
@@ -247,6 +250,7 @@ object Embeddings extends QueryGroup {
         val probes = q.crossJoin(broadcast(cents))
           .select(col("q_id"), col("q_ne"),
             call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
+          .filter(col("cos").isNotNull)
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("cid")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("cid"))
@@ -257,6 +261,7 @@ object Embeddings extends QueryGroup {
           .join(vn.select(col("vec_id"), col("ne")), "vec_id")
           .select(col("q_id"), col("vec_id"),
             call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -325,7 +330,8 @@ object Embeddings extends QueryGroup {
         // where zip_with/aggregate higher-order lambdas would not
         def l2sq(a: Column, b: Column): Column =
           (1 to subDim).map { i =>
-            (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
+            (try_element_at(a, lit(i)) - try_element_at(b, lit(i))) *
+              (try_element_at(a, lit(i)) - try_element_at(b, lit(i)))
           }.reduce(_ + _)
         // sub feeds the codebook, the encoder, and the LUT — three
         // consumers with differing projections, which blocks
@@ -336,7 +342,7 @@ object Embeddings extends QueryGroup {
         // auditable in the final plan (PushdownSpec reads its ReadSchema).
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", norm(col("embedding")))
+          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val sub = vn
@@ -383,8 +389,10 @@ object Embeddings extends QueryGroup {
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             (1 to nSub).map { s =>
-              element_at(element_at(col("lut"), s), element_at(col("codes"), s))
+              try_element_at(try_element_at(col("lut"), lit(s)),
+                try_element_at(col("codes"), lit(s)))
             }.reduce(_ + _).as("adc"))
+          .filter(col("adc").isNotNull)
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
@@ -394,6 +402,7 @@ object Embeddings extends QueryGroup {
           .join(vn, "vec_id")
           .select(col("q_id"), col("vec_id"),
             call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -457,7 +466,7 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", norm(col("embedding")))
+          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
           .select(col("label"), col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val a = vn.select(col("label"), col("vec_id").as("a_id"), col("ne").as("a_ne"))

@@ -32,12 +32,12 @@ object Relational extends QueryGroup {
           col("c_custkey").cast("long").as("customer_id"),
           col("c_name").as("customer_name"),
           col("c_nationkey").cast("long").as("nation_id"),
-          round(col("c_acctbal"), 4).as("account_balance"),
+          col("c_acctbal").as("account_balance"),
           col("c_mktsegment").as("segment")),
       oracle = Some("""
         SELECT c_custkey AS customer_id, c_name AS customer_name,
                CAST(c_nationkey AS BIGINT) AS nation_id,
-               round(c_acctbal, 4) AS account_balance,
+               c_acctbal AS account_balance,
                c_mktsegment AS segment
         FROM customer""")),
 
@@ -48,9 +48,9 @@ object Relational extends QueryGroup {
           .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull &&
             col("l_quantity") > 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            round(col("l_quantity"), 4).as("l_quantity")),
+            col("l_quantity")),
       oracle = Some("""
-        SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 4) AS l_quantity
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         FROM lineitem
         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_quantity > 0""")),
 
@@ -62,10 +62,10 @@ object Relational extends QueryGroup {
           "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
         Tables.orders(s, d).filter(expr(rule))
           .select(col("o_orderkey"), col("o_custkey"),
-            round(col("o_totalprice"), 4).as("o_totalprice"), col("o_orderstatus"))
+            col("o_totalprice"), col("o_orderstatus"))
       },
       oracle = Some("""
-        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         FROM orders
         WHERE o_totalprice > 50000.0 AND o_orderstatus IN ('F','O')
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""")),
@@ -89,12 +89,12 @@ object Relational extends QueryGroup {
       build = (s, d) =>
         Tables.lineitem(s, d).select(
           col("l_orderkey"), col("l_linenumber"),
-          when(col("l_discount").between(0.0, 0.05), round(col("l_discount"), 4))
+          when(col("l_discount").between(0.0, 0.05), col("l_discount"))
             .otherwise(0.0).as("discount_capped")),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_discount BETWEEN 0.0 AND 0.05
-                    THEN round(l_discount, 4) ELSE 0.0 END AS discount_capped
+                    THEN l_discount ELSE 0.0 END AS discount_capped
         FROM lineitem""")),
 
     // P6: struct build + field extraction (nested address shape).
@@ -199,9 +199,9 @@ object Relational extends QueryGroup {
           .orderBy(desc("o_totalprice"), asc("o_orderkey"))
           .limit(50)
           .select(col("o_orderkey"), col("o_custkey"),
-            round(col("o_totalprice"), 4).as("o_totalprice")),
+            col("o_totalprice")),
       oracle = Some("""
-        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""")),
 
     // O3: limit sampling — deterministic (ordered) limit so the DuckDB
@@ -212,10 +212,10 @@ object Relational extends QueryGroup {
           .orderBy(asc("o_orderkey"))
           .limit(100)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            round(col("o_totalprice"), 4).as("o_totalprice")),
+            col("o_totalprice")),
       oracle = Some("""
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               round(o_totalprice, 4) AS o_totalprice
+               o_totalprice
         FROM orders ORDER BY o_orderkey ASC LIMIT 100""")),
 
     // U1: UNION ALL metric stack (freshness/row-count dashboard shape).

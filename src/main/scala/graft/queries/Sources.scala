@@ -178,8 +178,14 @@ object Sources extends QueryGroup {
           .agg(count(lit(1)).as("cnt"),
             round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
       },
+      // oracle buckets by NULLness like the Spark side (which can only see
+      // column ABSENCE as NULL after the merged read) — a future NULL
+      // status on an odd key must land in _pre_evolution on both engines.
+      // NB oracle strings are whitespace-collapsed to one line: never put
+      // `--` SQL comments in them.
       oracle = Some(s"""
-        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        SELECT CASE WHEN o_orderkey % 2 = 1 AND o_orderstatus IS NOT NULL
+                    THEN o_orderstatus
                     ELSE '_pre_evolution' END AS status,
                count(*) AS cnt,
                round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue

@@ -51,10 +51,13 @@ object TextOps extends QueryGroup {
           length(col("text")).cast("long").as("n_chars_calc"),
           punctCount(col("text")).as("punct_cnt"),
           stopwordCount(col("text")).as("stopword_cnt"),
-          (floor(stopwordCount(col("text")).cast("double") /
-            nTokens(col("text")).cast("double") * 10000) / 10000.0).as("stopword_ratio"),
-          (floor(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-            nTokens(col("text")).cast("double") * 10000) / 10000.0).as("avg_token_len"))
+          // try_divide: a zero-token document must yield NULL ratios like
+          // DuckDB's x/0, not a Spark-side NaN->0 (or an ANSI abort)
+          (floor(try_divide(stopwordCount(col("text")).cast("double"),
+            nTokens(col("text")).cast("double")) * 10000) / 10000.0).as("stopword_ratio"),
+          (floor(try_divide(
+            length(regexp_replace(col("text"), "\\s+", "")).cast("double"),
+            nTokens(col("text")).cast("double")) * 10000) / 10000.0).as("avg_token_len"))
       },
       oracle = Some(s"""
         SELECT doc_id,
@@ -128,7 +131,7 @@ object TextOps extends QueryGroup {
       },
       oracle = Some("""
         WITH fps AS (
-          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           FROM documents)
         SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_cnt
         FROM fps""")),
@@ -446,12 +449,12 @@ object TextOps extends QueryGroup {
           SELECT doc_id, CAST(start // 10 AS BIGINT) AS chunk_idx,
                  md5(array_to_string(list_slice(toks, start + 1, start + 10), ' ')) AS fp
           FROM t, unnest(range(0, len(toks), 10)) AS u(start)),
-        w AS (SELECT fp, min(doc_id * 1000000 + chunk_idx) AS kk FROM ch GROUP BY fp)
+        w AS (SELECT fp, min(doc_id * 1000000000 + chunk_idx) AS kk FROM ch GROUP BY fp)
         SELECT ch.doc_id AS doc_id,
                count(*) AS n_chunks,
-               CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = w.kk
+               CAST(sum(CASE WHEN ch.doc_id * 1000000000 + ch.chunk_idx = w.kk
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               CAST(count(*) - sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx = w.kk
+               CAST(count(*) - sum(CASE WHEN ch.doc_id * 1000000000 + ch.chunk_idx = w.kk
                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM ch JOIN w ON ch.fp = w.fp
         GROUP BY ch.doc_id"""),
