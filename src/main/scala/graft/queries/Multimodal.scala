@@ -15,8 +15,11 @@ object Multimodal extends QueryGroup {
   /** payload = magic header for the row's media kind ++ utf8(text). */
   private def withPayload(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("media_kind",
+        // pmod: Spark % keeps the dividend's sign, so a negative doc_id
+        // would index 0 and element_at would throw where the oracle's
+        // list[0] yields NULL — pmod keeps the index in 1..3 for any id
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")))
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
       .withColumn("payload",
         when(col("media_kind") === "image",
           concat(expr("X'89504E47'"), col("text").cast("binary")))
@@ -39,8 +42,8 @@ object Multimodal extends QueryGroup {
       oracle = Some("""
         WITH media AS (
           SELECT doc_id,
-                 ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_kind,
-                 CASE CAST(doc_id % 3 AS INT)
+                 ['image','audio','video'][CAST(((doc_id % 3) + 3) % 3 + 1 AS INT)] AS media_kind,
+                 CASE CAST(((doc_id % 3) + 3) % 3 AS INT)
                    WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
                    WHEN 1 THEN 'RIFF'::BLOB || encode(text)
                    ELSE 'ftyp'::BLOB || encode(text) END AS payload
@@ -71,7 +74,7 @@ object Multimodal extends QueryGroup {
       oracle = Some("""
         WITH media AS (
           SELECT doc_id,
-                 CASE CAST(doc_id % 3 AS INT)
+                 CASE CAST(((doc_id % 3) + 3) % 3 AS INT)
                    WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
                    WHEN 1 THEN 'RIFF'::BLOB || encode(text)
                    ELSE 'ftyp'::BLOB || encode(text) END AS payload
@@ -129,7 +132,7 @@ object Multimodal extends QueryGroup {
       oracle = Some("""
         WITH media AS (
           SELECT doc_id,
-                 CASE CAST(doc_id % 3 AS INT)
+                 CASE CAST(((doc_id % 3) + 3) % 3 AS INT)
                    WHEN 0 THEN '\x89PNG'::BLOB || encode(text)
                    WHEN 1 THEN 'RIFF'::BLOB || encode(text)
                    ELSE 'ftyp'::BLOB || encode(text) END AS payload

@@ -144,7 +144,10 @@ object Streaming extends QueryGroup {
         val e = Streams.tableStream(s, d, "events")
         val doubled = e.unionByName(e) // planted duplicates
           .withWatermark("ts", "10 minutes")
-          .dropDuplicatesWithinWatermark("event_id")
+          // full-row key, matching the oracle's SELECT DISTINCT: keyed on
+          // event_id alone, a (hypothetical) id collision with a different
+          // payload would keep one arbitrary shuffle-order row
+          .dropDuplicatesWithinWatermark("event_id", "user_id", "event_type", "ts")
         Streams.runToMemory(doubled, "append")
           .select(col("event_id"), col("user_id"), col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
@@ -196,7 +199,7 @@ object Streaming extends QueryGroup {
       // applies the same cutoff.
       oracle = Some("""
         WITH flagged AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
                       THEN 1 ELSE 0 END AS is_new
@@ -204,7 +207,7 @@ object Streaming extends QueryGroup {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sessions AS (
           SELECT user_id, ts,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
           FROM flagged),
         agg AS (
@@ -215,7 +218,7 @@ object Streaming extends QueryGroup {
           FROM sessions GROUP BY user_id, session_idx)
         SELECT user_id, session_start, n_events
         FROM agg, (SELECT max(ts) AS watermark_ts FROM events)
-        WHERE epoch_us(last_ts) + 30*60*1000000 < epoch_us(watermark_ts)""")),
+        WHERE epoch_us(last_ts) // 1000 + 30*60*1000 < epoch_us(watermark_ts) // 1000""")),
 
     // ST6+ST10+ST11: foreachBatch MERGE sink — post-cutoff orders streamed
     // and upserted (latest per customer wins) into the pre-cutoff snapshot.
@@ -335,8 +338,10 @@ object Streaming extends QueryGroup {
         v AS (
           SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
         wm AS (
-          SELECT least((SELECT max(epoch_us(ts)) FROM p),
-                       (SELECT max(epoch_us(ts)) FROM v)) AS us),
+          SELECT CASE WHEN (SELECT max(epoch_us(ts)) FROM p) IS NULL
+                        OR (SELECT max(epoch_us(ts)) FROM v) IS NULL THEN 0
+                      ELSE least((SELECT max(epoch_us(ts)) FROM p),
+                                 (SELECT max(epoch_us(ts)) FROM v)) END AS us),
         matched AS (
           SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
                  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
@@ -444,7 +449,7 @@ object Streaming extends QueryGroup {
       oracle = Some("""
         WITH fps AS (
           SELECT doc_id,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           FROM documents)
         SELECT f.doc_id, f.fp
         FROM fps f
