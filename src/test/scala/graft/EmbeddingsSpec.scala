@@ -101,6 +101,14 @@ class EmbeddingsSpec extends SparkSpec {
       .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq
     assert(dim == Seq(graft.queries.Embeddings.EmbDim),
       s"embedding dim $dim != baked-in ${graft.queries.Embeddings.EmbDim}")
+    // the corpus contract the normalize pipelines rely on: a zero-norm
+    // vector would abort loudly there (ANSI division) — catch it here
+    // with the actual cause first
+    val zeroNorm = graft.core.Tables.embeddings(spark, sf)
+      .filter(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0.0"))
+      .count()
+    assert(zeroNorm == 0L, s"$zeroNorm zero-norm embedding vectors in testdata")
     val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val e2 = SparkEntry.queries("e2_ann_lsh_buckets")(spark, sf).collect()
