@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a `factor`× corpus from a driver testdata dir into a
+  * scratch dir, for MEASURING the pair-forming family's scaling
+  * exponents (SCALE.md §"Measured scaling") instead of arguing them
+  * from plan shapes.
+  *
+  * Replication must hold DUPLICATE DENSITY constant or the measurement
+  * is garbage: naive copies would make every replica a near-dup of its
+  * original, growing pair OUTPUT quadratically in the factor and
+  * measuring output size, not algorithm scaling. So each replica is
+  * perturbed to be similar WITHIN itself exactly like the original is,
+  * and dissimilar to every other replica:
+  *
+  *  - documents: replica r applies a Caesar cipher (letters rotated by
+  *    r) — a 1:1 token map, so shingles/minhash/winnow/jaccard structure
+  *    inside the replica is EXACTLY the original corpus's, while tokens
+  *    across replicas share (almost) nothing. Sources keep their names:
+  *    every source grows `factor`×, the harder blocking regime.
+  *  - embeddings: replica r rolls dimensions by 7r and flips signs by a
+  *    deterministic per-(r, dim) parity — an orthogonal transform, so
+  *    norms and within-replica cosines are bit-preserved while
+  *    cross-replica cosines collapse toward 0. Replica vec_ids are
+  *    ≡ 1 (mod 10) and labels ≥ 1000, so the e1/e2/e4/e5 QUERY sets
+  *    stay the original corpus's — query volume is a workload knob, not
+  *    a corpus property, and holding it fixed is what makes "cost ∝
+  *    corpus" measurable.
+  *
+  * Ids offset by r·10¹² — collision-free against any driver-generated
+  * id space.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scale10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1)
+    writeDocs(spark, src, out, factor)
+    writeEmbeddings(spark, src, out, factor)
+    println(s"""{"scale_corpus":"$out","factor":$factor,"docs":${
+      spark.read.parquet(s"$out/documents.parquet").count()},"vecs":${
+      spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+  }
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  private def writeDocs(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val replicas = (0 until factor).map { r =>
+      if (r == 0) docs
+      else {
+        val rotL = Lower.drop(r % 26) + Lower.take(r % 26)
+        val rotU = rotL.toUpperCase
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 1000000000000L)).as("doc_id"),
+          translate(col("text"), Lower + Upper, rotL + rotU).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(factor * 4)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def writeEmbeddings(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val vecs = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = 64
+    val replicas = (0 until factor).map { r =>
+      if (r == 0) vecs
+      else {
+        val rolled = array((0 until dim).map { i =>
+          val srcIdx = (i + 7 * r) % dim
+          val sign =
+            if (graft.functions.TextFunctions.portableHash60(s"sg:$r:$i") % 2 == 0) 1.0f
+            else -1.0f
+          (element_at(col("embedding"), srcIdx + 1) * lit(sign)).cast("float")
+        }: _*)
+        vecs.select(
+          // ≡ 1 (mod 10): never an e2/e4/e5 query; labels ≥ 1000: never
+          // an e1 query — the query set stays the original corpus's
+          (lit(r.toLong * 1000000000000L) + col("vec_id") * 10 + 1).as("vec_id"),
+          rolled.as("embedding"),
+          (col("label") + lit(1000 * r)).as("label"))
+      }
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(factor * 2)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+}

@@ -77,6 +77,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
       location: Option[String] = None, statsLocation: Option[String] = None,
       deletePredicates: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil): String = {
+    // the ONE serializer is also the ONE validator: the regex parser
+    // above does no unescaping, so a '"' in any string field would break
+    // the line, and strList's [^\]]* would silently truncate a list
+    // element containing ']' (e.g. tags[1]) — logically deleted rows
+    // would resurrect on read. Reject both at write time, loudly.
+    val strFields = Seq(operation) ++ ts ++ location ++ statsLocation ++
+      deletePredicates ++ partitionBy
+    require(strFields.forall(s => !s.contains("\"")),
+      s"manifest string fields must not contain '\"' (unescaped format): $strFields")
+    require((deletePredicates ++ partitionBy).forall(s => !s.contains("]")),
+      "manifest list elements must not contain ']' (regex list parser " +
+        s"would truncate): ${deletePredicates ++ partitionBy}")
     val sb = new StringBuilder(
       s"""{"version":$version,"operation":"$operation","rows":$rows""")
     ts.foreach(t => sb.append(s""","ts":"$t""""))
@@ -338,11 +350,25 @@ final class VersionedTable(spark: SparkSession, root: String) {
         BooleanType).contains(f.dataType) => f.name
     }.toSeq
 
-  /** One scan over the freshly written files: per-file row counts + min/max
-    * structs → `_stats/v=N` parquet. Returns the total row count (so the
-    * commit needs no second counting scan). One stats row per data file —
-    * at 100 TB this is the same "stats ride with the commit" shape as the
-    * Delta log, and the skipping decision reads only this tiny table. */
+  /** Per-file row counts + min/max structs → `_stats/v=N` parquet.
+    * Returns the total row count (so the commit needs no second counting
+    * scan). One stats row per data file — at 100 TB this is the same
+    * "stats ride with the commit" shape as the Delta log, and the
+    * skipping decision reads only this tiny table.
+    *
+    * Fast path: stats come from the parquet FOOTERS the data write just
+    * produced (row counts and per-chunk min/max are written by the
+    * encoder itself), so deriving them is an O(files) metadata read with
+    * no data scan and no shuffle — the local analogue of Delta
+    * collecting stats inside the writer, and what makes the commit's
+    * write path single-data-scan (the only remaining staged-data re-read
+    * is the change-feed diff, which needs row-level compare by
+    * definition). The footer path is gated to exactly-representable
+    * column shapes ([[VersionedTable.footerStats]]); anything else —
+    * partition dirs, INT96 timestamps, NaN-bearing float chunks, absent
+    * or oversized binary stats — falls back to the one-scan aggregation
+    * below, whose output is identical (VersionedTableSpec pins
+    * footer == scan on a mixed-type table). */
   private def writeStats(dataDir: String, statsOut: String,
       schemaHint: Option[StructType] = None): Long = {
     // a hint pins partition-column types to the head's read-back schema:
@@ -352,6 +378,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val reader = schemaHint.fold(spark.read)(h => spark.read.schema(h))
     val written = reader.parquet(dataDir)
     val cols = statColumns(written.schema)
+    VersionedTable.footerStats(spark, dataDir, written.schema, cols).foreach {
+      case (totalRows, statsDf) =>
+        statsDf.coalesce(1).write.mode("overwrite").parquet(statsOut)
+        return totalRows
+    }
     val aggs =
       count(lit(1L)).as("cnt") +:
         (if (cols.isEmpty) Seq.empty
@@ -1094,8 +1125,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val src = Paths.get(dir, rel)
       val dst = Paths.get(s"$stage/data", rel)
       Files.createDirectories(dst.getParent)
+      // this carry runs OUTSIDE the commit lock: a concurrent vacuum can
+      // delete the head dir mid-carry. Surface that as what it is — the
+      // copy fallback below would otherwise rethrow the same
+      // NoSuchFileException as an opaque crash (vacuum keeps versions
+      // referenced by heads, so this only fires on a retention race)
       try Files.createLink(dst, src)
       catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"head version $head of $root was vacuumed while its files " +
+              s"were being carried into version $next ($rel); retry the " +
+              "commit against the new head", e)
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
           Files.copy(src, dst)
       }
@@ -1184,7 +1225,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
           // head. Holding the lock across the first write serializes only
           // the empty-table bootstrap (commit() re-enters the same lock —
           // it is reentrant for this thread); a competitor that slept here
-          // re-checks and falls through to the carry path.
+          // re-checks and falls through to the carry path. Liveness cost,
+          // accepted: the lock is held for the bootstrap's FULL write job
+          // (staging + stats + constraints), so concurrent committers on
+          // this table block for that job's duration — but only on the
+          // v0 commit of a brand-new table, where the "full write" is the
+          // first batch, not a grown table. Every subsequent commit holds
+          // the lock only for the check-move-append critical section.
           VersionedTable.commitLock(root).synchronized {
             if (latestVersion.isEmpty)
               return if (stageFeed.isEmpty) write(df, operation, commitTs)
@@ -1414,5 +1461,219 @@ object VersionedTable {
       else u
     java.net.URLDecoder.decode(p.replace("+", "%2B"),
       java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Signals a shape the footer fast path cannot represent exactly —
+    * caught inside [[footerStats]], never escapes (the caller falls back
+    * to the aggregation scan). */
+  private final class FooterUnsupported extends RuntimeException
+
+  /** Commit-time file statistics derived from the parquet FOOTERS under
+    * `dataDir` — per-file row counts plus min/max for `cols` — as
+    * `Some((totalRows, statsFrame))`, or `None` when any file or column
+    * falls outside the exactly-representable gate (then the caller runs
+    * the one-scan aggregation instead; the two outputs are identical —
+    * VersionedTableSpec pins it).
+    *
+    * The gate admits only shapes whose chunk statistics reproduce a
+    * Spark min/max EXACTLY, because stats here aren't merely advisory
+    * pruning bounds — carry commits union these rows with scan-derived
+    * ones, so the two paths must agree byte-for-byte:
+    *  - flat files only (a partition dir carries column VALUES in its
+    *    path, which footers don't know);
+    *  - INT32/INT64-backed ints, longs, dates, decimals (scale-exact),
+    *    MICROS/MILLIS timestamps (both TZ and NTZ), FLOAT/DOUBLE without
+    *    NaN (parquet's Double.compare ordering makes NaN-bearing chunk
+    *    bounds unreliable — PARQUET-1222), BOOLEAN, and UTF8 strings
+    *    (unsigned-lexicographic, Spark's own binary collation order);
+    *  - statistics present and, where a chunk holds no value at all,
+    *    an explicit null count proving the chunk is all-null (parquet-mr
+    *    silently DROPS binary stats above ~4 KB — such files fail the
+    *    gate rather than mis-state a bound).
+    */
+  private[graft] def footerStats(spark: SparkSession, dataDir: String,
+      schema: StructType, cols: Seq[String]): Option[(Long, DataFrame)] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def fail(): Nothing = throw new FooterUnsupported
+    val base = Paths.get(dataDir).toAbsolutePath
+    if (!Files.isDirectory(base)) return None
+    val walk = Files.walk(base)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
+    if (files.isEmpty) return None
+    val rels = files.map(p => base.relativize(p).toString)
+    if (rels.exists(_.contains("="))) return None // partitioned layout
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // raw chunk bounds normalized to one comparable carrier per Spark
+    // type: Int / Long (timestamps as epoch micros) / Float / Double /
+    // Boolean / Array[Byte]. Merging happens on the carrier with the
+    // type's own order; external conversion happens once at the end.
+    def unsignedBytesCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
+    def rawCmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
+      case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+      case (x: Float, y: Float)     => java.lang.Float.compare(x, y)
+      case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x: Array[Byte], y: Array[Byte]) => unsignedBytesCmp(x, y)
+      case _ => fail()
+    }
+    // micros-per-unit for an INT64 timestamp annotation (NANOS → gate)
+    def tsScale(ann: LTA.TimestampLogicalTypeAnnotation): Long =
+      ann.getUnit match {
+        case LTA.TimeUnit.MICROS => 1L
+        case LTA.TimeUnit.MILLIS => 1000L
+        case _ => fail()
+      }
+
+    def chunkBounds(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+        t: DataType): Option[(Any, Any)] = {
+      val st = cc.getStatistics
+      if (st == null || st.isEmpty) fail()
+      if (!st.hasNonNullValue) {
+        // usable only when provably all-null; otherwise stats were dropped
+        if (st.isNumNullsSet && st.getNumNulls == cc.getValueCount) None
+        else fail()
+      } else {
+        val prim = cc.getPrimitiveType
+        val ann = prim.getLogicalTypeAnnotation
+        val raw: (Any, Any) = (prim.getPrimitiveTypeName, t) match {
+          case (INT32, ByteType | ShortType | IntegerType) =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+            (s.getMin, s.getMax)
+          case (INT32, DateType) if ann.isInstanceOf[LTA.DateLogicalTypeAnnotation] =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+            (s.getMin, s.getMax)
+          case (INT32, d: DecimalType)
+              if ann.isInstanceOf[LTA.DecimalLogicalTypeAnnotation] &&
+                ann.asInstanceOf[LTA.DecimalLogicalTypeAnnotation].getScale == d.scale =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+            (s.getMin, s.getMax)
+          case (INT64, LongType) =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            (s.getMin, s.getMax)
+          case (INT64, TimestampType | TimestampNTZType)
+              if ann.isInstanceOf[LTA.TimestampLogicalTypeAnnotation] =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            val k = tsScale(ann.asInstanceOf[LTA.TimestampLogicalTypeAnnotation])
+            (s.getMin * k, s.getMax * k)
+          case (INT64, d: DecimalType)
+              if ann.isInstanceOf[LTA.DecimalLogicalTypeAnnotation] &&
+                ann.asInstanceOf[LTA.DecimalLogicalTypeAnnotation].getScale == d.scale =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            (s.getMin, s.getMax)
+          case (FLOAT, FloatType) =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.FloatStatistics]
+            if (s.getMin.isNaN || s.getMax.isNaN) fail()
+            (s.getMin, s.getMax)
+          case (DOUBLE, DoubleType) =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
+            if (s.getMin.isNaN || s.getMax.isNaN) fail()
+            (s.getMin, s.getMax)
+          case (BOOLEAN, BooleanType) =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.BooleanStatistics]
+            (s.getMin, s.getMax)
+          case (BINARY, StringType)
+              if ann.isInstanceOf[LTA.StringLogicalTypeAnnotation] =>
+            val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+            (s.genericGetMin.getBytes, s.genericGetMax.getBytes)
+          case _ => fail()
+        }
+        Some(raw)
+      }
+    }
+
+    def toExternal(raw: Any, t: DataType): Any = t match {
+      case ByteType    => raw.asInstanceOf[Int].toByte
+      case ShortType   => raw.asInstanceOf[Int].toShort
+      case DateType    =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(raw.asInstanceOf[Int].toLong))
+      case d: DecimalType =>
+        val unscaled = raw match {
+          case i: Int  => java.math.BigInteger.valueOf(i.toLong)
+          case l: Long => java.math.BigInteger.valueOf(l)
+          case _       => fail()
+        }
+        new java.math.BigDecimal(unscaled, d.scale)
+      case TimestampType =>
+        val micros = raw.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case TimestampNTZType =>
+        val micros = raw.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case StringType =>
+        new String(raw.asInstanceOf[Array[Byte]], StandardCharsets.UTF_8)
+      case _ => raw // Int / Long / Float / Double / Boolean carriers
+    }
+
+    try {
+      val perFile = files.zip(rels).map { case (p, rel) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = reader.getFooter
+          val blocks = footer.getBlocks.asScala.toSeq
+          val cnt = blocks.map(_.getRowCount).sum
+          val bounds: Seq[Option[(Any, Any)]] = cols.map { c =>
+            val t = schema(c).dataType
+            blocks.foldLeft(Option.empty[(Any, Any)]) { (acc, b) =>
+              val cc = b.getColumns.asScala
+                .find(m => m.getPath.size == 1 && m.getPath.toDotString == c)
+                .getOrElse(fail())
+              (acc, chunkBounds(cc, t)) match {
+                case (a, None)          => a
+                case (None, x)          => x
+                case (Some((lo1, hi1)), Some((lo2, hi2))) =>
+                  Some((if (rawCmp(lo2, lo1) < 0) lo2 else lo1,
+                        if (rawCmp(hi2, hi1) > 0) hi2 else hi1))
+              }
+            }
+          }
+          val mins = bounds.zip(cols).map { case (b, c) =>
+            b.map(x => toExternal(x._1, schema(c).dataType)).orNull }
+          val maxs = bounds.zip(cols).map { case (b, c) =>
+            b.map(x => toExternal(x._2, schema(c).dataType)).orNull }
+          (cnt,
+            if (cols.isEmpty) org.apache.spark.sql.Row(rel, cnt)
+            else org.apache.spark.sql.Row(rel, cnt,
+              org.apache.spark.sql.Row(mins: _*), org.apache.spark.sql.Row(maxs: _*)))
+        } finally reader.close()
+      }
+      val statFields = cols.map(c => StructField(c, schema(c).dataType, nullable = true))
+      val statsSchema = StructType(
+        Seq(StructField("file", StringType, nullable = false),
+          StructField("cnt", LongType, nullable = false)) ++
+          (if (cols.isEmpty) Seq.empty
+           // struct itself non-null (field values may be) — mirrors the
+           // scan path's struct(min(...)) nullability exactly
+           else Seq(StructField("mins", StructType(statFields), nullable = false),
+             StructField("maxs", StructType(statFields), nullable = false))))
+      Some((perFile.map(_._1).sum,
+        spark.createDataFrame(perFile.map(_._2).asJava, statsSchema)))
+    } catch {
+      case _: FooterUnsupported => None
+    }
   }
 }

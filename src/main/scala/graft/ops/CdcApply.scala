@@ -14,21 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object CdcApply {
 
+  /** Tie policy, stated explicitly: when a key's changes FULLY tie on
+    * `versionCols` (a feed whose version column is coarser than the real
+    * op order), the surviving op is chosen by this rank — update beats
+    * insert beats delete. "Row-bearing op wins" is a deliberate choice:
+    * a same-version delete+update pair reads as "the key was rewritten
+    * within this version, its final state is the update's row" (the
+    * Delta-CDF batch reading where postimages describe the version's end
+    * state). Pipelines that want delete-wins-at-tie should emit a finer
+    * version column instead — op order inside one version is not
+    * recoverable from a tied feed. */
+  private val OpRank = Map("update" -> 2, "insert" -> 1, "delete" -> 0)
+
   /** @param changes rows with `opCol` in (insert, update, delete) — any
     *                `preimage` ops must be filtered upstream (P10)
     * @param versionCols ordering columns, latest wins (ties broken by the
     *                later column list order; a FULL tie falls through to
-    *                the op column — descending, so 'update' > 'insert' >
-    *                'delete' lexically — making the pick deterministic
-    *                for feeds whose version column is coarser than the
-    *                real op order, instead of shuffle-order roulette
-    *                between runs)
+    *                the explicit [[OpRank]] — update > insert > delete —
+    *                making the pick a stated policy instead of
+    *                shuffle-order roulette between runs)
     */
   def latestState(
       changes: DataFrame, key: String, opCol: String,
       versionCols: Seq[String]): DataFrame = {
+    val opRank = OpRank.foldLeft(lit(-1)) { case (acc, (op, r)) =>
+      when(col(opCol) === op, lit(r)).otherwise(acc)
+    }
     val w = Window.partitionBy(col(key))
-      .orderBy(versionCols.map(col(_).desc) :+ col(opCol).desc: _*)
+      .orderBy(versionCols.map(col(_).desc) :+ opRank.desc: _*)
     changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= "delete")

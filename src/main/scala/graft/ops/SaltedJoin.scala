@@ -23,7 +23,7 @@ object SaltedJoin {
     * nondeterministic-repartition hazard. Fully identical rows share a
     * salt, which skews only when a single (key, payload) combination
     * itself dominates. */
-  private def rowSalt(df: DataFrame, saltFactor: Int) =
+  private[graft] def rowSalt(df: DataFrame, saltFactor: Int) =
     pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor.toLong))
 
   /** Equi-join `large ⋈ small` on `key`, salted `saltFactor` ways.
@@ -49,20 +49,43 @@ object SaltedJoin {
     * reuse AQE's shuffle statistics, but the join shape is identical.
     */
   def hotOnly(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, hotThreshold: Long): DataFrame =
+    hotOnly(large, small, Seq(key), saltFactor, hotThreshold)
+
+  /** Multi-column-key form of [[hotOnly]] — the shape the pair-forming
+    * dedup pipelines need (d3 buckets on (band_idx, band_hash), d12 on a
+    * fingerprint). For a SELF-join pair former (both sides projections of
+    * the same bucketed frame), salting bounds PER-TASK pair counts: a
+    * bucket of k rows lands k/saltFactor probe rows per (key, salt)
+    * reducer instead of all k², while total pair output is unchanged —
+    * every (x, y) pair still forms exactly once, at x's salt. */
+  def hotOnly(large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, hotThreshold: Long): DataFrame = {
-    require(saltFactor > 0 && hotThreshold > 0)
-    val hotKeys = large.groupBy(key).count()
-      .filter(col("count") > hotThreshold)
-      .select(col(key), lit(true).as("_hot"))
+    require(hotThreshold > 0)
+    hotOnlyPrecomputed(large, small, keys, saltFactor,
+      large.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > hotThreshold)
+        .select(keys.map(col): _*))
+  }
+
+  /** [[hotOnly]] with a PRECOMPUTED hot-key frame (columns = `keys`,
+    * one row per hot key) — for pipelines that already maintain per-key
+    * frequencies (d12's winnow index keeps a df-per-fingerprint frame;
+    * at 100 TB you'd feed a sample count or AQE shuffle statistics),
+    * saving hotOnly's detection scan over `large`. */
+  def hotOnlyPrecomputed(large: DataFrame, small: DataFrame,
+      keys: Seq[String], saltFactor: Int, hotKeyFrame: DataFrame): DataFrame = {
+    require(keys.nonEmpty && saltFactor > 0)
+    val hotKeys = hotKeyFrame.select(keys.map(col) :+ lit(true).as("_hot"): _*)
     val hotSalt = rowSalt(large, saltFactor)
-    val salted = large.join(broadcast(hotKeys), Seq(key), "left")
+    val salted = large.join(broadcast(hotKeys), keys, "left")
       .withColumn("_salt", when(col("_hot"), hotSalt).otherwise(lit(0L)))
       .drop("_hot")
-    val replicated = small.join(broadcast(hotKeys), Seq(key), "left")
+    val replicated = small.join(broadcast(hotKeys), keys, "left")
       .withColumn("_salt",
         explode(when(col("_hot"), sequence(lit(0L), lit(saltFactor.toLong - 1)))
           .otherwise(array(lit(0L)))))
       .drop("_hot")
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 }

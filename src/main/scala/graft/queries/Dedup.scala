@@ -114,7 +114,16 @@ object Dedup extends QueryGroup {
       col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    // detected-hot-bucket salting (SaltedJoin.hotOnly): a band bucket
+    // with > HotBucketRows docs — boilerplate-heavy shards produce them
+    // — would put all k² candidate pairs on one reducer; salting spreads
+    // the bucket across HotBucketSalt tasks (k/8 probe rows each) while
+    // cold buckets keep salt 0 and identical shuffle volume. Plan-only:
+    // every pair still forms exactly once, so results and oracles are
+    // unchanged (DedupSpec pins both the equality and the salt spread).
+    // The detection count scans the checkpointed `banded` once.
+    graft.ops.SaltedJoin
+      .hotOnly(a, b, Seq("band_idx", "band_hash"), HotBucketSalt, HotBucketRows)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         minhashSimilarity(col("a_sig"), col("b_sig")).as("est_sim"))
@@ -911,6 +920,18 @@ object Dedup extends QueryGroup {
     * containment score — mirrored exactly in the DuckDB oracle. */
   private[graft] val WinnowMaxDf = 1000
 
+  /** Hot-bucket salting knobs for the pair-forming bucket joins (d3's
+    * (band_idx, band_hash) buckets, d12's per-fingerprint buckets): a
+    * bucket with more than [[HotBucketRows]] member docs is salted
+    * [[HotBucketSalt]] ways via ops/SaltedJoin.hotOnly, bounding the
+    * per-reducer pair count at ~k²/8 for a k-doc bucket while leaving
+    * cold buckets (salt 0) and total pair output untouched. On the
+    * shipped testdata no bucket crosses the threshold, so the salting
+    * is dormant structure — DedupSpec plants a hot bucket to prove both
+    * the spread and the result equality. */
+  private[graft] val HotBucketRows = 256L
+  private[graft] val HotBucketSalt = 8
+
   /** Shared winnow index — the ONE definition of the corpus fingerprint
     * frames that d12/d13 pairing, t19's novelty profile, and st15's
     * streaming admission all read:
@@ -949,11 +970,20 @@ object Dedup extends QueryGroup {
     val idx = winnowIndex(s, d)
     // the cap: a left-semi probe of the kept-fingerprint set — one keyed
     // join on h, the same shuffle key the pair join needs anyway
-    val fp = idx.fp.join(
-      idx.df.filter(col("df") <= maxDf), Seq("h"), "left_semi")
+    val kept = idx.df.filter(col("df") <= maxDf)
+    val fp = idx.fp.join(kept, Seq("h"), "left_semi")
     val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val pairs = fp.select(col("h"), col("doc_id").as("a_id"))
-      .join(fp.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+    // detected-hot-bucket salting below the df cap: a fingerprint with
+    // HotBucketRows < df <= maxDf survives the boilerplate gate but
+    // still buckets up to maxDf docs — k² pairs on one reducer without
+    // the salt. The hot set comes from the ALREADY-maintained df frame
+    // (hotOnlyPrecomputed — no detection scan); cold fingerprints keep
+    // salt 0. Plan-only: pair output is unchanged, oracles untouched.
+    val hotFps = kept.filter(col("df") > HotBucketRows).select("h")
+    val pairs = graft.ops.SaltedJoin.hotOnlyPrecomputed(
+        fp.select(col("h"), col("doc_id").as("a_id")),
+        fp.select(col("h"), col("doc_id").as("b_id")),
+        Seq("h"), HotBucketSalt, hotFps)
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)

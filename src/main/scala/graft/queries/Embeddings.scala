@@ -108,9 +108,14 @@ object Embeddings extends QueryGroup {
           // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
           // disables codegen subexpression elimination, so the 64-element
           // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector aborts loudly under
-          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
-          // corruption should fail, not silently skew ranks.
+          // measured 4x on e5. A zero-norm vector aborts loudly here —
+          // Spark 4 ANSI raises DIVIDE_BY_ZERO for double 0/0 too
+          // (pinned in EmbeddingsSpec's NaN-posture test). A NaN/Inf
+          // COMPONENT is the silent path instead: x/NaN propagates NaN
+          // with no error, and NaN out-ranks every real cosine under
+          // Double.compare — closed by the !isnan ranking filters
+          // downstream plus the e8 pre-flight validator
+          // (ops/CorpusContract) a pipeline runs before this job.
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -125,7 +130,8 @@ object Embeddings extends QueryGroup {
         // scale-killer). Rank order (cos DESC, vec_id ASC) is total, so the
         // result is deterministic and identical to the window formulation.
         scored
-          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
+          // null/NaN scores rank nowhere (NaN would top Double.compare)
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -186,7 +192,8 @@ object Embeddings extends QueryGroup {
           .select(col("q_id"), col("vec_id"),
             try_divide(dot(col("q_vec"), col("embedding")),
               norm(col("q_vec")) * norm(col("embedding"))).as("cos"))
-          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
+          // null/NaN scores rank nowhere (NaN would top Double.compare)
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -240,9 +247,14 @@ object Embeddings extends QueryGroup {
           // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
           // disables codegen subexpression elimination, so the 64-element
           // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector aborts loudly under
-          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
-          // corruption should fail, not silently skew ranks.
+          // measured 4x on e5. A zero-norm vector aborts loudly here —
+          // Spark 4 ANSI raises DIVIDE_BY_ZERO for double 0/0 too
+          // (pinned in EmbeddingsSpec's NaN-posture test). A NaN/Inf
+          // COMPONENT is the silent path instead: x/NaN propagates NaN
+          // with no error, and NaN out-ranks every real cosine under
+          // Double.compare — closed by the !isnan ranking filters
+          // downstream plus the e8 pre-flight validator
+          // (ops/CorpusContract) a pipeline runs before this job.
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -262,7 +274,7 @@ object Embeddings extends QueryGroup {
         val probes = q.crossJoin(broadcast(cents))
           .select(col("q_id"), col("q_ne"),
             call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
-          .filter(col("cos").isNotNull)
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("cid")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("cid"))
@@ -273,7 +285,8 @@ object Embeddings extends QueryGroup {
           .join(vn.select(col("vec_id"), col("ne")), "vec_id")
           .select(col("q_id"), col("vec_id"),
             call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
-          .filter(col("cos").isNotNull) // zero-norm vectors rank nowhere, like the oracle's NULLS-LAST
+          // null/NaN scores rank nowhere (NaN would top Double.compare)
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -361,9 +374,14 @@ object Embeddings extends QueryGroup {
           // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
           // disables codegen subexpression elimination, so the 64-element
           // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector aborts loudly under
-          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
-          // corruption should fail, not silently skew ranks.
+          // measured 4x on e5. A zero-norm vector aborts loudly here —
+          // Spark 4 ANSI raises DIVIDE_BY_ZERO for double 0/0 too
+          // (pinned in EmbeddingsSpec's NaN-posture test). A NaN/Inf
+          // COMPONENT is the silent path instead: x/NaN propagates NaN
+          // with no error, and NaN out-ranks every real cosine under
+          // Double.compare — closed by the !isnan ranking filters
+          // downstream plus the e8 pre-flight validator
+          // (ops/CorpusContract) a pipeline runs before this job.
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
@@ -416,12 +434,17 @@ object Embeddings extends QueryGroup {
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
-        // exact re-rank of the shortlist only (|Q|·50 full-precision dots)
+        // exact re-rank of the shortlist only (|Q|·50 full-precision dots).
+        // The !isnan guard here costs |Q|·50 rows, not the corpus: a NaN
+        // vector that rode a NaN adc into the shortlist is dropped before
+        // it can top the final ranking (the hot ADC pass itself stays
+        // unguarded — the e8 pre-flight validator is the contract gate).
         shortlist
           .join(vn.select(col("vec_id").as("q_id"), col("ne").as("q_ne")), "q_id")
           .join(vn, "vec_id")
           .select(col("q_id"), col("vec_id"),
             call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .filter(!isnan(col("cos")))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -479,6 +502,34 @@ object Embeddings extends QueryGroup {
         WHERE rn <= 5"""),
       bench = true),
 
+    // E8: pre-flight corpus-contract validation — the one-scan gate a
+    // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,
+    // d8) on a fresh corpus: per-violation-class counts for null vectors,
+    // null elements, wrong dimension, NaN/Inf components, and zero-norm
+    // vectors, plus an is_valid verdict. All-aggregate (map-side
+    // combinable, single-row combine), so at 100 TB it costs one corpus
+    // scan and fails in minutes instead of NaN-poisoning hour ten of a
+    // ranking job. ops/CorpusContract.assertValid is the throwing form.
+    "e8_corpus_contract" -> QueryDef(
+      build = (s, d) => graft.ops.CorpusContract.validate(
+        Tables.embeddings(s, d), "embedding", EmbDim),
+      oracle = Some(s"""
+        SELECT *,
+               (n_null_vec + n_null_elem + n_bad_dim + n_nonfinite + n_zero_norm) = 0 AS is_valid
+        FROM (
+          SELECT count(*) AS n_vecs,
+                 count(*) FILTER (WHERE embedding IS NULL) AS n_null_vec,
+                 count(*) FILTER (WHERE embedding IS NOT NULL
+                   AND len(list_filter(embedding, x -> x IS NULL)) > 0) AS n_null_elem,
+                 count(*) FILTER (WHERE embedding IS NOT NULL
+                   AND len(embedding) <> $EmbDim) AS n_bad_dim,
+                 count(*) FILTER (WHERE embedding IS NOT NULL
+                   AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0) AS n_nonfinite,
+                 count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) = $EmbDim
+                   AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                   AND ${sqlDotOf("embedding", "embedding")} = 0.0) AS n_zero_norm
+          FROM embeddings)""")),
+
     // E3: embedding-cosine near-duplicate detection — same-label blocks,
     // cosine ≥ 0.3 → similar pair (threshold sized to the synthetic corpus).
     "e3_embedding_neardup" -> QueryDef(
@@ -488,9 +539,15 @@ object Embeddings extends QueryGroup {
           // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
           // disables codegen subexpression elimination, so the 64-element
           // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector aborts loudly under
-          // ANSI instead (EmbeddingsSpec pins the corpus contract): data
-          // corruption should fail, not silently skew ranks.
+          // measured 4x on e5. A zero-norm vector yields NaN components
+          // here (0.0/0.0 is NaN per IEEE 754 — double division does NOT
+          // measured 4x on e5. A zero-norm vector aborts loudly here
+          // (ANSI DIVIDE_BY_ZERO covers double 0/0 — EmbeddingsSpec pins
+          // it); a NaN/Inf component instead propagates a NaN cosine
+          // silently, which floors to 0L (floor(NaN) is 0, not an error)
+          // and fails the ≥0.3 threshold — corrupt pairs drop out rather
+          // than emit. The e8 pre-flight validator is the gate that
+          // names such corruption instead of hiding it.
           .withColumn("nrm", norm(col("embedding")))
           .select(col("label"), col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))

@@ -128,31 +128,43 @@ object SharingProtocol {
     Files.createDirectories(Paths.get(endpointDir))
     val manifest = Paths.get(endpointDir, "shares.json")
     // the replace is a read-modify-write of the whole manifest: serialize
-    // concurrent publishers per endpoint (JVM-level — a real server owns
-    // its manifest in one process) and land the new content atomically
-    // (temp + move), so a racing resolve() always reads a complete
-    // manifest, never a truncated one
+    // concurrent publishers and land the new content atomically (temp +
+    // move), so a racing resolve() always reads a complete manifest,
+    // never a truncated one. Two layers: the JVM lock serializes
+    // in-process publishers (and keeps the OS lock below from ever
+    // overlapping in one JVM, which would throw); the OS file lock
+    // serializes publisher PROCESSES sharing one endpoint dir — without
+    // it two processes could interleave read-modify-write and drop each
+    // other's rows even though each individual move is atomic.
     endpointLock(endpointDir).synchronized {
-      val kept =
-        if (!Files.isRegularFile(manifest)) Seq.empty[String]
-        else Files.readAllLines(manifest).asScala.toSeq.filter(_.trim.nonEmpty)
-          .filterNot { l =>
-            val r = om.readTree(l)
-            r.path("share").asText == share &&
-              r.path("schema").asText == schema &&
-              r.path("table").asText == table
-          }
-      val row = om.createObjectNode()
-      row.put("share", share); row.put("schema", schema); row.put("table", table)
-      row.put("location", location); row.put("bearerToken", token)
-      val tmp = Files.createTempFile(Paths.get(endpointDir), ".shares", ".tmp")
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(endpointDir, ".shares.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
-        Files.writeString(tmp,
-          (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
-        Files.move(tmp, manifest,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } finally Files.deleteIfExists(tmp)
+        val osLock = ch.lock() // blocks until cross-process exclusive
+        try {
+          val kept =
+            if (!Files.isRegularFile(manifest)) Seq.empty[String]
+            else Files.readAllLines(manifest).asScala.toSeq.filter(_.trim.nonEmpty)
+              .filterNot { l =>
+                val r = om.readTree(l)
+                r.path("share").asText == share &&
+                  r.path("schema").asText == schema &&
+                  r.path("table").asText == table
+              }
+          val row = om.createObjectNode()
+          row.put("share", share); row.put("schema", schema); row.put("table", table)
+          row.put("location", location); row.put("bearerToken", token)
+          val tmp = Files.createTempFile(Paths.get(endpointDir), ".shares", ".tmp")
+          try {
+            Files.writeString(tmp,
+              (kept :+ om.writeValueAsString(row)).mkString("", "\n", "\n"))
+            Files.move(tmp, manifest,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } finally Files.deleteIfExists(tmp)
+        } finally osLock.release()
+      } finally ch.close()
     }
     val profile = om.createObjectNode()
     profile.put("shareCredentialsVersion", 1)

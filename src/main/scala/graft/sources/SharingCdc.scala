@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** TRUE streaming source for a shared change feed whose offsets ARE the
+  * provider's manifest-committed versions (S4/S7 streaming; reference
+  * delta_sharing_recipient.py:186-192 `readStream` + `readChangeFeed`):
+  *
+  *   spark.readStream.format("graftSharingCdc")
+  *     .option("url", "<profile>#<share>.<schema>.<table>")
+  *     .option("startingVersion", 3)
+  *     .load()
+  *
+  * Why this exists next to [[SharingProtocol.changeStream]]: the glob
+  * file-stream trails the RAW `_changes` directory, so a feed dir staged
+  * by a mid-commit writer could enter a micro-batch moments before its
+  * manifest line lands. Here the offset log is derived from the commit
+  * manifest itself — `getOffset` reports the highest manifest-COMMITTED
+  * feed version, and `getBatch(start, end]` reads exactly the committed
+  * dirs in that version range — so a staged-but-uncommitted dir is
+  * invisible by construction, and Spark's checkpointed offset log gives
+  * exactly-once delivery across restarts (StreamingSpec pins both).
+  *
+  * Built on the streaming `Source` API (the same contract Spark's own
+  * FileStreamSource uses) rather than a DSv2 MicroBatchStream: the
+  * per-batch read IS a native parquet relation, and `getBatch` hands
+  * Spark that relation directly — the resolver-not-reader philosophy of
+  * [[SharingSource]]; a MicroBatchStream would have to re-implement the
+  * parquet reader behind PartitionReader for zero behavioral gain here.
+  *
+  * Scale: `getOffset` is one manifest read (KB-scale metadata) per
+  * trigger; each batch scans only the NEW committed feed dirs — cost ∝
+  * new commits, the shared snapshot is never re-read.
+  */
+class SharingCdcStreamSource extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graftSharingCdc"
+
+  private def url(parameters: Map[String, String]): String =
+    parameters.get("url").orElse(parameters.get("path")).getOrElse(sys.error(
+      """graftSharingCdc needs option("url", "<profile>#<share>.<schema>.<table>")"""))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      SharingCdcSource.feedSchema(sqlContext, url(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new SharingCdcSource(sqlContext, url(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      schema.getOrElse(SharingCdcSource.feedSchema(sqlContext, url(parameters))))
+}
+
+private[sources] object SharingCdcSource {
+  /** Merged schema across ALL committed feed versions — a mergeSchema
+    * commit adds columns to later feeds; pinning one version's schema
+    * would silently drop them (footer-only work, ∝ committed versions). */
+  def feedSchema(sqlContext: SQLContext, url: String): StructType = {
+    val (fqn, paths) = SharingProtocol.resolve(url)
+    val dirs = SharingProtocol.committedFeedDirs(fqn, paths.head, 0L)
+    if (dirs.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
+    sqlContext.sparkSession.read.option("mergeSchema", "true")
+      .parquet(dirs: _*).schema
+  }
+}
+
+private[sources] class SharingCdcSource(sqlContext: SQLContext, url: String,
+    startingVersion: Long, override val schema: StructType) extends Source {
+
+  // resolve once: the share grant is fixed for the stream's lifetime
+  // (re-grants mint new profiles); the MANIFEST is re-read per trigger
+  private val (fqn, root) = {
+    val (f, paths) = SharingProtocol.resolve(url)
+    (f, paths.head)
+  }
+
+  private def committedVersions: Seq[Long] =
+    SharingProtocol.committedFeedDirs(fqn, root, startingVersion)
+      .flatMap(d => """v=(\d+)$""".r.findFirstMatchIn(d).map(_.group(1).toLong))
+      .sorted
+
+  // any Offset flavor (LongOffset live, SerializedOffset from the
+  // checkpoint log on restart) — LongOffset's json is the plain number
+  private def ver(o: Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[Offset] =
+    committedVersions.lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(ver(_) + 1L).getOrElse(startingVersion)
+    val hi = ver(end)
+    val dirs = SharingProtocol.committedFeedDirs(fqn, root, math.max(lo, startingVersion))
+      .filter(d => """v=(\d+)$""".r.findFirstMatchIn(d)
+        .exists(_.group(1).toLong <= hi))
+    val session = sqlContext.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (dirs.isEmpty) {
+      // an empty range (e.g. replay alignment at restart) must still be
+      // a streaming-flagged plan with this source's schema
+      return org.apache.spark.sql.GraftInternalAccess.ofRows(session,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+          Nil, isStreaming = true))
+    }
+    // the batch IS a native parquet relation over exactly the committed
+    // dirs in (start, end] — flagged isStreaming so it slots into the
+    // incremental plan (the FileStreamSource.getBatch pattern)
+    val relation = DataSource(
+      sparkSession = session,
+      paths = dirs,
+      userSpecifiedSchema = Some(schema),
+      className = "parquet",
+      options = Map("mergeSchema" -> "true")).resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.GraftInternalAccess.ofRows(session,
+      LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def stop(): Unit = ()
+}

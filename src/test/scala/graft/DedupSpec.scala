@@ -360,6 +360,45 @@ class DedupSpec extends SparkSpec {
       s"gated pairs must be exactly the genuine overlap, got $gated")
   }
 
+  test("hot-bucket salting: a planted hot bucket spreads across salts; pair output unchanged") {
+    import graft.ops.SaltedJoin
+    // unit level: 400-row hot key vs 10-row cold key, threshold 256 (the
+    // HotBucketRows default). Salting must (a) keep the joined multiset
+    // identical to the plain join and (b) spread the hot key's probe rows
+    // across salts so no reducer holds the whole k² bucket.
+    val rows = (0 until 400).map(i => ("H", i.toLong)) ++
+      (0 until 10).map(i => ("C", 1000L + i))
+    val df = rows.toDF("k", "id")
+    val a = df.select(col("k"), col("id").as("a_id"))
+    val b = df.select(col("k"), col("id").as("b_id"))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+    val plain = a.join(b, Seq("k")).select("k", "a_id", "b_id")
+      .collect().map(key).sorted
+    val salted = SaltedJoin.hotOnly(a, b, Seq("k"), 8, 256)
+      .select("k", "a_id", "b_id").collect().map(key).sorted
+    assert(salted.length == 400 * 400 + 10 * 10, s"pair count: ${salted.length}")
+    assert(salted.sameElements(plain), "salted join must equal the plain join")
+    // salt spread bounds per-(key, salt) probe rows at ~k/saltFactor
+    val aH = a.filter(col("k") === "H")
+    val perSalt = aH.groupBy(SaltedJoin.rowSalt(aH, 8).as("s")).count()
+      .collect().map(r => r.getLong(1))
+    assert(perSalt.length >= 6, s"400 rows should reach most of 8 salts: ${perSalt.length}")
+    assert(perSalt.max <= 400 / 2,
+      s"per-salt bucket share must be a fraction of the hot bucket: ${perSalt.max}")
+
+    // pipeline level: 300 identical docs put 300 rows in every d3 band
+    // bucket (> HotBucketRows = 256), so lshPairs' hotOnly engages; all
+    // C(300,2) pairs must still form exactly once, at est_sim 1.0
+    val n = 300
+    val text = "the quick brown fox jumps over the lazy dog tonight again"
+    val docs = (0 until n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = graft.queries.Dedup.lshPairs(docs)
+    assert(pairs.count() == n.toLong * (n - 1) / 2,
+      "every identical-doc pair must form exactly once under salting")
+    val minSim = pairs.agg(min(col("est_sim"))).collect()(0).getDouble(0)
+    assert(minSim == 1.0, s"identical docs must estimate sim 1.0, got $minSim")
+  }
+
   test("persistent admission: a VersionedTable-backed winnow index survives runs") {
     // d14's epoch loop productionized across PROCESS lifetimes: the
     // winnow fingerprint index lives in a versioned table; each batch

@@ -102,8 +102,9 @@ class EmbeddingsSpec extends SparkSpec {
     assert(dim == Seq(graft.queries.Embeddings.EmbDim),
       s"embedding dim $dim != baked-in ${graft.queries.Embeddings.EmbDim}")
     // the corpus contract the normalize pipelines rely on: a zero-norm
-    // vector would abort loudly there (ANSI division) — catch it here
-    // with the actual cause first
+    // vector would abort the normalize there (Spark 4 ANSI raises
+    // DIVIDE_BY_ZERO for double 0/0 — pinned below) — catch it here with
+    // the actual cause first; e8/CorpusContract is the production gate
     val zeroNorm = graft.core.Tables.embeddings(spark, sf)
       .filter(expr(
         "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) = 0.0"))
@@ -123,6 +124,64 @@ class EmbeddingsSpec extends SparkSpec {
     // SF — a drop below this gate means the hyperplane bucketing broke,
     // not noise (everything in the pipeline is deterministic).
     assert(recall >= 0.7, f"ANN recall@5 $recall%.3f below the 0.7 gate")
+  }
+
+  test("e8 pre-flight contract: clean corpus validates, poisoned corpus is caught before any ranking") {
+    import graft.ops.CorpusContract
+    // clean shipped testdata passes the gate
+    val clean = SparkEntry.queries("e8_corpus_contract")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(clean.getBoolean(6), s"shipped testdata failed the corpus contract: $clean")
+    assert(clean.getLong(0) > 0)
+    CorpusContract.assertValid(
+      graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001"), "embedding", 64)
+    // poisoned corpus: one violation per class, plus one good row
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    val good = Array.tabulate(64)(i => (i + 1).toFloat)
+    Seq(
+      (1L, Array.fill(64)(0f), 0),                       // zero norm
+      (2L, Array(1f, 2f), 0),                            // wrong dim
+      (3L, good.updated(7, Float.NaN), 0),               // NaN component
+      (4L, good.updated(3, Float.PositiveInfinity), 0),  // Inf component
+      (5L, good, 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("e8_corpus_contract")(spark, dir).collect()(0)
+    assert(r.getLong(0) == 5L, s"n_vecs: $r")
+    assert(r.getLong(3) == 1L, s"n_bad_dim: $r")
+    assert(r.getLong(4) == 2L, s"n_nonfinite (NaN + Inf): $r")
+    assert(r.getLong(5) == 1L, s"n_zero_norm: $r")
+    assert(!r.getBoolean(6), "poisoned corpus must fail validation")
+    val ex = intercept[IllegalStateException] {
+      CorpusContract.assertValid(
+        graft.core.Tables.embeddings(spark, dir), "embedding", 64)
+    }
+    assert(ex.getMessage.contains("zero-norm") && ex.getMessage.contains("wrong-dim"),
+      s"error must name the violation classes: ${ex.getMessage}")
+  }
+
+  test("NaN posture: ANSI double 0/0 aborts; x/NaN and floor(NaN) are SILENT — why !isnan filters exist") {
+    // pins the three ANSI/IEEE facts the Embeddings comments and guards
+    // rely on, so a Spark upgrade that changes any of them surfaces here
+    // first. (1) double division by zero DOES raise under Spark 4 ANSI —
+    // a zero-norm vector aborts the normalize loudly:
+    val divThrown = intercept[Exception] {
+      Seq((Array(1.0f, 2.0f), 0.0)).toDF("v", "nrm")
+        .select(transform($"v", x => x.cast("double") / $"nrm").as("ne")).collect()
+    }
+    assert(divThrown.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"double 0/0 must raise ANSI DIVIDE_BY_ZERO: ${divThrown.getMessage.take(120)}")
+    // (2) division BY NaN propagates silently (no error) — a NaN/Inf
+    // embedding component reaches the rankings as a NaN cosine, and NaN
+    // tops Double.compare; this is the path the !isnan filters close:
+    val nanQ = Seq((1.0, Double.NaN)).toDF("a", "b")
+      .select(($"a" / $"b").as("q")).collect()(0).getDouble(0)
+    assert(nanQ.isNaN, "x/NaN must propagate NaN silently")
+    // (3) floor(NaN) is silently 0L, not an error — e3's NaN pairs drop
+    // at the >= 0.3 threshold instead of aborting or emitting:
+    val f = Seq(Double.NaN).toDF("x")
+      .select(floor($"x" * 1000000).as("f")).collect()(0).getLong(0)
+    assert(f == 0L, s"floor(NaN) expected silent 0, got $f")
   }
 
   test("e6 k-means step: planted geometry assigns and averages exactly") {

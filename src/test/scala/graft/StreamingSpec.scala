@@ -526,4 +526,70 @@ class StreamingSpec extends SparkSpec {
     assert(pass(ckpt2, from = 1L) == Seq(1L, 2L),
       "startingVersion=1 from a fresh checkpoint must skip the v0 seed")
   }
+
+  test("graftSharingCdc streaming source: offsets ARE manifest versions; exactly-once across restarts") {
+    // the TRUE streaming upgrade of committedChangeBatches: a real
+    // Structured Streaming source whose getOffset reads the commit
+    // manifest, run through Spark's own checkpointed offset log — so
+    // staged-but-uncommitted dirs are invisible to readStream too, and a
+    // restart resumes exactly-once with no recipient-side bookkeeping
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.SharingProtocol
+    val sf = "/root/testdata/sf0.001"
+    val root = graft.queries.Governance.buildCdfCustomerTable(spark, sf)
+    val endpoint = java.nio.file.Files.createTempDirectory("graft_cdcsrc_ep_").toString
+    val profile = SharingProtocol.publishLocal(
+      endpoint, "s", "db", "cust_cdf", root, "tok")
+    val url = s"$profile#s.db.cust_cdf"
+    val t = new graft.maint.VersionedTable(spark, root)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcsrc_ck_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cdcsrc_out_").toString + "/sink"
+
+    // a writer mid-commit BEFORE the stream ever starts: feed dir staged,
+    // no manifest line — the glob path would leak it into batch 0
+    spark.read.parquet(s"$root/_changes/v=1").write.parquet(s"$root/_changes/v=7")
+
+    def runOnce(checkpoint: String = ckpt, sink: String = out,
+        opts: Map[String, String] = Map.empty): Unit = {
+      val reader = spark.readStream.format("graftSharingCdc").option("url", url)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def versions(sink: String = out): Map[Long, Long] =
+      spark.read.parquet(sink).groupBy("_commit_version").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def directCounts: Map[Long, Long] =
+      t.changeFeed(0).groupBy("_commit_version").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    runOnce()
+    assert(versions() == directCounts,
+      s"first run must deliver exactly the committed feed: ${versions()} vs $directCounts")
+    assert(!versions().contains(7L), "staged-but-uncommitted v=7 must be invisible")
+
+    // nothing new => restart delivers nothing (offset log holds)
+    runOnce()
+    assert(versions() == directCounts, "idle restart must not redeliver")
+
+    // a new commit lands; restart picks up ONLY it — each version still
+    // delivered exactly once end to end
+    val c = graft.core.Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
+    t.writeWithChangeFeed(c.filter(col("c_custkey") % 11 =!= 0),
+      Seq("c_custkey"), "merge", "2001-09-03 00:00:00")
+    runOnce()
+    assert(versions() == directCounts,
+      s"post-commit restart must append exactly v=2: ${versions()} vs $directCounts")
+    assert(versions().keySet.contains(2L))
+
+    // startingVersion from a fresh checkpoint cuts the seed
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdcsrc_ck2_").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cdcsrc_out2_").toString + "/sink"
+    runOnce(ckpt2, out2, Map("startingVersion" -> "1"))
+    assert(versions(out2) == directCounts.filter(_._1 >= 1L),
+      s"startingVersion=1 must skip the v0 seed: ${versions(out2)}")
+  }
 }

@@ -1289,6 +1289,99 @@ class VersionedTableSpec extends SparkSpec {
       "second increment must rewrite only the newest append")
     assert(t.read().count() == 950)
   }
+
+  test("race: appends concurrent with clusterIncremental lose no rows and never double-cluster") {
+    // both paths are commitWithCarry retry loops: a loser must re-derive
+    // its work against the winner's head (the appendImpl bootstrap race,
+    // one level up). An append landing mid-cluster must survive into the
+    // final table exactly once, and the increment that retried over it
+    // must treat it as unclustered work — never carry a stale listing.
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val t = freshTable()
+    t.write((0 until 400).map(i => (i, i % 97)).toDF("id", "k")) // v0
+    t.clusterIncremental(Seq("k"), numFiles = 2)                 // clustered baseline
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (0 until 4).foreach { round =>
+        val base = 1000 + round * 100
+        val fCluster = pool.submit(new Callable[Long] {
+          def call(): Long = t.clusterIncremental(Seq("k"), numFiles = 2)
+        })
+        val fAppend = pool.submit(new Callable[Long] {
+          def call(): Long =
+            t.append((base until base + 100).map(i => (i, i % 97)).toDF("id", "k"))
+        })
+        fCluster.get(120, TimeUnit.SECONDS)
+        fAppend.get(120, TimeUnit.SECONDS)
+        val ids = t.read().select("id").collect().map(_.getInt(0))
+        assert(ids.length == 400 + (round + 1) * 100,
+          s"round $round lost/duplicated rows: ${ids.length}")
+        assert(ids.distinct.length == ids.length,
+          s"round $round double-clustered ${ids.length - ids.distinct.length} rows")
+      }
+    } finally pool.shutdown()
+    // convergence: one more increment absorbs any straggler append, then
+    // the clustered head is a no-op; skipping stays lossless end to end
+    val v = t.clusterIncremental(Seq("k"), numFiles = 2)
+    assert(t.clusterIncremental(Seq("k"), numFiles = 2) == v,
+      "fully clustered head must be a no-op")
+    assert(t.read().count() == 800 && t.countFast() == 800)
+    val viaStats = t.readWhere("k", 10, 40).select("id")
+    assert(viaStats.except(
+      t.read().filter(col("k").between(10, 40)).select("id")).isEmpty,
+      "stats skipping lost rows after the race")
+  }
+
+  test("footer-derived commit stats engage and equal the scan formulation") {
+    // the commit's stats fast path: min/max/count lifted straight from
+    // the parquet footers the data write produced — no Spark job, no
+    // second data scan. Must be byte-equal to the aggregation scan it
+    // replaces (carry commits union rows from both paths).
+    val root = Files.createTempDirectory("graft_fstat_").toString + "/t"
+    val t = new VersionedTable(spark, root)
+    val df = Seq(
+        (1L, 10, 1.5, "alpha", true, 3.5f),
+        (2L, -4, 2.25, "Ωmega", false, -1.0f), // non-ASCII exercises UTF8 byte order
+        (3L, 7, -0.5, "beta", true, 9.75f),
+        (4L, 0, 8.125, "zz", false, 0.25f))
+      .toDF("l", "i", "d", "s", "b", "f")
+      .withColumn("dec", (col("l") * 117 + lit(0.25)).cast("decimal(18,2)"))
+      .withColumn("ts", to_timestamp(concat(lit("2001-09-0"), pmod(col("i"), lit(5)) + 1,
+        lit(" 12:34:56.789012"))))
+      .withColumn("ntz", col("ts").cast("timestamp_ntz"))
+      .withColumn("dt", to_date(lit("1999-12-31")))
+      .withColumn("ln", lit(null).cast("long")) // all-null stats column
+      .repartition(3, col("l"))                 // several files
+    t.write(df)
+    val readBack = spark.read.parquet(s"$root/v=0")
+    val statCols = readBack.schema.fields.map(_.name).toSeq
+    val foot = VersionedTable.footerStats(spark, s"$root/v=0", readBack.schema, statCols)
+    assert(foot.isDefined, "footer fast path must engage for this mixed-type table")
+    assert(foot.get._1 == 4L, s"footer row count: ${foot.get._1}")
+    val file = url_decode(regexp_replace(
+      regexp_replace(input_file_name(), "^.*/v=0/", ""), "\\+", "%2B"))
+    val scan = readBack.groupBy(file.as("file"))
+      .agg(count(lit(1L)).as("cnt"),
+        struct(statCols.map(c => min(col(c)).as(c)): _*).as("mins"),
+        struct(statCols.map(c => max(col(c)).as(c)): _*).as("maxs"))
+      .orderBy("file").collect().toSeq
+    val stored = spark.read.parquet(s"$root/_stats/v=0")
+      .orderBy("file").collect().toSeq
+    assert(stored == scan,
+      s"footer stats must equal scan stats:\n  stored=$stored\n  scan  =$scan")
+
+    // NaN gate: a NaN-bearing double chunk makes footer bounds unreliable
+    // (PARQUET-1222) — the gate must decline and the commit fall back to
+    // the scan, still producing correct stats
+    val root2 = Files.createTempDirectory("graft_fstat2_").toString + "/t"
+    val t2 = new VersionedTable(spark, root2)
+    t2.write(Seq((1L, 1.0), (2L, Double.NaN)).toDF("l", "d"))
+    val rb2 = spark.read.parquet(s"$root2/v=0")
+    assert(VersionedTable.footerStats(spark, s"$root2/v=0", rb2.schema, Seq("l", "d")).isEmpty,
+      "NaN chunk must fail the footer gate")
+    val s2 = spark.read.parquet(s"$root2/_stats/v=0")
+    assert(s2.agg(sum(col("cnt"))).collect()(0).getLong(0) == 2L)
+  }
 }
 
 object VersionedTableSpec {
