@@ -72,11 +72,29 @@ object SaltedJoin {
     * one row per hot key) — for pipelines that already maintain per-key
     * frequencies (d12's winnow index keeps a df-per-fingerprint frame;
     * at 100 TB you'd feed a sample count or AQE shuffle statistics),
-    * saving hotOnly's detection scan over `large`. */
+    * saving hotOnly's detection scan over `large`.
+    *
+    * ADAPTIVE: the hot-key set is collected driver-side first — it is
+    * metadata-sized by construction (only keys whose row count exceeds
+    * a skew threshold), and the collect is the same aggregate the
+    * broadcast would have materialized anyway. When it is EMPTY (the
+    * common, unskewed case) the plain equi-join is returned verbatim —
+    * no membership joins, no `_salt` in the shuffle key, zero plan
+    * overhead — the AQE-style "decide from statistics at the
+    * boundary" pattern. When hot keys exist, only then does the salted
+    * plan materialize. */
   def hotOnlyPrecomputed(large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int, hotKeyFrame: DataFrame): DataFrame = {
     require(keys.nonEmpty && saltFactor > 0)
-    val hotKeys = hotKeyFrame.select(keys.map(col) :+ lit(true).as("_hot"): _*)
+    val hotRows = hotKeyFrame.select(keys.map(col): _*).collect()
+    if (hotRows.isEmpty) return large.join(small, keys)
+    val session = large.sparkSession
+    val hotKeys = session.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*),
+        org.apache.spark.sql.types.StructType(
+          keys.map(k => org.apache.spark.sql.types.StructField(
+            k, large.schema(k).dataType))))
+      .withColumn("_hot", lit(true))
     val hotSalt = rowSalt(large, saltFactor)
     val salted = large.join(broadcast(hotKeys), keys, "left")
       .withColumn("_salt", when(col("_hot"), hotSalt).otherwise(lit(0L)))

@@ -121,7 +121,9 @@ object Dedup extends QueryGroup {
     // cold buckets keep salt 0 and identical shuffle volume. Plan-only:
     // every pair still forms exactly once, so results and oracles are
     // unchanged (DedupSpec pins both the equality and the salt spread).
-    // The detection count scans the checkpointed `banded` once.
+    // The detection count scans the checkpointed `banded` once, and the
+    // decision is ADAPTIVE: no hot buckets (the shipped-testdata case)
+    // → the plain equi-join below, zero plan overhead.
     graft.ops.SaltedJoin
       .hotOnly(a, b, Seq("band_idx", "band_hash"), HotBucketSalt, HotBucketRows)
       .filter(col("a_id") < col("b_id"))

@@ -139,6 +139,30 @@ class PushdownSpec extends SparkSpec {
       s"no partial-mode aggregation in d12 plan:\n$p")
   }
 
+  test("hot-bucket salting plan: dormant on cold data; _salt joins the shuffle key on a hot bucket") {
+    // adaptive contract (SaltedJoin.hotOnlyPrecomputed): with no bucket
+    // over the threshold the pair join must be the PLAIN equi-join —
+    // zero salting overhead in the plan; with a planted hot bucket the
+    // shuffle key must widen with _salt (bounding per-reducer pair
+    // work) while staying an equi-join, never a nested loop
+    import spark.implicits._
+    val cold = graft.queries.Dedup.lshPairs(
+      Seq((1L, "alpha beta gamma delta epsilon"), (2L, "one two three four five"))
+        .toDF("doc_id", "text"))
+    val coldPlan = cold.queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("_salt"),
+      s"salting must be dormant without hot buckets:\n$coldPlan")
+    val hotDocs = (0 until 300).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog tonight again"))
+      .toDF("doc_id", "text")
+    val hot = graft.queries.Dedup.lshPairs(hotDocs)
+    val hotPlan = hot.queryExecution.executedPlan.toString
+    assert(hotPlan.contains("_salt"),
+      s"hot bucket must widen the join key with _salt:\n$hotPlan")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!hotPlan.contains(bad), s"$bad in salted plan:\n$hotPlan")
+  }
+
   test("aggregation combines map-side: a1 has partial HashAggregate below the exchange") {
     val p = plan("a1_customer_order_profile")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")
