@@ -45,7 +45,11 @@ object ScaleGen {
   }
 
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
-    require(factor >= 1)
+    // factor 27+ would give replica 26 a rot-0 (IDENTITY) cipher — a
+    // verbatim corpus copy, silently breaking the constant-density
+    // invariant this tool exists to enforce
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (Caesar rotations repeat at 26): $factor")
     writeDocs(spark, src, out, factor)
     writeEmbeddings(spark, src, out, factor)
     println(s"""{"scale_corpus":"$out","factor":$factor,"docs":${

@@ -86,6 +86,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       deletePredicates ++ partitionBy
     require(strFields.forall(s => !s.contains("\"")),
       s"manifest string fields must not contain '\"' (unescaped format): $strFields")
+    // a newline/CR would SPLIT the appended line: the fragment fails the
+    // version regex on every later read and bricks the table permanently
+    require(strFields.forall(s => !s.exists(c => c == '\n' || c == '\r')),
+      s"manifest string fields must not contain line breaks: $strFields")
     require((deletePredicates ++ partitionBy).forall(s => !s.contains("]")),
       "manifest list elements must not contain ']' (regex list parser " +
         s"would truncate): ${deletePredicates ++ partitionBy}")

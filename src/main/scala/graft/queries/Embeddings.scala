@@ -539,8 +539,6 @@ object Embeddings extends QueryGroup {
           // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
           // disables codegen subexpression elimination, so the 64-element
           // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector yields NaN components
-          // here (0.0/0.0 is NaN per IEEE 754 — double division does NOT
           // measured 4x on e5. A zero-norm vector aborts loudly here
           // (ANSI DIVIDE_BY_ZERO covers double 0/0 — EmbeddingsSpec pins
           // it); a NaN/Inf component instead propagates a NaN cosine

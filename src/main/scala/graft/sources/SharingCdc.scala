@@ -59,6 +59,15 @@ class SharingCdcStreamSource extends StreamSourceProvider with DataSourceRegiste
 }
 
 private[sources] object SharingCdcSource {
+  // sourceSchema (at load()) and createSource (at stream start) both
+  // need the schema; memoize the footer-read result keyed by the
+  // COMMITTED dir set, so the second call costs one manifest read
+  // instead of re-reading every feed version's footers — and a
+  // mergeSchema commit between calls changes the key, invalidating
+  // the entry instead of pinning a stale schema
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** Merged schema across ALL committed feed versions — a mergeSchema
     * commit adds columns to later feeds; pinning one version's schema
     * would silently drop them (footer-only work, ∝ committed versions). */
@@ -66,8 +75,9 @@ private[sources] object SharingCdcSource {
     val (fqn, paths) = SharingProtocol.resolve(url)
     val dirs = SharingProtocol.committedFeedDirs(fqn, paths.head, 0L)
     if (dirs.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
-    sqlContext.sparkSession.read.option("mergeSchema", "true")
-      .parquet(dirs: _*).schema
+    schemaMemo.computeIfAbsent(url + "|" + dirs.mkString(","), _ =>
+      sqlContext.sparkSession.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).schema)
   }
 }
 

@@ -1332,6 +1332,21 @@ class VersionedTableSpec extends SparkSpec {
       "stats skipping lost rows after the race")
   }
 
+  test("manifest serializer rejects quotes, ']' and line breaks before anything is written") {
+    // the manifest is line-oriented JSON parsed by regex with no
+    // unescaping: '\"' breaks the line, ']' truncates list fields, and a
+    // newline SPLITS the entry — the fragment would fail the version
+    // regex on every later read and brick the table. All three must be
+    // rejected at write time, with the table left readable.
+    val t = freshTable()
+    t.write(Seq((1, "a")).toDF("id", "v"))
+    for (bad <- Seq("v = 'a\"b'", "tags[1] = 'x'", "v = 'a\nb'", "v = 'a\rb'")) {
+      intercept[IllegalArgumentException](t.deleteWhere(bad))
+    }
+    assert(t.read().count() == 1 && t.versions == Seq(0L),
+      "rejected predicates must leave the table untouched")
+  }
+
   test("footer-derived commit stats engage and equal the scan formulation") {
     // the commit's stats fast path: min/max/count lifted straight from
     // the parquet footers the data write produced — no Spark job, no
