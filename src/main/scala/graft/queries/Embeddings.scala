@@ -64,24 +64,37 @@ object Embeddings extends QueryGroup {
       if (graft.functions.TextFunctions.portableHash60(s"$p:$i") % 2 == 0) 1.0 else -1.0
     }
 
-  /** Deterministic √N centroid/codebook sample for d8/e4/e5: admit
-    * vec_ids with pmod(portableHash(vec_id), n_vecs) < k_cent, where
-    * k_cent = ceil(√n_vecs). Unlike the previous `vec_id % 20` rule
-    * (sample grows linearly with the corpus), the admitted count tracks
-    * √N — at 100 TB the codebook stays bounded while cluster sizes grow
-    * as √N, the standard IVF sizing (SCALE.md's claim, now implemented).
-    * The (n_vecs, k_cent) scalars ride in as a broadcast 1-row aggregate
-    * computed from `counted` (one row per vector) — no driver-side
-    * count(), no collect. `df` is the frame to gate (may be multi-row
-    * per vec_id, e.g. e5's subspace slices). Deterministic under any
-    * partitioning; the DuckDB oracle applies [[sqlCentGate]], the exact
-    * same rule. */
+  /** Hard ceiling on the √N centroid/codebook sample: beyond ~65k
+    * vectors the sample stops growing, capping d8/e4 assignment at
+    * N·256 and e5's encode at N·16·256 — strictly LINEAR in the corpus
+    * (k=256 per subspace is the standard production PQ codebook sizing;
+    * past the cap, recall is bought with probes/shortlist depth or
+    * two-level assignment, not centroid count). Below the cap the √N
+    * rule keeps recall honest on small corpora. Mirrored literally in
+    * [[sqlCentStats]]. */
+  private[graft] val MaxCentroids = 256L
+
+  /** Deterministic min(√N, [[MaxCentroids]]) centroid/codebook sample
+    * for d8/e4/e5: admit vec_ids with
+    * pmod(portableHash(vec_id), n_vecs) < k_cent, where
+    * k_cent = min(ceil(√n_vecs), MaxCentroids). Unlike the previous
+    * `vec_id % 20` rule (sample grows linearly with the corpus), the
+    * admitted count tracks √N and then CAPS — at 100 TB the codebook is
+    * bounded and every sampling consumer is linear in the corpus
+    * (SCALE.md's measured-exponents section: e5's 1.08 tail is the √N
+    * term this cap removes at scale). The (n_vecs, k_cent) scalars ride
+    * in as a broadcast 1-row aggregate computed from `counted` (one row
+    * per vector) — no driver-side count(), no collect. `df` is the
+    * frame to gate (may be multi-row per vec_id, e.g. e5's subspace
+    * slices). Deterministic under any partitioning; the DuckDB oracle
+    * applies [[sqlCentGate]], the exact same rule. */
   private[graft] def sqrtSample(df: org.apache.spark.sql.DataFrame,
       counted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.crossJoin(broadcast(counted
         .agg(count(lit(1)).as("n_vecs"))
         .select(col("n_vecs"),
-          ceil(sqrt(col("n_vecs"))).cast("long").as("k_cent"))))
+          least(ceil(sqrt(col("n_vecs"))).cast("long"),
+            lit(MaxCentroids)).as("k_cent"))))
       .filter(pmod(graft.functions.TextFunctions.portableHash(
         col("vec_id").cast("string"), "cent:"), col("n_vecs")) < col("k_cent"))
       .drop("n_vecs", "k_cent")
@@ -93,7 +106,7 @@ object Embeddings extends QueryGroup {
 
   /** DuckDB twin of the broadcast (n_vecs, k_cent) stats row. */
   private[graft] val sqlCentStats =
-    "(SELECT count(*) AS n_vecs, CAST(ceil(sqrt(count(*))) AS BIGINT) AS k_cent FROM embeddings) stats"
+    s"(SELECT count(*) AS n_vecs, least(CAST(ceil(sqrt(count(*))) AS BIGINT), $MaxCentroids) AS k_cent FROM embeddings) stats"
 
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.

@@ -184,6 +184,19 @@ class EmbeddingsSpec extends SparkSpec {
     assert(f == 0L, s"floor(NaN) expected silent 0, got $f")
   }
 
+  test("sqrtSample caps the centroid/codebook sample at MaxCentroids past ~65k vectors") {
+    // below the cap: ~sqrt(N) admitted (recall-honest small-corpus rule);
+    // above it: bounded at MaxCentroids=256, making d8/e4 assignment and
+    // e5 encode strictly linear in the corpus (the SCALE.md story)
+    val big = spark.range(70000).select(col("id").as("vec_id"))
+    val capped = graft.queries.Embeddings.sqrtSample(big, big).count()
+    assert(capped >= 150 && capped <= 400,
+      s"70k-corpus sample must sit near the 256 cap, not ceil(sqrt)=265+: $capped")
+    val small = spark.range(100).select(col("id").as("vec_id"))
+    val s = graft.queries.Embeddings.sqrtSample(small, small).count()
+    assert(s >= 3 && s <= 25, s"100-corpus sample must track sqrt(100): $s")
+  }
+
   test("e6 k-means step: planted geometry assigns and averages exactly") {
     // seeds are the 8 lowest vec_ids: seed i sits at x = 10i; member 8+i
     // sits at x = 10i + 1, unambiguously nearest seed i. Every cluster
