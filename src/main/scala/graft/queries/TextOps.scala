@@ -904,7 +904,166 @@ object TextOps extends QueryGroup {
                CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
                     // count(*) AS BIGINT) AS novelty_ppm
         FROM f JOIN df ON df.h = f.h
-        GROUP BY f.doc_id"""))
+        GROUP BY f.doc_id""")),
+
+    // T20: HYBRID retrieval by example — the fusion step every modern
+    // retrieval/curation stack runs on top of its lexical and vector
+    // indexes: given a query DOCUMENT (its text and its embedding), rank
+    // related corpus documents by Reciprocal Rank Fusion (Cormack et al.
+    // SIGIR'09, k=60) of (a) BM25 over the query's 8 rarest tokens and
+    // (b) embedding cosine — the query-by-example shape used to audit
+    // contamination and investigate near-dup clusters (find everything
+    // related to THIS doc, whether it shares words or only meaning).
+    //
+    // Determinism: both input ranks are total orders (integer-micro BM25
+    // desc + doc_id; raw cosine desc + doc_id — bit-identical sequential
+    // folds, the e1 contract), and the fused score is integer
+    // 1e6 div (60 + rank) per list — engine-exact, fully hash-checked.
+    //
+    // Scale: the query side is broadcast everywhere — query terms are
+    // capped at the 8 rarest (top-idf query reduction, the standard way
+    // to bound a lexical probe), so the corpus-side work is one
+    // token-keyed join touching only docs sharing a rare term; the
+    // semantic side here is e1's broadcast-query brute scan (at corpus
+    // scale you swap in e2/e4/e5 and the fusion is unchanged — it only
+    // ever sees two ≤50-row ranked lists per query); fusion itself is a
+    // full-outer join of bounded lists, ≤100 rows per query at any
+    // corpus size.
+    "t20_hybrid_rrf" -> QueryDef(
+      build = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        // query set: docs that have an embedding, id % 100 == 0
+        val qIds = broadcast(
+          Tables.embeddings(s, d).select(col("vec_id").as("q_id"))
+            .filter(col("q_id") % 100 === 0)
+            .join(Tables.documents(s, d).select(col("doc_id").as("q_id")),
+              Seq("q_id"), "left_semi"))
+        // ---- lexical list: BM25 over the query doc's 8 rarest tokens
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .localCheckpoint(true) // feeds dl, df, qtok and the probe join
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val totals = broadcast(dl.agg(
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+          count(lit(1)).cast("double").as("nd")))
+        val dfTab = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val qtok = broadcast(
+          tok.join(qIds, col("doc_id") === col("q_id"))
+            .select(col("q_id"), col("token")).distinct()
+            .join(dfTab, "token")
+            .withColumn("trn", row_number().over(
+              w.partitionBy(col("q_id")).orderBy(col("df").asc, col("token").asc)))
+            .filter(col("trn") <= 8)
+            .select("q_id", "token", "df"))
+        val lex = tok.join(qtok, "token")
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("doc_id"), col("token"), col("df"))
+          .agg(count(lit(1)).as("tf"))
+          .join(dl, "doc_id").crossJoin(totals)
+          .withColumn("micro",
+            floor((log(lit(1.0) + (col("nd") - col("df").cast("double") + 0.5) /
+                (col("df").cast("double") + 0.5)) *
+              ((col("tf").cast("double") * 2.2) /
+                (col("tf").cast("double") +
+                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+              * 1000000.0).cast("long"))
+          .groupBy("q_id", "doc_id").agg(sum(col("micro")).as("bm25"))
+          .withColumn("lex_rank", row_number().over(
+            w.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("lex_rank") <= 50)
+          .select("q_id", "doc_id", "lex_rank")
+        // ---- semantic list: cosine top-50 (e1's broadcast-query shape)
+        val vn = Tables.embeddings(s, d)
+          .transform(Tables.spread)
+          // plain norm (the family rule): zero-norm aborts under ANSI,
+          // NaN components drop at the !isnan filter; e8 is the gate
+          .withColumn("nrm", sqrt(call_function("vec_dot",
+            col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val qv = vn.join(qIds, col("vec_id") === col("q_id"))
+          .select(col("q_id"), col("ne").as("q_ne"))
+        val sem = vn.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(50)(col("cos"), col("doc_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("sem_rank"))
+        // ---- RRF fusion: integer micro contributions, missing list = 0
+        lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+          .withColumn("rn", row_number().over(
+            w.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("rn") <= 10)
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) AS DOUBLE) AS nd FROM dl),
+        dfx AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        q AS (SELECT e.vec_id AS q_id FROM embeddings e
+              JOIN documents doc ON doc.doc_id = e.vec_id
+              WHERE e.vec_id % 100 = 0),
+        qt0 AS (SELECT q.q_id, t.token, dfx.df,
+                  row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY dfx.df ASC, t.token ASC) AS trn
+                FROM q
+                JOIN (SELECT DISTINCT doc_id, token FROM tok) t ON t.doc_id = q.q_id
+                JOIN dfx ON dfx.token = t.token),
+        qtok AS (SELECT q_id, token, df FROM qt0 WHERE trn <= 8),
+        tf AS (SELECT qt.q_id, t.doc_id, qt.token, qt.df, count(*) AS tf
+               FROM tok t JOIN qtok qt ON qt.token = t.token
+               WHERE t.doc_id <> qt.q_id GROUP BY 1, 2, 3, 4),
+        bm AS (SELECT f.q_id, f.doc_id,
+                 CAST(sum(CAST(floor(
+                   (ln(1.0 + ((nd - CAST(f.df AS DOUBLE)) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+                    * ((CAST(f.tf AS DOUBLE) * 2.2) /
+                       (CAST(f.tf AS DOUBLE) +
+                         1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
+                   * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25
+               FROM tf f JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN tot
+               GROUP BY 1, 2),
+        lex AS (SELECT q_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+                FROM bm QUALIFY lex_rank <= 50),
+        n AS (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) AS ne
+              FROM embeddings),
+        qv AS (SELECT q.q_id, n.ne AS qe FROM q JOIN n ON n.vec_id = q.q_id),
+        cosall AS (SELECT qv.q_id, n.vec_id AS doc_id,
+                     list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * n.ne[i])) AS cos
+                   FROM qv CROSS JOIN n WHERE n.vec_id <> qv.q_id),
+        sem AS (SELECT q_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS sem_rank
+                FROM cosall QUALIFY sem_rank <= 50),
+        fused AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                    coalesce(l.doc_id, s.doc_id) AS doc_id,
+                    l.lex_rank, s.sem_rank,
+                    coalesce(CAST(1000000 // (60 + l.lex_rank) AS BIGINT), 0) +
+                      coalesce(CAST(1000000 // (60 + s.sem_rank) AS BIGINT), 0) AS rrf
+                  FROM lex l FULL OUTER JOIN sem s
+                    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+        SELECT q_id, doc_id, lex_rank, sem_rank,
+               CAST(rrf AS BIGINT) AS rrf_micro,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn
+        FROM fused QUALIFY rn <= 10"""))
   )
 
   /** t17's broadcast quota table: (source, n, quota) with

@@ -223,4 +223,52 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1000000L),
       s"novelty profile: $got")
   }
+
+  test("t20: RRF fuses lexical and semantic evidence; word-only and meaning-only docs both surface") {
+    // planted geometry around query doc 0 (id % 100 == 0, has embedding):
+    //   doc 1 — shares the words AND the embedding direction (true dup)
+    //   doc 2 — shares the words only (embedding orthogonal)
+    //   doc 3 — shares the meaning only (no common token, embedding close)
+    //   doc 4 — unrelated on both axes
+    val qText = "alpha beta gamma delta epsilon zeta"
+    val dir = Files.createTempDirectory("graft_t20_").toString
+    Seq(
+      (0L, qText),
+      (1L, qText + " eta theta"),
+      (2L, "zeta epsilon delta gamma beta alpha extra words here"),
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def vec(main: Int, lean: Double): Array[Float] = {
+      val a = Array.fill(64)(0f); a(main) = 1f
+      if (lean != 0.0) { a(0) = lean.toFloat; a(main) = math.sqrt(1 - lean * lean).toFloat }
+      a
+    }
+    Seq(
+      (0L, vec(0, 0.0), 0),   // query: e0 axis
+      (1L, vec(1, 0.99), 0),  // cos ~0.99 to query
+      (2L, vec(2, 0.0), 0),   // orthogonal
+      (3L, vec(3, 0.97), 0),  // cos ~0.97 to query
+      (4L, vec(4, 0.0), 0))   // orthogonal
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("t20_hybrid_rrf")(spark, dir).collect()
+    assert(rows.forall(_.getLong(0) == 0L), s"only doc 0 is a query: ${rows.toSeq}")
+    val byDoc = rows.map(r => r.getLong(1) ->
+      ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(5)))).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L), s"all corpus docs fuse: $byDoc")
+    // the both-axes doc wins the fusion
+    assert(byDoc(1L)._3 == 1L, s"doc 1 (words + meaning) must fuse to rank 1: $byDoc")
+    // word-only doc: lexical rank present, semantic far (orthogonal)
+    assert(byDoc(2L)._1.nonEmpty, s"doc 2 must appear in the lexical list: $byDoc")
+    // meaning-only doc: NO lexical rank (zero shared tokens), strong sem
+    assert(byDoc(3L)._1.isEmpty && byDoc(3L)._2.contains(2L),
+      s"doc 3 must be semantic-only at sem rank 2: $byDoc")
+    // RRF dominance ordering: fused rank of doc 3 beats doc 4 (unrelated)
+    assert(byDoc(3L)._3 < byDoc(4L)._3, s"meaning-only must out-fuse unrelated: $byDoc")
+  }
 }
