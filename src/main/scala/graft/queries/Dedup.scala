@@ -957,7 +957,12 @@ object Dedup extends QueryGroup {
     val fp = winnowFps(Tables.spread(
         Tables.documents(s, d).select(col("doc_id"), col("text"))))
       .localCheckpoint(true)
-    WinnowIndex(fp, fp.groupBy("h").agg(count(lit(1)).as("df")))
+    // df materialized too: d12 consumes it twice since round 8 (the
+    // kept-fingerprint semi-join AND the hot-bucket detection collect),
+    // and t19 joins it — without the checkpoint each consumer re-runs
+    // the groupBy over fp (8-byte rows, so the materialization is tiny)
+    WinnowIndex(fp, fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true))
   }
 
   /** The d12 pair pipeline (shared with d13): winnow fingerprints →

@@ -1063,7 +1063,8 @@ object TextOps extends QueryGroup {
                CAST(rrf AS BIGINT) AS rrf_micro,
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn
-        FROM fused QUALIFY rn <= 10"""))
+        FROM fused QUALIFY rn <= 10"""),
+      bench = true)
   )
 
   /** t17's broadcast quota table: (source, n, quota) with
