@@ -943,8 +943,14 @@ object Dedup extends QueryGroup {
     *  - `df(h, df)`: per-fingerprint document frequency — t19's novelty
     *    denominator and d12's hot-fingerprint gate are the same frame.
     */
-  private[graft] final case class WinnowIndex(
-      fp: org.apache.spark.sql.DataFrame, df: org.apache.spark.sql.DataFrame)
+  private[graft] final class WinnowIndex(val fp: org.apache.spark.sql.DataFrame) {
+    /** Per-fingerprint document frequency — LAZY so consumers that read
+      * only `fp` (d14's sequential admission, st14) never pay the
+      * groupBy + materialization; the consumers that do read it (d12's
+      * cap + hot-bucket detection, t19) share one checkpointed copy. */
+    lazy val df: org.apache.spark.sql.DataFrame =
+      fp.groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint(true)
+  }
 
   /** Winnow fingerprint extraction over a (doc_id, text[, ...]) frame —
     * the single kernel call every winnow consumer shares. */
@@ -953,17 +959,10 @@ object Dedup extends QueryGroup {
     docs.select(col("doc_id"), explode(winnowFingerprints(col("text"))).as("h"))
 
   private[graft] def winnowIndex(
-      s: org.apache.spark.sql.SparkSession, d: String): WinnowIndex = {
-    val fp = winnowFps(Tables.spread(
+      s: org.apache.spark.sql.SparkSession, d: String): WinnowIndex =
+    new WinnowIndex(winnowFps(Tables.spread(
         Tables.documents(s, d).select(col("doc_id"), col("text"))))
-      .localCheckpoint(true)
-    // df materialized too: d12 consumes it twice since round 8 (the
-    // kept-fingerprint semi-join AND the hot-bucket detection collect),
-    // and t19 joins it — without the checkpoint each consumer re-runs
-    // the groupBy over fp (8-byte rows, so the materialization is tiny)
-    WinnowIndex(fp, fp.groupBy("h").agg(count(lit(1)).as("df"))
       .localCheckpoint(true))
-  }
 
   /** The d12 pair pipeline (shared with d13): winnow fingerprints →
     * hot-fingerprint df gate ([[WinnowMaxDf]]) → per-fingerprint bucket

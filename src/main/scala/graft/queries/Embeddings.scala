@@ -28,15 +28,15 @@ object Embeddings extends QueryGroup {
     * `aggregate(zip_with(...))` formulation and DuckDB's `list_sum`
     * (bit-identical), but compiled to a primitive loop inside whole-stage
     * codegen instead of per-element lambda interpretation. */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     call_function("vec_dot",
       a.cast("array<double>"), b.cast("array<double>"))
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 
   private val sqlDot =
     "list_sum(list_transform(range(1, len(%s)+1), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
-  private def sqlDotOf(a: String, b: String) = sqlDot.format(a, a, b)
+  private[graft] def sqlDotOf(a: String, b: String) = sqlDot.format(a, a, b)
 
   private val LshBits = 8
 

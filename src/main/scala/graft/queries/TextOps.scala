@@ -667,57 +667,29 @@ object TextOps extends QueryGroup {
     // IS the inverted index: build once, broadcast the query slice.
     "t16_bm25_retrieval" -> QueryDef(
       build = (s, d) => {
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-          .localCheckpoint(true)
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val totals = broadcast(dl.agg(
-          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
-          count(lit(1)).cast("double").as("nd")))
-        val dfTab = tok.select("doc_id", "token").distinct()
-          .groupBy("token").agg(count(lit(1)).as("df"))
-        val qterms = broadcast(dfTab.filter(length(col("token")) >= 6)
+        val c = bm25Corpus(s, d)
+        val qterms = broadcast(c.dfTab.filter(length(col("token")) >= 6)
           .orderBy(col("df").desc, col("token").asc).limit(3))
-        val tf = tok.join(qterms, "token")
+        val tf = c.tok.join(qterms, "token")
           .groupBy(col("doc_id"), col("token"), col("df"))
           .agg(count(lit(1)).as("tf"))
-        tf.join(dl, "doc_id")
-          .crossJoin(totals)
-          .withColumn("idf",
-            log(lit(1.0) + (col("nd") - col("df").cast("double") + 0.5) /
-              (col("df").cast("double") + 0.5)))
-          .withColumn("micro",
-            floor((col("idf") *
-              ((col("tf").cast("double") * 2.2) /
-                (col("tf").cast("double") +
-                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-              * 1000000.0).cast("long"))
+        tf.join(c.dl, "doc_id")
+          .crossJoin(c.totals)
+          .withColumn("micro", bm25Micro)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("bm25_micro"))
           .orderBy(col("bm25_micro").desc, col("doc_id").asc)
           .limit(20)
       },
       oracle = Some(s"""
-        WITH tok AS (
-          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        tot AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-                       CAST(count(*) AS DOUBLE) AS nd FROM dl),
-        df AS (SELECT token, count(*) AS df
-               FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
-        q AS (SELECT token, df FROM df WHERE length(token) >= 6
+        WITH $sqlBm25Ctes,
+        q AS (SELECT token, df FROM dfx WHERE length(token) >= 6
               ORDER BY df DESC, token ASC LIMIT 3),
         tf AS (SELECT t.doc_id, t.token, q.df, count(*) AS tf
                FROM tok t JOIN q ON t.token = q.token
                GROUP BY 1, 2, 3),
         scored AS (
-          SELECT f.doc_id,
-                 CAST(floor(
-                   (ln(1.0 + ((nd - CAST(f.df AS DOUBLE)) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-                    * ((CAST(f.tf AS DOUBLE) * 2.2) /
-                       (CAST(f.tf AS DOUBLE) +
-                         1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
-                   * 1000000.0) AS BIGINT) AS micro
+          SELECT f.doc_id, $sqlBm25Micro AS micro
           FROM tf f JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN tot)
         SELECT doc_id, count(*) AS n_terms,
                CAST(sum(micro) AS BIGINT) AS bm25_micro
@@ -939,48 +911,36 @@ object TextOps extends QueryGroup {
             .join(Tables.documents(s, d).select(col("doc_id").as("q_id")),
               Seq("q_id"), "left_semi"))
         // ---- lexical list: BM25 over the query doc's 8 rarest tokens
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-          .localCheckpoint(true) // feeds dl, df, qtok and the probe join
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val totals = broadcast(dl.agg(
-          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
-          count(lit(1)).cast("double").as("nd")))
-        val dfTab = tok.select("doc_id", "token").distinct()
-          .groupBy("token").agg(count(lit(1)).as("df"))
+        // (shared scaffolding with t16 — bm25Corpus/bm25Micro are the
+        // ONE definition of the tokenized corpus and the scoring kernel)
+        val c = bm25Corpus(s, d)
         val qtok = broadcast(
-          tok.join(qIds, col("doc_id") === col("q_id"))
+          c.tok.join(qIds, col("doc_id") === col("q_id"))
             .select(col("q_id"), col("token")).distinct()
-            .join(dfTab, "token")
+            .join(c.dfTab, "token")
             .withColumn("trn", row_number().over(
               w.partitionBy(col("q_id")).orderBy(col("df").asc, col("token").asc)))
             .filter(col("trn") <= 8)
             .select("q_id", "token", "df"))
-        val lex = tok.join(qtok, "token")
+        val lex = c.tok.join(qtok, "token")
           .filter(col("doc_id") =!= col("q_id"))
           .groupBy(col("q_id"), col("doc_id"), col("token"), col("df"))
           .agg(count(lit(1)).as("tf"))
-          .join(dl, "doc_id").crossJoin(totals)
-          .withColumn("micro",
-            floor((log(lit(1.0) + (col("nd") - col("df").cast("double") + 0.5) /
-                (col("df").cast("double") + 0.5)) *
-              ((col("tf").cast("double") * 2.2) /
-                (col("tf").cast("double") +
-                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-              * 1000000.0).cast("long"))
+          .join(c.dl, "doc_id").crossJoin(c.totals)
+          .withColumn("micro", bm25Micro)
           .groupBy("q_id", "doc_id").agg(sum(col("micro")).as("bm25"))
           .withColumn("lex_rank", row_number().over(
             w.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id").asc))
             .cast("long"))
           .filter(col("lex_rank") <= 50)
           .select("q_id", "doc_id", "lex_rank")
-        // ---- semantic list: cosine top-50 (e1's broadcast-query shape)
+        // ---- semantic list: cosine top-50 (e1's broadcast-query shape;
+        // Embeddings.norm is the family's one dot/norm definition)
         val vn = Tables.embeddings(s, d)
           .transform(Tables.spread)
           // plain norm (the family rule): zero-norm aborts under ANSI,
           // NaN components drop at the !isnan filter; e8 is the gate
-          .withColumn("nrm", sqrt(call_function("vec_dot",
-            col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
+          .withColumn("nrm", Embeddings.norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
         val qv = vn.join(qIds, col("vec_id") === col("q_id"))
@@ -1006,13 +966,7 @@ object TextOps extends QueryGroup {
           .filter(col("rn") <= 10)
       },
       oracle = Some(s"""
-        WITH tok AS (
-          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        tot AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-                       CAST(count(*) AS DOUBLE) AS nd FROM dl),
-        dfx AS (SELECT token, count(*) AS df
-                FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        WITH $sqlBm25Ctes,
         q AS (SELECT e.vec_id AS q_id FROM embeddings e
               JOIN documents doc ON doc.doc_id = e.vec_id
               WHERE e.vec_id % 100 = 0),
@@ -1027,12 +981,7 @@ object TextOps extends QueryGroup {
                FROM tok t JOIN qtok qt ON qt.token = t.token
                WHERE t.doc_id <> qt.q_id GROUP BY 1, 2, 3, 4),
         bm AS (SELECT f.q_id, f.doc_id,
-                 CAST(sum(CAST(floor(
-                   (ln(1.0 + ((nd - CAST(f.df AS DOUBLE)) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-                    * ((CAST(f.tf AS DOUBLE) * 2.2) /
-                       (CAST(f.tf AS DOUBLE) +
-                         1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
-                   * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25
+                 CAST(sum($sqlBm25Micro) AS BIGINT) AS bm25
                FROM tf f JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN tot
                GROUP BY 1, 2),
         lex AS (SELECT q_id, doc_id,
@@ -1041,8 +990,7 @@ object TextOps extends QueryGroup {
                 FROM bm QUALIFY lex_rank <= 50),
         n AS (SELECT vec_id,
                 list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) AS ne
+                  x -> CAST(x AS DOUBLE) / sqrt(${Embeddings.sqlDotOf("embedding", "embedding")})) AS ne
               FROM embeddings),
         qv AS (SELECT q.q_id, n.ne AS qe FROM q JOIN n ON n.vec_id = q.q_id),
         cosall AS (SELECT qv.q_id, n.vec_id AS doc_id,
@@ -1066,6 +1014,62 @@ object TextOps extends QueryGroup {
         FROM fused QUALIFY rn <= 10"""),
       bench = true)
   )
+
+  /** Shared Okapi BM25 corpus scaffolding — ONE definition for t16
+    * (corpus-driven retrieval) and t20 (hybrid fusion), the
+    * winnowIndex/qualityScore convention: tokenized corpus
+    * (checkpointed — it feeds lengths, document frequencies AND the
+    * probe join), per-doc lengths, broadcast (avgdl, nd) totals,
+    * per-token document frequency. */
+  private final case class Bm25Corpus(
+      tok: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      totals: org.apache.spark.sql.DataFrame,
+      dfTab: org.apache.spark.sql.DataFrame)
+
+  private def bm25Corpus(
+      s: org.apache.spark.sql.SparkSession, d: String): Bm25Corpus = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint(true)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = broadcast(dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).cast("double").as("nd")))
+    val dfTab = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    Bm25Corpus(tok, dl, totals, dfTab)
+  }
+
+  /** The per-(doc, term) Okapi BM25 partial (k1 = 1.2, b = 0.75,
+    * +1-smoothed idf), floor-scaled to integer micros BEFORE the
+    * per-doc sum so cross-engine ln() ulps cannot flip ranks; expects
+    * columns tf, df, dl, nd, avgdl in scope. */
+  private def bm25Micro: org.apache.spark.sql.Column =
+    floor((log(lit(1.0) + (col("nd") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5)) *
+      ((col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+      * 1000000.0).cast("long")
+
+  /** DuckDB twins of [[bm25Corpus]] (CTEs tok/dl/tot/dfx) and
+    * [[bm25Micro]] (over a tf row aliased `f` joined to dl alias `l`,
+    * with tot cross-joined). */
+  private val sqlBm25Ctes = s"""tok AS (
+          SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(count(*) AS DOUBLE) AS nd FROM dl),
+        dfx AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)"""
+
+  private val sqlBm25Micro = """CAST(floor(
+                   (ln(1.0 + ((nd - CAST(f.df AS DOUBLE)) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+                    * ((CAST(f.tf AS DOUBLE) * 2.2) /
+                       (CAST(f.tf AS DOUBLE) +
+                         1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
+                   * 1000000.0) AS BIGINT)"""
 
   /** t17's broadcast quota table: (source, n, quota) with
     * wm = floor(√n · 1e6), W = Σwm, B = 40% of the doc count, and

@@ -188,10 +188,13 @@ class EmbeddingsSpec extends SparkSpec {
     // below the cap: ~sqrt(N) admitted (recall-honest small-corpus rule);
     // above it: bounded at MaxCentroids=256, making d8/e4 assignment and
     // e5 encode strictly linear in the corpus (the SCALE.md story)
-    val big = spark.range(70000).select(col("id").as("vec_id"))
+    // 1M ids: uncapped ceil(sqrt) would admit ~1000 — the <= 400 bound
+    // FAILS if the cap is ever removed (a 70k corpus could not tell:
+    // uncapped 265 vs capped 256 both sit in any reasonable band)
+    val big = spark.range(1000000).select(col("id").as("vec_id"))
     val capped = graft.queries.Embeddings.sqrtSample(big, big).count()
     assert(capped >= 150 && capped <= 400,
-      s"70k-corpus sample must sit near the 256 cap, not ceil(sqrt)=265+: $capped")
+      s"1M-corpus sample must sit near the 256 cap, not ceil(sqrt)=1000: $capped")
     val small = spark.range(100).select(col("id").as("vec_id"))
     val s = graft.queries.Embeddings.sqrtSample(small, small).count()
     assert(s >= 3 && s <= 25, s"100-corpus sample must track sqrt(100): $s")
