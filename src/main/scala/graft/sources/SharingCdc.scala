@@ -65,8 +65,12 @@ private[sources] object SharingCdcSource {
   // instead of re-reading every feed version's footers — and a
   // mergeSchema commit between calls changes the key, invalidating
   // the entry instead of pinning a stale schema
+  // bounded: a long-running recipient stream mints one key per commit
+  // it observes (the dir set is part of the key) — without the sweep a
+  // week-long stream would hold every historical schema forever
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private val MemoCap = 64
 
   /** Merged schema across ALL committed feed versions — a mergeSchema
     * commit adds columns to later feeds; pinning one version's schema
@@ -75,6 +79,7 @@ private[sources] object SharingCdcSource {
     val (fqn, paths) = SharingProtocol.resolve(url)
     val dirs = SharingProtocol.committedFeedDirs(fqn, paths.head, 0L)
     if (dirs.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
+    if (schemaMemo.size > MemoCap) schemaMemo.clear()
     schemaMemo.computeIfAbsent(url + "|" + dirs.mkString(","), _ =>
       sqlContext.sparkSession.read.option("mergeSchema", "true")
         .parquet(dirs: _*).schema)
