@@ -819,7 +819,57 @@ object Dedup extends QueryGroup {
     "d14_sequential_admission" -> QueryDef(
       build = (s, d) => sequentialAdmission(s, d),
       oracle = Some(s"WITH $sqlSequentialAdmission"),
-      bench = true)
+      bench = true),
+
+    // D15: quality-aware canonical selection — same duplicate clusters as
+    // d7, but the survivor is the HIGHEST-QUALITY member (t2's shared
+    // quality score), not the smallest id: real pipelines keep the best
+    // capture of a duplicated page (longest, cleanest), not the
+    // first-crawled one. One hash-aggregate argmax by (quality, -doc_id)
+    // — map-side combinable, no per-cluster sort; quality ties break to
+    // the lowest id, matching the oracle's row_number order. At 100 TB
+    // the agg shuffles one small (cluster, best) struct per member —
+    // never document text — on top of d6's O(diameter) label rounds.
+    "d15_quality_keep_list" -> QueryDef(
+      build = (s, d) => {
+        val edges = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
+        val docs = Tables.documents(s, d)
+        val clusters = graft.ops.ConnectedComponents
+          .minLabel(edges, "a_id", "b_id", docs.select(col("doc_id")), "doc_id")
+        val scored = docs.select(col("doc_id"), TextOps.qualityScore.as("quality"))
+        clusters.join(scored, "doc_id")
+          .groupBy(col("cluster").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("best"))
+          .select(col("cluster_id"),
+            (-col("best.negid")).as("keep_doc_id"),
+            col("best.quality").as("keep_quality"),
+            col("n_members"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents),
+        pairs AS ($sqlJaccardPairs),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a),
+        clusters AS (
+          SELECT d.doc_id,
+                 CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        q AS (SELECT doc_id, ${TextOps.sqlQualityScore} AS quality FROM documents),
+        ranked AS (
+          SELECT c.cluster_id, c.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.doc_id ASC) AS rnk,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          FROM clusters c JOIN q ON q.doc_id = c.doc_id)
+        SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality, n_members
+        FROM ranked WHERE rnk = 1"""))
   )
 
   /** D14: SEQUENTIAL admission with incremental index extension — the

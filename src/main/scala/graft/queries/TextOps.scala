@@ -22,10 +22,11 @@ object TextOps extends QueryGroup {
   private val sqlStop =
     "('the','a','of','to','and','in','is','for','on','with','row','table','value','key')"
 
-  /** t2's quality score, shared with the t6 training-mix sampler:
+  /** t2's quality score, shared with the t6 training-mix sampler and
+    * d15's quality-aware canonical selection:
     * +2/token (cap 100), −5/punct char (floor −50), +1/distinct token
     * (cap 40), +20 length-band bonus — all integer arithmetic. */
-  private def qualityScore: org.apache.spark.sql.Column = {
+  private[queries] def qualityScore: org.apache.spark.sql.Column = {
     val nt = nTokens(col("text"))
     least(nt * 2L, lit(100L)) +
       greatest(lit(0L) - punctCount(col("text")) * 5L, lit(-50L)) +
@@ -33,7 +34,7 @@ object TextOps extends QueryGroup {
       when(col("n_chars").between(200, 400), 20L).otherwise(0L)
   }
 
-  private val sqlQualityScore =
+  private[queries] val sqlQualityScore =
     s"""least(len($sqlTokens) * 2, 100)
         + greatest(0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 5, -50)
         + least(len(list_distinct($sqlTokens)), 40)

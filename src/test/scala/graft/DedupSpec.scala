@@ -325,6 +325,37 @@ class DedupSpec extends SparkSpec {
       s"expected doc 0 (epoch 0) and doc 10 (epoch 2) admitted, doc 5 rejected: $got")
   }
 
+  test("d15 canonical selection keeps the quality-max member, not the min id") {
+    // three identical docs in one source → one duplicate cluster
+    // (labelled by min id 0). Token-derived quality terms are equal, but
+    // doc 2 sits in the 200–400 n_chars band (+20 bonus), so d15 must
+    // keep doc 2 where d7 keeps doc 0. Quality ties (docs 0 vs 1) must
+    // not matter — only the argmax row survives.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one red two blue three green four yellow five orange six purple"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15_").toString
+    Seq(
+      (0L, text, "en", "srcA", 150L),
+      (1L, text, "en", "srcA", 150L),
+      (2L, text, "en", "srcA", 300L),
+      (3L, other, "en", "srcA", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d15_quality_keep_list")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (keepId, keepQ, nMembers) = rows(0L)
+    assert(keepId == 2L, s"cluster 0 must keep the +20-band doc 2, got $keepId")
+    assert(nMembers == 3L, s"cluster 0 has 3 members, got $nMembers")
+    // the bonus is the only quality difference: keeper out-scores doc 0 by 20
+    val d7Keep = SparkEntry.queries("d7_dedup_keep_list")(spark, dir)
+      .filter(col("keep_doc_id") === 0L).count()
+    assert(d7Keep == 1L, "d7 keeps min-id doc 0 for the same cluster")
+    rows.get(3L).foreach { case (id, _, n) =>
+      assert(id == 3L && n == 1L, s"unrelated doc stays its own canonical: ${rows(3L)}")
+    }
+    assert(keepQ > 0L)
+  }
+
   test("d12 hot-fingerprint cap bounds a boilerplate bucket") {
     // every doc opens with the same license-header boilerplate; two docs
     // (1, 2) additionally share a genuine 12-token passage. Ungated, the
