@@ -248,7 +248,7 @@ object Embeddings extends QueryGroup {
     // corpus sample sized ~√N (sqrtSample — production IVF trains them
     // offline; the index shape is identical), every vector is assigned to
     // its nearest centroid (one broadcast scoring pass + one keyed argmax
-    // shuffle), and each query probes its 5 nearest centroids' buckets
+    // shuffle), and each query probes its 8 nearest centroids' buckets
     // only. Every step is deterministic arithmetic, so unlike most ANN
     // indexes this one is FULLY oracle-checked. At 100 TB the √N sizing
     // holds as-is; the probe join stays keyed on centroid id (probe count tunes recall/cost), hot buckets salt like any
@@ -289,7 +289,7 @@ object Embeddings extends QueryGroup {
             call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
           .filter(col("cos").isNotNull && !isnan(col("cos")))
           .groupBy(col("q_id"))
-          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("cid")).as("top"))
+          .agg(graft.functions.BoundedTopK.topK(8)(col("cos"), col("cid")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("cid"))
         probes
           .join(assign, "cid")
@@ -330,7 +330,7 @@ object Embeddings extends QueryGroup {
         probes AS (
           SELECT q_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM qc) WHERE rnk <= 5),
+            FROM qc) WHERE rnk <= 8),
         scored AS (
           SELECT p.q_id, a.vec_id,
                  list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos

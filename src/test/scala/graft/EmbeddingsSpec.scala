@@ -57,7 +57,7 @@ class EmbeddingsSpec extends SparkSpec {
       s"e1 plan lost its map-side partial top-k aggregation:\n$plan")
   }
 
-  test("e4 IVF recall gate: >= 0.7 against exact top-k on shared queries at sf0.01") {
+  test("e4 IVF recall gate: >= 0.8 against exact top-k on shared queries at sf0.01") {
     val sf = "/root/testdata/sf0.01"
     val e1 = SparkEntry.queries("e1_cosine_topk")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -69,8 +69,10 @@ class EmbeddingsSpec extends SparkSpec {
       e1(q).intersect(e4(q)).size.toDouble / e1(q).size
     }.sum / shared.size
     info(f"IVF recall@5 vs exact top-k: $recall%.3f over ${shared.size} shared queries")
-    // 5-probe measured recall@5 = 0.733 with the ~sqrt(N) centroid sample; deterministic
-    assert(recall >= 0.7, f"IVF recall@5 $recall%.3f below the 0.7 gate")
+    // 8-probe measured recall@5 = 0.889 with the ~sqrt(N) centroid sample
+    // (5 probes measured 0.733 — nprobe is the recall/cost knob);
+    // deterministic
+    assert(recall >= 0.8, f"IVF recall@5 $recall%.3f below the 0.8 gate")
   }
 
   test("e5 PQ recall gate: >= 0.8 against exact top-k on shared queries at sf0.01") {
