@@ -695,6 +695,52 @@ object Governance extends QueryGroup {
                TRUE AS zero_rewrite
         FROM orders WHERE o_orderstatus <> 'F'""")),
 
+    // V9: DYNAMIC partition pruning — the runtime half of the pruning
+    // story (v4 is the static half): the fact is partitioned on the join
+    // key, the filter lives on a broadcast dimension, and Spark injects
+    // a dynamicpruningexpression into the fact scan's PartitionFilters
+    // so only the dim-selected partitions are ever read. This is THE
+    // star-schema scan killer at 100 TB — a date-partitioned fact joined
+    // to a filtered calendar dim reads days, not years, with no static
+    // predicate on the fact at all. The DPP injection is gated IN-PLAN
+    // (dpp_pinned must be TRUE for the oracle to match), the same
+    // self-pinning contract as v3/v4. Partition values include
+    // '4-NOT SPECIFIED' — a space — so this also exercises the
+    // URI-encoding path of the partitioned write/read cycle.
+    "v9_dynamic_partition_pruning" -> QueryDef(
+      build = (s, d) => {
+        val scratch = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+        t.write(
+          Tables.orders(s, d).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"),
+          partitionBy = Seq("o_orderpriority"))
+        // the dim must be a FILE source: a LocalRelation dim folds the
+        // tier filter into its rows during optimization, and Spark's
+        // PartitionPruning rule then sees no selective predicate to
+        // prune with (measured: no DPP with an in-memory dim)
+        s.createDataFrame(Seq(
+          ("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+          ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")))
+          .toDF("o_orderpriority", "tier")
+          .write.parquet(s"$scratch/tiers")
+        val tiers = broadcast(
+          s.read.parquet(s"$scratch/tiers").filter(col("tier") === "hot"))
+        val joined = t.read().join(tiers, "o_orderpriority")
+        val dppPinned = joined.queryExecution.executedPlan.toString
+          .contains("dynamicpruningexpression")
+        joined.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            round(Exact.moneySum("o_totalprice"), 4).as("revenue"))
+          .withColumn("dpp_pinned", lit(dppPinned))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS cnt,
+               round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS revenue,
+               TRUE AS dpp_pinned
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1""")),
+
     // M10: GDPR cascade erasure — delete requested subjects across the
     // table graph (customer → orders → lineitem), report remaining counts.
     "g1_gdpr_erasure" -> QueryDef(
