@@ -136,6 +136,27 @@ class PropertySpec extends SparkSpec {
     assert(got == want, "bounded top-k must equal exact sort-take under ties")
   }
 
+  test("d15 argmax-by-struct equals per-group sort under quality ties") {
+    // d15's canonical selection is max(struct(quality, -doc_id)) — one
+    // map-side-combinable agg. It must pick exactly the row a window
+    // row_number() OVER (ORDER BY quality DESC, doc_id ASC) = 1 would,
+    // for any grouping and any tie pattern.
+    val rnd = new Random(33)
+    val rows = (1 to 3000).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(8).toLong, i.toLong)) // heavy ties
+    val df = rows.toDF("cluster", "quality", "doc_id").repartition(16)
+    val got = df.groupBy($"cluster")
+      .agg(max(struct($"quality", (-$"doc_id").as("negid"))).as("best"),
+        count(lit(1)).as("n"))
+      .select($"cluster", (-$"best.negid").as("keep"), $"best.quality", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows.groupBy(_._1).map { case (c, rs) =>
+      val best = rs.minBy { case (_, q, id) => (-q, id) }
+      (c, best._3, best._2, rs.size.toLong)
+    }.toSet
+    assert(got == want, "argmax-by-struct must equal exact per-group ordering")
+  }
+
   test("a12 HLL estimates stay within 5% of exact distinct counts") {
     // a12 emits exact counts plus in-plan within_5pct booleans (Spark's
     // default rsd is 0.05), so the accuracy claim is both hash-checked by
