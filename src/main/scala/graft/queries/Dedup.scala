@@ -318,6 +318,33 @@ object Dedup extends QueryGroup {
     WHERE floor(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.t, b.t))) * 10000) / 10000.0 >= 0.8"""
 
+  /** THE one oracle-side connected-components closure over a
+    * `pairs(a_id, b_id)` CTE (d6/d7/d15 share it verbatim — a fix to
+    * the termination guard or the min-label expression lands once):
+    * undirected edges, transitive reach, min-reachable-id labels. */
+  private val sqlClusterCtes = s"""
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a),
+        clusters AS (
+          SELECT d.doc_id,
+                 CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id)"""
+
+  /** The matching Spark build — d4's verified pair edges resolved by
+    * min-label connected components over ALL documents (singletons
+    * label themselves): columns (doc_id, cluster). d6 exposes it,
+    * d7/d15 aggregate it. */
+  private def dupClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.ConnectedComponents.minLabel(
+      jaccardPairs(s, d).select(col("a_id"), col("b_id")), "a_id", "b_id",
+      Tables.documents(s, d).select(col("doc_id")), "doc_id")
+
   def defs: Map[String, QueryDef] = Map(
     // D1: exact dedup — md5 of normalized text, lowest doc_id survives.
     "d1_exact_dedup" -> QueryDef(
@@ -442,29 +469,16 @@ object Dedup extends QueryGroup {
     // the canonical survivor. This is the step that turns pair detection
     // into an actual dedup decision for a training corpus.
     "d6_dup_clusters" -> QueryDef(
-      build = (s, d) => {
-        val edges = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
-        val nodes = Tables.documents(s, d).select(col("doc_id"))
-        graft.ops.ConnectedComponents
-          .minLabel(edges, "a_id", "b_id", nodes, "doc_id")
+      build = (s, d) =>
+        dupClusters(s, d)
           .select(col("doc_id"), col("cluster").as("cluster_id"),
-            (col("doc_id") === col("cluster")).as("is_canonical"))
-      },
+            (col("doc_id") === col("cluster")).as("is_canonical")),
       oracle = Some(s"""
         WITH RECURSIVE toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents),
         pairs AS ($sqlJaccardPairs),
-        edges AS (
-          SELECT a_id AS src, b_id AS dst FROM pairs
-          UNION SELECT b_id, a_id FROM pairs),
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a)
-        SELECT d.doc_id,
-               CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id,
-               least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id AS is_canonical
-        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        GROUP BY d.doc_id""")),
+        $sqlClusterCtes
+        SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+        FROM clusters""")),
 
     // D7 (end-to-end artifact): the deduplicated-corpus KEEP LIST — what a
     // training pipeline actually ships after candidates (d3/d4) and
@@ -475,11 +489,8 @@ object Dedup extends QueryGroup {
     // nothing here adds a scale hazard beyond d6 itself.
     "d7_dedup_keep_list" -> QueryDef(
       build = (s, d) => {
-        val edges = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
         val docs = Tables.documents(s, d)
-        val clusters = graft.ops.ConnectedComponents
-          .minLabel(edges, "a_id", "b_id", docs.select(col("doc_id")), "doc_id")
-        clusters.groupBy(col("cluster").as("keep_doc_id"))
+        dupClusters(s, d).groupBy(col("cluster").as("keep_doc_id"))
           .agg(count(lit(1)).as("n_members"),
             (count(lit(1)) - 1L).as("n_dropped"),
             max(col("doc_id")).as("max_member"))
@@ -489,18 +500,7 @@ object Dedup extends QueryGroup {
       oracle = Some(s"""
         WITH RECURSIVE toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents),
         pairs AS ($sqlJaccardPairs),
-        edges AS (
-          SELECT a_id AS src, b_id AS dst FROM pairs
-          UNION SELECT b_id, a_id FROM pairs),
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a),
-        clusters AS (
-          SELECT d.doc_id,
-                 CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id
-          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-          GROUP BY d.doc_id)
+        $sqlClusterCtes
         SELECT cluster_id AS keep_doc_id,
                count(*) AS n_members,
                count(*) - 1 AS n_dropped,
@@ -832,12 +832,9 @@ object Dedup extends QueryGroup {
     // never document text — on top of d6's O(diameter) label rounds.
     "d15_quality_keep_list" -> QueryDef(
       build = (s, d) => {
-        val edges = jaccardPairs(s, d).select(col("a_id"), col("b_id"))
-        val docs = Tables.documents(s, d)
-        val clusters = graft.ops.ConnectedComponents
-          .minLabel(edges, "a_id", "b_id", docs.select(col("doc_id")), "doc_id")
-        val scored = docs.select(col("doc_id"), TextOps.qualityScore.as("quality"))
-        clusters.join(scored, "doc_id")
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.qualityScore.as("quality"))
+        dupClusters(s, d).join(scored, "doc_id")
           .groupBy(col("cluster").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"),
             max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("best"))
@@ -849,18 +846,7 @@ object Dedup extends QueryGroup {
       oracle = Some(s"""
         WITH RECURSIVE toks AS (SELECT doc_id, source, $sqlTokenSet AS t FROM documents),
         pairs AS ($sqlJaccardPairs),
-        edges AS (
-          SELECT a_id AS src, b_id AS dst FROM pairs
-          UNION SELECT b_id, a_id FROM pairs),
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a),
-        clusters AS (
-          SELECT d.doc_id,
-                 CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS cluster_id
-          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-          GROUP BY d.doc_id),
+        $sqlClusterCtes,
         q AS (SELECT doc_id, ${TextOps.sqlQualityScore} AS quality FROM documents),
         ranked AS (
           SELECT c.cluster_id, c.doc_id, q.quality,

@@ -60,17 +60,15 @@ class SharingCdcStreamSource extends StreamSourceProvider with DataSourceRegiste
 
 private[sources] object SharingCdcSource {
   // sourceSchema (at load()) and createSource (at stream start) both
-  // need the schema; memoize the footer-read result keyed by the
-  // COMMITTED dir set, so the second call costs one manifest read
-  // instead of re-reading every feed version's footers — and a
-  // mergeSchema commit between calls changes the key, invalidating
-  // the entry instead of pinning a stale schema
-  // bounded: a long-running recipient stream mints one key per commit
-  // it observes (the dir set is part of the key) — without the sweep a
-  // week-long stream would hold every historical schema forever
+  // need the schema; memoize the footer-read result PER URL, with the
+  // committed dir set as a validity token: the second call costs one
+  // manifest read instead of re-reading every feed version's footers,
+  // a mergeSchema commit between calls changes the token and replaces
+  // the entry (never pins a stale schema), and the map is naturally
+  // bounded at one live entry per url — repeated stream restarts
+  // overwrite in place, and no url can evict another url's hot entry
   private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
-  private val MemoCap = 64
+    new java.util.concurrent.ConcurrentHashMap[String, (String, StructType)]()
 
   /** Merged schema across ALL committed feed versions — a mergeSchema
     * commit adds columns to later feeds; pinning one version's schema
@@ -79,10 +77,11 @@ private[sources] object SharingCdcSource {
     val (fqn, paths) = SharingProtocol.resolve(url)
     val dirs = SharingProtocol.committedFeedDirs(fqn, paths.head, 0L)
     if (dirs.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
-    if (schemaMemo.size > MemoCap) schemaMemo.clear()
-    schemaMemo.computeIfAbsent(url + "|" + dirs.mkString(","), _ =>
-      sqlContext.sparkSession.read.option("mergeSchema", "true")
-        .parquet(dirs: _*).schema)
+    val token = dirs.mkString(",")
+    schemaMemo.compute(url, (_, prev) =>
+      if (prev != null && prev._1 == token) prev
+      else (token, sqlContext.sparkSession.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).schema))._2
   }
 }
 

@@ -350,9 +350,9 @@ class DedupSpec extends SparkSpec {
     val d7Keep = SparkEntry.queries("d7_dedup_keep_list")(spark, dir)
       .filter(col("keep_doc_id") === 0L).count()
     assert(d7Keep == 1L, "d7 keeps min-id doc 0 for the same cluster")
-    rows.get(3L).foreach { case (id, _, n) =>
-      assert(id == 3L && n == 1L, s"unrelated doc stays its own canonical: ${rows(3L)}")
-    }
+    assert(rows.contains(3L), s"singleton cluster for the unrelated doc must appear: $rows")
+    val (sId, _, sN) = rows(3L)
+    assert(sId == 3L && sN == 1L, s"unrelated doc stays its own canonical: ${rows(3L)}")
     assert(keepQ > 0L)
   }
 
