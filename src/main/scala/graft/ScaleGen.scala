@@ -52,9 +52,46 @@ object ScaleGen {
       s"factor must be in [1, 26] (Caesar rotations repeat at 26): $factor")
     writeDocs(spark, src, out, factor)
     writeEmbeddings(spark, src, out, factor)
+    writeRelational(spark, src, out, factor)
     println(s"""{"scale_corpus":"$out","factor":$factor,"docs":${
       spark.read.parquet(s"$out/documents.parquet").count()},"vecs":${
-      spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+      spark.read.parquet(s"$out/embeddings.parquet").count()},"lines":${
+      spark.read.parquet(s"$out/lineitem.parquet").count()}}""")
+  }
+
+  /** factor-N relational tables for measuring the JOIN/WINDOW/AGG
+    * family. Facts and GROWING dims (customer, orders, lineitem,
+    * events) replicate with keys offset by r·10¹² — per-customer order
+    * counts, per-order line counts, and per-user event traces keep the
+    * original distribution exactly, so both scaling regimes are
+    * preserved: per-key groups (a1's customer profiles, w3's user
+    * sessions) grow in COUNT at constant size, while fixed-dim groups
+    * (a4's brand×month cells, w8's per-part rank windows) grow in SIZE
+    * at constant count. FIXED dims (part, supplier, nation, region)
+    * copy verbatim — the 100 TB shape: facts grow, dims don't, and the
+    * a4/j4 dim broadcasts must stay broadcasts at every factor. */
+  private def writeRelational(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    def off(r: Int) = lit(r.toLong * 1000000000000L)
+    def replicate(table: String, keyCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until factor).map { r =>
+        if (r == 0) base
+        else base.select(base.columns.map { c =>
+          if (keyCols.contains(c)) (col(c) + off(r)).as(c) else col(c)
+        }.toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+        .repartition(factor * 2)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey")) // l_partkey/l_suppkey: fixed dims
+    replicate("events", Seq("event_id", "user_id"))
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
   }
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
