@@ -1013,7 +1013,91 @@ object TextOps extends QueryGroup {
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn
         FROM fused QUALIFY rn <= 10"""),
-      bench = true)
+      bench = true),
+
+    // T21: LENGTH-BUCKET padding analytics — training batches pad every
+    // sequence to the longest member, so corpus curation reports how
+    // much compute padding would burn per power-of-two length bucket
+    // (the bucketed-batching everyone ships to cap that waste). Buckets
+    // are integer-compared boundaries (never floor(log2(n)): ln-ratio
+    // floating point can flip a 2^k boundary doc between engines); the
+    // waste ratio is floor-scaled ppm off one double division, CASE-
+    // guarded identically on both sides for an (impossible-today)
+    // all-empty bucket. One row-local projection + one 6-group
+    // map-side-combinable agg: scan speed at any corpus size.
+    "t21_length_buckets" -> QueryDef(
+      build = (s, d) => {
+        val nt = nTokens(col("text"))
+        val bucket = when(nt < 16, 0L).when(nt < 32, 1L).when(nt < 64, 2L)
+          .when(nt < 128, 3L).when(nt < 256, 4L).otherwise(5L)
+        Tables.documents(s, d)
+          .select(bucket.as("bucket"), nt.as("nt"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            max(col("nt")).as("max_tokens"))
+          .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+          .withColumn("waste_ppm",
+            when(col("padded_tokens") === 0, 0L).otherwise(
+              floor((col("padded_tokens") - col("total_tokens")).cast("double")
+                / col("padded_tokens").cast("double") * 1000000.0)))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT CASE WHEN len($sqlTokens) < 16 THEN 0
+                      WHEN len($sqlTokens) < 32 THEN 1
+                      WHEN len($sqlTokens) < 64 THEN 2
+                      WHEN len($sqlTokens) < 128 THEN 3
+                      WHEN len($sqlTokens) < 256 THEN 4
+                      ELSE 5 END AS bucket,
+                 len($sqlTokens) AS nt
+          FROM documents),
+        b AS (
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS total_tokens,
+                 CAST(max(nt) AS BIGINT) AS max_tokens
+          FROM n GROUP BY 1)
+        SELECT bucket, n_docs, total_tokens, max_tokens,
+               n_docs * max_tokens AS padded_tokens,
+               CASE WHEN n_docs * max_tokens = 0 THEN 0
+                    ELSE CAST(floor(CAST(n_docs * max_tokens - total_tokens AS DOUBLE)
+                         / CAST(n_docs * max_tokens AS DOUBLE) * 1000000.0) AS BIGINT)
+               END AS waste_ppm
+        FROM b""")),
+
+    // T22: deterministic training-order shuffle WITHOUT a global sort —
+    // the step between curation and tokenization: every epoch reads the
+    // corpus in a pseudo-random order, but a total order over 100 TB is
+    // a global sort nobody runs. Instead: shard = portable hash of the
+    // doc id (mod 16) and position = rank of that hash WITHIN the
+    // shard — one per-shard window (shard count scales with the
+    // cluster), zero global exchanges, and the (shard, pos) pairs are a
+    // reproducible permutation any reader can materialize shard-by-
+    // shard. Hash-ordering is the t17 rank-free philosophy applied to
+    // ordering instead of sampling.
+    "t22_shuffle_shards" -> QueryDef(
+      build = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val h = graft.functions.TextFunctions
+          .portableHash(col("doc_id").cast("string"), "shuf:")
+        Tables.documents(s, d)
+          .select(col("doc_id"), pmod(h, lit(16L)).as("shard"), h.as("h"))
+          .withColumn("pos", row_number().over(
+            w.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('shuf:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id, h % 16 AS shard,
+               CAST(row_number() OVER (PARTITION BY h % 16
+                 ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM h"""))
   )
 
   /** Shared Okapi BM25 corpus scaffolding — ONE definition for t16

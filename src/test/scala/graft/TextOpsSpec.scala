@@ -62,6 +62,32 @@ class TextOpsSpec extends SparkSpec {
     assert(t9.filter(col("boilerplate_ratio") < 0 || col("boilerplate_ratio") > 1).count() == 0)
   }
 
+  test("t21/t22: bucket totals partition the corpus; shuffle is a true permutation") {
+    val sf = "/root/testdata/sf0.001"
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    // t21: every doc lands in exactly one bucket; padded >= total always
+    val t21 = SparkEntry.queries("t21_length_buckets")(spark, sf)
+    assert(t21.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
+      .head().getLong(0) == nDocs)
+    assert(t21.filter(col("padded_tokens") < col("total_tokens")).count() == 0)
+    assert(t21.filter(col("waste_ppm") < 0 || col("waste_ppm") > 1000000).count() == 0)
+    // t22: all docs appear once, and within each shard positions are
+    // exactly 1..count — i.e. (shard, pos) is a reproducible permutation
+    val t22 = SparkEntry.queries("t22_shuffle_shards")(spark, sf)
+    assert(t22.count() == nDocs)
+    assert(t22.select("doc_id").distinct().count() == nDocs)
+    val bad = t22.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("pos")).as("mx"),
+        org.apache.spark.sql.functions.min(col("pos")).as("mn"),
+        org.apache.spark.sql.functions.countDistinct(col("pos")).as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L || col("nd") =!= col("n"))
+    assert(bad.count() == 0, "each shard's positions must be exactly 1..count")
+    // determinism: a second run yields the identical permutation
+    val again = SparkEntry.queries("t22_shuffle_shards")(spark, sf)
+    assert(t22.exceptAll(again).count() == 0 && again.exceptAll(t22).count() == 0)
+  }
+
   test("t15: unigram LM scores common-token docs below rare-token docs, micro-nat exact") {
     // corpus: 8 docs of the common token, 1 doc of four singletons.
     // The rare doc's avg negative log-likelihood must be strictly higher,
