@@ -74,7 +74,13 @@ object ScaleGen {
       factor: Int): Unit = {
     def off(r: Int) = lit(r.toLong * 1000000000000L)
     def replicate(table: String, keyCols: Seq[String]): Unit = {
-      val base = spark.read.parquet(s"$src/$table.parquet")
+      // events MUST go through Tables.events: its ts physical type has
+      // shipped in two generations (TIMESTAMP(NANOS) needs nanosAsLong
+      // before the schema read or the scan throws; see normalizeEventTs)
+      // — a raw parquet read would crash on the older generation
+      val base =
+        if (table == "events") graft.core.Tables.events(spark, src)
+        else spark.read.parquet(s"$src/$table.parquet")
       (0 until factor).map { r =>
         if (r == 0) base
         else base.select(base.columns.map { c =>

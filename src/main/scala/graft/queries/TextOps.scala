@@ -1070,12 +1070,15 @@ object TextOps extends QueryGroup {
     // the step between curation and tokenization: every epoch reads the
     // corpus in a pseudo-random order, but a total order over 100 TB is
     // a global sort nobody runs. Instead: shard = portable hash of the
-    // doc id (mod 16) and position = rank of that hash WITHIN the
-    // shard — one per-shard window (shard count scales with the
-    // cluster), zero global exchanges, and the (shard, pos) pairs are a
-    // reproducible permutation any reader can materialize shard-by-
-    // shard. Hash-ordering is the t17 rank-free philosophy applied to
-    // ordering instead of sampling.
+    // doc id (mod a FIXED shard count) and position = rank of that hash
+    // WITHIN the shard — one per-shard window, zero global exchanges,
+    // and the (shard, pos) pairs are a reproducible permutation any
+    // reader can materialize shard-by-shard. The shard count is a
+    // workload KNOB, not cluster-derived: it must be fixed (16 here) or
+    // the permutation — and the oracle — would change with parallelism;
+    // a 100 TB run sets it to O(cluster cores) up front and keeps it for
+    // the corpus's lifetime, exactly like a bucket count. Hash-ordering
+    // is the t17 rank-free philosophy applied to ordering.
     "t22_shuffle_shards" -> QueryDef(
       build = (s, d) => {
         val w = org.apache.spark.sql.expressions.Window

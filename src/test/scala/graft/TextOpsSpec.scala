@@ -67,8 +67,7 @@ class TextOpsSpec extends SparkSpec {
     val nDocs = graft.core.Tables.documents(spark, sf).count()
     // t21: every doc lands in exactly one bucket; padded >= total always
     val t21 = SparkEntry.queries("t21_length_buckets")(spark, sf)
-    assert(t21.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
-      .head().getLong(0) == nDocs)
+    assert(t21.agg(sum(col("n_docs"))).head().getLong(0) == nDocs)
     assert(t21.filter(col("padded_tokens") < col("total_tokens")).count() == 0)
     assert(t21.filter(col("waste_ppm") < 0 || col("waste_ppm") > 1000000).count() == 0)
     // t22: all docs appear once, and within each shard positions are
@@ -77,15 +76,34 @@ class TextOpsSpec extends SparkSpec {
     assert(t22.count() == nDocs)
     assert(t22.select("doc_id").distinct().count() == nDocs)
     val bad = t22.groupBy("shard")
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
-        org.apache.spark.sql.functions.max(col("pos")).as("mx"),
-        org.apache.spark.sql.functions.min(col("pos")).as("mn"),
-        org.apache.spark.sql.functions.countDistinct(col("pos")).as("nd"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("nd"))
       .filter(col("mx") =!= col("n") || col("mn") =!= 1L || col("nd") =!= col("n"))
     assert(bad.count() == 0, "each shard's positions must be exactly 1..count")
     // determinism: a second run yields the identical permutation
     val again = SparkEntry.queries("t22_shuffle_shards")(spark, sf)
     assert(t22.exceptAll(again).count() == 0 && again.exceptAll(t22).count() == 0)
+  }
+
+  test("t21 upper buckets: 128 and 256 boundaries on planted long docs") {
+    // testdata maxes out near 100 tokens, so buckets 4 (<256) and 5
+    // (>=256) are otherwise dead code for both the oracle and the
+    // partition test above — plant docs that exercise them, including a
+    // non-trivial padding-waste value
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(150)("a").mkString(" ")), // bucket 4
+      (2L, Seq.fill(200)("b").mkString(" ")), // bucket 4
+      (3L, Seq.fill(300)("c").mkString(" ")), // bucket 5
+      (4L, Seq.fill(10)("d").mkString(" ")))) // bucket 0
+    val rows = SparkEntry.queries("t21_length_buckets")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bucket 4: 2 docs, 350 tokens, padded to 2×200 → waste 50/400 = 125000 ppm
+    assert(rows(4L) == ((2L, 350L, 200L, 400L, 125000L)), s"bucket 4: ${rows.get(4L)}")
+    // singleton bucket pads nothing
+    assert(rows(5L) == ((1L, 300L, 300L, 300L, 0L)), s"bucket 5: ${rows.get(5L)}")
+    assert(rows(0L)._1 == 1L)
+    assert(rows.keySet == Set(0L, 4L, 5L), s"empty buckets must not emit rows: $rows")
   }
 
   test("t15: unigram LM scores common-token docs below rare-token docs, micro-nat exact") {
