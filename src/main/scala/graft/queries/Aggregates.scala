@@ -446,5 +446,86 @@ object Aggregates extends QueryGroup {
         SELECT 'o_orderpriority',
                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders"""))
+  ) ++ drift
+
+  /** Epoch boundary for the a18 drift monitor — a pinned snapshot split,
+    * not a data-derived median (a median would make the binning depend on
+    * the engine's quantile algorithm). Events that all land on one side
+    * degrade gracefully: the +1 smoothing keeps every ln() argument
+    * positive, so the monitor reports the (large) drift instead of
+    * dividing by zero. */
+  private val DriftEpochSplit = "2024-01-16 00:00:00"
+
+  private def drift: Map[String, QueryDef] = Map(
+    // A18 (beyond reference): distribution-drift monitor — population
+    // stability index of the event `value` distribution between the first
+    // and second half of the snapshot window, per event_type. This is the
+    // standard between-snapshots check a training-data pipeline runs
+    // before admitting a new crawl epoch (PSI > 0.2 = investigate).
+    //
+    // Determinism contract (the t15 micro-nat pattern): bin boundaries are
+    // FIXED literals (never data-derived quantiles — those differ by
+    // engine); p and q are ratios of exact integers so both engines divide
+    // identical doubles; each bin's (p-q)*ln(p/q) term — non-negative,
+    // since both factors share a sign — is floor-scaled to integer
+    // micro-nats BEFORE the sum, so libm ulps can't accumulate across
+    // bins. Laplace +1 smoothing bounds ln() away from +-inf when a bin is
+    // empty on one side.
+    //
+    // Scale: one scan; counts combine map-side into at most
+    // |event_type| x 7 cells, and the window + PSI arithmetic run on that
+    // tiny aggregated frame — at 100 TB the cost is the scan, full stop.
+    "a18_psi_drift" -> QueryDef(
+      build = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        val binned = Tables.events(s, d).select(
+          col("event_type"),
+          when(col("ts") < to_timestamp(lit(DriftEpochSplit)), 0).otherwise(1).as("epoch"),
+          when(col("value") < 1.0, 0).when(col("value") < 5.0, 1)
+            .when(col("value") < 20.0, 2).when(col("value") < 50.0, 3)
+            .when(col("value") < 100.0, 4).when(col("value") < 200.0, 5)
+            .otherwise(6).as("bin"))
+        val cells = binned.groupBy("event_type", "bin").agg(
+          sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("c1"))
+        val p = (col("c0") + 1L).cast("double") /
+          sum(col("c0") + 1L).over(w).cast("double")
+        val q = (col("c1") + 1L).cast("double") /
+          sum(col("c1") + 1L).over(w).cast("double")
+        cells
+          .withColumn("contrib",
+            floor((p - q) * log(p / q) * 1000000.0).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("c0")).as("epoch0_rows"),
+            sum(col("c1")).as("epoch1_rows"),
+            sum(col("contrib")).as("psi_micro"))
+      },
+      oracle = Some(s"""
+        WITH binned AS (
+          SELECT event_type,
+                 CASE WHEN ts < TIMESTAMP '$DriftEpochSplit' THEN 0 ELSE 1 END AS epoch,
+                 CASE WHEN value < 1.0 THEN 0 WHEN value < 5.0 THEN 1
+                      WHEN value < 20.0 THEN 2 WHEN value < 50.0 THEN 3
+                      WHEN value < 100.0 THEN 4 WHEN value < 200.0 THEN 5
+                      ELSE 6 END AS bin
+          FROM events),
+        cells AS (
+          SELECT event_type, bin,
+                 CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          FROM binned GROUP BY 1, 2),
+        ratios AS (
+          SELECT event_type, c0, c1,
+                 CAST(c0 + 1 AS DOUBLE) /
+                   CAST(sum(c0 + 1) OVER (PARTITION BY event_type) AS DOUBLE) AS p,
+                 CAST(c1 + 1 AS DOUBLE) /
+                   CAST(sum(c1 + 1) OVER (PARTITION BY event_type) AS DOUBLE) AS q
+          FROM cells)
+        SELECT event_type, count(*) AS n_bins,
+               CAST(sum(c0) AS BIGINT) AS epoch0_rows,
+               CAST(sum(c1) AS BIGINT) AS epoch1_rows,
+               CAST(sum(CAST(floor((p - q) * ln(p / q) * 1000000.0) AS BIGINT)) AS BIGINT) AS psi_micro
+        FROM ratios GROUP BY event_type"""))
   )
 }

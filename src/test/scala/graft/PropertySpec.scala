@@ -319,4 +319,36 @@ class PropertySpec extends SparkSpec {
     assert(got == expected,
       s"k-means mismatch: ${got.toSeq.diff(expected.toSeq).take(3)} vs ${expected.toSeq.diff(got.toSeq).take(3)}")
   }
+
+  test("a18 PSI drift: zero on identical epochs, strictly increasing with shifted mass") {
+    // one representative value per fixed bin (<1, <5, <20, <50, <100, <200, rest)
+    val reps = Seq(0.5, 2.0, 10.0, 30.0, 75.0, 150.0, 300.0)
+    def rows(tpe: String, epoch: Int, perBin: Seq[Int]) = {
+      val t = java.sql.Timestamp.valueOf(
+        if (epoch == 0) "2024-01-10 00:00:00" else "2024-01-20 00:00:00")
+      perBin.zip(reps).flatMap { case (n, v) =>
+        Seq.fill(n)((0L, t, 0L, tpe, v, ""))
+      }
+    }
+    val even = Seq(10, 10, 10, 10, 10, 10, 10)
+    val data =
+      rows("stable", 0, even) ++ rows("stable", 1, even) ++
+      rows("mild", 0, even) ++ rows("mild", 1, Seq(8, 10, 10, 10, 10, 10, 12)) ++
+      rows("wild", 0, even) ++ rows("wild", 1, Seq(2, 10, 10, 10, 10, 10, 18))
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_").toString
+    data.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("a18_psi_drift")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical epochs: p == q in every bin, so every floor'd term is
+    // exactly 0 — no "small but nonzero" tolerance needed
+    assert(out("stable") == ((7L, 70L, 70L, 0L)), s"stable: ${out("stable")}")
+    // planted drift is detected, and 4x the shifted mass scores strictly higher
+    assert(out("mild")._4 > 0L, s"mild must drift: $out")
+    assert(out("wild")._4 > out("mild")._4, s"wild must out-drift mild: $out")
+    assert(out.values.forall(v => v._1 == 7L && v._2 == 70L && v._3 == 70L),
+      s"bins and epoch totals must partition the input: $out")
+  }
 }
