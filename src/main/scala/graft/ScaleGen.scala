@@ -77,9 +77,17 @@ object ScaleGen {
       // events MUST go through Tables.events: its ts physical type has
       // shipped in two generations (TIMESTAMP(NANOS) needs nanosAsLong
       // before the schema read or the scan throws; see normalizeEventTs)
-      // — a raw parquet read would crash on the older generation
+      // — a raw parquet read would crash on the older generation. The
+      // normalized session-zoned ts is cast BACK to NTZ before writing
+      // (a pure type change under the pinned UTC session) so the scale
+      // corpus keeps the driver testdata's physical type — a zoned
+      // TIMESTAMP(isAdjustedToUTC) column would make DuckDB read the
+      // replica's ts as TIMESTAMPTZ and break every ts-emitting oracle
+      // run against it
       val base =
-        if (table == "events") graft.core.Tables.events(spark, src)
+        if (table == "events")
+          graft.core.Tables.events(spark, src)
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
         else spark.read.parquet(s"$src/$table.parquet")
       (0 until factor).map { r =>
         if (r == 0) base
