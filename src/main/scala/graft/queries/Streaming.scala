@@ -112,6 +112,13 @@ object Streaming extends QueryGroup {
           graft.streaming.Stateful.sessionize(stream, gapMinutes = 30).toDF(),
           "append")
       },
+      // benched: the one streaming entry in the bench set — it times the
+      // full micro-batch machinery (source listing, watermark advance,
+      // flatMapGroupsWithState state store, sink commit), so the bench
+      // represents the streaming family's fixed costs alongside the
+      // batch families (and the 1x/3x/10x exponent sweep can measure how
+      // per-epoch state cost tracks the key count)
+      bench = true,
       oracle = Some("""
         WITH flagged AS (
           SELECT *,

@@ -29,16 +29,25 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
-    // The file source wants a directory to watch; expose the (read-only)
-    // table file through a scratch dir symlink.
-    val streamDir = Files.createTempDirectory("graft_src_")
-    // absolute target: a relative `dir` would otherwise produce a symlink
-    // resolved against the scratch dir — dangling, and the stream would
-    // silently drain zero rows
-    Files.createSymbolicLink(
-      streamDir.resolve(s"$name.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // The file source wants a directory to watch. A dir-shaped table
+    // (part files, e.g. a ScaleGen corpus) IS that shape already — watch
+    // it directly (the file source skips _SUCCESS/`_*` markers; a symlink
+    // to the dir would list zero files and silently drain an empty
+    // stream). A single-file table gets exposed through a scratch-dir
+    // symlink.
+    val sourceDir =
+      if (Files.isDirectory(java.nio.file.Paths.get(path))) path
+      else {
+        val streamDir = Files.createTempDirectory("graft_src_")
+        // absolute target: a relative `dir` would otherwise produce a
+        // symlink resolved against the scratch dir — dangling, and the
+        // stream would silently drain zero rows
+        Files.createSymbolicLink(
+          streamDir.resolve(s"$name.parquet"),
+          java.nio.file.Paths.get(path).toAbsolutePath)
+        streamDir.toString
+      }
+    val raw = spark.readStream.schema(schema).parquet(sourceDir)
     if (name == "events") graft.core.Tables.normalizeEventTs(raw)
     else raw
   }
