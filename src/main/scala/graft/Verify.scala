@@ -9,6 +9,14 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (fast iteration)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // fail a typo'd filter loudly — a silently-ignored unknown name reads
+    // as "query passed" to whoever forgot to count the selfcheck lines
+    // (Bench has the same gate on SPARK_GRAFT_BENCH_ONLY)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query names in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
