@@ -8,7 +8,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (fast iteration)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     // fail a typo'd filter loudly — a silently-ignored unknown name reads
     // as "query passed" to whoever forgot to count the selfcheck lines
     // (Bench has the same gate on SPARK_GRAFT_BENCH_ONLY)

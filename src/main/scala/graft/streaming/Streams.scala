@@ -64,7 +64,15 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    // Pin the drained rows into (evictable, ContextCleaner-managed) block
+    // storage and DROP the memory-sink view: the sink's buffered batches
+    // are otherwise referenced by the session catalog FOREVER, so a
+    // caller looping streams (Bench times st9 four times) accumulates a
+    // full result copy per run that no System.gc() can free.
+    val spark = df.sparkSession
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Run a streaming DF through foreachBatch, appending every micro-batch
