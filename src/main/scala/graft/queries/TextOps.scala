@@ -1100,8 +1100,58 @@ object TextOps extends QueryGroup {
         SELECT doc_id, h % 16 AS shard,
                CAST(row_number() OVER (PARTITION BY h % 16
                  ORDER BY h, doc_id) AS BIGINT) AS pos
-        FROM h"""))
+        FROM h""")),
+
+    // T23: tokenizer-coverage audit — per-language out-of-vocabulary rate
+    // against a reference vocab fit on the ENGLISH slice: the "tokenizer
+    // was fit on en; how badly does it cover everything else" check run
+    // before committing a tokenizer to a multilingual corpus (the token
+    // sibling of a18's numeric drift). VocabK is a pinned workload knob
+    // like t22's shard count — production sets the tokenizer's real vocab
+    // size (32k–100k, still broadcastable); 16 here so the synthetic
+    // corpus's ~31-token pool yields real OOV mass. Vocab selection is
+    // fully deterministic: count desc with token asc tiebreak through a
+    // bounded TakeOrdered, never a global sort.
+    //
+    // Scale: ONE (lang, token) keyed aggregation reduces the scan to
+    // |lang|×|vocab| cells map-side; the fit, the broadcast vocab probe,
+    // and the per-lang rollup all run on that tiny cell frame — the
+    // corpus itself never shuffles (checkpointed once: the cells feed
+    // both the vocab fit and the probe, and differing projections of a
+    // twice-consumed subtree would otherwise block ReusedExchange).
+    "t23_vocab_coverage" -> QueryDef(
+      build = (s, d) => {
+        val cells = Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val vocab = cells.filter(col("lang") === "en")
+          .orderBy(col("c").desc, col("token")).limit(VocabK)
+          .select(col("token"), lit(1).as("in_vocab"))
+        cells.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("lang")
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+              .as("oov_tokens"))
+          .withColumn("oov_ppm", expr("oov_tokens * 1000000 div n_tokens"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT lang, unnest($sqlTokens) AS token FROM documents),
+        cells AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        vocab AS (SELECT token FROM cells WHERE lang = 'en'
+                  ORDER BY c DESC, token LIMIT $VocabK)
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+               CAST(CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) * 1000000 AS BIGINT)
+                    // CAST(sum(c) AS BIGINT) AS BIGINT) AS oov_ppm
+        FROM cells LEFT JOIN vocab v USING (token)
+        GROUP BY lang"""))
   )
+
+  /** t23's reference-vocab size — a pinned knob (see the query comment). */
+  private val VocabK = 16
 
   /** Shared Okapi BM25 corpus scaffolding — ONE definition for t16
     * (corpus-driven retrieval) and t20 (hybrid fusion), the

@@ -85,6 +85,26 @@ class TextOpsSpec extends SparkSpec {
     assert(t22.exceptAll(again).count() == 0 && again.exceptAll(t22).count() == 0)
   }
 
+  test("t23: OOV rates against the en-fit vocab on planted multilingual docs") {
+    val dir = Files.createTempDirectory("graft_oov_").toString
+    Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "alpha novel1 novel2 beta", "zh"),
+      (3L, "novel3 novel3 novel3", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t23_vocab_coverage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // en fits the vocab, so its coverage is total; zh shares half its
+    // tokens with it; fr shares none
+    assert(rows("en") == ((4L, 0L, 0L)), s"en: $rows")
+    assert(rows("zh") == ((4L, 2L, 500000L)), s"zh: $rows")
+    assert(rows("fr") == ((3L, 3L, 1000000L)), s"fr: $rows")
+  }
+
   test("t21 upper buckets: 128 and 256 boundaries on planted long docs") {
     // testdata maxes out near 100 tokens, so buckets 4 (<256) and 5
     // (>=256) are otherwise dead code for both the oracle and the
