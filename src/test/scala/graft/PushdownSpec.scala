@@ -175,6 +175,28 @@ class PushdownSpec extends SparkSpec {
       s"no partial-mode aggregation in a1 plan:\n$p")
   }
 
+  test("monitors stay cell-sized: a18 prunes + combines map-side, t23's vocab probe broadcasts") {
+    // a18's SCALE claim: the scan reduces to |event_type|x7 cells
+    // map-side — so a partial aggregate must run below the exchange, and
+    // the events scan must read ONLY the three columns the monitor uses
+    val p = plan("a18_psi_drift")
+    assert(p.contains("partial_"),
+      s"a18 lost its map-side partial aggregation:\n$p")
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    assert(Seq("event_type", "ts", "value").forall(rs.contains),
+      s"a18 scan missing a needed column: $rs")
+    assert(!rs.contains("props") && !rs.contains("user_id") && !rs.contains("event_id"),
+      s"a18 scan reads columns the monitor never uses: $rs")
+    // t23's probe side is the K-row vocab — anything but a broadcast join
+    // would shuffle the cell frame for a 16-row lookup
+    val p23 = plan("t23_vocab_coverage")
+    assert(p23.contains("BroadcastHashJoin"),
+      s"t23's vocab probe must broadcast:\n$p23")
+    for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin"))
+      assert(!p23.contains(bad), s"$bad in t23 plan:\n$p23")
+  }
+
   test("rank-filter window bounds map-side: w8 has WindowGroupLimit Partial below the exchange") {
     // rank() <= 3 must become Spark's WindowGroupLimit in BOTH modes: a
     // Partial below the window exchange (each map task forwards at most k
