@@ -320,6 +320,76 @@ class PropertySpec extends SparkSpec {
       s"k-means mismatch: ${got.toSeq.diff(expected.toSeq).take(3)} vs ${expected.toSeq.diff(got.toSeq).take(3)}")
   }
 
+  test("a18 PSI equals an independent in-memory reference on random events") {
+    val rnd = new Random(11)
+    val types = Seq("alpha", "beta")
+    // beta's epoch-1 values are drawn wider — a planted, type-local drift
+    case class Ev(id: Long, epoch: Int, tpe: String, value: Double)
+    val evs = (1 to 4000).map { i =>
+      val t = types(rnd.nextInt(2))
+      val epoch = rnd.nextInt(2)
+      val hi = if (epoch == 1 && t == "beta") 400.0 else 250.0
+      Ev(i.toLong, epoch, t, math.rint(rnd.nextDouble() * hi * 100) / 100)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_ref_").toString
+    evs.map { e =>
+      val ts = java.sql.Timestamp.valueOf(
+        if (e.epoch == 0) "2024-01-10 00:00:00" else "2024-01-20 00:00:00")
+      (e.id, ts, 0L, e.tpe, e.value, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // the reference replays the query's EXACT float ops: integer counts,
+    // (c+1).toDouble / total.toDouble, ((p-q) * ln(p/q)) * 1e6, floor
+    def bin(v: Double) = if (v < 1) 0 else if (v < 5) 1 else if (v < 20) 2
+      else if (v < 50) 3 else if (v < 100) 4 else if (v < 200) 5 else 6
+    val expected = evs.groupBy(_.tpe).map { case (t, rs) =>
+      val cells = rs.groupBy(e => bin(e.value)).view.mapValues(brs =>
+        (brs.count(_.epoch == 0).toLong, brs.count(_.epoch == 1).toLong)).toMap
+      val t0 = cells.values.map(_._1 + 1L).sum
+      val t1 = cells.values.map(_._2 + 1L).sum
+      val psi = cells.values.map { case (c0, c1) =>
+        val p = (c0 + 1L).toDouble / t0.toDouble
+        val q = (c1 + 1L).toDouble / t1.toDouble
+        math.floor((p - q) * math.log(p / q) * 1000000.0).toLong
+      }.sum
+      t -> ((cells.size.toLong, rs.count(_.epoch == 0).toLong,
+        rs.count(_.epoch == 1).toLong, psi))
+    }
+    val got = SparkEntry.queries("a18_psi_drift")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"PSI mismatch: $got vs $expected")
+    // and the planted beta drift is visibly larger than alpha's noise
+    assert(got("beta")._4 > got("alpha")._4, s"beta must out-drift alpha: $got")
+  }
+
+  test("t23 vocab boundary ties resolve by token order — the K-th slot is deterministic") {
+    // en counts: tok01..tok14 x3, tok15..tok18 x2 (the VocabK=16 boundary
+    // cuts INSIDE this tie group), tok19/tok20 x1. The lexical tiebreak
+    // must admit tok15+tok16 and reject tok17+tok18 — on every engine and
+    // every partitioning, or the driver corpus (31 tokens, random counts)
+    // could hash-mismatch on a boundary tie.
+    val en = ((1 to 14).flatMap(i => Seq.fill(3)(f"tok$i%02d")) ++
+      (15 to 18).flatMap(i => Seq.fill(2)(f"tok$i%02d")) ++
+      Seq("tok19", "tok20")).mkString(" ")
+    val fr = "tok15 tok16 tok17 tok17 tok18" // 3 OOV of 5 under that vocab
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab_tie_").toString
+    Seq((1L, en, "en"), (2L, fr, "fr"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run1 = SparkEntry.queries("t23_vocab_coverage")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // en: 52 tokens, OOV = tok17 x2 + tok18 x2 + tok19 + tok20 = 6
+    assert(run1("en") == ((52L, 6L, 115384L)), s"en: $run1")
+    assert(run1("fr") == ((5L, 3L, 600000L)), s"fr: $run1")
+    val run2 = SparkEntry.queries("t23_vocab_coverage")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(run2 == run1, s"tie resolution must be stable across runs: $run2 vs $run1")
+  }
+
   test("a18 PSI drift: zero on identical epochs, strictly increasing with shifted mass") {
     // one representative value per fixed bin (<1, <5, <20, <50, <100, <200, rest)
     val reps = Seq(0.5, 2.0, 10.0, 30.0, 75.0, 150.0, 300.0)
