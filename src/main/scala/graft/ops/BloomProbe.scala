@@ -44,8 +44,14 @@ object BloomProbe {
   def build(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Bloom = {
     // distinct once, pinned: the count (for sizing) and the position
     // explode both read it — without the checkpoint each would re-run
-    // the distinct shuffle over the full key set
-    val dk = keys.select(col(keyCol).as("k")).distinct().localCheckpoint(true)
+    // the distinct shuffle over the full key set. The cast enforces the
+    // long-key contract AT THE HASH: xxhash64 hashes int 5 and long 5
+    // differently, so an uncast int build probed by a long column (or
+    // vice versa) would silently false-negative EVERY key — the one
+    // failure mode the no-false-negatives guarantee forbids
+    // ([[mightContain]] applies the same cast to the probe side).
+    val dk = keys.select(col(keyCol).cast("long").as("k"))
+      .distinct().localCheckpoint(true)
     val n = math.max(1L, dk.count())
     val ln2 = math.log(2)
     val ideal = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
@@ -75,10 +81,12 @@ object BloomProbe {
   }
 
   /** Membership test for `h` against the `bloom_words` column (after
-    * `crossJoin(broadcast(bloom.words))`). Pure builtins — codegen. */
+    * `crossJoin(broadcast(bloom.words))`). Pure builtins — codegen. The
+    * probe key is cast to long to mirror [[build]]'s cast: hash-family
+    * symmetry must include the INPUT TYPE, not just seeds and masks. */
   def mightContain(h: Column, words: Column, bits: Long, hashes: Int): Column =
     (0 until hashes).map { i =>
-      val pos = pmod(xxhash64(h, lit(i)), lit(bits))
+      val pos = pmod(xxhash64(h.cast("long"), lit(i)), lit(bits))
       val word = element_at(words, shiftright(pos, 6).cast("int") + lit(1))
       val mask = call_function("shiftleft",
         lit(1L), pos.bitwiseAND(lit(63L)).cast("int"))

@@ -33,9 +33,11 @@ import org.apache.spark.sql.types.StructType
   * [[SharingSource]]; a MicroBatchStream would have to re-implement the
   * parquet reader behind PartitionReader for zero behavioral gain here.
   *
-  * Scale: `getOffset` is one manifest read (KB-scale metadata) per
-  * trigger; each batch scans only the NEW committed feed dirs — cost ∝
-  * new commits, the shared snapshot is never re-read.
+  * Scale: each trigger costs two manifest reads (KB-scale metadata —
+  * `getOffset` and `getBatch` each list, the same shape as Spark's
+  * FileStreamSource log lookups); each batch scans only the NEW
+  * committed feed dirs — cost ∝ new commits, the shared snapshot is
+  * never re-read.
   */
 class SharingCdcStreamSource extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graftSharingCdc"
@@ -55,7 +57,12 @@ class SharingCdcStreamSource extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source =
     new SharingCdcSource(sqlContext, url(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      schema.getOrElse(SharingCdcSource.feedSchema(sqlContext, url(parameters))))
+      // reuse the schema resolved at load() (sourceSchema): Spark fixes
+      // the plan's attributes there, and a mergeSchema commit landing
+      // between load() and start() must not make this Source disagree
+      // with its own analyzed plan — a streaming schema is fixed at
+      // query start (new columns require a restart), Spark's contract
+      schema.getOrElse(SharingCdcSource.pinnedSchema(sqlContext, url(parameters))))
 }
 
 private[sources] object SharingCdcSource {
@@ -83,6 +90,15 @@ private[sources] object SharingCdcSource {
       else (token, sqlContext.sparkSession.read.option("mergeSchema", "true")
         .parquet(dirs: _*).schema))._2
   }
+
+  /** The schema exactly as the most recent `sourceSchema` (load()) call
+    * resolved it, WITHOUT re-validating the token: `createSource` uses
+    * this so the paired load()/start() calls always agree even when a
+    * provider commit lands between them. Falls back to a fresh resolve
+    * only if no load() populated the memo (a direct createSource call). */
+  def pinnedSchema(sqlContext: SQLContext, url: String): StructType =
+    Option(schemaMemo.get(url)).map(_._2)
+      .getOrElse(feedSchema(sqlContext, url))
 }
 
 private[sources] class SharingCdcSource(sqlContext: SQLContext, url: String,
@@ -95,9 +111,13 @@ private[sources] class SharingCdcSource(sqlContext: SQLContext, url: String,
     (f, paths.head)
   }
 
+  // one compiled pattern for every trigger's parsing (getOffset and
+  // getBatch both version-filter dir listings)
+  private val vRe = """v=(\d+)$""".r
+
   private def committedVersions: Seq[Long] =
     SharingProtocol.committedFeedDirs(fqn, root, startingVersion)
-      .flatMap(d => """v=(\d+)$""".r.findFirstMatchIn(d).map(_.group(1).toLong))
+      .flatMap(d => vRe.findFirstMatchIn(d).map(_.group(1).toLong))
       .sorted
 
   // any Offset flavor (LongOffset live, SerializedOffset from the
@@ -108,11 +128,14 @@ private[sources] class SharingCdcSource(sqlContext: SQLContext, url: String,
     committedVersions.lastOption.map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    // the checkpointed offset takes PRECEDENCE over startingVersion (the
+    // Delta convention): on a restart/replay `start` already encodes what
+    // the sink has seen, and clamping it by a user-raised startingVersion
+    // would silently drop committed-but-unsunk versions from the replay
     val lo = start.map(ver(_) + 1L).getOrElse(startingVersion)
     val hi = ver(end)
-    val dirs = SharingProtocol.committedFeedDirs(fqn, root, math.max(lo, startingVersion))
-      .filter(d => """v=(\d+)$""".r.findFirstMatchIn(d)
-        .exists(_.group(1).toLong <= hi))
+    val dirs = SharingProtocol.committedFeedDirs(fqn, root, lo)
+      .filter(d => vRe.findFirstMatchIn(d).exists(_.group(1).toLong <= hi))
     val session = sqlContext.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (dirs.isEmpty) {

@@ -42,11 +42,12 @@ object Stateful {
     * waiting for the user's next event. State is O(users), partitioned by
     * the key shuffle.
     *
-    * In-watermark late events that still belong to the OPEN session
-    * (within the gap of its bounds) merge into it (min/max bounds); late
-    * events more than a gap older than the open session's start are
-    * emitted as their own single-event late sessions, and late events
-    * whose session already closed and was emitted cannot be merged
+    * In-watermark late events merge by a gaps-and-islands interval fold
+    * over (open session ∪ batch events): events within a gap of the open
+    * session extend it, straggler chains more than a gap older merge
+    * among THEMSELVES into late sessions (and bridge into the open
+    * session when they reach within a gap of it). Only late events whose
+    * session already closed and was emitted cannot be merged
     * retroactively — the standard append-mode limitation, bounded by the
     * watermark delay. Feed a time-ordered source for exact batch parity.
     *
@@ -71,33 +72,43 @@ object Stateful {
             Iterator.single(ClosedSession(uid, s.start_us, s.end_us, s.n_events))
           } else {
             // eager fold (state mutations must not hide inside a lazy
-            // iterator): extend/close against the carried open session
+            // iterator): a gaps-and-islands INTERVAL merge over the
+            // carried open session plus the batch's events, in start
+            // order — exactly what batch semantics compute over
+            // everything still mergeable. Folding events one-by-one
+            // against the open session alone (the previous shape) emitted
+            // each in-watermark straggler as its own single-event
+            // session, so two stragglers within a gap of EACH OTHER
+            // produced overlapping "sessions" that violated the gap
+            // partitioning; the interval fold merges straggler chains —
+            // and bridges them into the open session when they reach
+            // within a gap of it.
             val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open: Option[OpenSession] = state.getOption
-            sorted.foreach { e =>
+            val items: Iterator[OpenSession] = state.getOption match {
+              case Some(s) =>
+                // two sorted runs merged in start order: events before the
+                // carried interval's start, the interval, then the rest
+                val (before, after) = sorted.partition(_.ts_us < s.start_us)
+                before.iterator.map(e => OpenSession(e.ts_us, e.ts_us, 1L)) ++
+                  Iterator.single(s) ++
+                  after.iterator.map(e => OpenSession(e.ts_us, e.ts_us, 1L))
+              case None =>
+                sorted.iterator.map(e => OpenSession(e.ts_us, e.ts_us, 1L))
+            }
+            var open: Option[OpenSession] = None
+            items.foreach { it =>
               open match {
-                case Some(s) if e.ts_us < s.start_us - gapUs =>
-                  // in-watermark straggler more than a gap OLDER than the
-                  // open session: batch semantics would place it in an
-                  // earlier (already emitted) session, so emit it as its
-                  // own late session instead of merging it into a session
-                  // it is separated from by more than the gap
-                  closed += ClosedSession(uid, e.ts_us, e.ts_us, 1L)
-                case Some(s) if e.ts_us - s.end_us <= gapUs =>
-                  // min/max, not assignment: a late-but-in-watermark event
-                  // from a later batch may precede the open session's
-                  // bounds — regressing end_us would misread the next
-                  // delta and emit end < contained-event timestamps
-                  open = Some(s.copy(
-                    start_us = math.min(s.start_us, e.ts_us),
-                    end_us = math.max(s.end_us, e.ts_us),
-                    n_events = s.n_events + 1))
-                case Some(s) =>
-                  closed += ClosedSession(uid, s.start_us, s.end_us, s.n_events)
-                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+                case Some(c) if it.start_us - c.end_us <= gapUs =>
+                  // end via max, never assignment: the carried interval
+                  // may extend past later-starting items it absorbs
+                  open = Some(OpenSession(c.start_us,
+                    math.max(c.end_us, it.end_us), c.n_events + it.n_events))
+                case Some(c) =>
+                  closed += ClosedSession(uid, c.start_us, c.end_us, c.n_events)
+                  open = Some(it)
                 case None =>
-                  open = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+                  open = Some(it)
               }
             }
             // persist the still-open session + arm its event-time timeout.
@@ -157,9 +168,11 @@ object Stateful {
     * a serialized blob like GroupState, so a hot user with many types
     * only touches the entries its batch hits) plus a ValueState (running
     * value total). Requires the RocksDB state-store provider. Each batch
-    * emits the key's FULL refreshed breakdown; counts are monotone, so
-    * max() per (user, type) downstream yields final state under any
-    * batch split — the same multi-batch-safe shape as st8.
+    * emits the key's FULL refreshed breakdown; counts are monotone by
+    * construction and the value total is monotone because typeProfile
+    * rejects negative values at ingress (raise_error), so max() per
+    * (user, type) downstream yields final state under any batch split —
+    * the same multi-batch-safe shape as st8.
     */
   private class TypeProfileProcessor
       extends StatefulProcessor[Long, TypedEvent, TypeProfile] {
@@ -176,11 +189,20 @@ object Stateful {
     override def handleInputRows(
         key: Long, rows: Iterator[TypedEvent],
         timerValues: TimerValues): Iterator[TypeProfile] = {
+      // fold the batch into a LOCAL map first, then one store read +
+      // write per touched type: per-row containsKey/getValue/updateValue
+      // against the RocksDB-backed MapState would cost ~3 point ops per
+      // event on the stateful hot path (a hot key's 10k-event batch is
+      // 10 store ops this way, not 30k)
       var t = if (total.exists()) total.get() else 0L
+      val delta = scala.collection.mutable.HashMap.empty[String, Long]
       rows.foreach { e =>
-        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
-        counts.updateValue(e.event_type, c + 1L)
+        delta.update(e.event_type, delta.getOrElse(e.event_type, 0L) + 1L)
         t += e.value_e4
+      }
+      delta.foreach { case (typ, d) =>
+        val c = if (counts.containsKey(typ)) counts.getValue(typ) else 0L
+        counts.updateValue(typ, c + d)
       }
       total.update(t)
       // materialize before returning: state reads must not hide inside a
@@ -195,8 +217,18 @@ object Stateful {
     * provider implementing the v2 state API). */
   def typeProfile(events: DataFrame): Dataset[TypeProfile] = {
     import events.sparkSession.implicits._
+    // the downstream max()-fold (st12, StreamingSpec) relies on BOTH
+    // emitted measures being monotone: counts are by construction, but
+    // the running value total is only monotone for NON-NEGATIVE values —
+    // a refund-style negative value would make max() silently pick a
+    // stale intermediate total. Enforce the contract loudly at ingress
+    // (the e8/ANSI-abort posture: corrupt input fails the job, never
+    // bends the result).
     events.select($"user_id".cast("long").as("user_id"), $"event_type",
-      floor($"value" * 10000).cast("long").as("value_e4"))
+      floor(when($"value" < 0, raise_error(lit(
+        "typeProfile requires non-negative event values: the emitted " +
+          "running total is max()-folded downstream and must be monotone")))
+        .otherwise($"value") * 10000).cast("long").as("value_e4"))
       .as[TypedEvent]
       .groupByKey(_.user_id)
       .transformWithState(

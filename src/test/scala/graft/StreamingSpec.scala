@@ -305,6 +305,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(straggler, morning), s"unexpected extra sessions: ${got -- Set(straggler, morning)}")
   }
 
+  test("sessionize: straggler chains gap-merge; a bridging chain joins the open session") {
+    // Two in-watermark stragglers within a gap of EACH OTHER (09:20,
+    // 09:25 — both > 30 min before the open session's 10:00 start) must
+    // come out as ONE two-event late session, not two overlapping
+    // singletons (the gap-partitioning invariant). And for user 8, a
+    // chain (09:05, 09:35) whose tail reaches within a gap of the open
+    // session must bridge INTO it — one merged session, batch semantics.
+    val srcDir = Files.createTempDirectory("graft_chain_").toString
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_chain_b_").toString
+      rows.toDF("user_id", "ts_s", "event_id")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeBatch("b1.parquet", 1000000000000L,
+      Seq((7L, "2024-01-01 10:00:00", 1L), (7L, "2024-01-01 10:05:00", 2L),
+        (8L, "2024-01-01 10:00:00", 5L), (8L, "2024-01-01 10:05:00", 6L)))
+    writeBatch("b2.parquet", 1000000060000L,
+      Seq((7L, "2024-01-01 09:20:00", 3L), (7L, "2024-01-01 09:25:00", 4L),
+        (8L, "2024-01-01 09:05:00", 7L), (8L, "2024-01-01 09:35:00", 8L),
+        (7L, "2024-01-01 12:00:00", 9L), (8L, "2024-01-01 12:00:00", 10L)))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "3 hours")
+    val sessions = graft.streaming.Stateful.sessionize(stream, gapMinutes = 30).toDF()
+    val got = Streams.runToMemory(sessions, "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    val expected = Set(
+      // user 7: the straggler CHAIN is one late session; morning untouched
+      (7L, us("2024-01-01T09:20:00Z"), us("2024-01-01T09:25:00Z"), 2L),
+      (7L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:05:00Z"), 2L),
+      // user 8: 09:05→09:35 bridges to 10:00 — everything merges
+      (8L, us("2024-01-01T09:05:00Z"), us("2024-01-01T10:05:00Z"), 4L))
+    assert(got == expected, s"got ${got.toSeq.sorted} want ${expected.toSeq.sorted}")
+  }
+
   test("stream-stream LEFT OUTER interval join: matches equal batch; unmatched emit after eviction") {
     // the harder sibling of st10's inner join: unmatched purchases must
     // surface with a null view once the watermark proves no view can
