@@ -21,6 +21,18 @@ import org.apache.spark.sql.types._
   * fold order as the higher-order formulation and DuckDB's `list_sum`, so
   * results stay bit-identical across all three.
   */
+object VecDot {
+  /** THE cast-and-call Column helper for the `vec_dot` kernel: the
+    * expression does no implicit casts (see below), so every call site
+    * must pair it with explicit array<double> casts — one shared helper
+    * instead of per-file copies that could drift (a site dropping the
+    * cast would hit the type check only at runtime). */
+  def dotCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("vec_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
+}
+
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 

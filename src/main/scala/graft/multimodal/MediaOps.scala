@@ -111,6 +111,12 @@ object MediaOps {
         // per row (MessageDigest.digest() resets the instance)
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.iterator.map { r =>
+          // a NULL id (legal for a nullable long column, same as the
+          // payload below) must fail with a MESSAGE, not the bare NPE
+          // getLong throws mid-task — there is no sensible feature row
+          // for an unidentifiable media object
+          require(!r.isNullAt(0),
+            s"extractFeatures: NULL $idCol — media rows need a non-null id")
           val id = r.getLong(0)
           // a NULL payload (legal for a nullable binary column) decodes
           // as empty bytes — deterministic features, not an NPE mid-task

@@ -133,9 +133,17 @@ object ConnectedComponents {
       i += 1
     }
     require(changed == 0, s"not converged after $maxIter rounds")
-    // fixed point is a star forest: _v is the component min for every _u
+    // fixed point is a star forest: _v is the component min for every _u.
+    // Output universe = nodes ∪ edge endpoints — the SAME row set
+    // minLabel emits (it seeds labels from exactly this union), so the
+    // two same-contract variants are interchangeable; joining `nodes`
+    // alone would silently drop endpoints absent from it
     val roots = cur.select(col("_u").as("_id"), col("_v").as("_lbl"))
-    nodes.select(col(idCol).as("_id"))
+    val universe = nodes.select(col(idCol).as("_id"))
+      .union(edges.select(col(srcCol).as("_id")))
+      .union(edges.select(col(dstCol).as("_id")))
+      .distinct()
+    universe
       .join(roots, Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("_lbl"), col("_id")).as("cluster"))

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   private def dot(a: Column, b: Column): Column =
-    call_function("vec_dot", a.cast("array<double>"), b.cast("array<double>"))
+    graft.functions.VecDot.dotCol(a, b)
 
   /** k deterministic seed centroids (`cid`, `ce`) = the k lowest vec_ids. */
   def seedCentroids(vectors: DataFrame, k: Int): DataFrame =
@@ -57,7 +57,19 @@ object KMeans {
             struct(dist.as("dist"), c.getField("cid").as("cid")))
             .otherwise(acc)
         }))
-      .select(col("vec_id"), col("m.cid").as("cluster_id"),
+      .select(col("vec_id"),
+        // the fold's (-1, Infinity) init surviving means NO centroid
+        // produced a comparable distance — a ragged embedding (vec_dot
+        // returns null on length mismatch) or an empty centroid set.
+        // Fail LOUDLY here (the e8/ANSI-abort posture): letting cid=-1
+        // through would materialize a phantom centroid from the ragged
+        // rows on the next update and poison every later round with
+        // sse=Infinity, silently. Cheap scalar compare on the folded
+        // field — no shared-subexpression/CSE hazard.
+        when(col("m.cid") === -1L, raise_error(lit(
+          "KMeans.assign: no centroid comparable for this vector " +
+            "(ragged embedding dims or empty centroid set)")))
+          .otherwise(col("m.cid")).as("cluster_id"),
         col("m.dist").as("dist"), col("embedding"))
   }
 

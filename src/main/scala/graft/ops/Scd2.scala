@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §2.11 M14. This implementation replaces it with (a) a
   * history rebuild via lead(), and (b) a union-staged single-pass merge.)
   *
-  * Scale notes: both paths are one hash-partition shuffle on the business
-  * key + a per-key sort — no self-join of the full table, no second pass
-  * over history. Invariants (exactly one current row per key; interval
-  * endpoints chain) are property-tested in Scd2Spec.
+  * Scale notes: fromHistory is one hash-partition shuffle on the business
+  * key + a per-key sort. applyUpdates dedups the updates side in ONE
+  * window pass (checkpointed — it feeds both the close join and the
+  * insert join) and joins the current table by key; the current table is
+  * scanned twice (close projection + current-values projection) but
+  * never self-joined and never re-sorted. Invariants (exactly one
+  * current row per key; interval endpoints chain) are property-tested in
+  * Scd2Spec.
   */
 object Scd2 {
 
@@ -23,7 +27,11 @@ object Scd2 {
     */
   def fromHistory(
       changes: DataFrame, key: String, ts: String, tracked: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    // tracked desc as the secondary order: equal-ts changes would
+    // otherwise produce a DIFFERENT history per shuffle order (the same
+    // tie applyUpdates already breaks this way); the earlier-ordered tied
+    // value gets a zero-length period, deterministically
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tracked).desc)
     changes
       .withColumn("_prev", lag(col(tracked), 1).over(w))
       .withColumn("_first", row_number().over(w) === 1)
@@ -55,10 +63,23 @@ object Scd2 {
     // order, not by whichever row arrives first
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).desc, col(tracked).desc)
+    // a NULL-ts update must fail LOUDLY: inserted for a new key it would
+    // freeze that key forever (every later `_new_ts > effective_start`
+    // compare goes NULL, so no close and no insert ever fires again) —
+    // and it would be silently dropped for an existing key, an
+    // inconsistency worse than either behavior alone.
+    // localCheckpoint: the deduped frame feeds BOTH the close join and
+    // the insert join — uncached, the updates scan + window shuffle
+    // would run twice.
     val latestUpdate = updates
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      .select(col(key), col(tracked).as("_new_val"), col(ts).as("_new_ts"),
+      .select(col(key), col(tracked).as("_new_val"),
+        when(col(ts).isNull, raise_error(lit(
+          "Scd2.applyUpdates requires non-null ts on every update: a " +
+            "NULL-ts row would freeze its key (interval compares go NULL)")))
+          .otherwise(col(ts)).as("_new_ts"),
         lit(true).as("_has_upd"))
+      .localCheckpoint(true)
 
     val joined = current.join(latestUpdate, Seq(key), "left")
     // null-SAFE change test, with an explicit has-an-update marker:

@@ -13,9 +13,10 @@ import graft.quality.Quality
   * (orchestration/workflow_definitions.json:22-180: max_retries,
   * min_retry_interval_millis, timeout_seconds, retry_on_timeout).
   *
-  * A table body reads upstream tables via `read(name)`; dependencies are
-  * whatever it actually reads (recorded at registration, declared
-  * explicitly). Execution memoizes each table once per run — the DAG is
+  * A table body receives its declared upstream tables as a
+  * Map[String, DataFrame] (`deps` at registration IS the dependency
+  * list — an undeclared read is impossible by construction, since the
+  * body sees only the map). Execution memoizes each table once per run — the DAG is
   * topologically executed by recursion, cycles rejected. A table that
   * exhausts its retries throws, which stops its dependents exactly as an
   * expectation-gate failure does.
@@ -66,7 +67,7 @@ final class Pipeline(spark: SparkSession) {
       // — a data race on the buffer plus double-counted metrics for an
       // attempt that was reported dead. Only the winning attempt's
       // metrics are recorded, from the calling thread.
-      val (out, attemptMetrics) = Pipeline.withPolicy(name, td.policy) {
+      val (out, attemptMetrics) = Pipeline.withPolicy(name, td.policy, Some(spark)) {
         val raw = td.body(inputs)
         if (td.rules.isEmpty) (raw, None)
         else {
@@ -110,17 +111,34 @@ object Pipeline {
   final class TaskTimeoutException(name: String, millis: Long)
     extends RuntimeException(s"table $name timed out after ${millis}ms")
 
-  /** Run `thunk` under `policy`: per-attempt timeout on a daemon thread
-    * (cancelled with interrupt on expiry — Spark jobs abort on thread
-    * interrupt), up to maxRetries re-attempts with the configured pause.
-    * Deterministic failures (e.g. expectation-gate require) burn their
-    * retries and still throw — same observable contract as the
-    * reference, where the orchestrator can't tell flaky from broken. */
-  private[pipeline] def withPolicy[T](name: String, policy: RetryPolicy)(thunk: => T): T = {
+  /** Run `thunk` under `policy`: per-attempt timeout on a daemon thread,
+    * up to maxRetries re-attempts with the configured pause. When a
+    * SparkSession is supplied, each attempt runs inside its own JOB GROUP
+    * and a timeout cancels the group cluster-side (interruptOnCancel) —
+    * a bare thread interrupt would only abandon the driver thread while
+    * the DAGScheduler kept executing the submitted job, so the retry
+    * would run concurrently with the undead attempt (duplicate writes,
+    * doubled cluster load). Deterministic failures (e.g.
+    * expectation-gate require) burn their retries and still throw — same
+    * observable contract as the reference, where the orchestrator can't
+    * tell flaky from broken. Fatal errors (OOM, interrupts —
+    * !NonFatal) are never retried: re-attempting against a poisoned JVM
+    * only masks the condition. */
+  private[pipeline] def withPolicy[T](name: String, policy: RetryPolicy,
+      spark: Option[SparkSession] = None)(thunk: => T): T = {
+    var attempt = 0
     def once(): T =
       if (policy.timeoutMillis <= 0) thunk
       else {
-        val task = new java.util.concurrent.FutureTask[T](() => thunk)
+        val groupId = s"graft-pipeline-$name-$attempt-${System.nanoTime()}"
+        val task = new java.util.concurrent.FutureTask[T](() =>
+          spark match {
+            case Some(s) =>
+              s.sparkContext.setJobGroup(groupId,
+                s"pipeline table $name attempt $attempt", interruptOnCancel = true)
+              try thunk finally s.sparkContext.clearJobGroup()
+            case None => thunk
+          })
         val t = new Thread(task, s"graft-pipeline-$name")
         t.setDaemon(true)
         t.start()
@@ -128,6 +146,8 @@ object Pipeline {
         catch {
           case _: java.util.concurrent.TimeoutException =>
             task.cancel(true)
+            // kill the attempt's cluster-side work before the retry runs
+            spark.foreach(_.sparkContext.cancelJobGroup(groupId))
             throw new TaskTimeoutException(name, policy.timeoutMillis)
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
@@ -137,9 +157,11 @@ object Pipeline {
       try return once()
       catch {
         case e: Throwable =>
-          val retryable = !e.isInstanceOf[TaskTimeoutException] || policy.retryOnTimeout
+          val retryable = scala.util.control.NonFatal(e) &&
+            (!e.isInstanceOf[TaskTimeoutException] || policy.retryOnTimeout)
           if (attemptsLeft <= 0 || !retryable) throw e
           attemptsLeft -= 1
+          attempt += 1
           if (policy.minRetryIntervalMillis > 0)
             Thread.sleep(policy.minRetryIntervalMillis)
       }

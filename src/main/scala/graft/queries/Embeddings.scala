@@ -29,8 +29,7 @@ object Embeddings extends QueryGroup {
     * (bit-identical), but compiled to a primitive loop inside whole-stage
     * codegen instead of per-element lambda interpretation. */
   private[graft] def dot(a: Column, b: Column): Column =
-    call_function("vec_dot",
-      a.cast("array<double>"), b.cast("array<double>"))
+    graft.functions.VecDot.dotCol(a, b)
 
   private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -46,14 +46,14 @@ object Governance extends QueryGroup {
         collapsed AS (
           SELECT * FROM (
             SELECT o_custkey, o_orderdate, o_orderstatus,
-                   lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+                   lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus DESC) AS prev
             FROM dedup)
           WHERE prev IS NULL OR prev <> o_orderstatus)
         SELECT o_custkey, o_orderstatus,
                strftime(o_orderdate, '%Y-%m-%d') AS effective_start,
-               strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+               strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus DESC),
                         '%Y-%m-%d') AS effective_end,
-               lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL AS is_current
+               lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus DESC) IS NULL AS is_current
         FROM collapsed""")),
 
     // ST11: CDC apply — event ops (signup=insert, click/view/purchase=
