@@ -707,7 +707,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (!Files.exists(Paths.get(sd))) return read(Some(v)).filter(residual)
     val stats = spark.read.parquet(sd)
     if (!stats.columns.contains("mins")) return read(Some(v)).filter(residual)
-    val statCols = stats.select("mins.*").columns.toSet
+    val statCols = stats.select("mins.*").schema.fields
+      .map(f => f.name -> f.dataType).toMap
     val dir = dataDir(v)
     // left-join each bloom index's position sets onto the stats rows
     // (NULL positions = unindexed file = conservatively kept by the probe)

@@ -19,10 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Add a `_z` column interleaving `bits` bits per clustering column.
-    * Columns must be numeric/date/timestamp (cast-able to double for
-    * quantile bucketing). `bits * cols.size` must fit in a long.
-    */
   /** SQL fragment casting a column to double for quantile bucketing —
     * timestamp family goes through CAST(.. AS TIMESTAMP) first (NTZ has
     * no direct double cast; ordering is what matters, not the epoch). */
@@ -39,9 +35,18 @@ object ZOrder {
     }
   }
 
+  /** Add a `_z` column interleaving `bits` bits per clustering column.
+    * Columns must be numeric/date/timestamp (cast-able to double for
+    * quantile bucketing). `bits * cols.size` must fit in a long. `_z` is
+    * a reserved name: an input that already carries one would be
+    * silently overwritten here and dropped by [[layout]] — a silent
+    * schema change on a maintenance rewrite — so it is rejected loudly.
+    */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits * cols.size <= 62, s"z-value overflow: $bits bits x ${cols.size} cols")
+    require(!df.columns.contains("_z"),
+      "input already has a _z column (reserved by ZOrder) — rename it first")
     val n = 1 << bits
     val qs = (1 until n).map(i => i.toDouble / n)
     // one pass: n-1 quantile boundaries per column (mergeable sketch)

@@ -37,8 +37,18 @@ object CdcApply {
   def latestState(
       changes: DataFrame, key: String, opCol: String,
       versionCols: Seq[String]): DataFrame = {
-    val opRank = OpRank.foldLeft(lit(-1)) { case (acc, (op, r)) =>
-      when(col(opCol) === op, lit(r)).otherwise(acc)
+    // a NULL op must fail LOUDLY: under three-valued logic it would slip
+    // through `=!= "delete"` as NULL and silently vanish its key from
+    // the output — indistinguishable from a delete, for a row that is
+    // actually a malformed feed (e.g. a when() mapping with no
+    // otherwise). An UNKNOWN non-null op ranks below delete (-1) and is
+    // applied as an upsert if it wins — deliberately lenient, since a
+    // row-bearing op of any spelling describes the key's final state.
+    val opRank = OpRank.foldLeft(
+      when(col(opCol).isNull, raise_error(lit(
+        s"CdcApply.latestState: NULL $opCol — malformed change feed " +
+          "(every change row needs an operation)"))).otherwise(lit(-1))) {
+      case (acc, (op, r)) => when(col(opCol) === op, lit(r)).otherwise(acc)
     }
     val w = Window.partitionBy(col(key))
       .orderBy(versionCols.map(col(_).desc) :+ opRank.desc: _*)

@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Full initial aggregate over a snapshot (the view's seed state). */
+  /** Full initial aggregate over a snapshot (the view's seed state).
+    * `nn` — the group's NON-NULL value count — rides along so applyDelta
+    * can maintain the sum's NULL-ness exactly: SQL sum is NULL iff a
+    * group has zero non-null values, and without the counter a
+    * maintained state could only approximate that (e.g. deleting a
+    * group's last real value must take its sum back to NULL, not 0). */
   def init(snapshot: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     snapshot.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
+        count(col(valueCol)).as("nn"),
         sum(col(valueCol).cast("decimal(18,2)")).as("agg_sum"))
 
   /** Fold one change-feed batch into the aggregate state: inserts and
@@ -43,15 +49,25 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("_sign")).as("_dcnt"),
+        sum(when(col(valueCol).isNotNull, col("_sign")).otherwise(lit(0L)))
+          .as("_dnn"),
         sum(col("_sign") * col(valueCol).cast("decimal(18,2)")).as("_dsum"))
+    val nn = coalesce(col("nn"), lit(0L)) + coalesce(col("_dnn"), lit(0L))
     state.join(delta, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("_dcnt"), lit(0L))).as("cnt"),
-        // closed output type (init's sum type): repeated applyDelta /
-        // parquet-state roundtrips must not grow decimal precision
-        (coalesce(col("agg_sum"), lit(0).cast("decimal(18,2)")) +
-          coalesce(col("_dsum"), lit(0).cast("decimal(18,2)")))
-          .cast("decimal(28,2)").as("agg_sum")): _*)
+        nn.as("nn"),
+        // sum NULL-ness is maintained EXACTLY via the non-null counter:
+        // a recompute's sum is NULL iff nn = 0, so a group whose values
+        // are (or become) all NULL reads NULL here too — a bare
+        // coalesce-to-0 would silently rewrite "no measurable values"
+        // as "sums to zero". Closed output type (init's sum type):
+        // repeated applyDelta / parquet-state roundtrips must not grow
+        // decimal precision.
+        when(nn === 0L, lit(null).cast("decimal(28,2)"))
+          .otherwise((coalesce(col("agg_sum"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("_dsum"), lit(0).cast("decimal(18,2)")))
+            .cast("decimal(28,2)")).as("agg_sum")): _*)
       .filter(col("cnt") > 0)
   }
 

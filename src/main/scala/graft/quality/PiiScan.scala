@@ -50,7 +50,11 @@ object PiiScan {
         }
         stringCols.toSeq.zipWithIndex.flatMap { case (c, i) =>
           val values = sample.toSeq.map(_.getString(i)).filter(_ != null)
-          compiled.collectFirst {
+          // EVERY matching kind, not collectFirst: a free-text column
+          // holding both emails and IPs must surface both findings, or a
+          // consumer masking by kind silently misses one class of PII
+          // (byName already reports all kinds — same policy here)
+          compiled.collect {
             case (kind, p) if values.exists(v => p.matcher(v).find()) =>
               Finding(c, kind, "value_sample")
           }

@@ -74,6 +74,12 @@ object Quality {
         when(!coalesce(expr(r.condition), lit(false)), r.name).otherwise(acc)
     }
 
+    // loud on collision with the internal marker: withColumn would
+    // silently OVERWRITE a user column named _q_reason, clean would then
+    // drop it entirely and quarantined would rename it — a silent schema
+    // change for any frame fed back through a second quality stage
+    require(!df.columns.contains("_q_reason"),
+      "input already has a _q_reason column (reserved by Quality.apply) — rename it first")
     val flagged = df.withColumn("_q_reason", qReason)
     val clean = flagged.filter(col("_q_reason").isNull).filter(dropCond).drop("_q_reason")
     val quarantined = flagged.filter(col("_q_reason").isNotNull)

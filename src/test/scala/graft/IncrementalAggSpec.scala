@@ -141,4 +141,37 @@ class IncrementalAggSpec extends SparkSpec {
     val r = state.select(col("cnt"), col("agg_sum").cast("double")).collect()(0)
     assert(r.getLong(0) == 2L && r.getDouble(1) == 13.50)
   }
+
+  test("sum NULL-ness is maintained exactly: all-NULL groups stay NULL, and return to NULL") {
+    // SQL sum over zero non-null values is NULL, not 0 — the maintained
+    // state must preserve that through deltas that never touch the group
+    // AND restore it when a delete removes the group's last real value
+    import graft.ops.ChangeFeed
+    val s0 = Seq(
+      ("g", Option(5.0)), ("g", Option.empty[Double]),
+      ("h", Option.empty[Double]), ("h", Option.empty[Double]))
+      .toDF("grp", "amount")
+    val state0 = IncrementalAgg.init(s0, Seq("grp"), "amount")
+    def sumOf(st: org.apache.spark.sql.DataFrame, g: String): Option[Double] =
+      st.filter(col("grp") === g).select(col("agg_sum").cast("double"))
+        .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(sumOf(state0, "h").isEmpty, "init must leave an all-NULL group's sum NULL")
+
+    // delta touching only g: h's NULL sum must survive untouched
+    val feed1 = Seq(("g", Option(5.0), "delete"), ("h", Option(2.0), "insert"))
+      .toDF("grp", "amount", ChangeFeed.ChangeTypeCol)
+    val state1 = IncrementalAgg.applyDelta(state0, feed1, Seq("grp"), "amount")
+    assert(sumOf(state1, "g").isEmpty,
+      "deleting g's only real value must take its sum back to NULL, not 0.00")
+    assert(sumOf(state1, "h").contains(2.0))
+
+    // deleting h's one real value: back to NULL, like a recompute
+    val feed2 = Seq(("h", Option(2.0), "delete"))
+      .toDF("grp", "amount", ChangeFeed.ChangeTypeCol)
+    val state2 = IncrementalAgg.applyDelta(state1, feed2, Seq("grp"), "amount")
+    assert(sumOf(state2, "h").isEmpty,
+      "h's sum must return to NULL when its last real value deletes")
+    assert(state2.filter(col("grp") === "h").select("cnt")
+      .collect()(0).getLong(0) == 2L)
+  }
 }

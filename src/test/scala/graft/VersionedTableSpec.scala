@@ -692,6 +692,28 @@ class VersionedTableSpec extends SparkSpec {
     check("id % 2 = 0", 4)
   }
 
+  test("readFiltered: string stats vs numeric literals never prune matching rows") {
+    // the coercion trap: a STRING column compared to a numeric literal is
+    // coerced to double on the row side, but its min/max are
+    // LEXICOGRAPHIC — min '10' < '9' lexically though not numerically —
+    // so interval pruning there would silently drop the file holding the
+    // matching row. The mapper must conservatively keep such files.
+    val t = freshTable()
+    val df = Seq(("9", 1L), ("10", 2L), ("200", 3L)).toDF("code", "id")
+      .repartition(1)
+    t.write(df)
+    // lexicographic stats for this one file: min='10', max='9' — pruning
+    // under numeric coercion would conclude 10.0 <= 9 is false and drop it
+    val eq = t.readFiltered("code = 9")
+    assert(eq.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "numeric-literal equality on a string column lost its row")
+    val gt = t.readFiltered("code > 100")
+    assert(gt.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "numeric-literal range on a string column lost its row")
+    // string-vs-string comparisons still prune lexicographically (sound)
+    assert(t.readFiltered("code = '10'").count() == 1)
+  }
+
   test("readFiltered: all-NULL column files are skipped for comparisons, kept under OR") {
     val t = freshTable()
     import org.apache.spark.sql.types._
