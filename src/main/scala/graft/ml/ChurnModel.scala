@@ -26,8 +26,11 @@ object ChurnModel {
       * evaluator's result on an empty or single-class holdout — ranks
       * BELOW every real number here (Scala's Double ordering would rank
       * it above, silently crowning an unevaluable model); all-NaN fails
-      * loudly instead of returning a meaningless winner. */
-    val best: ModelResult = {
+      * loudly instead of returning a meaningless winner — LAZILY, at the
+      * point a winner is asked for, so a caller inspecting only
+      * models/aucByModel (e.g. for importances) keeps both fitted
+      * pipelines instead of losing the whole training run. */
+    lazy val best: ModelResult = {
       require(models.exists(!_.aucRoc.isNaN),
         "no model has a valid holdout AUC (empty or single-class holdout?)")
       models.maxBy(m =>

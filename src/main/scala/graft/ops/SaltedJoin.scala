@@ -86,7 +86,11 @@ object SaltedJoin {
   def hotOnlyPrecomputed(large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int, hotKeyFrame: DataFrame): DataFrame = {
     require(keys.nonEmpty && saltFactor > 0)
-    val hotRows = hotKeyFrame.select(keys.map(col): _*).collect()
+    // distinct: a caller-supplied frame with a duplicated hot key would
+    // otherwise fan every matching row out once per duplicate through the
+    // two membership joins — silently duplicated join output. The frame
+    // is metadata-sized, so the dedup is free.
+    val hotRows = hotKeyFrame.select(keys.map(col): _*).collect().distinct
     if (hotRows.isEmpty) return large.join(small, keys)
     val session = large.sparkSession
     val hotKeys = session.createDataFrame(

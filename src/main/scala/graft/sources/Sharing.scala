@@ -89,7 +89,19 @@ class SharingSource extends TableProvider with DataSourceRegister {
   private def table(options: CaseInsensitiveStringMap,
       schema: Option[StructType]): ParquetTable = {
     val (fqn, paths) = resolved(options)
-    ParquetTable(s"shared:$fqn", SparkSession.active, options, paths,
+    // a CDF read spans MULTIPLE feed-version dirs, and a mergeSchema
+    // commit adds columns to later feeds — without forcing mergeSchema
+    // here, schema inference pins whichever footer wins and silently
+    // drops the evolved columns from every row, breaking src9's
+    // hash-equals-changeFeed guarantee (the direct changeFeed() read and
+    // the changeStream path both merge; this batch path must too)
+    val opts =
+      if (options.getBoolean("readChangeFeed", false)) {
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("mergeSchema", "true")
+        new CaseInsensitiveStringMap(m)
+      } else options
+    ParquetTable(s"shared:$fqn", SparkSession.active, opts, paths,
       schema, classOf[ParquetFileFormat])
   }
 }
@@ -172,7 +184,16 @@ object SharingProtocol {
     profile.put("bearerToken", token)
     val digest = Integer.toHexString(token.hashCode)
     val p = Paths.get(endpointDir, s"$share.$schema.$table-$digest.share")
-    Files.writeString(p, om.writeValueAsString(profile))
+    // temp + ATOMIC_MOVE, same discipline as the manifest write above: a
+    // re-grant rewrites an existing profile path, and a concurrent
+    // recipient resolve() reading a half-written file would die on
+    // truncated JSON (or read an empty token and get a bogus
+    // token-rejected error)
+    val ptmp = Files.createTempFile(Paths.get(endpointDir), ".share", ".tmp")
+    Files.writeString(ptmp, om.writeValueAsString(profile))
+    Files.move(ptmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     p.toString
   }
 
@@ -185,7 +206,16 @@ object SharingProtocol {
     * direct read does, or src9's hash-equals-changeFeed guarantee breaks
     * the moment a writer races the recipient. */
   private[sources] def committedFeedDirs(fqn: String, root: String,
-      starting: Long): Seq[String] = {
+      starting: Long): Seq[String] =
+    committedFeedVersions(fqn, root, starting).map(_._2)
+
+  /** Same listing WITH the version numbers — consumers that need both
+    * (the CDC offset log, the watermark loop) take the pairs directly
+    * instead of regex-re-parsing `v=N` out of paths the listing itself
+    * just built from those Longs (a re-parse that would silently DROP a
+    * version if the dir layout ever changed). */
+  private[sources] def committedFeedVersions(fqn: String, root: String,
+      starting: Long): Seq[(Long, String)] = {
     val manifest = Paths.get(root, "_manifest")
     if (!Files.isRegularFile(manifest)) sys.error(
       s"shared table '$fqn' at $root has no commit manifest — not a versioned table")
@@ -195,7 +225,7 @@ object SharingProtocol {
       .filter(v => v >= starting &&
         Files.isDirectory(Paths.get(root, "_changes", s"v=$v")))
       .sorted
-      .map(v => Paths.get(root, "_changes", s"v=$v").toString)
+      .map(v => v -> Paths.get(root, "_changes", s"v=$v").toString)
   }
 
   /** Recipient: `<profilePath>#<share>.<schema>.<table>` → (fqn, data
@@ -293,11 +323,8 @@ object SharingProtocol {
     val watermark =
       if (Files.isRegularFile(offsetFile)) Files.readString(offsetFile).trim.toLong
       else Long.MinValue
-    val vRe = """v=(\d+)$""".r
-    val due = committedFeedDirs(fqn, root, startingVersion)
-      .flatMap(dir => vRe.findFirstMatchIn(dir).map(m => (m.group(1).toLong, dir)))
+    val due = committedFeedVersions(fqn, root, startingVersion)
       .filter(_._1 > watermark)
-      .sortBy(_._1)
     Files.createDirectories(Paths.get(checkpointDir))
     due.map { case (v, dir) =>
       f(spark.read.parquet(dir), v)

@@ -111,31 +111,25 @@ private[sources] class SharingCdcSource(sqlContext: SQLContext, url: String,
     (f, paths.head)
   }
 
-  // one compiled pattern for every trigger's parsing (getOffset and
-  // getBatch both version-filter dir listings)
-  private val vRe = """v=(\d+)$""".r
-
-  private def committedVersions: Seq[Long] =
-    SharingProtocol.committedFeedDirs(fqn, root, startingVersion)
-      .flatMap(d => vRe.findFirstMatchIn(d).map(_.group(1).toLong))
-      .sorted
-
   // any Offset flavor (LongOffset live, SerializedOffset from the
   // checkpoint log on restart) — LongOffset's json is the plain number
   private def ver(o: Offset): Long = o.json.trim.toLong
 
   override def getOffset: Option[Offset] =
-    committedVersions.lastOption.map(LongOffset(_))
+    SharingProtocol.committedFeedVersions(fqn, root, startingVersion)
+      .lastOption.map(p => LongOffset(p._1))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // the checkpointed offset takes PRECEDENCE over startingVersion (the
     // Delta convention): on a restart/replay `start` already encodes what
     // the sink has seen, and clamping it by a user-raised startingVersion
-    // would silently drop committed-but-unsunk versions from the replay
+    // would silently drop committed-but-unsunk versions from the replay.
+    // (version, dir) pairs come straight from the manifest listing — no
+    // regex re-parse of paths that could silently drop a version.
     val lo = start.map(ver(_) + 1L).getOrElse(startingVersion)
     val hi = ver(end)
-    val dirs = SharingProtocol.committedFeedDirs(fqn, root, lo)
-      .filter(d => vRe.findFirstMatchIn(d).exists(_.group(1).toLong <= hi))
+    val dirs = SharingProtocol.committedFeedVersions(fqn, root, lo)
+      .filter(_._1 <= hi).map(_._2)
     val session = sqlContext.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (dirs.isEmpty) {

@@ -53,7 +53,15 @@ object Streams {
   }
 
   /** Run a streaming DF to completion (AvailableNow) into an in-memory
-    * table; returns the drained result as a batch DataFrame. */
+    * table; returns the drained result as a batch DataFrame.
+    *
+    * Update-mode contract: Spark's memory sink REPLACES its contents only
+    * for complete mode — update-mode emissions are APPENDED, so a run
+    * that splits into several micro-batches returns every intermediate
+    * emission of a key, not just the last. Consumers of update-mode
+    * results must fold to final state themselves (the st3/st12 pattern:
+    * emit monotone measures, take max per key), or guarantee a
+    * single-batch source. */
   def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val q = df.writeStream
@@ -103,16 +111,17 @@ object Streams {
       }
       .start()
     q.awaitTermination()
-    df.sparkSession.read.parquet(out)
+    // zero micro-batches (caught-up checkpoint / empty source): no batch
+    // ever wrote, so there is no dir to read — return an EMPTY frame with
+    // the body's output schema instead of a path-not-found crash far from
+    // the cause
+    if (!Files.exists(java.nio.file.Paths.get(out))) {
+      val s = df.sparkSession
+      body(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema))
+    } else df.sparkSession.read.parquet(out)
   }
 
-  /** The canonical Silver streaming sink (ST6/J9/M1): per-micro-batch MERGE
-    * into a parquet-backed target — latest (version, key) wins, replays
-    * idempotent because merging the same batch twice is a no-op.
-    *
-    * @param checkpoint pass the same dir across restarts for exactly-once.
-    * @return final target contents.
-    */
   /** Resolve the committed snapshot dir: pointer file if present, else the
     * legacy `current` dir (a pre-pointer seed), else none. */
   private def resolveCurrent(targetDir: String): Option[String] = {
@@ -122,6 +131,27 @@ object Streams {
     else None
   }
 
+  /** The retry-domain tag for a sink's snapshot names: exactly-once is
+    * PER CHECKPOINT (Spark replays batch ids from the checkpoint's offset
+    * log), so the replay-skip test must be scoped to it. A bare
+    * `v=<batchId>` conflated "same batch" with "same batch ID": a FRESH
+    * checkpoint against an existing target also starts at batchId 0, and
+    * its first batch would be skipped as a "replay" of the previous
+    * run's — silent data loss. Tagging names with a checkpoint-derived
+    * token keeps same-checkpoint replays no-ops while a new run's batches
+    * always merge. */
+  private def runTag(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** The canonical Silver streaming sink (ST6/J9/M1): per-micro-batch MERGE
+    * into a parquet-backed target — latest (version, key) wins, replays
+    * idempotent because merging the same batch twice is a no-op.
+    *
+    * @param checkpoint pass the same dir across restarts for exactly-once
+    *                   (the replay-skip is scoped to it — see [[runTag]]).
+    * @return final target contents.
+    */
   def runMergeSink(
       updates: DataFrame,
       targetDir: String,
@@ -136,7 +166,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val snapDir = s"v=$batchId"
+        val snapDir = s"v=${runTag(checkpoint)}-$batchId"
         val current = resolveCurrent(targetDir)
         // Replay after a crash BETWEEN pointer flip and checkpoint commit:
         // the pointer already names this batch's snapshot — the merge
@@ -206,7 +236,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val snapDir = s"v=$batchId"
+        // checkpoint-scoped name — see runTag's data-loss rationale
+        val snapDir = s"v=${runTag(checkpoint)}-$batchId"
         val current = resolveCurrent(targetDir)
         if (!current.contains(s"$targetDir/$snapDir")) {
           val state = current.map(s.read.parquet(_)).getOrElse(

@@ -70,6 +70,27 @@ class StreamingSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("merge sink: a FRESH checkpoint against an existing target merges, never skips as replay") {
+    // the replay-skip is scoped per checkpoint: run B starts a new
+    // checkpoint (batchId restarts at 0) against run A's target — its
+    // batch must MERGE into the existing snapshot, not be skipped because
+    // some earlier run also had a batch 0 (that conflation silently
+    // dropped run B's data before the checkpoint-tagged snapshot names)
+    val scratch = Files.createTempDirectory("graft_fck_").toString + "/t"
+    def src(rows: Seq[(Long, String, Long)]) = {
+      val dir = Files.createTempDirectory("graft_fck_src_").toString
+      rows.toDF("k", "v", "ver").write.mode("overwrite").parquet(dir)
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    }
+    val runA = Streams.runMergeSink(src(Seq((1L, "a", 1L))), scratch,
+      Seq("k"), "ver", Files.createTempDirectory("graft_fck_ck1_").toString)
+    assert(runA.collect().map(_.getLong(0)).toSet == Set(1L))
+    val runB = Streams.runMergeSink(src(Seq((2L, "b", 1L))), scratch,
+      Seq("k"), "ver", Files.createTempDirectory("graft_fck_ck2_").toString)
+    assert(runB.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "run B's batch was skipped as a phantom replay of run A's batch 0")
+  }
+
   test("MV sink replay with same checkpoint is a no-op; state survives batch splits") {
     // Streaming incremental MV: 4 feed files, 1 per micro-batch — the
     // (count, sum) state must accumulate across batches to the batch
