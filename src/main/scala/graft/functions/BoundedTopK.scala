@@ -31,9 +31,19 @@ class BoundedTopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
   def zero: Seq[Scored] = Vector.empty
 
+  /** Insert into an already-sorted buffer at the right position — O(k)
+    * copy, no O(k log k) re-sort of a 50-element buffer per admitted row
+    * (reduce runs once per INPUT row on the hot scoring path; the buffer
+    * is sorted by construction, so re-sorting it was pure waste). */
+  private def insertSorted(buf: Seq[Scored], v: Scored): Seq[Scored] = {
+    val i = buf.indexWhere(better(v, _))
+    if (i < 0) buf :+ v
+    else (buf.take(i) :+ v) ++ buf.drop(i)
+  }
+
   def reduce(buf: Seq[Scored], v: Scored): Seq[Scored] =
     if (buf.size >= k && !better(v, buf.last)) buf
-    else (buf :+ v).sortWith(better).take(k)
+    else insertSorted(buf, v).take(k)
 
   def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
     (a ++ b).sortWith(better).take(k)

@@ -33,6 +33,19 @@ object TextKernels {
     * compiles the pattern per call; here it's compiled once). */
   private val Ws = Pattern.compile("\\s+")
 
+  /** Null-element guard for kernels whose math has no null story: a null
+    * token would NPE at .getBytes (or emit a null shingle into a
+    * containsNull=false output) — fail with a MESSAGE instead, the
+    * ANSI-abort posture. The pipelines feed these kernels from
+    * tokenize_ws/word_shingles, which never emit nulls; a null element
+    * means foreign data (parquet round-trips surface element nullability
+    * as true) and must not be silently hashed or dropped. */
+  private def nonNull(s: UTF8String, kernel: String): UTF8String = {
+    if (s == null) throw new IllegalArgumentException(
+      s"$kernel: null array element — graft text kernels require non-null tokens")
+    s
+  }
+
   /** tokenize_ws(text) == filter(split(lower(trim(text)), "\\s+"),
     * t -> t != ""). Uses the SAME UTF8String trim/toLowerCase the
     * built-in StringTrim/Lower call, then the cached pattern. */
@@ -62,10 +75,10 @@ object TextKernels {
     val out = new Array[AnyRef](len - n + 1)
     var i = 0
     while (i <= len - n) {
-      var s = toks.getUTF8String(i)
+      var s = nonNull(toks.getUTF8String(i), "word_shingles")
       var j = 1
       while (j < n) {
-        s = UTF8String.concat(s, Space, toks.getUTF8String(i + j))
+        s = UTF8String.concat(s, Space, nonNull(toks.getUTF8String(i + j), "word_shingles"))
         j += 1
       }
       out(i) = s
@@ -76,7 +89,12 @@ object TextKernels {
 
   /** The GPT-2-style pre-tokenization split t10 shares verbatim with its
     * DuckDB oracle: letter runs | digit runs | single non-alnum-non-ws. */
-  private val BpePat = Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+  // the whitespace class is spelled out because Java \\s and DuckDB
+  // RE2 \\s disagree on exactly one char: vertical tab \\x0B (Java
+  // includes it, RE2 does not) — with bare \\s a VT in the text would
+  // be skipped here but counted as punct by the oracle, a hash mismatch.
+  // [\\t\\n\\f\\r ] IS RE2's \\s, so both engines see one partition.
+  private val BpePat = Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\t\\n\\f\\r ]")
 
   /** bpe_class_counts(text) → struct(n, alpha, digit, punct): one
     * matcher pass replacing FOUR regexp_extract_all evaluations plus
@@ -115,8 +133,13 @@ object TextKernels {
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
-      val c = counts.merge(t, 1, (a, b) => a + b)
-      if (c > best) best = c
+      // null elements count 0, matching the Column twin: its filter
+      // predicate `x = t` is NULL for null elements and drops them, so
+      // counting nulls here would silently out-vote real tokens
+      if (t != null) {
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
       i += 1
     }
     best
@@ -164,7 +187,8 @@ object TextKernels {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = PortableHash60Expr.hashBytes(SimhashPrefix, toks.getUTF8String(i).getBytes)
+      val h = PortableHash60Expr.hashBytes(SimhashPrefix,
+        nonNull(toks.getUTF8String(i), "portable_simhash60").getBytes)
       var b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
@@ -197,7 +221,7 @@ object TextKernels {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = sh.getUTF8String(i)
+      val s = nonNull(sh.getUTF8String(i), "xx_minhash64")
       // the same public entry the interpreted XxHash64 expression folds
       // through, with the same (value, type, running-seed) sequence
       val h1 = XxHash64Function.hash(s, StringType, 42L)
@@ -237,7 +261,8 @@ object TextKernels {
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = PortableHash60Expr.hashBytes(WinnowPrefix, sh.getUTF8String(i).getBytes)
+      hs(i) = PortableHash60Expr.hashBytes(WinnowPrefix,
+        nonNull(sh.getUTF8String(i), "winnow_fps").getBytes)
       i += 1
     }
     winnowOf(hs, w)
@@ -260,7 +285,8 @@ object TextKernels {
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = XxHash64Function.hash(sh.getUTF8String(i), StringType, 42L)
+      hs(i) = XxHash64Function.hash(
+        nonNull(sh.getUTF8String(i), "xx_winnow_fps"), StringType, 42L)
       i += 1
     }
     winnowOf(hs, w)
@@ -299,7 +325,7 @@ object TextKernels {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val bytes = sh.getUTF8String(i).getBytes
+      val bytes = nonNull(sh.getUTF8String(i), "portable_minhash60").getBytes
       var seed = 0
       while (seed < k) {
         val h = PortableHash60Expr.hashBytes(pfx(seed), bytes)

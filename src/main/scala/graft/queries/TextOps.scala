@@ -316,9 +316,11 @@ object TextOps extends QueryGroup {
     // T10: BPE-ish pre-tokenization counts — the GPT-2-style regex split
     // (letter runs | digit runs | single punctuation) that LLM pipelines
     // use to estimate token budgets before running a real BPE. Row-local,
-    // zero shuffles, runs at scan speed; the pattern is shared verbatim
-    // with the DuckDB oracle (plain classes only — no engine-specific
-    // regex syntax).
+    // zero shuffles, runs at scan speed. The oracle writes the class as
+    // RE2 \s; the kernel spells the same set out explicitly
+    // ([\t\n\f\r ]) because Java \s also includes vertical tab — the
+    // one char the two engines' \s disagree on (KernelParitySpec plants
+    // a VT to pin it).
     "t10_bpe_token_counts" -> QueryDef(
       build = (s, d) => {
         // one native matcher pass (KernelParitySpec pins it against the

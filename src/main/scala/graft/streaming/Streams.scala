@@ -22,6 +22,33 @@ object Streams {
 
   private val counter = new AtomicInteger(0)
 
+  /** Stream-plumbing scratch dirs (checkpoints, symlink shims, batch
+    * outputs), deleted on JVM exit: every run creates one or two, and
+    * loops — Bench's warm+min-of-3 over st9, full spec suites — would
+    * otherwise accumulate full micro-batch output copies in /tmp for the
+    * OS to clean, on a shared box whose capacity the driver also uses.
+    * Exit-time (not eager) deletion: the returned DataFrames read these
+    * dirs lazily within the JVM's lifetime. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      scratchDirs.asScala.foreach { d =>
+        try {
+          val s = Files.walk(d)
+          try s.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+          finally s.close()
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-streams-scratch-cleanup"))
+  }
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d
+  }
+
   /** Streaming scan of one testdata parquet table (explicit schema, as the
     * OSS equivalent of Auto Loader's file discovery + checkpointed offsets).
     */
@@ -38,7 +65,7 @@ object Streams {
     val sourceDir =
       if (Files.isDirectory(java.nio.file.Paths.get(path))) path
       else {
-        val streamDir = Files.createTempDirectory("graft_src_")
+        val streamDir = scratchDir("graft_src_")
         // absolute target: a relative `dir` would otherwise produce a
         // symlink resolved against the scratch dir — dangling, and the
         // stream would silently drain zero rows
@@ -68,7 +95,7 @@ object Streams {
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
-      .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
+      .option("checkpointLocation", scratchDir("graft_ck_").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -101,10 +128,10 @@ object Streams {
     */
   def runBatchwise(df: DataFrame, outputMode: String = "append")(
       body: DataFrame => DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft_bw_").toString + "/out"
+    val out = scratchDir("graft_bw_").toString + "/out"
     val q = df.writeStream
       .outputMode(outputMode)
-      .option("checkpointLocation", Files.createTempDirectory("graft_ck_").toString)
+      .option("checkpointLocation", scratchDir("graft_ck_").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         body(batch).write.mode("append").parquet(out)
@@ -184,10 +211,17 @@ object Streams {
     // pin the result (eager localCheckpoint): the returned DataFrame would
     // otherwise lazily re-read a snapshot dir that the NEXT run on this
     // target deletes when it flips the pointer — deferred consumption
-    // would hit FileNotFoundException on files that were live at return
-    spark.read.parquet(resolveCurrent(targetDir)
-      .getOrElse(sys.error(s"no committed snapshot at $targetDir")))
-      .localCheckpoint(true)
+    // would hit FileNotFoundException on files that were live at return.
+    // No snapshot at all = zero micro-batches ran against a fresh target
+    // (caught-up checkpoint / empty source): nothing was merged, so the
+    // honest result is an EMPTY target-schema frame, not a crash far
+    // from the cause (runBatchwise handles its zero-batch case the same
+    // way).
+    resolveCurrent(targetDir) match {
+      case Some(dir) => spark.read.parquet(dir).localCheckpoint(true)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+    }
   }
 
   /** Versioned snapshot commit: write to a NEW dir, then flip the pointer
@@ -250,10 +284,15 @@ object Streams {
       }
       .start()
     q.awaitTermination()
-    // same pinning rationale as runMergeSink's return
-    spark.read.parquet(resolveCurrent(targetDir)
-      .getOrElse(sys.error(s"no committed snapshot at $targetDir")))
-      .localCheckpoint(true)
+    // same pinning and zero-batch rationale as runMergeSink's return:
+    // no snapshot = no batch ran = an empty STATE-schema view
+    resolveCurrent(targetDir) match {
+      case Some(dir) => spark.read.parquet(dir).localCheckpoint(true)
+      case None => graft.ops.IncrementalAgg.init(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feed.schema),
+        keys, valueCol)
+    }
   }
 }
 
@@ -277,6 +316,13 @@ object MergeOps {
       keyCols: Seq[String], versionCol: String,
       tiebreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // reserved internal markers: withColumn would silently OVERWRITE a
+    // real column of either name and the trailing drop would delete it
+    // from the merged output — fail loudly instead (same policy as
+    // Quality's _q_reason and ZOrder's _z)
+    Seq("_src_rank", "_rn").foreach(c =>
+      require(!target.columns.contains(c),
+        s"target already has a $c column (reserved by upsertLatestWins) — rename it first"))
     val t = target.withColumn("_src_rank", lit(0))
     val s = source.select(target.columns.map(col).toSeq: _*).withColumn("_src_rank", lit(1))
     val w = Window.partitionBy(keyCols.map(col): _*)

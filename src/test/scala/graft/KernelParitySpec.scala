@@ -177,8 +177,14 @@ class KernelParitySpec extends SparkSpec {
         case 3 => " "
         case _ => "mix3d t0k3n"
       }).mkString
-    } ++ Seq("", "   ", "abc", "123", "!!!", "a1! b2? ünïcode ✓ x9")
-    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    } ++ Seq("", "   ", "abc", "123", "!!!", "a1! b2? ünïcode ✓ x9",
+      // vertical tab: the ONE char where Java \s and RE2 \s disagree —
+      // the kernel spells the class out to match the DuckDB oracle, and
+      // this reference chain must use the same explicit spelling (with a
+      // bare \s here, Spark's Java regex would skip the VT the kernel
+      // now counts as punct)
+      "a\u000Bb")
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\t\\n\\f\\r ]"
     val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
     val c = call_function("bpe_class_counts", col("text"))
     val bad = texts.toDF("text").select(col("text"),
@@ -200,7 +206,11 @@ class KernelParitySpec extends SparkSpec {
     val rows = (0 until 200).map { i =>
       val n = 1 + rnd.nextInt(40)
       (i.toLong, Seq.fill(n)(s"t${rnd.nextInt(8)}"))
-    } :+ ((999L, Seq("only"))) :+ ((1000L, Seq("a", "a", "a")))
+    } :+ ((999L, Seq("only"))) :+ ((1000L, Seq("a", "a", "a"))) :+
+      // null elements count 0 in BOTH: the chain's `x = t` filter drops
+      // them; the kernel must skip them the same way (two nulls must not
+      // out-vote the single real token)
+      ((1001L, Seq("a", null, null)))
     val df = rows.toDF("id", "arr")
     val chain = array_max(transform(array_distinct(col("arr")),
       t => size(filter(col("arr"), x => x === t))))
