@@ -1149,7 +1149,69 @@ object TextOps extends QueryGroup {
                CAST(CAST(sum(CASE WHEN v.token IS NULL THEN c ELSE 0 END) * 1000000 AS BIGINT)
                     // CAST(sum(c) AS BIGINT) AS BIGINT) AS oov_ppm
         FROM cells LEFT JOIN vocab v USING (token)
-        GROUP BY lang"""))
+        GROUP BY lang""")),
+
+    // T24: bigram language-model quality score — t15's unigram LM one
+    // Markov order up: p(w2|w1) = c(w1 w2) / c(w1 ·), trained on the
+    // corpus itself, scoring every document by average bigram NLL in
+    // MICRO-NATS (floor-scaled per BIGRAM OCCURRENCE before the integer
+    // sum/div, the t15 exactness discipline — ln's 1-ulp exposure is per
+    // (bigram, context) count pair, never order-dependent). Scoring the
+    // training corpus itself means every scored bigram has c2 ≥ 1, so no
+    // smoothing term is needed and the ratio is exact-integer-derived.
+    // High avg ⇒ improbable token TRANSITIONS — catches shuffled-word
+    // salad that t15 (a bag-of-words model) scores as perfectly fluent.
+    // Docs with < 2 tokens have no bigrams and produce no row (t15's
+    // zero-token convention).
+    //
+    // Scale: the exploded bigram stream is checkpointed once (three
+    // consumers — transition counts, context counts, scoring probe —
+    // with differing projections would block ReusedExchange otherwise).
+    // Counts are map-side-combinable keyed aggs; the two count joins are
+    // LEFT UNFORCED — the bigram vocab grows ~Heaps-law with the corpus
+    // and may exceed broadcast range at 100 TB, where AQE picks a keyed
+    // shuffle join over the same ≪-corpus vocab instead; either way the
+    // probe is the only corpus-sized shuffle after the counts.
+    "t24_bigram_lm_score" -> QueryDef(
+      build = (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+          .localCheckpoint(true)
+        val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+        // context mass c1(w1) = bigrams starting with w1 (Σ_w c(w1, w))
+        val c1 = bg.select(substring_index(col("g"), " ", 1).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(c2, "g")
+          .withColumn("w1", substring_index(col("g"), " ", 1))
+          .join(c1, "w1")
+          .withColumn("nll",
+            floor(-log(col("c2").cast("double") / col("c1").cast("double"))
+              * 1000000.0).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("nll")).as("nll_sum"))
+          .withColumn("avg_nll_micro", expr("nll_sum div n_bigrams"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t), 1)),
+                   i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+        c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+        c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+               FROM bg GROUP BY 1),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                   * 1000000) AS BIGINT) AS nll
+          FROM bg JOIN c2 USING (g)
+          JOIN c1 ON split_part(g, ' ', 1) = w1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(nll) AS BIGINT) AS nll_sum,
+               CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
+        FROM scored GROUP BY doc_id"""))
   )
 
   /** t23's reference-vocab size — a pinned knob (see the query comment). */

@@ -146,6 +146,29 @@ class TextOpsSpec extends SparkSpec {
     assert(rareNll > commonNll)
   }
 
+  test("t24: bigram LM separates word salad that t15 scores as fluent") {
+    // 8 fluent "a b c" docs and one salad "b a c" with the IDENTICAL
+    // unigram bag — t15 (bag-of-words) must score them equal, t24 must
+    // score the salad strictly higher, and both t24 values must equal
+    // the closed-form micro-nats. A 1-token doc must yield no row.
+    val dir = docsDir(
+      (1L to 8L).map(i => i -> "a b c") ++ Seq(9L -> "b a c", 10L -> "solo"))
+    val uni = SparkEntry.queries("t15_unigram_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uni(1L) == uni(9L), s"t15 must not separate the salad: $uni")
+    val got = SparkEntry.queries("t24_bigram_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // c("a b")=8, c("b c")=8, c("b a")=1, c("a c")=1; c1("a")=c1("b")=9
+    val fluent = math.floor(-math.log(8.0 / 9.0) * 1000000).toLong
+    val salad = math.floor(-math.log(1.0 / 9.0) * 1000000).toLong
+    (1L to 8L).foreach { i =>
+      assert(got(i) == ((2L, fluent)), s"doc $i: ${got(i)} != $fluent")
+    }
+    assert(got(9L) == ((2L, salad)), s"salad doc: ${got(9L)} != $salad")
+    assert(salad > fluent)
+    assert(!got.contains(10L), s"1-token doc must produce no row: $got")
+  }
+
   test("t16: BM25 micros match the closed form; non-matching docs excluded") {
     // query terms (df desc, token asc among len>=6): quantum(4),
     // gradient(3), synthesis(3); epsilon has df=1 and is never selected
