@@ -73,6 +73,46 @@ object KMeans {
         col("m.dist").as("dist"), col("embedding"))
   }
 
+  /** [[assign]] plus the runner-up distance — the nearest OTHER centroid
+    * — for silhouette-style separation metrics (query e9). Same
+    * zero-shuffle broadcast fold and tie semantics (distance tie →
+    * lowest cid: the struct array is cid-sorted and only a STRICT
+    * improvement displaces a slot; a displaced best becomes the
+    * runner-up). Invariant dist <= dist2 by construction — the fold
+    * only ever admits into d2 what failed to beat d1. Requires >= 2
+    * centroids or dist2 stays Infinity. Output: vec_id, cluster_id,
+    * dist, dist2. */
+  def assignRunnerUp(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cs = broadcast(centroids.agg(sort_array(collect_list(
+      struct(col("cid"), col("ce")))).as("cs")))
+    vectors.crossJoin(cs)
+      .withColumn("vv", dot(col("embedding"), col("embedding")))
+      .withColumn("m", aggregate(
+        col("cs"),
+        struct(lit(Double.PositiveInfinity).as("d1"), lit(-1L).as("cid"),
+          lit(Double.PositiveInfinity).as("d2")),
+        (acc, c) => {
+          val dist = col("vv") -
+            lit(2.0) * dot(col("embedding"), c.getField("ce")) +
+            dot(c.getField("ce"), c.getField("ce"))
+          when(dist < acc.getField("d1"),
+            struct(dist.as("d1"), c.getField("cid").as("cid"),
+              acc.getField("d1").as("d2")))
+            .when(dist < acc.getField("d2"),
+              struct(acc.getField("d1").as("d1"), acc.getField("cid").as("cid"),
+                dist.as("d2")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"),
+        // same loud contract as assign: a surviving -1 means no centroid
+        // produced a comparable distance (ragged dims / empty set)
+        when(col("m.cid") === -1L, raise_error(lit(
+          "KMeans.assignRunnerUp: no centroid comparable for this vector " +
+            "(ragged embedding dims or empty centroid set)")))
+          .otherwise(col("m.cid")).as("cluster_id"),
+        col("m.d1").as("dist"), col("m.d2").as("dist2"))
+  }
+
   /** Centroid update from integer-micro component sums — deterministic
     * under any partitioning. Output one row per (cluster_id, dim):
     * n_members, sum_micro, and the new mean c_val. */

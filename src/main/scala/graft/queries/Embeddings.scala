@@ -690,6 +690,81 @@ object Embeddings extends QueryGroup {
                CAST(row_number() OVER (PARTITION BY cluster_id
                  ORDER BY vec_id ASC) AS BIGINT) AS rn
         FROM assigned WHERE pick = 1
-        QUALIFY rn <= 5"""))
+        QUALIFY rn <= 5""")),
+
+    // E9: per-cluster SIMPLIFIED silhouette — the cluster-quality monitor
+    // a curation pipeline runs after e6/d8 before trusting the clustering
+    // for sampling decisions. Per point: a = Euclidean distance to its
+    // own (nearest) centroid, b = distance to the nearest OTHER centroid,
+    // s = (b − a) / b — the centroid-based silhouette (Hamerly's
+    // simplification: b is the runner-up CENTROID, never a pairwise
+    // neighbor scan, so it stays one broadcast fold per row at any corpus
+    // size). Because a is the minimum by construction, s ∈ [0, 1]: low
+    // average ⇒ boundary-heavy cluster (bad split), high ⇒ well
+    // separated. Per-point s is floor-scaled to micros BEFORE the sum
+    // (the e6 integer discipline — cross-member double sums would be
+    // partition-order-dependent), so the per-cluster mean is one double
+    // division from exact integers.
+    //
+    // Scale: the corpus never shuffles — assignment + runner-up ride the
+    // same single broadcast centroid row as e6; the only exchange is the
+    // cluster_id-keyed rollup of (count, long) pairs, partial-aggregated
+    // to k rows per task. sqrt args are clamped at 0 because the
+    // vv − 2·v·c + c·c float form can dip an ulp below zero for
+    // near-centroid points (sqrt of that would be NaN on BOTH engines —
+    // clamped identically in the oracle).
+    "e9_cluster_silhouette" -> QueryDef(
+      build = (s, d) => {
+        import graft.ops.KMeans
+        val v = Tables.embeddings(s, d)
+          .transform(Tables.spread)
+          .select(col("vec_id"), col("embedding"))
+        val da = sqrt(greatest(col("dist"), lit(0.0)))
+        val db = sqrt(greatest(col("dist2"), lit(0.0)))
+        KMeans.assignRunnerUp(v, KMeans.seedCentroids(v, 8))
+          // identical twin centroids would give b = 0 (= a); the
+          // literature convention for an ambiguous point is s = 0, and
+          // CaseWhen's lazy branches keep the 0/0 off ANSI's radar
+          .withColumn("s_micro",
+            floor(when(db === 0.0, lit(0.0)).otherwise((db - da) / db)
+              * 1000000.0).cast("long"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("s_micro")).as("sum_micro"))
+          .withColumn("avg_silhouette",
+            col("sum_micro").cast("double") /
+              (col("n_members").cast("double") * 1000000.0))
+      },
+      oracle = Some(s"""
+        WITH c0 AS (
+          SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+        scored AS (
+          SELECT v.vec_id, c.cid,
+                 ${sqlDotOf("v.embedding", "v.embedding")}
+                   - 2.0 * ${sqlDotOf("v.embedding", "c.ce")}
+                   + ${sqlDotOf("c.ce", "c.ce")} AS dist
+          FROM embeddings v CROSS JOIN c0 c),
+        ranked AS (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist ASC, cid ASC) AS rn
+          FROM scored),
+        pair AS (
+          SELECT a.vec_id, a.cid AS cluster_id,
+                 sqrt(greatest(a.dist, 0.0)) AS da,
+                 sqrt(greatest(b.dist, 0.0)) AS db
+          FROM ranked a JOIN ranked b
+            ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+        sil AS (
+          SELECT cluster_id,
+                 CAST(floor(CASE WHEN db = 0.0 THEN 0.0
+                   ELSE (db - da) / db END * 1000000.0) AS BIGINT) AS s_micro
+          FROM pair)
+        SELECT cluster_id, count(*) AS n_members,
+               CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+               CAST(sum(s_micro) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_silhouette
+        FROM sil GROUP BY cluster_id"""))
   )
 }

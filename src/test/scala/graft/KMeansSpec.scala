@@ -33,6 +33,25 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("assignRunnerUp: closed-form distances and d1 <= d2 on planted geometry") {
+    // seeds = two lowest ids: (0,0) and (10,0); every squared distance
+    // below is an exactly-representable integer, so equality is exact
+    val v = Seq(
+      (1L, Array(0f, 0f)),
+      (2L, Array(10f, 0f)),
+      (3L, Array(1f, 0f)),
+      (4L, Array(4f, 0f))).toDF("vec_id", "embedding")
+    val got = KMeans.assignRunnerUp(v, KMeans.seedCentroids(v, 2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 0.0, 100.0)), s"seed 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 0.0, 100.0)), s"seed 2: ${got(2L)}")
+    assert(got(3L) == ((1L, 1.0, 81.0)), s"near point: ${got(3L)}")
+    assert(got(4L) == ((1L, 16.0, 36.0)), s"mid point: ${got(4L)}")
+    assert(got.values.forall { case (_, d1, d2) => d1 <= d2 },
+      s"runner-up invariant violated: $got")
+  }
+
   test("sse on an empty vectors frame is 0.0, not an NPE") {
     val v = randomVectors(10, 4, seed = 5)
     val c = KMeans.seedCentroids(v, 2)
