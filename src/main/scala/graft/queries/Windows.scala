@@ -371,6 +371,44 @@ object Windows extends QueryGroup {
                CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
                count(DISTINCT w.user_id) AS n_active
         FROM weekly w JOIN cohort c ON w.user_id = c.user_id
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // W13: first-order Markov transition matrix over the clickstream —
+    // the user-journey model behind next-action prediction and funnel
+    // anomaly detection ("purchase→view jumped 3× this week"). prev state
+    // is the per-user lag by (ts, event_id) — the w2 total order — with
+    // a '_start' pseudo-state so entry probabilities are part of the one
+    // chain. Row probabilities are ppm via integer div of exact counts.
+    //
+    // Scale: one user_id-keyed corpus shuffle (the lag window — same
+    // exchange w1/w2 ride), then everything runs on the |types|²-row
+    // count matrix: the normalizing window partitions THAT, never the
+    // events table.
+    "w13_markov_transitions" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_type",
+            coalesce(lag(col("event_type"), 1).over(w), lit("_start")))
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .withColumn("prev_total",
+            sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+          .withColumn("p_ppm", expr("n_transitions * 1000000 div prev_total"))
+          .drop("prev_total")
+      },
+      oracle = Some("""
+        WITH tr AS (
+          SELECT coalesce(lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), '_start') AS prev_type,
+                 event_type
+          FROM events),
+        cnt AS (SELECT prev_type, event_type, count(*) AS n_transitions
+                FROM tr GROUP BY 1, 2)
+        SELECT prev_type, event_type, n_transitions,
+               CAST(n_transitions * 1000000
+                 // sum(n_transitions) OVER (PARTITION BY prev_type)
+                 AS BIGINT) AS p_ppm
+        FROM cnt"""))
   )
 }

@@ -103,6 +103,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_purchased") == 1L)
   }
 
+  test("w13: transition matrix counts and row-normalized ppm on the funnel fixture") {
+    // user 10: _start→view→click→purchase; user 20 (ts order 50,150,250):
+    // _start→purchase→view→click; user 30: _start→view
+    val rows = SparkEntry.queries("w13_markov_transitions")(spark, fixtureDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows(("_start", "view")) == ((2L, 666666L)), s"$rows")
+    assert(rows(("_start", "purchase")) == ((1L, 333333L)), s"$rows")
+    assert(rows(("view", "click")) == ((2L, 1000000L)), s"$rows")
+    assert(rows(("click", "purchase")) == ((1L, 1000000L)), s"$rows")
+    assert(rows(("purchase", "view")) == ((1L, 1000000L)), s"$rows")
+    assert(rows.size == 5, s"exactly the five observed transitions: $rows")
+  }
+
   test("a14 cube: grand-total row matches ungrouped revenue") {
     val sf = "/root/testdata/sf0.001"
     val cube = SparkEntry.queries("a14_cube_revenue")(spark, sf).collect()
