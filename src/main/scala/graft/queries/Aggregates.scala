@@ -526,6 +526,67 @@ object Aggregates extends QueryGroup {
                CAST(sum(c0) AS BIGINT) AS epoch0_rows,
                CAST(sum(c1) AS BIGINT) AS epoch1_rows,
                CAST(sum(CAST(floor((p - q) * ln(p / q) * 1000000.0) AS BIGINT)) AS BIGINT) AS psi_micro
-        FROM ratios GROUP BY event_type"""))
+        FROM ratios GROUP BY event_type""")),
+
+    // A19 (beyond reference): robust volume-anomaly monitor — modified
+    // z-scores (Iglewicz–Hoaglin: 0.6745·(x−median)/MAD) over daily event
+    // counts per type. The median/MAD pair is the monitor a9's mean/sigma
+    // z-score CANNOT be: one crawler-gone-wild day inflates sigma enough
+    // to hide itself (the spec plants exactly that). Emitted monitor-
+    // style — every day with its score and an is_anomaly flag (|z|>3.5,
+    // the I-H threshold) — not pre-filtered, so the oracle hashes the
+    // whole surface and quiet corpora still verify.
+    //
+    // Exactness: daily counts are integers, so Spark's exact interpolating
+    // `percentile` and DuckDB's `quantile_cont` both land on .0/.5 halves
+    // (and .25 quarters for the MAD of half-deviations) — all exact
+    // binary doubles; both engines then divide identical doubles. MAD=0
+    // (a constant-volume type) nulls the score via nullif on both sides
+    // and flags false.
+    //
+    // Scale: one corpus scan partial-aggregates to the |types|×|days|
+    // daily frame (checkpointed once — three consumers with differing
+    // projections would re-run the scan otherwise); both percentile aggs
+    // and the joins run on that tiny frame. Exact percentile sorts
+    // per-group ON the daily frame — never the events table.
+    "a19_mad_anomaly" -> QueryDef(
+      build = (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .localCheckpoint(true)
+        val med = daily.groupBy("event_type")
+          .agg(expr("percentile(n_events, 0.5)").as("med"))
+        val dev = daily.join(med, "event_type")
+          .withColumn("adev", abs(col("n_events").cast("double") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        val rz = lit(0.6745) *
+          try_divide(col("n_events").cast("double") - col("med"),
+            nullif(col("mad"), lit(0.0)))
+        dev.join(mad, "event_type")
+          .select(col("event_type"), col("day"), col("n_events"),
+            round(rz, 4).as("robust_z"),
+            coalesce(abs(rz) > 3.5, lit(false)).as("is_anomaly"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        med AS (SELECT event_type, quantile_cont(n_events, 0.5) AS med
+                FROM daily GROUP BY 1),
+        dev AS (SELECT d.*, med,
+                       abs(CAST(n_events AS DOUBLE) - med) AS adev
+                FROM daily d JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY 1)
+        SELECT event_type, day, n_events,
+               round(0.6745 * (CAST(n_events AS DOUBLE) - med)
+                 / nullif(mad, 0.0), 4) AS robust_z,
+               coalesce(abs(0.6745 * (CAST(n_events AS DOUBLE) - med)
+                 / nullif(mad, 0.0)) > 3.5, false) AS is_anomaly
+        FROM dev JOIN mad USING (event_type)"""))
   )
 }

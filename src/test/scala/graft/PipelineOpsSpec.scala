@@ -103,6 +103,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_purchased") == 1L)
   }
 
+  private lazy val madDir: String = {
+    val dir = Files.createTempDirectory("graft_mad_fixture").toString
+    // 'view': 8 ordinary days (97..104 events, MAD 2) + one 1000-event
+    // spike; 'click': constant 10/day → MAD 0 (the null-score path)
+    val dayCounts = Seq(100, 101, 99, 102, 98, 103, 97, 104, 1000)
+    def nanos(day: Int, k: Int) = (day.toLong * 86400L + k.toLong) * 1000000000L
+    val rows =
+      (for {
+        (n, day) <- dayCounts.zipWithIndex
+        k <- 0 until n
+      } yield (day.toLong * 100000L + k, nanos(day, k), 1L, "view", 1.0, "{}")) ++
+        (for (day <- 0 until 3; k <- 0 until 10)
+          yield (900000L + day * 100L + k, nanos(day, k), 2L, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("a19: MAD flags the spike day; ordinary days and MAD=0 types stay quiet") {
+    val rows = SparkEntry.queries("a19_mad_anomaly")(spark, madDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val spike = rows(("view", "1970-01-09"))
+    // median 101, MAD 2 → robust z = 0.6745 * 899 / 2 ≈ 303.2
+    assert(spike.getAs[Long]("n_events") == 1000L)
+    assert(spike.getAs[Boolean]("is_anomaly"), s"spike must flag: $spike")
+    assert(spike.getAs[Double]("robust_z") > 300.0, s"spike z: $spike")
+    val quiet = rows(("view", "1970-01-08")) // 104 events → z ≈ 1.01
+    assert(!quiet.getAs[Boolean]("is_anomaly"), s"ordinary day flagged: $quiet")
+    assert(math.abs(quiet.getAs[Double]("robust_z")) < 2.0)
+    val const = rows(("click", "1970-01-02"))
+    assert(const.isNullAt(const.fieldIndex("robust_z")),
+      s"MAD=0 must null the score, not divide: $const")
+    assert(!const.getAs[Boolean]("is_anomaly"))
+  }
+
   test("w13: transition matrix counts and row-normalized ppm on the funnel fixture") {
     // user 10: _start→view→click→purchase; user 20 (ts order 50,150,250):
     // _start→purchase→view→click; user 30: _start→view
