@@ -42,4 +42,38 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** Interval-×-interval OVERLAP join (inclusive DATE bounds):
+    * lStart <= rEnd AND rStart <= lEnd — the semantics
+    * [[pointInInterval]] cannot express (neither side is a point).
+    * Both sides explode into the coarse bins they cover and meet in an
+    * equi-join; because an overlapping pair shares EVERY bin in
+    * [max(start bins), min(end bins)], each pair is attributed to ONE
+    * canonical bin — the later of the two start bins, which overlap
+    * guarantees lies inside both intervals' bin ranges — so the output
+    * is duplicate-free without a distinct. Column names must not
+    * collide across the two sides.
+    *
+    * Scale shape: identical to [[pointInInterval]] — one bin-keyed
+    * equi-shuffle (or broadcast of the smaller exploded side), residual
+    * filter after the hash join, bin width ≈ median interval length,
+    * salt hot bins. Never a BroadcastNestedLoopJoin/cartesian, which is
+    * what Spark plans for a raw inequality-only join. */
+  def intervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binDays: Int): DataFrame = {
+    require(binDays > 0, "binDays must be positive")
+    val epoch = to_date(lit("1970-01-01"))
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, epoch) / binDays)
+    val l = left.withColumn("_bin",
+      explode(sequence(bin(col(lStart)), bin(col(lEnd)))))
+    val r = right.withColumn("_bin",
+      explode(sequence(bin(col(rStart)), bin(col(rEnd)))))
+    l.join(r, "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bin") === greatest(bin(col(lStart)), bin(col(rStart))))
+      .drop("_bin")
+  }
 }

@@ -342,6 +342,61 @@ object Joins extends QueryGroup {
                round(${Exact.sqlMoneySum("o_totalprice")}, 4) AS campaign_revenue
         FROM orders JOIN campaigns
           ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
+        GROUP BY campaign_id""")),
+
+    // J13: interval-×-interval OVERLAP join — campaign-exposure
+    // analytics: which user SESSIONS (w3's gaps-and-islands spans, via
+    // the shared ops/Sessionize) were live during each 3-day flash-sale
+    // window. Neither side is a point, so j12's point-in-interval shape
+    // can't express it; a raw inequality-only join would plan as a
+    // nested-loop/cartesian. ops/RangeJoin.intervalOverlap turns it into
+    // a bin equi-join with a canonical-bin rule (later start bin) that
+    // makes pair output duplicate-free without a distinct — one bin-keyed
+    // shuffle at any scale, date-grain bounds (binDays=3 ≈ the campaign
+    // length).
+    "j13_session_overlap_campaigns" -> QueryDef(
+      build = (s, d) => {
+        val spans = graft.ops.Sessionize
+          .assign(Tables.events(s, d), "user_id", "ts", "event_id", gapMinutes = 30)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(to_date(min(col("ts"))).as("s_start"),
+            to_date(max(col("ts"))).as("s_end"))
+        val campaigns = s.range(60).select(
+          col("id").as("campaign_id"),
+          date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("c_start"),
+          date_add(to_date(lit("2024-01-01")), (col("id") + 2).cast("int")).as("c_end"))
+        graft.ops.RangeJoin
+          .intervalOverlap(spans, "s_start", "s_end",
+            campaigns, "c_start", "c_end", binDays = 3)
+          .groupBy("campaign_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT *,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000000
+                        OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sessions AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM flagged),
+        spans AS (
+          SELECT user_id, session_idx,
+                 CAST(min(ts) AS DATE) AS s_start, CAST(max(ts) AS DATE) AS s_end
+          FROM sessions GROUP BY 1, 2),
+        campaigns AS (
+          SELECT i AS campaign_id,
+                 DATE '2024-01-01' + CAST(i AS INT) AS c_start,
+                 DATE '2024-01-01' + CAST(i + 2 AS INT) AS c_end
+          FROM range(0, 60) t(i))
+        SELECT campaign_id, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM spans s JOIN campaigns c
+          ON s.s_start <= c.c_end AND c.c_start <= s.s_end
         GROUP BY campaign_id"""))
   )
 }
