@@ -1211,7 +1211,8 @@ object TextOps extends QueryGroup {
         SELECT doc_id, count(*) AS n_bigrams,
                CAST(sum(nll) AS BIGINT) AS nll_sum,
                CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
-        FROM scored GROUP BY doc_id"""))
+        FROM scored GROUP BY doc_id"""),
+      bench = true)
   )
 
   /** t23's reference-vocab size — a pinned knob (see the query comment). */
