@@ -31,6 +31,35 @@ object KMeans {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VecDot.dotCol(a, b)
 
+  /** ONE packed broadcast row of all centroids (cid-sorted struct array)
+    * — the shared scaffolding of both assignment folds. */
+  private def packedCentroids(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(sort_array(collect_list(
+      struct(col("cid"), col("ce")))).as("cs")))
+
+  /** Squared-L2 distance of the current row's embedding to one packed
+    * centroid struct — THE distance form; both folds must share it or
+    * their tie semantics could silently fork. Expects the precomputed
+    * `vv` self-dot column. */
+  private def distToPacked(c: Column): Column =
+    col("vv") -
+      lit(2.0) * dot(col("embedding"), c.getField("ce")) +
+      dot(c.getField("ce"), c.getField("ce"))
+
+  /** The shared loud-guard on a fold's surviving cid = -1 init: NO
+    * centroid produced a comparable distance — a ragged embedding
+    * (vec_dot returns null on length mismatch) or an empty centroid
+    * set. Fail LOUDLY (the e8/ANSI-abort posture): letting cid=-1
+    * through would materialize a phantom centroid from the ragged rows
+    * on the next update and poison every later round with
+    * sse=Infinity, silently. Cheap scalar compare on the folded field
+    * — no shared-subexpression/CSE hazard. */
+  private def guardedCid(cid: Column, who: String): Column =
+    when(cid === -1L, raise_error(lit(
+      s"KMeans.$who: no centroid comparable for this vector " +
+        "(ragged embedding dims or empty centroid set)")))
+      .otherwise(cid)
+
   /** k deterministic seed centroids (`cid`, `ce`) = the k lowest vec_ids. */
   def seedCentroids(vectors: DataFrame, k: Int): DataFrame =
     vectors.orderBy(col("vec_id").asc).limit(k)
@@ -41,37 +70,21 @@ object KMeans {
     * fold keeps the first strict minimum). Zero-shuffle: the corpus
     * streams through one broadcast-nested-loop join against a single
     * packed centroid row. Output: vec_id, cluster_id, dist, embedding. */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cs = broadcast(centroids.agg(sort_array(collect_list(
-      struct(col("cid"), col("ce")))).as("cs")))
-    vectors.crossJoin(cs)
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(packedCentroids(centroids))
       .withColumn("vv", dot(col("embedding"), col("embedding")))
       .withColumn("m", aggregate(
         col("cs"),
         struct(lit(Double.PositiveInfinity).as("dist"), lit(-1L).as("cid")),
         (acc, c) => {
-          val dist = col("vv") -
-            lit(2.0) * dot(col("embedding"), c.getField("ce")) +
-            dot(c.getField("ce"), c.getField("ce"))
+          val dist = distToPacked(c)
           when(dist < acc.getField("dist"),
             struct(dist.as("dist"), c.getField("cid").as("cid")))
             .otherwise(acc)
         }))
       .select(col("vec_id"),
-        // the fold's (-1, Infinity) init surviving means NO centroid
-        // produced a comparable distance — a ragged embedding (vec_dot
-        // returns null on length mismatch) or an empty centroid set.
-        // Fail LOUDLY here (the e8/ANSI-abort posture): letting cid=-1
-        // through would materialize a phantom centroid from the ragged
-        // rows on the next update and poison every later round with
-        // sse=Infinity, silently. Cheap scalar compare on the folded
-        // field — no shared-subexpression/CSE hazard.
-        when(col("m.cid") === -1L, raise_error(lit(
-          "KMeans.assign: no centroid comparable for this vector " +
-            "(ragged embedding dims or empty centroid set)")))
-          .otherwise(col("m.cid")).as("cluster_id"),
+        guardedCid(col("m.cid"), "assign").as("cluster_id"),
         col("m.dist").as("dist"), col("embedding"))
-  }
 
   /** [[assign]] plus the runner-up distance — the nearest OTHER centroid
     * — for silhouette-style separation metrics (query e9). Same
@@ -79,22 +92,18 @@ object KMeans {
     * lowest cid: the struct array is cid-sorted and only a STRICT
     * improvement displaces a slot; a displaced best becomes the
     * runner-up). Invariant dist <= dist2 by construction — the fold
-    * only ever admits into d2 what failed to beat d1. Requires >= 2
-    * centroids or dist2 stays Infinity. Output: vec_id, cluster_id,
-    * dist, dist2. */
-  def assignRunnerUp(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val cs = broadcast(centroids.agg(sort_array(collect_list(
-      struct(col("cid"), col("ce")))).as("cs")))
-    vectors.crossJoin(cs)
+    * only ever admits into d2 what failed to beat d1. Raises loudly if
+    * fewer than 2 centroids were comparable for a vector. Output:
+    * vec_id, cluster_id, dist, dist2. */
+  def assignRunnerUp(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(packedCentroids(centroids))
       .withColumn("vv", dot(col("embedding"), col("embedding")))
       .withColumn("m", aggregate(
         col("cs"),
         struct(lit(Double.PositiveInfinity).as("d1"), lit(-1L).as("cid"),
           lit(Double.PositiveInfinity).as("d2")),
         (acc, c) => {
-          val dist = col("vv") -
-            lit(2.0) * dot(col("embedding"), c.getField("ce")) +
-            dot(c.getField("ce"), c.getField("ce"))
+          val dist = distToPacked(c)
           when(dist < acc.getField("d1"),
             struct(dist.as("d1"), c.getField("cid").as("cid"),
               acc.getField("d1").as("d2")))
@@ -104,14 +113,17 @@ object KMeans {
             .otherwise(acc)
         }))
       .select(col("vec_id"),
-        // same loud contract as assign: a surviving -1 means no centroid
-        // produced a comparable distance (ragged dims / empty set)
-        when(col("m.cid") === -1L, raise_error(lit(
-          "KMeans.assignRunnerUp: no centroid comparable for this vector " +
-            "(ragged embedding dims or empty centroid set)")))
-          .otherwise(col("m.cid")).as("cluster_id"),
-        col("m.d1").as("dist"), col("m.d2").as("dist2"))
-  }
+        guardedCid(col("m.cid"), "assignRunnerUp").as("cluster_id"),
+        col("m.d1").as("dist"),
+        // a runner-up that never materialized (ONE comparable centroid:
+        // k=1 seeds, or k=2 with one ragged centroid) would flow NaN/
+        // ANSI-cast failures into a silhouette consumer while the
+        // oracle's rn=2 join just drops the row — a silent divergence.
+        // Same loud posture as the cid guard.
+        when(col("m.d2") === Double.PositiveInfinity, raise_error(lit(
+          "KMeans.assignRunnerUp: fewer than 2 comparable centroids " +
+            "for this vector")))
+          .otherwise(col("m.d2")).as("dist2"))
 
   /** Centroid update from integer-micro component sums — deterministic
     * under any partitioning. Output one row per (cluster_id, dim):

@@ -562,9 +562,12 @@ object Aggregates extends QueryGroup {
           .withColumn("adev", abs(col("n_events").cast("double") - col("med")))
         val mad = dev.groupBy("event_type")
           .agg(expr("percentile(adev, 0.5)").as("mad"))
-        val rz = lit(0.6745) *
-          try_divide(col("n_events").cast("double") - col("med"),
-            nullif(col("mad"), lit(0.0)))
+        // association mirrors the oracle's left-to-right (0.6745·diff)/mad
+        // exactly — 0.6745·(diff/mad) can differ by an ulp and flip a
+        // round()/threshold boundary between engines
+        val rz = try_divide(
+          lit(0.6745) * (col("n_events").cast("double") - col("med")),
+          nullif(col("mad"), lit(0.0)))
         dev.join(mad, "event_type")
           .select(col("event_type"), col("day"), col("n_events"),
             round(rz, 4).as("robust_z"),

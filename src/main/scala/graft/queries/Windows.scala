@@ -388,6 +388,15 @@ object Windows extends QueryGroup {
       build = (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         Tables.events(s, d)
+          // loud reserved-value guard (the upsertLatestWins convention):
+          // a NULL event_type would be indistinguishable from "no
+          // previous row" after the coalesce, and a literal '_start'
+          // type would silently merge with entry transitions
+          .withColumn("event_type",
+            when(col("event_type").isNull || col("event_type") === "_start",
+              raise_error(lit(
+                "w13: event_type is NULL or the reserved '_start' token")))
+              .otherwise(col("event_type")))
           .withColumn("prev_type",
             coalesce(lag(col("event_type"), 1).over(w), lit("_start")))
           .groupBy(col("prev_type"), col("event_type"))

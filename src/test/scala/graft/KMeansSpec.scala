@@ -52,6 +52,17 @@ class KMeansSpec extends SparkSpec {
       s"runner-up invariant violated: $got")
   }
 
+  test("assignRunnerUp raises loudly on a single-centroid set") {
+    val v = randomVectors(10, 4, seed = 9)
+    val e = intercept[Exception] {
+      KMeans.assignRunnerUp(v, KMeans.seedCentroids(v, 1)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("fewer than 2"),
+      s"expected the loud runner-up guard, got: $msgs")
+  }
+
   test("sse on an empty vectors frame is 0.0, not an NPE") {
     val v = randomVectors(10, 4, seed = 5)
     val c = KMeans.seedCentroids(v, 2)

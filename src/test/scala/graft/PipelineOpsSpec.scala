@@ -154,6 +154,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.size == 5, s"exactly the five observed transitions: $rows")
   }
 
+  test("w13: NULL event_type raises the loud reserved-token guard") {
+    val dir = Files.createTempDirectory("graft_w13_guard").toString
+    Seq(
+      (1L, 1000000000L, 1L, "view", 1.0, "{}"),
+      (2L, 2000000000L, 1L, null.asInstanceOf[String], 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("w13_markov_transitions")(spark, dir).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("reserved"), s"expected the w13 guard, got: $msgs")
+  }
+
   test("a14 cube: grand-total row matches ungrouped revenue") {
     val sf = "/root/testdata/sf0.001"
     val cube = SparkEntry.queries("a14_cube_revenue")(spark, sf).collect()
