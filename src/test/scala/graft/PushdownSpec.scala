@@ -197,6 +197,46 @@ class PushdownSpec extends SparkSpec {
       assert(!p23.contains(bad), s"$bad in t23 plan:\n$p23")
   }
 
+  test("session-additions keep their scale shapes: a19 pruned+partial, w13 one window exchange, e9 one rollup exchange, t24 equi-joins") {
+    // a19's corpus-facing stage is behind its localCheckpoint, so pin
+    // the mirrored inner frame: the daily count must partial-aggregate
+    // map-side and the events scan must read ONLY (event_type, ts)
+    val daily = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val pa = daily.queryExecution.executedPlan.toString
+    assert(pa.contains("partial_"), s"a19 daily frame lost map-side combine:\n$pa")
+    val rsa = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pa)
+      .map(_.group(1)).getOrElse("")
+    assert(rsa.contains("event_type") && rsa.contains("ts") &&
+      !rsa.contains("value") && !rsa.contains("props") && !rsa.contains("user_id"),
+      s"a19 daily scan reads columns the monitor never uses: $rsa")
+    // w13: the lag window is the ONE user_id exchange; the events scan
+    // skips value/props (event_id rides only as the lag tiebreak)
+    val pw = plan("w13_markov_transitions")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pw).size == 1,
+      s"w13 must plan exactly one user_id window exchange:\n$pw")
+    val rsw = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pw)
+      .map(_.group(1)).getOrElse("")
+    assert(!rsw.contains("value") && !rsw.contains("props"),
+      s"w13 scan reads columns the matrix never uses: $rsw")
+    // e9: the centroid probe is the packed 1-row broadcast fold, so the
+    // ONLY keyed exchange is the cluster_id rollup — the corpus never
+    // hash-shuffles (spread's round-robin is the local-parallelism shim)
+    val pe = plan("e9_cluster_silhouette")
+    assert("Exchange hashpartitioning\\(".r.findAllIn(pe).size == 1 &&
+      pe.contains("Exchange hashpartitioning(cluster_id"),
+      s"e9 must shuffle only the cluster_id rollup:\n$pe")
+    // t24: both count probes are equi-joins by construction — a plan
+    // that degenerates to a nested loop would pair the corpus with the
+    // whole vocab per row
+    val pt = plan("t24_bigram_lm_score")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!pt.contains(bad), s"$bad in t24 plan:\n$pt")
+    assert(pt.contains("partial_"), s"t24 lost map-side combine:\n$pt")
+  }
+
   test("rank-filter window bounds map-side: w8 has WindowGroupLimit Partial below the exchange") {
     // rank() <= 3 must become Spark's WindowGroupLimit in BOTH modes: a
     // Partial below the window exchange (each map task forwards at most k
