@@ -36,11 +36,18 @@ object MediaOps {
       .otherwise("unknown")
   }
 
-  /** Typed metadata for a media column: byte size + sniffed container. */
-  def withMediaMetadata(df: DataFrame, payloadCol: String): DataFrame =
+  /** Typed metadata for a media column: byte size + sniffed container.
+    * Reserves `media_meta` loudly (the Quality/ZOrder posture) — a
+    * silent withColumn overwrite would drop an upstream stage's
+    * metadata with no error. */
+  def withMediaMetadata(df: DataFrame, payloadCol: String): DataFrame = {
+    require(!df.columns.contains("media_meta"),
+      "withMediaMetadata reserves the media_meta column; the input " +
+        "already carries one")
     df.withColumn("media_meta", struct(
       length(col(payloadCol)).cast("long").as("n_bytes"),
       sniffFormat(col(payloadCol)).as("format")))
+  }
 
   final case class MediaFeatures(
       width: Int, height: Int, n_frames: Int, mean_luma: Double)

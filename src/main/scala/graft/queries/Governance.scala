@@ -64,6 +64,14 @@ object Governance extends QueryGroup {
           .withColumn("op",
             when(col("event_type") === "signup", "insert")
               .when(col("event_type") === "error", "delete")
+              // a NULL event_type must NOT fall into the update branch:
+              // CdcApply would keep the row while the oracle's
+              // `event_type <> 'error'` drops it — a silent divergence
+              // if regenerated testdata ever carries a NULL type. Raise
+              // loudly instead (the CdcApply NULL-op posture, one level
+              // earlier).
+              .when(col("event_type").isNull, raise_error(lit(
+                "m2_cdc_apply: NULL event_type has no CDC op mapping")))
               .otherwise("update"))
         CdcApply.latestState(changes, "user_id", "op", Seq("ts", "event_id"))
           .select(col("user_id"), col("event_id"), col("event_type"),
@@ -98,19 +106,13 @@ object Governance extends QueryGroup {
     // against the full expected feed (v0 inserts + v1 diff).
     "cdf3_stream_changes" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_cdf3_").toString
-        val t = new graft.maint.VersionedTable(s, s"$scratch/customer")
-        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-        val v0 = c.filter(col("c_custkey") % 10 =!= 0)
-        val v1 = c.filter(col("c_custkey") % 13 =!= 0)
-          .withColumn("c_acctbal",
-            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
-              .otherwise(col("c_acctbal")))
-        t.writeWithChangeFeed(v0, Seq("c_custkey"), "seed", "2001-09-01 00:00:00")
-        t.writeWithChangeFeed(v1, Seq("c_custkey"), "merge", "2001-09-02 00:00:00")
-        val schema = s.read.parquet(s"$scratch/customer/_changes/v=0").schema
+        // ONE fixture builder for the whole cdf family (cdf1/cdf2/cdf3/
+        // src9) — inline copies of the %10/%13/%7 rules would drift from
+        // the shared oracles silently
+        val root = buildCdfCustomerTable(s, d)
+        val schema = s.read.parquet(s"$root/_changes/v=0").schema
         val stream = s.readStream.schema(schema)
-          .parquet(s"$scratch/customer/_changes/*")
+          .parquet(s"$root/_changes/*")
         graft.streaming.Streams.runToMemory(stream, "append")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("_change_type"), col("_commit_version"),
@@ -154,16 +156,8 @@ object Governance extends QueryGroup {
     // reconstruct the head snapshot exactly.
     "cdf2_cdc_roundtrip" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_cdf2_").toString
-        val t = new graft.maint.VersionedTable(s, s"$scratch/customer")
-        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-        val v0 = c.filter(col("c_custkey") % 10 =!= 0)
-        val v1 = c.filter(col("c_custkey") % 13 =!= 0)
-          .withColumn("c_acctbal",
-            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
-              .otherwise(col("c_acctbal")))
-        t.writeWithChangeFeed(v0, Seq("c_custkey"), "seed", "2001-09-01 00:00:00")
-        t.writeWithChangeFeed(v1, Seq("c_custkey"), "merge", "2001-09-02 00:00:00")
+        // the shared cdf fixture (see cdf3's note)
+        val t = new graft.maint.VersionedTable(s, buildCdfCustomerTable(s, d))
         val feed = t.changeFeed(fromVersion = 0)
           .filter(col("_change_type") =!= "update_preimage")
           .withColumn("op",
@@ -310,16 +304,10 @@ object Governance extends QueryGroup {
     // At 100 TB the refresh cost is the CDF size, not the fact table.
     "mv1_incremental_gold" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_mv_").toString
-        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
-        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
-        val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
-          .withColumn("o_totalprice",
-            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
-              .otherwise(col("o_totalprice")))
-        t.writeWithChangeFeed(v0, Seq("o_orderkey"), "seed", "2001-09-01 00:00:00")
-        t.writeWithChangeFeed(v1, Seq("o_orderkey"), "merge", "2001-09-02 00:00:00")
+        // the shared orders CDF fixture (twin of buildCdfCustomerTable —
+        // mv2 consumes the identical table, and its two inline copies of
+        // the %10/%13/%7 rules previously had to drift in lockstep)
+        val t = new graft.maint.VersionedTable(s, buildCdfOrdersTable(s, d))
         val seeded = graft.ops.IncrementalAgg.init(
           t.read(Some(0)), Seq("o_custkey"), "o_totalprice")
         graft.ops.IncrementalAgg.applyDelta(
@@ -347,16 +335,8 @@ object Governance extends QueryGroup {
     // per-customer minima/maxima).
     "mv2_incremental_minmax" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_mvmm_").toString
-        val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
-        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
-        val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
-          .withColumn("o_totalprice",
-            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
-              .otherwise(col("o_totalprice")))
-        t.writeWithChangeFeed(v0, Seq("o_orderkey"), "seed", "2001-09-01 00:00:00")
-        t.writeWithChangeFeed(v1, Seq("o_orderkey"), "merge", "2001-09-02 00:00:00")
+        // the shared orders CDF fixture (see mv1's note)
+        val t = new graft.maint.VersionedTable(s, buildCdfOrdersTable(s, d))
         val seeded = graft.ops.IncrementalAgg.initMinMax(
           t.read(Some(0)), Seq("o_custkey"), "o_totalprice")
         graft.ops.IncrementalAgg.applyDeltaMinMax(
@@ -387,7 +367,7 @@ object Governance extends QueryGroup {
     // hash-gated, and the row results prove it lost nothing.
     "v2_data_skipping" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_skip_").toString
+        val scratch = graft.core.Scratch.dir("graft_skip_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_totalprice"))
@@ -420,7 +400,7 @@ object Governance extends QueryGroup {
     // expects literal TRUE and recomputes the rows exactly.
     "v3_zorder_skipping" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_zord_").toString
+        val scratch = graft.core.Scratch.dir("graft_zord_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice"))
@@ -452,7 +432,7 @@ object Governance extends QueryGroup {
     // with the partitioned layout — both hash-gated against literal TRUE.
     "v4_partition_pruning" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_hive_").toString
+        val scratch = graft.core.Scratch.dir("graft_hive_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(
           Tables.orders(s, d).select(
@@ -488,7 +468,7 @@ object Governance extends QueryGroup {
     // asserts in-plan that files were skipped — hash-gated vs TRUE.
     "v5_predicate_skipping" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_pred_").toString
+        val scratch = graft.core.Scratch.dir("graft_pred_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"))
@@ -526,7 +506,7 @@ object Governance extends QueryGroup {
     // files than the table holds — hash-gated vs literal TRUE.
     "v6_bloom_pointlookup" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+        val scratch = graft.core.Scratch.dir("graft_bloom_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice"))
@@ -556,7 +536,7 @@ object Governance extends QueryGroup {
     // touched fewer files than the table holds.
     "v7_composed_skipping" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_comp_").toString
+        val scratch = graft.core.Scratch.dir("graft_comp_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
@@ -602,7 +582,7 @@ object Governance extends QueryGroup {
     // OPTIMIZE: cost ∝ data since the last increment, never table size.
     "v8_incremental_clustering" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_liq_").toString
+        val scratch = graft.core.Scratch.dir("graft_liq_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderdate", "o_totalprice")
@@ -645,7 +625,7 @@ object Governance extends QueryGroup {
     // v0 = pre-cutoff snapshot, v1 = full data; read both + the diff.
     "v1_time_travel" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+        val scratch = graft.core.Scratch.dir("graft_tt_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         val o = Tables.orders(s, d)
         t.write(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
@@ -676,7 +656,7 @@ object Governance extends QueryGroup {
     // untouched; the oracle recomputes the surviving rows exactly.
     "g2_logical_delete" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_dv_").toString
+        val scratch = graft.core.Scratch.dir("graft_dv_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
@@ -709,7 +689,7 @@ object Governance extends QueryGroup {
     // URI-encoding path of the partitioned write/read cycle.
     "v9_dynamic_partition_pruning" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+        val scratch = graft.core.Scratch.dir("graft_dpp_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         t.write(
           Tables.orders(s, d).select(
@@ -775,7 +755,7 @@ object Governance extends QueryGroup {
     * returns the table root. */
   private[graft] def buildCdfCustomerTable(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+    val scratch = graft.core.Scratch.dir("graft_cdf_").toString
     val t = new graft.maint.VersionedTable(s, s"$scratch/customer")
     val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
     val v0 = c.filter(col("c_custkey") % 10 =!= 0)
@@ -786,6 +766,25 @@ object Governance extends QueryGroup {
     t.writeWithChangeFeed(v0, Seq("c_custkey"), "seed", "2001-09-01 00:00:00")
     t.writeWithChangeFeed(v1, Seq("c_custkey"), "merge", "2001-09-02 00:00:00")
     s"$scratch/customer"
+  }
+
+  /** The mv1/mv2 fixture, one builder for both: orders with v0 = 90%
+    * seed, v1 = inserts (+%10 keys) / +10.0-price updates (%7 keys) /
+    * deletes (%13 keys), committed with change feed; returns the table
+    * root. Both MV oracles recompute from this v1 definition. */
+  private[graft] def buildCdfOrdersTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val scratch = graft.core.Scratch.dir("graft_mv_").toString
+    val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
+    val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    t.writeWithChangeFeed(v0, Seq("o_orderkey"), "seed", "2001-09-01 00:00:00")
+    t.writeWithChangeFeed(v1, Seq("o_orderkey"), "merge", "2001-09-02 00:00:00")
+    s"$scratch/orders"
   }
 
   /** DuckDB twin of the cdf1/src9 feed read (fromVersion = 1): the v0→v1

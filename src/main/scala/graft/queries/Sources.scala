@@ -32,7 +32,7 @@ object Sources extends QueryGroup {
     // planted and must land in _rescued_data, not kill the batch.
     "src1_json_rescue" -> QueryDef(
       build = (s, d) => {
-        val scratch = Files.createTempDirectory("graft_json_").toString
+        val scratch = graft.core.Scratch.dir("graft_json_").toString
         Tables.customer(s, d).write.mode("overwrite").json(scratch)
         // plant a malformed record
         Files.writeString(java.nio.file.Paths.get(scratch, "bad.json"),
@@ -54,7 +54,7 @@ object Sources extends QueryGroup {
     // S2: CSV scan with header/delimiter/null options + rescue.
     "src2_csv_ingest" -> QueryDef(
       build = (s, d) => {
-        val scratch = Files.createTempDirectory("graft_csv_").toString
+        val scratch = graft.core.Scratch.dir("graft_csv_").toString
         Tables.customer(s, d).write.mode("overwrite")
           .option("header", "true").option("sep", "|").csv(scratch)
         Ingest.csv(s, scratch, customerSchema, delimiter = "|")
@@ -70,7 +70,7 @@ object Sources extends QueryGroup {
     // S12: JSON export sink (DSAR per-segment export) then read-back.
     "src3_json_export_roundtrip" -> QueryDef(
       build = (s, d) => {
-        val scratch = Files.createTempDirectory("graft_dsar_").toString
+        val scratch = graft.core.Scratch.dir("graft_dsar_").toString
         Ingest.exportJson(
           Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
           scratch, "c_mktsegment")
@@ -87,7 +87,11 @@ object Sources extends QueryGroup {
     // remote engine, visible as PushedFilters on the JDBCRelation).
     "src5_jdbc_federated" -> QueryDef(
       build = (s, d) => {
-        val url = s"jdbc:derby:memory:graft_${System.identityHashCode(d)};create=true"
+        // keyed on the PATH VALUE (stable), not identityHashCode: equal
+        // paths reuse one in-memory DB (the overwrite write refreshes
+        // it) instead of leaking a new Derby database per string
+        // instance for the JVM's lifetime
+        val url = s"jdbc:derby:memory:graft_fed_${math.abs(d.hashCode.toLong)};create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         Tables.nation(s, d).write.mode("overwrite")
@@ -137,7 +141,7 @@ object Sources extends QueryGroup {
     // the hash.
     "src6_orc_roundtrip" -> QueryDef(
       build = (s, d) => {
-        val scratch = Files.createTempDirectory("graft_orc_").toString
+        val scratch = graft.core.Scratch.dir("graft_orc_").toString
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"))
@@ -164,7 +168,7 @@ object Sources extends QueryGroup {
     // values were lost across the schema change.
     "src7_schema_evolution" -> QueryDef(
       build = (s, d) => {
-        val scratch = Files.createTempDirectory("graft_evo_").toString
+        val scratch = graft.core.Scratch.dir("graft_evo_").toString
         val o = Tables.orders(s, d)
         o.filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
@@ -204,7 +208,7 @@ object Sources extends QueryGroup {
     // plumbing) breaks the hash.
     "src8_shared_table_scan" -> QueryDef(
       build = (s, d) => {
-        val endpoint = Files.createTempDirectory("graft_share_").toString
+        val endpoint = graft.core.Scratch.dir("graft_share_").toString
         val profile = graft.sources.SharingProtocol.publishLocal(
           endpoint, share = "analytics", schema = "crm", table = "customer",
           location = s"$d/customer.parquet", token = "graft-recipient-1")
@@ -233,7 +237,7 @@ object Sources extends QueryGroup {
     "src9_shared_cdf" -> QueryDef(
       build = (s, d) => {
         val root = Governance.buildCdfCustomerTable(s, d)
-        val endpoint = Files.createTempDirectory("graft_share_cdf_").toString
+        val endpoint = graft.core.Scratch.dir("graft_share_cdf_").toString
         val profile = graft.sources.SharingProtocol.publishLocal(
           endpoint, share = "analytics", schema = "crm", table = "customer_cdf",
           location = root, token = "graft-recipient-1")

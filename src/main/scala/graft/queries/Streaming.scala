@@ -234,7 +234,7 @@ object Streaming extends QueryGroup {
         val cutoff = "1998-01-01 00:00:00"
         val base = Tables.orders(s, d)
           .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
-        val scratch = Files.createTempDirectory("graft_merge_").toString
+        val scratch = graft.core.Scratch.dir("graft_merge_").toString
         // Seed the target with the latest pre-cutoff row per customer.
         graft.streaming.MergeOps
           .upsertLatestWins(base.limit(0), base, Seq("o_custkey"), "o_orderdate",
@@ -243,7 +243,7 @@ object Streaming extends QueryGroup {
         val updates = Streams.tableStream(s, d, "orders")
           .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
         Streams.runMergeSink(updates, scratch, Seq("o_custkey"), "o_orderdate",
-          Files.createTempDirectory("graft_ck_").toString, tiebreak = Seq("o_orderkey"))
+          graft.core.Scratch.dir("graft_ck_").toString, tiebreak = Seq("o_orderkey"))
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
       },
@@ -416,7 +416,7 @@ object Streaming extends QueryGroup {
     // refresh cost ∝ change volume.
     "st13_streaming_mv" -> QueryDef(
       build = (s, d) => {
-        val scratch = java.nio.file.Files.createTempDirectory("graft_stmv_").toString
+        val scratch = graft.core.Scratch.dir("graft_stmv_").toString
         val t = new graft.maint.VersionedTable(s, s"$scratch/orders")
         val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
         val v0 = o.filter(col("o_orderkey") % 10 =!= 0)
@@ -431,7 +431,7 @@ object Streaming extends QueryGroup {
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$scratch/orders/_changes/*")
         Streams.runMvSink(feed, s"$scratch/mv", Seq("o_custkey"), "o_totalprice",
-            java.nio.file.Files.createTempDirectory("graft_stmv_ck_").toString)
+            graft.core.Scratch.dir("graft_stmv_ck_").toString)
           .select(col("o_custkey"), col("cnt").as("order_cnt"),
             round(col("agg_sum").cast("double"), 4).as("revenue"))
       },

@@ -17,10 +17,23 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
+  /** The three columns these readers add. A caller schema already using
+    * one would either produce a duplicate-field StructType (ambiguous-
+    * reference errors far from the cause) or be SILENTLY overwritten by
+    * withColumn — the Quality/ZOrder reserved-name posture applies. */
+  private def requireUnreserved(schema: StructType): StructType = {
+    val reserved = Set("_rescued_data", "_ingest_file", "_ingested_at")
+    val clash = schema.fieldNames.filter(reserved)
+    require(clash.isEmpty,
+      s"Ingest reserves ${reserved.mkString(", ")}; caller schema " +
+        s"must not contain: ${clash.mkString(", ")}")
+    schema
+  }
+
   /** JSON scan with schema enforcement + rescue column + ingest metadata. */
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
-      .schema(schema.add("_rescued_data", "string"))
+      .schema(requireUnreserved(schema).add("_rescued_data", "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_rescued_data")
       .json(path)
@@ -31,7 +44,7 @@ object Ingest {
   def csv(spark: SparkSession, path: String, schema: StructType,
       delimiter: String = ",", nullValue: String = ""): DataFrame =
     spark.read
-      .schema(schema.add("_rescued_data", "string"))
+      .schema(requireUnreserved(schema).add("_rescued_data", "string"))
       .option("header", "true")
       .option("sep", delimiter)
       .option("nullValue", nullValue)

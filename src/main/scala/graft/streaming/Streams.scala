@@ -23,31 +23,11 @@ object Streams {
   private val counter = new AtomicInteger(0)
 
   /** Stream-plumbing scratch dirs (checkpoints, symlink shims, batch
-    * outputs), deleted on JVM exit: every run creates one or two, and
-    * loops — Bench's warm+min-of-3 over st9, full spec suites — would
-    * otherwise accumulate full micro-batch output copies in /tmp for the
-    * OS to clean, on a shared box whose capacity the driver also uses.
-    * Exit-time (not eager) deletion: the returned DataFrames read these
-    * dirs lazily within the JVM's lifetime. */
-  private val scratchDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      scratchDirs.asScala.foreach { d =>
-        try {
-          val s = Files.walk(d)
-          try s.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
-          finally s.close()
-        } catch { case _: Throwable => () }
-      }
-    }, "graft-streams-scratch-cleanup"))
-  }
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val d = Files.createTempDirectory(prefix)
-    scratchDirs.add(d)
-    d
-  }
+    * outputs) go through the shared exit-time-cleaned registry
+    * ([[graft.core.Scratch]]) — the query fixture dirs ride the same
+    * hook. */
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.core.Scratch.dir(prefix)
 
   /** Streaming scan of one testdata parquet table (explicit schema, as the
     * OSS equivalent of Auto Loader's file discovery + checkpointed offsets).
