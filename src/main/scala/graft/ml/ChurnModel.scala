@@ -57,8 +57,25 @@ object ChurnModel {
           s"${features.schema(c).dataType.simpleString}); explode vector " +
           "columns into scalars before train() or importances misalign")
     }
+    // target-leakage and reserved-name guards (the Quality/ZOrder
+    // posture): withColumn("label") would silently REPLACE a feature
+    // named 'label' with the target itself — near-perfect AUC, no error
+    require(!featureCols.contains(labelCol),
+      s"labelCol '$labelCol' must not also be a feature (target leakage)")
+    require(!featureCols.contains("label") && !featureCols.contains("features"),
+      "feature columns must not use the reserved names 'label'/'features'")
+    require(labelCol == "label" || !features.columns.contains("label"),
+      "input carries a 'label' column that is not the labelCol — rename it " +
+        "(reserved for the cast target)")
+    require(!features.columns.contains("features"),
+      "input must not carry a 'features' column (reserved for the assembler)")
     val prepared = features.withColumn("label",
       org.apache.spark.sql.functions.col(labelCol).cast("double"))
+    // cache BEFORE the split: randomSplit samples each half from its
+    // parent independently, and a nondeterministic upstream lineage
+    // (round-robin repartition) could otherwise put a row in both train
+    // and holdout — silent AUC inflation
+    prepared.cache()
     val Array(trainDf, testDf) = prepared.randomSplit(Array(0.8, 0.2), seed)
     trainDf.cache(); testDf.cache()
 

@@ -12,6 +12,10 @@ object Dedup {
     * must include a unique tiebreak column for determinism (utils/
     * common_functions.py:15-34 omits it; SURVEY §7.4.3). */
   def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    // reserved working name (the upsertLatestWins posture): a caller
+    // `_rn` would be silently overwritten, then dropped entirely
+    require(!df.columns.contains("_rn"),
+      "latestWins reserves the _rn working column; the input already carries one")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.map(_.desc): _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
@@ -24,10 +28,21 @@ object Sessionize {
     * 63-88). One key-shuffle, linear per partition. */
   def assign(df: DataFrame, key: String, tsCol: String, tiebreak: String,
       gapMinutes: Int = 30): DataFrame = {
+    // reserved working/output names — silent overwrite would corrupt a
+    // caller's columns (latestWins posture)
+    val clash = Seq("_gap_us", "_is_new", "session_idx").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"Sessionize.assign reserves ${clash.mkString(", ")}; rename the input columns")
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
     val gapUs = gapMinutes.toLong * 60 * 1000000
+    // a NULL timestamp must not silently become its own session (null
+    // gap → _is_new) while shifting every later session_idx — raise
+    // loudly instead (the Scd2 null-ts posture)
+    val ts = when(col(tsCol).isNull, raise_error(lit(
+      s"Sessionize.assign: NULL $tsCol cannot be ordered into a session")))
+      .otherwise(col(tsCol))
     df.withColumn("_gap_us",
-        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+        unix_micros(ts) - lag(unix_micros(ts), 1).over(w))
       .withColumn("_is_new",
         when(col("_gap_us").isNull || col("_gap_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_idx",

@@ -45,8 +45,14 @@ object SimilarityJoin {
     // size/prefix math while array_intersect dedups — silently dropping
     // true pairs at the threshold. array_distinct is a no-op for callers
     // that already dedup (d4's tokenSet) and makes the lossless claim
-    // hold for every caller.
-    val setDocs = docs.withColumn(tokensCol, array_distinct(col(tokensCol)))
+    // hold for every caller. NULL elements are stripped first
+    // (array_compact): the verification stage's array_intersect/size
+    // math would count a null as a shared token while the prefix
+    // stage's inner explode-join can never match one — the two stages
+    // must agree on the token universe or the prune drops pairs its own
+    // verifier accepts.
+    val setDocs = docs.withColumn(tokensCol,
+      array_distinct(array_compact(col(tokensCol))))
     val toks = setDocs.select(
       col(blockCol), col(idCol).as("_id"), explode(col(tokensCol)).as("_tok"))
     // document frequency via groupBy + join, NOT a count window over the

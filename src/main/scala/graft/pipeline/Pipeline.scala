@@ -146,8 +146,24 @@ object Pipeline {
         catch {
           case _: java.util.concurrent.TimeoutException =>
             task.cancel(true)
-            // kill the attempt's cluster-side work before the retry runs
-            spark.foreach(_.sparkContext.cancelJobGroup(groupId))
+            // kill the attempt's cluster-side work before the retry
+            // runs. cancelJobGroup only reaches jobs ACTIVE at call
+            // time — an attempt stuck in non-interruptible driver-side
+            // work could submit its first job AFTER this call and run
+            // alongside the retry (duplicate writes). The watchdog
+            // re-cancels the group until the undead thread actually
+            // exits, so a late-submitted job dies within a beat.
+            spark.foreach { s =>
+              s.sparkContext.cancelJobGroup(groupId)
+              val w = new Thread(() => {
+                try while (t.isAlive) {
+                  Thread.sleep(2000)
+                  s.sparkContext.cancelJobGroup(groupId)
+                } catch { case _: InterruptedException => () }
+              }, s"graft-pipeline-$name-watchdog")
+              w.setDaemon(true)
+              w.start()
+            }
             throw new TaskTimeoutException(name, policy.timeoutMillis)
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }

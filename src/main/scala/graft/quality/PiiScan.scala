@@ -55,11 +55,32 @@ object PiiScan {
           // consumer masking by kind silently misses one class of PII
           // (byName already reports all kinds — same policy here)
           compiled.collect {
-            case (kind, p) if values.exists(v => p.matcher(v).find()) =>
+            case (kind, p) if values.exists(v => hasValueMatch(kind, p, v)) =>
               Finding(c, kind, "value_sample")
           }
         }
       }
     (byName.toSeq ++ byValue).distinct
+  }
+
+  private val DateShape = java.util.regex.Pattern.compile("""\d{4}-\d{2}-\d{2}""")
+
+  /** find() with a per-kind plausibility gate. The phone shape
+    * (digit/space/dash/paren runs) also matches ISO dates ('2024-01-01'
+    * is a 10-char run with 8 digits) and date-prefixed codes — reported
+    * as phone PII, a masking consumer would then mangle date columns.
+    * Heuristic gate: a real phone carries >= 9 digits and is not
+    * date-shaped. */
+  private def hasValueMatch(
+      kind: String, p: java.util.regex.Pattern, v: String): Boolean = {
+    val m = p.matcher(v)
+    var found = false
+    while (!found && m.find()) {
+      found = kind != "phone" || {
+        val g = m.group()
+        g.count(_.isDigit) >= 9 && !DateShape.matcher(g).lookingAt()
+      }
+    }
+    found
   }
 }

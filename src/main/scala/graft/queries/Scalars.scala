@@ -69,7 +69,11 @@ object Scalars extends QueryGroup {
             to_date(to_timestamp(lit(Tables.OrdersAsOf))),
             to_date(col("o_orderdate"))).cast("long").as("days_since"),
           date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("due_day"),
-          (unix_micros(col("o_orderdate").cast("timestamp")) / lit(1000000L)).cast("long").as("epoch_s")),
+          // floor, not cast: cast-to-long truncates toward zero while
+          // the oracle's `//` floors — they diverge by 1 on any
+          // pre-1970 timestamp (a latent trap under testdata drift)
+          floor(unix_micros(col("o_orderdate").cast("timestamp")) / lit(1000000L))
+            .cast("long").as("epoch_s")),
       oracle = Some(s"""
         SELECT o_orderkey,
                year(o_orderdate) AS order_year,
