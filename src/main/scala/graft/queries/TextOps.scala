@@ -1212,7 +1212,57 @@ object TextOps extends QueryGroup {
                CAST(sum(nll) AS BIGINT) AS nll_sum,
                CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
         FROM scored GROUP BY doc_id"""),
-      bench = true)
+      bench = true),
+
+    // T25: sketch-based heavy hitters — the 100 TB sibling of t5's exact
+    // token top-k, via a mergeable Misra–Gries aggregator
+    // (functions/HeavyHitters): at most k=32 counters per map partition
+    // cross the shuffle, vs one row per DISTINCT token for the exact
+    // groupBy (which is the bottleneck once the key space stops fitting
+    // the shuffle — urls, n-grams, user agents). The a12/a16 determinism
+    // pattern: the sketch CONTENT is partition-order-dependent, so the
+    // output carries exact values plus the sketch's GUARANTEE booleans —
+    // capture (every token with freq > N/k survives) and bounded
+    // undercount (0 ≤ exact − est ≤ N/k) — which the Misra–Gries
+    // mergeable-summaries theorem makes TRUE under any partitioning;
+    // the oracle expects literal TRUE, so the guarantee itself is
+    // hash-gated. All comparisons in exact integer arithmetic
+    // (exact·k vs N), never ratios.
+    "t25_heavy_hitters" -> QueryDef(
+      build = (s, d) => {
+        val k = 32
+        val tok = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .localCheckpoint(true) // feeds the sketch+total AND the exact counts
+        val sk = tok.agg(
+          graft.functions.HeavyHitters.sketch(k)(col("token")).as("sk"),
+          count(lit(1)).as("n_total"))
+        val est = sk.select(explode(col("sk")).as("e"))
+          .select(col("e.token").as("token"), col("e.est").as("est"))
+        val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+        exact
+          .join(est, Seq("token"), "left")
+          .crossJoin(broadcast(sk.select(col("n_total"))))
+          .select(col("token"), col("exact_cnt"),
+            (col("exact_cnt") * k > col("n_total")).as("heavy"),
+            (!(col("exact_cnt") * k > col("n_total")) || col("est").isNotNull)
+              .as("captured_ok"),
+            (col("est").isNull ||
+              (col("est") <= col("exact_cnt") &&
+                (col("exact_cnt") - col("est")) * k <= col("n_total")))
+              .as("est_ok"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
+        tot AS (SELECT count(*) AS n FROM tok),
+        exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY 1
+                  ORDER BY exact_cnt DESC, token LIMIT 10)
+        SELECT token, exact_cnt,
+               exact_cnt * 32 > n AS heavy,
+               TRUE AS captured_ok,
+               TRUE AS est_ok
+        FROM exact CROSS JOIN tot"""))
   )
 
   /** t23's reference-vocab size — a pinned knob (see the query comment). */
