@@ -530,6 +530,28 @@ object Streaming extends QueryGroup {
         SELECT d.doc_id, CAST(COALESCE(nf.c, 0) AS BIGINT) AS n_fp
         FROM documents d LEFT JOIN nf ON nf.doc_id = d.doc_id
         WHERE d.doc_id % 5 = 0
-          AND d.doc_id NOT IN (SELECT doc_id FROM rej)"""))
+          AND d.doc_id NOT IN (SELECT doc_id FROM rej)""")),
+
+    // ST16: the Misra–Gries sketch as STREAMING STATE — t25's heavy
+    // hitters maintained across micro-batches in a complete-mode
+    // aggregation (the state store carries the ≤ k-counter buffer; each
+    // trigger folds only its batch's tokens in — exactly how a
+    // production topline "trending tokens" monitor runs). The drained
+    // sketch row feeds the same shared guarantee audit as t25
+    // (TextOps.heavyHitterAudit): exact top-10 plus hash-gated
+    // capture/error-bound booleans, which the mergeable-summaries
+    // theorem keeps TRUE regardless of how the stream was micro-batched.
+    "st16_stream_heavy_hitters" -> QueryDef(
+      build = (s, d) => {
+        val stream = Streams.tableStream(s, d, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+          .agg(graft.functions.HeavyHitters.sketch(TextOps.HhK)(col("token")).as("sk"),
+            count(lit(1)).as("n_total"))
+        val sk = Streams.runToMemory(stream, "complete")
+        val tok = Tables.documents(s, d)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        TextOps.heavyHitterAudit(tok, sk)
+      },
+      oracle = Some(TextOps.sqlHeavyHitterAudit))
   )
 }

@@ -19,6 +19,35 @@ object TextOps extends QueryGroup {
 
   private val sqlTokens =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+  /** t25/st16's pinned sketch width — a workload knob like t22's shard
+    * count; both the Spark booleans and the oracle literal use it. */
+  private[queries] val HhK = 32
+
+  /** Shared guarantee-audit tail of t25 and st16: exact top-10 token
+    * counts joined against one drained sketch row
+    * (`sk: array<struct<token,est>>`, `n_total`) — outputs exact values
+    * plus the Misra–Gries capture/error-bound booleans (TRUE under any
+    * partitioning; the oracle hash-gates them). */
+  private[queries] def heavyHitterAudit(
+      tok: org.apache.spark.sql.DataFrame,
+      sketchRow: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val est = sketchRow.select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+    exact
+      .join(est, Seq("token"), "left")
+      .crossJoin(broadcast(sketchRow.select(col("n_total"))))
+      .select(col("token"), col("exact_cnt"),
+        (col("exact_cnt") * HhK > col("n_total")).as("heavy"),
+        (!(col("exact_cnt") * HhK > col("n_total")) || col("est").isNotNull)
+          .as("captured_ok"),
+        (col("est").isNull ||
+          (col("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - col("est")) * HhK <= col("n_total")))
+          .as("est_ok"))
+  }
   private val sqlStop =
     "('the','a','of','to','and','in','is','for','on','with','row','table','value','key')"
 
@@ -1230,40 +1259,28 @@ object TextOps extends QueryGroup {
     // (exact·k vs N), never ratios.
     "t25_heavy_hitters" -> QueryDef(
       build = (s, d) => {
-        val k = 32
         val tok = Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("token"))
           .localCheckpoint(true) // feeds the sketch+total AND the exact counts
         val sk = tok.agg(
-          graft.functions.HeavyHitters.sketch(k)(col("token")).as("sk"),
+          graft.functions.HeavyHitters.sketch(HhK)(col("token")).as("sk"),
           count(lit(1)).as("n_total"))
-        val est = sk.select(explode(col("sk")).as("e"))
-          .select(col("e.token").as("token"), col("e.est").as("est"))
-        val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("token")).limit(10)
-        exact
-          .join(est, Seq("token"), "left")
-          .crossJoin(broadcast(sk.select(col("n_total"))))
-          .select(col("token"), col("exact_cnt"),
-            (col("exact_cnt") * k > col("n_total")).as("heavy"),
-            (!(col("exact_cnt") * k > col("n_total")) || col("est").isNotNull)
-              .as("captured_ok"),
-            (col("est").isNull ||
-              (col("est") <= col("exact_cnt") &&
-                (col("exact_cnt") - col("est")) * k <= col("n_total")))
-              .as("est_ok"))
+        heavyHitterAudit(tok, sk)
       },
-      oracle = Some(s"""
+      oracle = Some(sqlHeavyHitterAudit))
+  )
+
+  /** DuckDB twin of [[heavyHitterAudit]], shared by t25 and st16. */
+  private[queries] def sqlHeavyHitterAudit: String = s"""
         WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
         tot AS (SELECT count(*) AS n FROM tok),
         exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY 1
                   ORDER BY exact_cnt DESC, token LIMIT 10)
         SELECT token, exact_cnt,
-               exact_cnt * 32 > n AS heavy,
+               exact_cnt * $HhK > n AS heavy,
                TRUE AS captured_ok,
                TRUE AS est_ok
-        FROM exact CROSS JOIN tot"""))
-  )
+        FROM exact CROSS JOIN tot"""
 
   /** t23's reference-vocab size — a pinned knob (see the query comment). */
   private val VocabK = 16

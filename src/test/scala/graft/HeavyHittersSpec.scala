@@ -51,6 +51,33 @@ class HeavyHittersSpec extends SparkSpec {
     guarantees(tokens, k = 16, parts = Seq(1, 4, 32))
   }
 
+  test("streaming sketch state merges across micro-batches (st16's claim)") {
+    // 4 files, 1 per trigger: the complete-mode aggregation folds each
+    // batch into the state-store buffer; the drained sketch must cover
+    // ALL rows (n_total) and capture a heavy token whose occurrences are
+    // SPREAD across batches — only cross-batch merge can see its mass
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream_").toString
+    val tokens = (0 until 4).flatMap(f =>
+      Seq.fill(50)("hot") ++ (0 until 200).map(i => s"cold_${f}_$i"))
+    tokens.toDF("token").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .agg(HeavyHitters.sketch(16)(col("token")).as("sk"),
+        count(lit(1)).as("n_total"))
+    val row = graft.streaming.Streams.runToMemory(stream, "complete").collect()(0)
+    assert(row.getAs[Long]("n_total") == tokens.size.toLong,
+      s"sketch state lost rows across batches: $row")
+    val sk = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => e.getString(0) -> e.getLong(1)).toMap
+    // 'hot' has freq 200 over N=1000 → 200·16 > 1000: must be captured,
+    // and within the N/k undercount bound
+    assert(sk.contains("hot"), s"cross-batch heavy token lost: $sk")
+    assert(sk("hot") <= 200L && (200L - sk("hot")) * 16 <= tokens.size,
+      s"error bound violated for the cross-batch token: ${sk.get("hot")}")
+  }
+
   test("t25 booleans are all true and exact top-10 is deterministic") {
     val rows = SparkEntry.queries("t25_heavy_hitters")(
       spark, "/root/testdata/sf0.001").collect()
