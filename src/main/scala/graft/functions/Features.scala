@@ -43,11 +43,20 @@ object Features {
   /** Mask the local part of an email, keep the domain. substring_index,
     * not element_at(split(..), 2): under Spark 4's default ANSI mode an
     * out-of-range element_at THROWS, so one '@'-less malformed value
-    * would abort the whole masking job instead of masking it. */
+    * would abort the whole masking job instead of masking it. And a
+    * malformed value must fail CLOSED: substring_index(x, '@', -1) on
+    * an '@'-less input returns the WHOLE string — emitting the full raw
+    * identifier as the "domain" — so the no-'@' branch masks everything
+    * past the first character instead. */
   def maskEmail(email: Column): Column =
-    concat(substring(email, 1, 1), lit("***@"), substring_index(email, "@", -1))
+    when(email.contains("@"),
+      concat(substring(email, 1, 1), lit("***@"), substring_index(email, "@", -1)))
+      .otherwise(concat(substring(email, 1, 1), lit("***")))
 
-  /** Register all of the above as SQL functions on the session. */
+  /** Register ALL FOUR builders as SQL functions on the session (the
+    * reference's CREATE FUNCTION surface) — bodies mirror the Column
+    * builders expression for expression; FeatureSqlSpec pins the
+    * equality. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION age_bucket(days INT)
       RETURNS STRING RETURN CASE WHEN days < 180 THEN 'new'
@@ -55,5 +64,16 @@ object Features {
         ELSE 'veteran' END""")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION mask_name(name STRING)
       RETURNS STRING RETURN concat(substring(name, 1, 10), '***')""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION mask_email(email STRING)
+      RETURNS STRING RETURN CASE WHEN email LIKE '%@%'
+        THEN concat(substring(email, 1, 1), '***@', substring_index(email, '@', -1))
+        ELSE concat(substring(email, 1, 1), '***') END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION engagement_score(
+        events BIGINT, purchases BIGINT, recency_days BIGINT, spend_cents BIGINT)
+      RETURNS DOUBLE RETURN CAST(
+        least(events, 100) * 2000 + least(purchases * 10, 100) * 3000
+        + greatest(300000 - recency_days * 1500, 0)
+        + least(CAST(floor(spend_cents / 500) AS BIGINT), 200000)
+        AS DOUBLE) / 10000.0""")
   }
 }

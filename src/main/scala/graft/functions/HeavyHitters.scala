@@ -39,7 +39,14 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[Token
   private def shrink(m: Map[String, Long]): Map[String, Long] =
     if (m.size <= k) m
     else {
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+      // the (k+1)-th largest of exactly k+1 values IS the minimum — the
+      // only reduce-path case (a new token grew the map by one) — so the
+      // hot per-row path is an O(k) min, never an O(k log k) sort (the
+      // BoundedTopK insertSorted lesson); merge-path maps can be larger
+      // and keep the sort
+      val cut =
+        if (m.size == k + 1) m.values.min
+        else m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
       m.collect { case (t, c) if c - cut > 0 => t -> (c - cut) }
     }
 
@@ -59,11 +66,16 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[Token
 object HeavyHitters {
   /** `sketch(32)(tokenCol)` → array<struct<token,est>> of at most 32
     * surviving counters, est-descending with token tiebreak. INPUT
-    * CONTRACT: token must be non-null (primitive string input encoder —
-    * same posture as BoundedTopK); filter nulls upstream. */
+    * CONTRACT: token must be non-null, enforced LOUDLY here — String is
+    * a reference type, so unlike BoundedTopK's primitive fields a null
+    * would NOT fail deserialization; it would silently occupy a counter
+    * slot and surface as a null-keyed heavy hitter. */
   def sketch(k: Int): Column => Column = {
     require(k >= 1, s"sketch(k=$k): k must be >= 1")
     val fn = udaf(new MisraGries(k), ExpressionEncoder[String]())
-    tok => fn(tok)
+    tok => fn(org.apache.spark.sql.functions.when(tok.isNull,
+      org.apache.spark.sql.functions.raise_error(org.apache.spark.sql.functions.lit(
+        "HeavyHitters.sketch: NULL token (filter or coalesce upstream)")))
+      .otherwise(tok))
   }
 }

@@ -159,7 +159,9 @@ object Relational extends QueryGroup {
           .filter(col("c_nationkey").isin(allowedNations: _*))
           .select(
             col("c_custkey"),
-            concat(substring(col("c_name"), 1, 10), lit("***")).as("masked_name"),
+            // the ONE masking rule (s6 shares it) — an inline copy here
+            // would drift from the governed function silently
+            graft.functions.Features.maskName(col("c_name")).as("masked_name"),
             col("c_nationkey"))
       },
       oracle = Some("""

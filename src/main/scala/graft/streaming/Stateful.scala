@@ -30,6 +30,11 @@ object Stateful {
   case class SessEvent(
       user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_id: Long)
   case class OpenSession(start_us: Long, end_us: Long, n_events: Long)
+  /** Per-user state: ALL sessions the watermark has not yet sealed, in
+    * start order. Holding only the latest would force gap-closed
+    * sessions to emit immediately — and an in-watermark straggler
+    * arriving a batch later could then never merge into them. */
+  case class OpenSessions(items: List[OpenSession])
   case class ClosedSession(
       user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
@@ -43,13 +48,17 @@ object Stateful {
     * the key shuffle.
     *
     * In-watermark late events merge by a gaps-and-islands interval fold
-    * over (open session ∪ batch events): events within a gap of the open
-    * session extend it, straggler chains more than a gap older merge
-    * among THEMSELVES into late sessions (and bridge into the open
-    * session when they reach within a gap of it). Only late events whose
-    * session already closed and was emitted cannot be merged
-    * retroactively — the standard append-mode limitation, bounded by the
-    * watermark delay. Feed a time-ordered source for exact batch parity.
+    * over (UNSEALED sessions ∪ batch events): events within a gap of a
+    * held session extend it, straggler chains more than a gap older merge
+    * among THEMSELVES into late sessions (and bridge into held sessions
+    * when they reach within a gap of one). A gap-closed session is NOT
+    * emitted while the watermark could still admit a merging straggler —
+    * it stays in state until wm > its end + gap (emitting on gap-close
+    * alone would let a batch-2 in-watermark straggler open an OVERLAPPING
+    * session next to the already-emitted one). Only events later than the
+    * watermark delay cannot be merged retroactively — the standard
+    * append-mode limitation. Feed a time-ordered source for exact batch
+    * parity.
     *
     * @param events streaming DF with user_id, a TimestampType `ts` (must
     *               carry a watermark), event_id
@@ -59,78 +68,71 @@ object Stateful {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     events
       .select($"user_id".cast("long").as("user_id"), $"ts",
-        unix_micros($"ts").as("ts_us"), $"event_id".cast("long").as("event_id"))
+        // loud null-ts guard (the batch ops/Sessionize posture): a NULL
+        // would otherwise die as a cryptic non-nullable-encoder crash on
+        // the primitive ts_us field
+        unix_micros(when($"ts".isNull, raise_error(lit(
+          "Stateful.sessionize: NULL ts cannot be ordered into a session")))
+          .otherwise($"ts")).as("ts_us"),
+        $"event_id".cast("long").as("event_id"))
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, rows, state) =>
+          val gap = gapUs
+          // a session is SEALED once no in-time event can merge into it:
+          // every mergeable ts_us <= end_us + gap is below the watermark.
+          // Exact µs compare — the ms-floored `deadlineMs <= wm` it
+          // replaces sealed one tick early when end+gap landed inside the
+          // watermark's own millisecond (an in-time event at that very µs
+          // could still legally merge; st9's oracle pins the strict ms
+          // compare this reduces to)
+          def sealed_(s: OpenSession, wm: Long): Boolean = s.end_us + gap < wm * 1000
+          def deadlineMs(s: OpenSession): Long = (s.end_us + gap) / 1000
+          // persist the unsealed remainder + arm the EARLIEST deadline.
+          // The timer must be strictly ahead of the watermark (Spark
+          // rejects earlier); a deadline AT the watermark arms wm+1 — if
+          // the drain ends before the watermark moves again the session
+          // stays unemitted, exactly the sessions st9's strict-compare
+          // oracle excludes.
+          def persist(keep: List[OpenSession], wm: Long): Unit =
+            if (keep.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(OpenSessions(keep))
+              state.setTimeoutTimestamp(math.max(keep.map(deadlineMs).min, wm + 1))
+            }
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
-            // watermark passed end + gap: no in-time event can extend it
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid, s.start_us, s.end_us, s.n_events))
+            val (due, keep) = state.get.items.partition(sealed_(_, wm))
+            persist(keep, wm)
+            due.iterator.map(s => ClosedSession(uid, s.start_us, s.end_us, s.n_events))
           } else {
             // eager fold (state mutations must not hide inside a lazy
-            // iterator): a gaps-and-islands INTERVAL merge over the
-            // carried open session plus the batch's events, in start
-            // order — exactly what batch semantics compute over
-            // everything still mergeable. Folding events one-by-one
-            // against the open session alone (the previous shape) emitted
-            // each in-watermark straggler as its own single-event
-            // session, so two stragglers within a gap of EACH OTHER
-            // produced overlapping "sessions" that violated the gap
-            // partitioning; the interval fold merges straggler chains —
-            // and bridges them into the open session when they reach
-            // within a gap of it.
-            val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            val items: Iterator[OpenSession] = state.getOption match {
-              case Some(s) =>
-                // two sorted runs merged in start order: events before the
-                // carried interval's start, the interval, then the rest
-                val (before, after) = sorted.partition(_.ts_us < s.start_us)
-                before.iterator.map(e => OpenSession(e.ts_us, e.ts_us, 1L)) ++
-                  Iterator.single(s) ++
-                  after.iterator.map(e => OpenSession(e.ts_us, e.ts_us, 1L))
-              case None =>
-                sorted.iterator.map(e => OpenSession(e.ts_us, e.ts_us, 1L))
-            }
-            var open: Option[OpenSession] = None
-            items.foreach { it =>
-              open match {
-                case Some(c) if it.start_us - c.end_us <= gapUs =>
-                  // end via max, never assignment: the carried interval
-                  // may extend past later-starting items it absorbs
-                  open = Some(OpenSession(c.start_us,
-                    math.max(c.end_us, it.end_us), c.n_events + it.n_events))
-                case Some(c) =>
-                  closed += ClosedSession(uid, c.start_us, c.end_us, c.n_events)
-                  open = Some(it)
-                case None =>
-                  open = Some(it)
+            // iterator): a gaps-and-islands INTERVAL merge over the held
+            // sessions plus the batch's events, in start order — exactly
+            // what batch semantics compute over everything still
+            // mergeable. Folding events against a single open session
+            // (the original shape) emitted straggler chains as
+            // overlapping singletons; emitting on gap-close (the second
+            // shape) orphaned stragglers that arrived a batch later.
+            val carried = state.getOption.map(_.items).getOrElse(Nil)
+            val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            (carried ++ rows.map(e => OpenSession(e.ts_us, e.ts_us, 1L)))
+              .sortBy(s => (s.start_us, s.end_us))
+              .foreach { it =>
+                merged.lastOption match {
+                  case Some(c) if it.start_us - c.end_us <= gap =>
+                    // end via max, never assignment: a carried interval
+                    // may extend past later-starting items it absorbs
+                    merged(merged.size - 1) = OpenSession(c.start_us,
+                      math.max(c.end_us, it.end_us), c.n_events + it.n_events)
+                  case _ => merged += it
+                }
               }
-            }
-            // persist the still-open session + arm its event-time timeout.
-            // If the natural deadline already trails the watermark (late
-            // data opened or extended an already-expired session), CLOSE
-            // it here instead of arming a timer: late events never advance
-            // the watermark, so a wm+1 timer armed by the FINAL batch of a
-            // drain would never fire and the session would be lost. No
-            // in-time event can merge into it anyway (its ts > watermark >
-            // end + gap), so emitting now equals what the timeout branch
-            // would do one tick later.
-            open.foreach { s =>
-              val deadlineMs = (s.end_us + gapUs) / 1000
-              if (deadlineMs <= state.getCurrentWatermarkMs()) {
-                closed += ClosedSession(uid, s.start_us, s.end_us, s.n_events)
-                if (state.exists) state.remove()
-              } else {
-                state.update(s)
-                state.setTimeoutTimestamp(deadlineMs)
-              }
-            }
-            closed.iterator
+            val (due, keep) = merged.toList.partition(sealed_(_, wm))
+            persist(keep, wm)
+            due.iterator.map(s => ClosedSession(uid, s.start_us, s.end_us, s.n_events))
           }
       }
   }
@@ -225,9 +227,12 @@ object Stateful {
     // (the e8/ANSI-abort posture: corrupt input fails the job, never
     // bends the result).
     events.select($"user_id".cast("long").as("user_id"), $"event_type",
-      floor(when($"value" < 0, raise_error(lit(
-        "typeProfile requires non-negative event values: the emitted " +
-          "running total is max()-folded downstream and must be monotone")))
+      // isNull must trip the guard too: (NULL < 0) is NULL, which skips
+      // the raise branch and dies later as a cryptic non-nullable-encoder
+      // crash on the primitive value_e4 field
+      floor(when($"value".isNull || $"value" < 0, raise_error(lit(
+        "typeProfile requires non-negative, non-NULL event values: the " +
+          "emitted running total is max()-folded downstream and must be monotone")))
         .otherwise($"value") * 10000).cast("long").as("value_e4"))
       .as[TypedEvent]
       .groupByKey(_.user_id)

@@ -309,6 +309,11 @@ class StreamingSpec extends SparkSpec {
       Seq((7L, "2024-01-01 10:00:00", 1L), (7L, "2024-01-01 10:05:00", 2L)))
     writeBatch("b2.parquet", 1000000060000L,
       Seq((7L, "2024-01-01 09:25:00", 3L), (7L, "2024-01-01 12:00:00", 4L)))
+    // b3 only advances the GLOBAL watermark to 13:00 (16:00 − 3h), which
+    // SEALS every user-7 session — sessions emit when the watermark
+    // proves no straggler can merge, never merely on gap-close
+    writeBatch("b3.parquet", 1000000120000L,
+      Seq((99L, "2024-01-01 16:00:00", 100L)))
     val schema = spark.read.parquet(srcDir).schema
     // 3h watermark delay keeps the 09:25 event in-watermark after batch 1
     val stream = spark.readStream.schema(schema)
@@ -320,10 +325,12 @@ class StreamingSpec extends SparkSpec {
     def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
     val straggler = (7L, us("2024-01-01T09:25:00Z"), us("2024-01-01T09:25:00Z"), 1L)
     val morning = (7L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:05:00Z"), 2L)
+    val noon = (7L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:00:00Z"), 1L)
     assert(got.contains(straggler), s"straggler must emit as its own late session; got $got")
     assert(got.contains(morning), s"open session bounds must be untouched by the straggler; got $got")
-    // the 12:00 session stays open (watermark never passes its deadline)
-    assert(got == Set(straggler, morning), s"unexpected extra sessions: ${got -- Set(straggler, morning)}")
+    // user 99's 16:00 session stays open (watermark never passes it)
+    assert(got == Set(straggler, morning, noon),
+      s"unexpected extra sessions: ${got -- Set(straggler, morning, noon)}")
   }
 
   test("sessionize: straggler chains gap-merge; a bridging chain joins the open session") {
@@ -351,6 +358,9 @@ class StreamingSpec extends SparkSpec {
       Seq((7L, "2024-01-01 09:20:00", 3L), (7L, "2024-01-01 09:25:00", 4L),
         (8L, "2024-01-01 09:05:00", 7L), (8L, "2024-01-01 09:35:00", 8L),
         (7L, "2024-01-01 12:00:00", 9L), (8L, "2024-01-01 12:00:00", 10L)))
+    // watermark-advancer: 16:00 − 3h = 13:00 seals every 7/8 session
+    writeBatch("b3.parquet", 1000000120000L,
+      Seq((99L, "2024-01-01 16:00:00", 100L)))
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -363,9 +373,51 @@ class StreamingSpec extends SparkSpec {
       // user 7: the straggler CHAIN is one late session; morning untouched
       (7L, us("2024-01-01T09:20:00Z"), us("2024-01-01T09:25:00Z"), 2L),
       (7L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:05:00Z"), 2L),
+      (7L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:00:00Z"), 1L),
       // user 8: 09:05→09:35 bridges to 10:00 — everything merges
-      (8L, us("2024-01-01T09:05:00Z"), us("2024-01-01T10:05:00Z"), 4L))
+      (8L, us("2024-01-01T09:05:00Z"), us("2024-01-01T10:05:00Z"), 4L),
+      (8L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:00:00Z"), 1L))
     assert(got == expected, s"got ${got.toSeq.sorted} want ${expected.toSeq.sorted}")
+  }
+
+  test("sessionize: a gap-closed session is NOT emitted while a straggler could still merge") {
+    // THE seal-semantics regression test: batch 1 gap-closes [10:00] with
+    // a 12:00 event; batch 2 delivers an in-watermark straggler at 10:20
+    // — within the 30-min gap of the closed session. Eager emit-on-gap-
+    // close would have already emitted [10:00, 10:00] and the straggler
+    // would open an OVERLAPPING [10:20] session; seal semantics holds
+    // [10:00] in state until the watermark passes 10:30+gap and emits the
+    // MERGED [10:00, 10:20] session — batch parity.
+    val srcDir = Files.createTempDirectory("graft_seal_").toString
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_seal_b_").toString
+      rows.toDF("user_id", "ts_s", "event_id")
+        .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeBatch("b1.parquet", 1000000000000L,
+      Seq((7L, "2024-01-01 10:00:00", 1L), (7L, "2024-01-01 12:00:00", 2L)))
+    writeBatch("b2.parquet", 1000000060000L,
+      Seq((7L, "2024-01-01 10:20:00", 3L)))
+    writeBatch("b3.parquet", 1000000120000L,
+      Seq((99L, "2024-01-01 16:00:00", 100L))) // seals everything of user 7
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "3 hours")
+    val sessions = graft.streaming.Stateful.sessionize(stream, gapMinutes = 30).toDF()
+    val got = Streams.runToMemory(sessions, "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    val expected = Set(
+      (7L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:20:00Z"), 2L),
+      (7L, us("2024-01-01T12:00:00Z"), us("2024-01-01T12:00:00Z"), 1L))
+    assert(got == expected,
+      s"straggler must merge into the held session, never overlap it: got $got")
   }
 
   test("stream-stream LEFT OUTER interval join: matches equal batch; unmatched emit after eviction") {
