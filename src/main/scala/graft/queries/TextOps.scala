@@ -1267,7 +1267,91 @@ object TextOps extends QueryGroup {
           count(lit(1)).as("n_total"))
         heavyHitterAudit(tok, sk)
       },
-      oracle = Some(sqlHeavyHitterAudit))
+      oracle = Some(sqlHeavyHitterAudit)),
+
+    // T26: exact duplicated-substring spans — the "deduplicating training
+    // data" operator (Lee et al. 2022) at token-8-gram granularity: find
+    // every 8-token gram occurring in MORE THAN ONE document, then merge
+    // each document's duplicated gram positions into maximal token spans
+    // (the text a pipeline would cut before training). Cross-doc only —
+    // within-doc repetition is t11's job. Catches UNALIGNED sub-document
+    // overlap (shared boilerplate, licenses, quoted passages) that d1
+    // (whole-doc) and t12 (fixed-offset chunks) both miss.
+    //
+    // Scale: gram fingerprints are computed row-local (explode + md5
+    // inside one codegen stage — only (doc_id, pos, 16-byte fp) rows ever
+    // move, ~28 B per corpus token); the dup-fp set is a map-side-
+    // combinable distinct + HAVING ≥2; the position join is fp-keyed and
+    // AQE-skew-splittable; the island merge is a per-document window over
+    // that document's duplicated positions only — bounded by doc length,
+    // never corpus-global. The gram frame feeds two consumers with
+    // different projections (dup-fp election and the position join), so
+    // it is localCheckpoint'd once — materializing ~28 B/token beats
+    // re-running the tokenize+md5 scan twice (the d4/e5 ReusedExchange
+    // lesson).
+    "t26_dup_span_removal" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          // without this filter sequence(1, n-7) would DESCEND for short
+          // docs (Spark default step is -1 when start > stop)
+          .filter(size(col("toks")) >= k)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
+          .select(col("doc_id"), col("i"),
+            md5(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("fp"))
+          .localCheckpoint(true)
+        val dupFp = grams.select("fp", "doc_id").distinct()
+          .groupBy("fp").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("fp")
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        grams.join(dupFp, "fp")
+          .select(col("doc_id"), col("i"))
+          // islands: grams [p, p+7] and [i, i+7] merge iff i ≤ p + 8
+          // (overlapping or exactly adjacent duplicated text)
+          .withColumn("brk",
+            when(lag(col("i"), 1).over(w).isNull ||
+              col("i") > lag(col("i"), 1).over(w) + k, 1).otherwise(0))
+          .withColumn("island", sum(col("brk")).over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("i")).as("s"), max(col("i")).as("e"),
+            count(lit(1)).as("n_dup_grams"))
+          .select(col("doc_id"),
+            col("s").cast("long").as("span_start"),
+            (col("e") + (k - 1)).cast("long").as("span_end"),
+            (col("e") + (k - 1) - col("s") + 1).cast("long").as("span_tokens"),
+            col("n_dup_grams"))
+      },
+      bench = true,
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $sqlTokens AS toks FROM documents),
+        g AS (
+          SELECT doc_id, i,
+                 md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+          FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+          WHERE len(toks) >= 8),
+        dup AS (
+          SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM g)
+          GROUP BY fp HAVING count(*) >= 2),
+        pos AS (
+          SELECT g.doc_id, g.i,
+                 CASE WHEN lag(g.i) OVER w IS NULL
+                        OR g.i > lag(g.i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+          FROM g JOIN dup USING (fp)
+          WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.i)),
+        isl AS (
+          SELECT doc_id, i,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+          FROM pos)
+        SELECT doc_id,
+               CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) + 7 AS BIGINT) AS span_end,
+               CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS span_tokens,
+               count(*) AS n_dup_grams
+        FROM isl GROUP BY doc_id, island"""))
   )
 
   /** DuckDB twin of [[heavyHitterAudit]], shared by t25 and st16. */

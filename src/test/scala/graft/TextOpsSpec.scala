@@ -358,4 +358,40 @@ class TextOpsSpec extends SparkSpec {
     // RRF dominance ordering: fused rank of doc 3 beats doc 4 (unrelated)
     assert(byDoc(3L)._3 < byDoc(4L)._3, s"meaning-only must out-fuse unrelated: $byDoc")
   }
+
+  test("t26: unaligned cross-doc overlap merges to one span; within-doc repetition excluded") {
+    // shared = a 12-token passage (5 duplicated 8-grams, positions merge
+    // into ONE span) planted at DIFFERENT offsets in docs 1 and 2 — the
+    // unaligned case t12's fixed chunks miss. filler8 repeats an 8-gram
+    // TWICE inside doc 3 only: within-doc repetition must NOT be a span.
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val selfRep = (1 to 8).map(i => s"own$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> s"a1 a2 a3 $shared z1 z2",
+      2L -> s"b1 $shared y1 y2 y3 y4",
+      3L -> s"$selfRep mid1 mid2 $selfRep tail1"))
+    val rows = SparkEntry.queries("t26_dup_span_removal")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: shared occupies tokens 4..15 → grams at 4..8 merge to [4,15]
+    // doc 2: shared occupies tokens 2..13 → grams at 2..6 merge to [2,13]
+    assert(rows.toSet == Set((1L, 4L, 15L, 12L, 5L), (2L, 2L, 13L, 12L, 5L)),
+      s"exactly one merged 12-token span per sharing doc, none for doc 3: ${rows.toSeq}")
+  }
+
+  test("t26: two distant shared passages stay two spans; adjacent grams merge") {
+    // docs 1/2 share an 8-gram at the start AND another near the end,
+    // separated by >8 unshared tokens — must come out as TWO spans each
+    val p1 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val p2 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> s"$p1 f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 $p2",
+      2L -> s"$p1 g1 g2 g3 g4 g5 g6 g7 g8 g9 g10 $p2"))
+    val rows = SparkEntry.queries("t26_dup_span_removal")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.count(_._1 == 1L) == 2 && rows.count(_._1 == 2L) == 2,
+      s"distant passages must not merge across the gap: ${rows.toSeq}")
+    assert(rows.toSet == Set(
+      (1L, 1L, 8L, 8L, 1L), (1L, 19L, 26L, 8L, 1L),
+      (2L, 1L, 8L, 8L, 1L), (2L, 19L, 26L, 8L, 1L)), s"span bounds: ${rows.toSeq}")
+  }
 }
