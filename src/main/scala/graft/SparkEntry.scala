@@ -24,6 +24,7 @@ object SparkEntry {
     Governance,
     Multimodal,
     Gold,
+    Graph,
     Sources,
     SqlAnalytics)
 

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.PageRank
+
+/** Graph analytics over the star schema (driver north-star; no reference
+  * counterpart — designed Spark-first): iterative centrality as a
+  * first-class distributed operator. Web-corpus pipelines weight
+  * documents by link-graph centrality before sampling; here the same
+  * operator ranks suppliers by their position in the customer↔supplier
+  * purchase graph.
+  */
+object Graph extends QueryGroup {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // GR1: supplier purchase-graph centrality — PageRank (3 damped
+    // iterations, exact integer micro-ranks) over the bipartite
+    // customer↔supplier graph induced by lineitem⋈orders, edge weight =
+    // lineitem count. Node ids are disjoint by parity (cust = 2k,
+    // supp = 2k+1) so the two key spaces can share one node column. A
+    // supplier's rank rises when many high-activity customers route
+    // weight to it — the "authority" read a flat order count misses.
+    //
+    // Scale: the edge build is one fact-keyed join + map-side-combinable
+    // count; each PageRank round is one src-keyed join + dst-keyed long
+    // sum (exact, order-independent — that's what makes an ITERATIVE
+    // fixpoint hash-verifiable cross-engine); the edge list and per-round
+    // ranks are checkpointed so plan depth stays O(1) (ops/PageRank).
+    // The final supplier join moves only (node, rank) rows.
+    "gr1_supplier_centrality" -> QueryDef(
+      build = (s, d) => {
+        val cs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges = cs.unionByName(
+          cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        PageRank.run(edges, iterations = 3)
+          .filter(pmod(col("node"), lit(2L)) === 1L)
+          .select(expr("(node - 1) div 2").as("s_suppkey"),
+            col("r").as("rank_micro"))
+          .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+            "s_suppkey")
+          .select(col("s_suppkey"), col("s_name"), col("rank_micro"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH e AS (
+          SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                 count(*) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT src, dst, w FROM e
+          UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+        ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+        n AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst AS node FROM edges),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        c1 AS (SELECT ed.dst AS node, sum((r0.r * ed.w) // ow.ow) AS m
+               FROM edges ed JOIN ow ON ed.src = ow.src
+               JOIN r0 ON r0.node = ed.src GROUP BY 1),
+        r1 AS (SELECT n.node,
+                      CAST(150000 + coalesce((85 * c1.m) // 100, 0) AS BIGINT) AS r
+               FROM n LEFT JOIN c1 USING (node)),
+        c2 AS (SELECT ed.dst AS node, sum((r1.r * ed.w) // ow.ow) AS m
+               FROM edges ed JOIN ow ON ed.src = ow.src
+               JOIN r1 ON r1.node = ed.src GROUP BY 1),
+        r2 AS (SELECT n.node,
+                      CAST(150000 + coalesce((85 * c2.m) // 100, 0) AS BIGINT) AS r
+               FROM n LEFT JOIN c2 USING (node)),
+        c3 AS (SELECT ed.dst AS node, sum((r2.r * ed.w) // ow.ow) AS m
+               FROM edges ed JOIN ow ON ed.src = ow.src
+               JOIN r2 ON r2.node = ed.src GROUP BY 1),
+        r3 AS (SELECT n.node,
+                      CAST(150000 + coalesce((85 * c3.m) // 100, 0) AS BIGINT) AS r
+               FROM n LEFT JOIN c3 USING (node))
+        SELECT s_suppkey, s_name, r3.r AS rank_micro
+        FROM r3 JOIN supplier ON r3.node = s_suppkey * 2 + 1"""))
+  )
+}
