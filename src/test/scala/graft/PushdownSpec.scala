@@ -237,6 +237,48 @@ class PushdownSpec extends SparkSpec {
     assert(pt.contains("partial_"), s"t24 lost map-side combine:\n$pt")
   }
 
+  test("t26 spans stay bucketed and pruned; gr1's iteration history is checkpoint-cut") {
+    // t26: the dup-fp position join is an equi-join on the 16-byte fp —
+    // a nested-loop degeneration would pair every gram with every dup
+    // fp; the corpus scan must read only (doc_id, text); the dup-fp
+    // election combines map-side
+    val pt = plan("t26_dup_span_removal")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!pt.contains(bad), s"$bad in t26 plan:\n$pt")
+    assert(pt.contains("partial_"), s"t26 dup-fp election lost map-side combine:\n$pt")
+    // the corpus scan sits BEHIND t26's gram localCheckpoint (the a19
+    // pattern), so pin the mirrored pre-checkpoint frame: tokenize +
+    // explode + md5 must prune the documents scan to (doc_id, text)
+    val inner = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 7)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8)))).as("fp"))
+    val rst = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(inner.queryExecution.executedPlan.toString)
+      .map(_.group(1)).getOrElse("")
+    assert(rst.contains("doc_id") && rst.contains("text") &&
+      !rst.contains("lang") && !rst.contains("source") && !rst.contains("n_chars"),
+      s"t26 scan reads columns the spans never use: $rst")
+    // gr1: ops/PageRank localCheckpoints edges once and ranks per round,
+    // so the FINAL plan must contain no lineitem/orders rescans — the
+    // only parquet scan left is the supplier dim, broadcast and pruned
+    // to (s_suppkey, s_name). Without the cuts, round 3 would replan
+    // (and re-shuffle) the entire iteration history.
+    val pg = plan("gr1_supplier_centrality")
+    assert("Scan parquet".r.findAllIn(pg).size == 1,
+      s"gr1 final plan must rescan ONLY the supplier dim:\n$pg")
+    assert(pg.contains("BroadcastHashJoin"),
+      s"gr1 supplier dim join must broadcast:\n$pg")
+    val rsg = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pg)
+      .map(_.group(1)).getOrElse("")
+    assert(rsg.contains("s_suppkey") && rsg.contains("s_name") &&
+      !rsg.contains("s_address") && !rsg.contains("s_comment"),
+      s"gr1 supplier scan reads columns the rank never uses: $rsg")
+  }
+
   test("rank-filter window bounds map-side: w8 has WindowGroupLimit Partial below the exchange") {
     // rank() <= 3 must become Spark's WindowGroupLimit in BOTH modes: a
     // Partial below the window exchange (each map task forwards at most k
