@@ -49,8 +49,11 @@ object PageRank {
         .otherwise(col("w").cast("long")).as("w"))
     val ew = e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), "src")
       .localCheckpoint(true) // reused every iteration — one materialization
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // derive nodes from the CHECKPOINTED frame (ew preserves every e row),
+    // not from e: e's upstream would otherwise re-run a second time just
+    // to list the node universe (the ReusedExchange-across-actions trap)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val base = (100L - dampingPct) * microInit / 100L

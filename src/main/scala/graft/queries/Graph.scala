@@ -37,6 +37,9 @@ object Graph extends QueryGroup {
           .groupBy((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .agg(count(lit(1)).as("w"))
+          // the symmetric union consumes this frame twice — checkpoint
+          // once or the fact join + pair count runs per union branch
+          .localCheckpoint(true)
         val edges = cs.unionByName(
           cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         PageRank.run(edges, iterations = 3)
