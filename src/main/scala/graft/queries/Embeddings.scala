@@ -765,6 +765,115 @@ object Embeddings extends QueryGroup {
                CAST(sum(s_micro) AS BIGINT) AS sum_micro,
                CAST(sum(s_micro) AS DOUBLE)
                  / (CAST(count(*) AS DOUBLE) * 1000000.0) AS avg_silhouette
-        FROM sil GROUP BY cluster_id"""))
+        FROM sil GROUP BY cluster_id""")),
+
+    // E10: scalar-quantization (int8) candidate scan + exact re-rank —
+    // the rescoring-tier quantization every production vector store runs
+    // (Lucene/faiss SQ8): per-DIMENSION corpus min/max → each component
+    // floor-mapped to an integer code 0..255, candidates ranked by the
+    // all-integer code dot product, then ONLY the top-50 shortlist gets
+    // the full-precision cosine. Complementary to e5's PQ (4-bit-per-
+    // component codebooks, sub-linear tier) — SQ keeps per-dim fidelity
+    // so the shortlist is near-exact while the scan touches 1 byte/dim
+    // instead of 4 (the 100 TB win is memory bandwidth, and integer
+    // scoring is exact → the shortlist boundary is hash-stable, no
+    // float-tie risk where it matters).
+    //
+    // Scale: dim stats are a 64-row broadcast (explode is map-side-
+    // combinable min/max, never a wide shuffle); code build is row-local
+    // after the broadcast join; the candidate scan is the same bounded
+    // map-side topK as e1 (|Q|·partitions·50 rows shuffle, never a
+    // global window); exact re-rank moves |Q|·50 vectors. Compose with
+    // e4's IVF routing when the scan itself must go sub-linear. The
+    // exploded (vec_id, pos, x) frame feeds the stats agg AND the code
+    // build with different projections — checkpointed once (d4/e5
+    // lesson); ADC integer ties break on vec_id ASC in both engines.
+    "e10_sq_rescore" -> QueryDef(
+      build = (s, d) => {
+        val v = Tables.embeddings(s, d).transform(Tables.spread)
+          .localCheckpoint(true) // feeds the code pipeline + both rescore sides
+        val ex = v
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
+          .localCheckpoint(true) // feeds dim stats AND the code join
+        val stats = ex.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        val codes = ex.join(broadcast(stats), "pos")
+          .select(col("vec_id"), col("pos"),
+            when(col("mx") === col("mn"), lit(0.0))
+              .otherwise(least(
+                floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0),
+                lit(255.0))).as("q"))
+          .groupBy("vec_id")
+          .agg(collect_list(struct(col("pos"), col("q"))).as("pq"))
+          .select(col("vec_id"),
+            transform(array_sort(col("pq")), x => x.getField("q")).as("qv"))
+        val qs = codes.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("qv").as("qc"))
+        val shortlist = codes.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            call_function("vec_dot", col("qc"), col("qv")).as("adc"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+        val vn = v
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        shortlist
+          .join(vn.select(col("vec_id").as("q_id"), col("ne").as("q_ne")), "q_id")
+          .join(vn, "vec_id")
+          .select(col("q_id"), col("vec_id"),
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .filter(!isnan(col("cos")))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(s"""
+        WITH ex AS (
+          SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)),
+        st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+        codes AS (
+          SELECT vec_id,
+                 list(CASE WHEN mx = mn THEN 0.0
+                      ELSE least(floor((x - mn) / (mx - mn) * 255), 255.0) END
+                      ORDER BY pos) AS qv
+          FROM ex JOIN st USING (pos) GROUP BY vec_id),
+        qs AS (SELECT vec_id AS q_id, qv AS qc FROM codes WHERE vec_id % 10 = 0),
+        adc AS (
+          SELECT q_id, vec_id,
+                 list_sum(list_transform(range(1, len(qc)+1),
+                   i -> qc[i] * qv[i])) AS adc
+          FROM qs CROSS JOIN codes WHERE vec_id <> q_id),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM adc) WHERE rn <= 50),
+        n AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        res AS (
+          SELECT s.q_id, s.vec_id,
+                 list_sum(list_transform(range(1, len(q.ne)+1),
+                   i -> q.ne[i] * v.ne[i])) AS cos
+          FROM short s JOIN n q ON q.vec_id = s.q_id
+          JOIN n v ON v.vec_id = s.vec_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM res WHERE NOT isnan(cos))
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM ranked WHERE rn <= 5"""),
+      bench = true)
   )
 }

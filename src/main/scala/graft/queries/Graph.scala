@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.PageRank
+import graft.ops.{PageRank, Triangles}
 
 /** Graph analytics over the star schema (driver north-star; no reference
   * counterpart — designed Spark-first): iterative centrality as a
@@ -83,6 +83,49 @@ object Graph extends QueryGroup {
                       CAST(150000 + coalesce((85 * c3.m) // 100, 0) AS BIGINT) AS r
                FROM n LEFT JOIN c3 USING (node))
         SELECT s_suppkey, s_name, r3.r AS rank_micro
-        FROM r3 JOIN supplier ON r3.node = s_suppkey * 2 + 1"""))
+        FROM r3 JOIN supplier ON r3.node = s_suppkey * 2 + 1""")),
+
+    // GR2: co-purchase triangle participation — how densely a part's
+    // co-purchase neighborhood closes on itself. Edges = distinct part
+    // pairs sharing an order (per-order item count is bounded, so the
+    // pair expansion is ≤ C(items,2) per order — row-local fan-out, not
+    // a join blowup); triangles via degree-ordered orientation
+    // (ops/Triangles — each triangle found exactly once, exact integer
+    // counts, skew-bounded wedge volume O(m^1.5)). The final name join
+    // moves only (node, tri_cnt) rows against the broadcastable part dim.
+    "gr2_copurchase_triangles" -> QueryDef(
+      build = (s, d) => {
+        val po = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(true) // both sides of the pair self-join
+        val edges = po
+          .join(po.select(col("ok"), col("p").as("p2")), "ok")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("a"), col("p2").as("b"))
+          .distinct()
+        Triangles.participation(edges)
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_name")),
+            col("node") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("tri_cnt"))
+      },
+      bench = true,
+      oracle = Some("""
+        WITH po AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.p AS a, y.p AS b
+          FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        nodes AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT node, count(*) AS tri_cnt FROM nodes GROUP BY 1)
+        SELECT p_partkey, p_name, tri_cnt
+        FROM cnt JOIN part ON node = p_partkey"""))
   )
 }

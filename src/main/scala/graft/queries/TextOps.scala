@@ -1351,7 +1351,78 @@ object TextOps extends QueryGroup {
                CAST(max(i) + 7 AS BIGINT) AS span_end,
                CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS span_tokens,
                count(*) AS n_dup_grams
-        FROM isl GROUP BY doc_id, island"""))
+        FROM isl GROUP BY doc_id, island""")),
+
+    // T27: interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995;
+    // Chen & Goodman 1999 §2.7) — the smoothing t24's raw MLE lacks:
+    //   P(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    //   Pcont(w2) = N1+(·w2) / |distinct bigrams|,  D = 0.75
+    // so frequent-but-unproductive continuations ("san francisco") score
+    // differently from promiscuous ones — the standard pre-neural LM
+    // filter for corpus quality ranking. Self-scored on the training
+    // corpus (like t24), so every scored bigram has c ≥ 1 and p > 0.
+    //
+    // Scale: all model statistics (c1/N1+ forward, N1+ backward, B) are
+    // map-side-combinable aggregates over the DISTINCT-BIGRAM table, not
+    // the instance stream; the per-TYPE nll is computed once on that
+    // small table and instances join it by bigram key (hot bigrams are
+    // AQE-skew-splittable). The instance frame feeds both the type count
+    // and the scoring join — checkpointed once (the d4/e5 lesson). Float
+    // determinism: one floor-micro per bigram TYPE (identical IEEE op
+    // sequence both engines), integer sums after.
+    "t27_kneser_ney_score" -> QueryDef(
+      build = (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+          .localCheckpoint(true)
+        val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+          .withColumn("w1", substring_index(col("g"), " ", 1))
+          .withColumn("w2", substring_index(col("g"), " ", -1))
+          .localCheckpoint(true) // feeds w1-stats, w2-stats, B, and scoring
+        val fwd = c2.groupBy("w1")
+          .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+        val bwd = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val bTot = c2.agg(count(lit(1)).cast("double").as("bb"))
+        val scored = c2.join(fwd, "w1").join(bwd, "w2")
+          .crossJoin(broadcast(bTot))
+          .select(col("g"),
+            floor(-log(
+              (greatest(col("c2").cast("double") - lit(0.75), lit(0.0))
+                + lit(0.75) * col("n1f").cast("double")
+                  * (col("n1b").cast("double") / col("bb")))
+                / col("c1").cast("double")) * 1000000.0)
+              .cast("long").as("nll"))
+        bg.join(scored, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
+          .withColumn("avg_nll_micro", expr("nll_sum div n_bigrams"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t), 1)),
+                   i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+        c2 AS (SELECT g, count(*) AS c2,
+                      split_part(g, ' ', 1) AS w1,
+                      split_part(g, ' ', 2) AS w2
+               FROM bg GROUP BY 1),
+        fwd AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+        bwd AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+        btot AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM c2),
+        scored AS (
+          SELECT g,
+                 CAST(floor(-ln(
+                   (greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0)
+                     + 0.75 * CAST(n1f AS DOUBLE)
+                       * (CAST(n1b AS DOUBLE) / bb))
+                     / CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) AS nll
+          FROM c2 JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN btot)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(nll) AS BIGINT) AS nll_sum,
+               CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
+        FROM bg JOIN scored USING (g) GROUP BY doc_id"""))
   )
 
   /** DuckDB twin of [[heavyHitterAudit]], shared by t25 and st16. */

@@ -38,6 +38,43 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("e10 SQ rescore: angle fixture ranks by true angle through the int8 shortlist") {
+    // 63 candidates on the unit circle at i degrees (ids 1..69 skipping
+    // multiples of 10) + one query (id 70) at 0 degrees: more candidates
+    // than the 50-wide shortlist, so the int8 ADC cut is actually
+    // exercised, while the exact re-rank must order the survivors by
+    // true angle — top-5 is ids 1..5 with scores within float32+floor
+    // noise of cos(i degrees).
+    val dir = java.nio.file.Files.createTempDirectory("graft_e10_").toString
+    val vecs = ((1L to 69L).filterNot(_ % 10 == 0).map { i =>
+      val th = math.toRadians(i.toDouble)
+      (i, Array(math.cos(th).toFloat, math.sin(th).toFloat, 0.0f, 0.0f), 1)
+    } :+ ((70L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1)))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("e10_sq_rescore")(spark, dir)
+      .filter($"q_id" === 70L).orderBy($"rn").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      s"top-5 must be the 5 smallest angles: ${rows.mkString(", ")}")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val want = math.cos(math.toRadians((i + 1).toDouble))
+      assert(math.abs(r.getDouble(2) - want) < 2e-5,
+        s"rank ${i + 1}: score ${r.getDouble(2)} != cos(${i + 1} deg) $want")
+    }
+  }
+
+  test("e10 on testdata: every query returns 5 ranked neighbors, scores in [-1,1]") {
+    val rows = SparkEntry.queries("e10_sq_rescore")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} neighbors")
+      assert(rs.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+      assert(rs.map(_.getLong(3)).sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    }
+  }
+
   test("e2 ANN buckets: identical vectors share a bucket and self-similar top hit") {
     val res = SparkEntry.queries("e2_ann_lsh_buckets")(spark, "/root/testdata/sf0.001")
       .collect()

@@ -169,6 +169,35 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(10L), s"1-token doc must produce no row: $got")
   }
 
+  test("t27: Kneser-Ney separates continuation diversity that t24's MLE ties") {
+    // bigrams "a x" and "b y" have IDENTICAL c2/c1/N1+(w1·) — raw MLE
+    // (t24) must score them equal — but y continues 3 distinct histories
+    // while x continues 1, so KN's continuation term must rank "b y" as
+    // MORE expected (strictly lower nll). All values pinned to the
+    // closed form, operation for operation.
+    val dir = docsDir(
+      (1L to 4L).map(i => i -> "a x") ++ (5L to 8L).map(i => i -> "b y") ++
+        Seq(9L -> "c y", 10L -> "d y"))
+    val mle = SparkEntry.queries("t24_bigram_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(mle(1L) == mle(5L), s"t24 must tie the two bigrams: $mle")
+    // corpus model: B = 4 distinct bigrams; the exact double expression
+    // the query computes, operation for operation
+    def kn(c2: Long, c1: Long, n1f: Long, n1b: Long): Long = {
+      val p = (math.max(c2.toDouble - 0.75, 0.0) +
+        0.75 * n1f.toDouble * (n1b.toDouble / 4.0)) / c1.toDouble
+      math.floor(-math.log(p) * 1000000.0).toLong
+    }
+    val got = SparkEntry.queries("t27_kneser_ney_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    (1L to 4L).foreach { i => assert(got(i) == ((1L, kn(4, 4, 1, 1))), s"doc $i: ${got(i)}") }
+    (5L to 8L).foreach { i => assert(got(i) == ((1L, kn(4, 4, 1, 3))), s"doc $i: ${got(i)}") }
+    assert(got(9L) == ((1L, kn(1, 1, 1, 3))), s"doc 9: ${got(9L)}")
+    assert(got(10L) == ((1L, kn(1, 1, 1, 3))), s"doc 10: ${got(10L)}")
+    assert(got(1L)._2 > got(5L)._2,
+      s"KN must rank the diverse continuation as more expected: $got")
+  }
+
   test("t16: BM25 micros match the closed form; non-matching docs excluded") {
     // query terms (df desc, token asc among len>=6): quantum(4),
     // gradient(3), synthesis(3); epsilon has df=1 and is never selected
