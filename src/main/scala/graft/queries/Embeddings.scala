@@ -807,6 +807,9 @@ object Embeddings extends QueryGroup {
           .agg(collect_list(struct(col("pos"), col("q"))).as("pq"))
           .select(col("vec_id"),
             transform(array_sort(col("pq")), x => x.getField("q")).as("qv"))
+          // feeds the query filter AND the corpus scan side — without the
+          // cut the whole stats+quantize pipeline runs twice
+          .localCheckpoint(true)
         val qs = codes.filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("q_id"), col("qv").as("qc"))
         val shortlist = codes.crossJoin(broadcast(qs))

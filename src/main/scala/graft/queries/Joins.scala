@@ -397,6 +397,79 @@ object Joins extends QueryGroup {
                count(DISTINCT user_id) AS n_users
         FROM spans s JOIN campaigns c
           ON s.s_start <= c.c_end AND c.c_start <= s.s_end
-        GROUP BY campaign_id"""))
+        GROUP BY campaign_id""")),
+
+    // J14: NEAREST-event join — j10's as-of picks the latest view BEFORE
+    // each purchase; attribution models often want the nearest view in
+    // EITHER direction (|Δt| minimized, equidistant tie → the earlier
+    // view). Same zero-join formulation: one user-keyed sort, TWO frames
+    // over it (backward last + forward first, both ignoreNulls), then a
+    // row-local arbitration — never a |purchases|×|views| pair blowup.
+    //
+    // Scale: both frames share one partitioning and one sort order, so
+    // Spark plans a SINGLE window exchange+sort (PushdownSpec pins one
+    // Exchange); the arbitration is codegen row-local. Ties: views sort
+    // before purchases at equal ts (Δ=0 resolves backward), and
+    // same-ts view groups agree on the output ts, so the result is
+    // partition- and task-order independent.
+    "j14_nearest_view_join" -> QueryDef(
+      build = (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          // materialize the tiebreak ONCE: both frames then share one
+          // identical window spec, so Spark plans a single Sort under a
+          // single Window node instead of re-sorting per frame
+          .withColumn("tb", when(col("event_type") === "view", 0).otherwise(1))
+        val ord = Seq(col("ts"), col("tb"), col("event_id"))
+        val back = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        e.withColumn("view_us",
+            when(col("event_type") === "view", unix_micros(col("ts"))))
+          .withColumn("back_us", last(col("view_us"), ignoreNulls = true).over(back))
+          .withColumn("fwd_us", first(col("view_us"), ignoreNulls = true).over(fwd))
+          .filter(col("event_type") === "purchase")
+          .withColumn("p_us", unix_micros(col("ts")))
+          .withColumn("near_us",
+            when(col("back_us").isNull, col("fwd_us"))
+              .when(col("fwd_us").isNull, col("back_us"))
+              .when(col("p_us") - col("back_us") <= col("fwd_us") - col("p_us"),
+                col("back_us"))
+              .otherwise(col("fwd_us")))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            date_format(timestamp_micros(col("near_us")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("nearest_view_ts"),
+            (col("near_us") - col("p_us")).as("delta_us"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us
+          FROM events WHERE event_type IN ('purchase', 'view')),
+        f AS (
+          SELECT *,
+                 last_value(view_us IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts,
+                      CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+                 first_value(view_us IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts,
+                      CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+          FROM e),
+        p AS (
+          SELECT event_id, user_id, ts, epoch_us(ts) AS p_us, back_us, fwd_us,
+                 CASE WHEN back_us IS NULL THEN fwd_us
+                      WHEN fwd_us IS NULL THEN back_us
+                      WHEN p_us - back_us <= fwd_us - p_us THEN back_us
+                      ELSE fwd_us END AS near_us
+          FROM f WHERE event_type = 'purchase')
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(make_timestamp(near_us), '%Y-%m-%d %H:%M:%S.%f') AS nearest_view_ts,
+               near_us - p_us AS delta_us
+        FROM p"""))
   )
 }

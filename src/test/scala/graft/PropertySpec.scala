@@ -421,4 +421,45 @@ class PropertySpec extends SparkSpec {
     assert(out.values.forall(v => v._1 == 7L && v._2 == 70L && v._3 == 70L),
       s"bins and epoch totals must partition the input: $out")
   }
+
+  test("j14 nearest-view equals the naive |Δ| argmin; crafted ties resolve backward") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // μs grid, ms-aligned
+    // crafted edges: equidistant tie → the EARLIER view; purchase before
+    // any view → forward; after all views → backward; no views → NULL;
+    // view at the exact purchase ts → Δ=0 via the backward frame
+    val crafted = Seq(
+      (101L, ts(10000000L), 1L, "view"), (102L, ts(20000000L), 1L, "purchase"),
+      (103L, ts(30000000L), 1L, "view"), // tie: |Δ|=10s both sides
+      (201L, ts(50000000L), 2L, "purchase"), (202L, ts(90000000L), 2L, "view"),
+      (301L, ts(10000000L), 3L, "view"), (302L, ts(80000000L), 3L, "purchase"),
+      (401L, ts(10000000L), 4L, "purchase"),
+      (501L, ts(40000000L), 5L, "view"), (502L, ts(40000000L), 5L, "purchase"))
+    val rnd = new Random(31)
+    val random = (1000 to 1400).map { i =>
+      (i.toLong, ts(rnd.nextInt(500000).toLong * 1000L), (6 + rnd.nextInt(8)).toLong,
+        if (rnd.nextInt(3) == 0) "purchase" else "view")
+    }
+    val all = crafted ++ random
+    val dir = java.nio.file.Files.createTempDirectory("graft_j14_").toString
+    all.map { case (id, t, u, tp) => (id, t, u, tp, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("j14_nearest_view_join")(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    // naive reference: per purchase, argmin |view-p| over the user's
+    // views; equidistant pair → the earlier (backward) one
+    val views = all.filter(_._4 == "view").groupBy(_._3)
+      .view.mapValues(_.map(_._2.getTime * 1000L)).toMap
+    val expected = all.filter(_._4 == "purchase").map { case (id, t, u, _) =>
+      val p = t.getTime * 1000L
+      id -> views.getOrElse(u, Seq.empty).sortBy(v => (math.abs(v - p), v))
+        .headOption.map(_ - p)
+    }.toMap
+    assert(got == expected,
+      s"mismatches: ${(got.toSet diff expected.toSet).take(5)}")
+    assert(got(102L).contains(-10000000L), s"tie must resolve backward: ${got(102L)}")
+    assert(got(201L).contains(40000000L) && got(302L).contains(-70000000L))
+    assert(got(401L).isEmpty, "view-less purchase must yield NULL delta")
+    assert(got(502L).contains(0L), "same-ts view must win at Δ=0")
+  }
 }

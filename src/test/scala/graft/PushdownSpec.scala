@@ -392,4 +392,37 @@ class PushdownSpec extends SparkSpec {
     assert(graft.sources.SharingProtocol.resolve(s"$p3#s.db.customer")
       ._2 == Seq(s"$sf/supplier.parquet"), "re-publish must replace the row")
   }
+
+  test("j14 plans ONE window exchange for both frames; sql3 pushes filters, broadcasts the segment dim, top-k's without a global sort") {
+    // j14: backward-last and forward-first share one window spec, so a
+    // correct plan is exactly one user_id Exchange under one Sort with a
+    // single Window node carrying BOTH frames — a regression that splits
+    // the specs doubles the sort. The events scan must also skip
+    // value/props and push the two-type IN filter.
+    val pj = plan("j14_nearest_view_join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pj).size == 1,
+      s"j14 must plan exactly one user_id window exchange:\n$pj")
+    assert("\\bWindow \\[".r.findAllIn(pj).size == 1,
+      s"j14's two frames must ride ONE Window node:\n$pj")
+    assert(pj.contains("In(event_type, [purchase,view])"),
+      s"j14 type filter not pushed to the events scan:\n$pj")
+    val rsj = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pj)
+      .map(_.group(1)).getOrElse("")
+    assert(!rsj.contains("value") && !rsj.contains("props"),
+      s"j14 scan reads columns the join never uses: $rsj")
+    // sql3: pure SQL text, optimizer-placed physical ops. Pin only the
+    // scale-invariant shapes: the segment filter reaches the customer
+    // scan (and the filtered dim broadcasts), the revenue sum combines
+    // map-side, and ORDER BY+LIMIT is TakeOrderedAndProject. The
+    // lineitem side's join strategy is size-estimated — at sf0.001 it
+    // broadcasts, at 100 TB Catalyst picks SMJ — so it is NOT pinned.
+    val ps = plan("sql3_shipping_priority")
+    assert(ps.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"sql3 segment filter not pushed to the customer scan:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"sql3 filtered customer dim must broadcast:\n$ps")
+    assert(ps.contains("partial_sum"), s"sql3 lost map-side combine:\n$ps")
+    assert(ps.contains("TakeOrderedAndProject"),
+      s"sql3 top-10 must never global-sort:\n$ps")
+  }
 }
