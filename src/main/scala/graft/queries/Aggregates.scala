@@ -590,6 +590,72 @@ object Aggregates extends QueryGroup {
                  / nullif(mad, 0.0), 4) AS robust_z,
                coalesce(abs(0.6745 * (CAST(n_events AS DOUBLE) - med)
                  / nullif(mad, 0.0)) > 3.5, false) AS is_anomaly
-        FROM dev JOIN mad USING (event_type)"""))
+        FROM dev JOIN mad USING (event_type)""")),
+
+    // A20: least-squares revenue trend per market segment — the classic
+    // "is this segment growing?" dashboard stat as closed-form OLS:
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over the per-day revenue
+    // series, x = day index since 1995-01-01, y = daily net revenue.
+    //
+    // Exactness (the whole design): y is an INTEGER in 1e-4-dollar units
+    // (2-decimal price × 2-decimal (1−discount) is exactly 4 decimals),
+    // x is an integer day index, and every moment (Σx, Σy, Σxy, Σx²)
+    // accumulates in DECIMAL(38,0) — order-insensitive exact integer
+    // sums on both engines, so the one closing double division is the
+    // only floating step and is bit-identical cross-engine. Never
+    // regr_slope(): its double Σxy is summation-order dependent and
+    // flips round() boundaries run-to-run.
+    //
+    // Scale: two chained hash aggregates (fact→(segment,day), then
+    // (segment,day)→segment), both map-side combinable; the join to
+    // customer carries only (custkey, segment). No window, no sort —
+    // at 100 TB this is scan + two shuffles of tiny aggregate frames.
+    "a20_trend_slope" -> QueryDef(
+      build = (s, d) => {
+        val dec = (c: String) => expr(s"CAST($c AS DECIMAL(18,2))")
+        val daily = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("x"))
+          .agg(sum((dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") -
+              dec("l_discount")) * 10000).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("y"))
+        val m = daily.groupBy(col("segment"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+            sum(col("y")).cast("decimal(38,0)").as("sy"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"),
+            sum((col("x").cast("long") * col("x")).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("sxx"))
+        m.select(col("segment"), col("n").cast("long").as("n_days"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 10000,
+            4).as("slope_per_day"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT c_mktsegment AS segment,
+                 datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   * 10000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS y
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        m AS (
+          SELECT segment, CAST(count(*) AS DECIMAL(38,0)) AS n,
+                 CAST(sum(x) AS DECIMAL(38,0)) AS sx, sum(y) AS sy,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+                 CAST(sum(CAST(x AS BIGINT) * x) AS DECIMAL(38,0)) AS sxx
+          FROM daily GROUP BY 1)
+        SELECT segment, CAST(n AS BIGINT) AS n_days,
+               round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) / 10000, 4) AS slope_per_day
+        FROM m"""))
   )
 }

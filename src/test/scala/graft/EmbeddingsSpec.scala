@@ -274,4 +274,24 @@ class EmbeddingsSpec extends SparkSpec {
       assert(sample((i.toLong, 2L)) == 8L + i, s"cluster $i rank 2 = twin")
     }
   }
+
+  test("e11 matryoshka recall gate: mean recall@10 >= 0.55 and beats the random-shortlist baseline at sf0.01") {
+    // The oracle hash-proves e11 computes ITS OWN per-query recall
+    // correctly; this gate measures whether prefix-32 truncation is a
+    // USEFUL shortlist on this corpus. Measured mean recall@10 = 0.70 at
+    // sf0.01 (prefix-16 sweeps to 0.435 — dims carry iid information
+    // here, the worst case for truncation). A RANDOM 50-of-499 shortlist
+    // would recall 50/499 ≈ 0.10 in expectation; the gate sits far above
+    // that and comfortably below the measured value. Deterministic.
+    val rows = SparkEntry.queries("e11_matryoshka_recall")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    info(f"matryoshka prefix-32 mean recall@10: $mean%.3f over ${rows.length} queries")
+    assert(mean >= 0.55, f"mean recall@10 $mean%.3f below the 0.55 gate")
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1) / 10.0,
+        s"recall must equal n_hit/10 for query ${r.getLong(0)}")
+    }
+  }
 }

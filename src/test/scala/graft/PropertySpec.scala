@@ -462,4 +462,76 @@ class PropertySpec extends SparkSpec {
     assert(got(401L).isEmpty, "view-less purchase must yield NULL delta")
     assert(got(502L).contains(0L), "same-ts view must win at Δ=0")
   }
+
+  test("gr3 item recs equal the naive basket-cosine top-3 on seeded baskets") {
+    // crafted head: co(A,B)=3 across baskets 1-3; (B,D) co=1 falls below
+    // the support floor; plus seeded random baskets for the general case
+    val crafted = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L),
+      (4L, 11L), (4L, 13L))
+    val rnd = new Random(17)
+    val random = (100 to 400).flatMap { o =>
+      Seq.fill(2 + rnd.nextInt(4))((o.toLong, (20 + rnd.nextInt(15)).toLong))
+    }
+    val all = (crafted ++ random).distinct
+    val dir = java.nio.file.Files.createTempDirectory("graft_gr3_").toString
+    all.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("gr3_item_recs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+    // naive reference: all pairs from basket sets, support >= 2, cosine
+    // co/sqrt(na*nb), per-part top-3 by (cos desc, co desc, rec asc)
+    val baskets = all.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val np = all.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size).toMap
+    val co = baskets.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).toMap
+    val expected = co.toSeq
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (part, rs) =>
+        rs.map { case (_, rec, c) =>
+          (part, rec, c.toLong, c / math.sqrt(np(part).toDouble * np(rec)))
+        }.sortBy { case (_, rec, c, cs) => (-cs, -c, rec) }
+          .take(3).zipWithIndex.map { case ((p, rec, c, cs), i) =>
+            (p, i + 1L) -> (rec, c, math.floor(cs * 1000000) / 1000000.0)
+          }
+      }.toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
+    // the crafted head: A(10)'s top rec is B(11) with co=3
+    assert(got((10L, 1L))._1 == 11L && got((10L, 1L))._2 == 3L)
+    assert(!got.exists { case ((p, _), (r, _, _)) => p == 13L || r == 13L },
+      "one-off co-occurrence (support 1) must fall below the floor")
+  }
+
+  test("a20 recovers an exactly-linear slope; flat series slopes 0") {
+    // segment S1: daily revenue 10+2x dollars on days x=0..9 → slope 2.0
+    // exactly (integer closed form, single closing division);
+    // segment S2: constant 5 dollars → slope 0.0
+    val days = 0 to 9
+    val custs = Seq((1L, "S1"), (2L, "S2"))
+    val orders = days.flatMap { x =>
+      Seq((100L + x, 1L, java.sql.Timestamp.valueOf(f"1995-01-${x + 1}%02d 00:00:00")),
+        (200L + x, 2L, java.sql.Timestamp.valueOf(f"1995-01-${x + 1}%02d 00:00:00")))
+    }
+    val lines = days.flatMap { x =>
+      Seq((100L + x, BigDecimal(10 + 2 * x).setScale(2), BigDecimal(0).setScale(2)),
+        (200L + x, BigDecimal(5).setScale(2), BigDecimal(0).setScale(2)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_a20_").toString
+    custs.toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lines.toDF("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("a20_trend_slope")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("S1") == ((10L, 2.0)), s"exact linear slope: ${got("S1")}")
+    assert(got("S2") == ((10L, 0.0)), s"flat series: ${got("S2")}")
+  }
 }

@@ -425,4 +425,50 @@ class PushdownSpec extends SparkSpec {
     assert(ps.contains("TakeOrderedAndProject"),
       s"sql3 top-10 must never global-sort:\n$ps")
   }
+
+  test("round-8 additions keep their scale shapes: sql4 prunes+broadcasts, gr3 bounds its window map-side, a20 aggregates partial, e11 broadcasts queries") {
+    // sql4: the region filter reaches the region scan, the date range
+    // reaches the orders scan, the small dims broadcast, and the revenue
+    // sum combines map-side. (Fact-side join strategy is size-estimated —
+    // not pinned, same reasoning as sql3.)
+    val p4 = plan("sql4_local_supplier_volume")
+    assert(p4.contains("EqualTo(r_name,ASIA)"),
+      s"sql4 region filter not pushed:\n$p4")
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate") &&
+      p4.contains("LessThan(o_orderdate"),
+      s"sql4 date range not pushed to the orders scan:\n$p4")
+    assert(p4.contains("BroadcastHashJoin"),
+      s"sql4 small dims must broadcast:\n$p4")
+    assert(p4.contains("partial_sum"), s"sql4 lost map-side combine:\n$p4")
+
+    // gr3: the per-part top-3 must run as two-mode WindowGroupLimit (map
+    // tasks forward at most 3 rows per part) and the lineitem scan must
+    // read only the two join columns.
+    val p3 = plan("gr3_item_recs")
+    val wgl = p3.indexOf("WindowGroupLimit")
+    assert(wgl >= 0 && p3.indexOf("WindowGroupLimit", wgl + 1) > 0,
+      s"gr3 lost its two-mode WindowGroupLimit:\n$p3")
+    val rs3 = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p3).map(_.group(1)).toSeq
+    rs3.foreach { sch =>
+      val cols = sch.split(",").map(_.split(":")(0).trim).filter(_.nonEmpty).toSet
+      assert(cols.subsetOf(Set("l_orderkey", "l_partkey")),
+        s"gr3 scan reads beyond the basket columns: $cols")
+    }
+
+    // a20: both hash aggregates combine map-side and the customer dim
+    // broadcasts (it carries only custkey+segment).
+    val p20 = plan("a20_trend_slope")
+    assert(p20.contains("BroadcastHashJoin"),
+      s"a20 customer dim must broadcast:\n$p20")
+    assert(p20.contains("partial_sum"), s"a20 lost map-side combine:\n$p20")
+
+    // e11: both scoring passes broadcast the query side and bound their
+    // top-k map-side — only |Q|·partitions·k candidates ever shuffle.
+    val p11 = plan("e11_matryoshka_recall")
+    assert(p11.contains("BroadcastNestedLoopJoin"),
+      s"e11 lost its broadcast scoring joins:\n$p11")
+    assert(p11.toLowerCase.contains("partial_boundedtopk")
+      || (p11.contains("ObjectHashAggregate") && p11.contains("partial")),
+      s"e11 lost its map-side partial top-k:\n$p11")
+  }
 }
