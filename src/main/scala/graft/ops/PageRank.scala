@@ -43,10 +43,23 @@ object PageRank {
       s"dampingPct must be 0..100: $dampingPct")
     val e = edges.select(
       col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
-      when(col("w").isNull || col("w") <= 0,
-        raise_error(concat(lit("PageRank: null/non-positive edge weight w="),
+      // the guard must bind the POST-cast value too: a fractional weight
+      // in (0,1) passes `w <= 0` but truncates to 0 under cast("long"),
+      // silently zeroing the edge (and, if a node's whole out-weight
+      // truncates to 0, turning the div into a misleading ANSI
+      // divide-by-zero) — exactly the skew the loud raise exists for
+      when(col("w").isNull || col("w") <= 0 ||
+          col("w") =!= col("w").cast("long"),
+        raise_error(concat(
+          lit("PageRank: null/non-positive/non-integral edge weight w="),
           col("w").cast("string"))))
         .otherwise(col("w").cast("long")).as("w"))
+      // both sides of the out-weight self-join below read this frame with
+      // differing projections — checkpoint once or a caller passing a
+      // non-materialized edge pipeline pays its upstream twice (the d4/e5
+      // ReusedExchange lesson; gr1 happens to checkpoint its edges, but
+      // the op must not rely on callers doing so)
+      .localCheckpoint(true)
     val ew = e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), "src")
       .localCheckpoint(true) // reused every iteration — one materialization
     // derive nodes from the CHECKPOINTED frame (ew preserves every e row),

@@ -21,14 +21,21 @@ import org.apache.spark.sql.functions._
   * Scale: orientation is WHY this survives skew — a degree-d hub
   * generates C(d,2) wedges under naive id-ordering but only
   * C(d_out,2) here, and max out-degree is O(√m) on any graph (an
-  * arboricity bound), so wedge volume is O(m^1.5) worst-case instead of
-  * Σ d². Both the wedge self-join (src-keyed) and the closing join
-  * ((x,y)-keyed) are plain shuffle hash joins: AQE-skew-splittable, no
-  * driver state. The oriented edge frame feeds both sides of the wedge
-  * self-join with different projections, which blocks ReusedExchange —
-  * checkpointed once (the repo-documented d4/e5 lesson), as is the edge
-  * list (consumed by degrees, both orientation probes, and the closing
-  * join).
+  * arboricity bound), so intersection work is O(m^1.5) worst-case
+  * instead of Σ d². The closing step is the EDGE-ITERATOR formulation:
+  * per-node oriented out-neighborhoods are collected once (≤ O(√m)
+  * longs per node), joined to both endpoints of each oriented edge, and
+  * the triangle set per edge is a local sorted-array intersection — the
+  * O(m^1.5) wedge volume stays INSIDE codegen'd array kernels instead of
+  * materializing as shuffled rows (the explicit wedge self-join shape
+  * measured 6× slower at 1.2M edges / 41M wedges: 41M rows through an
+  * exchange vs 41M in-memory comparisons). Explode volume is exactly the
+  * triangle count. Both edge⋈adjacency joins are plain shuffle hash
+  * joins on node keys: AQE-skew-splittable (broadcastable when the
+  * adjacency frame is small), no driver state. The adjacency frame feeds
+  * both joins with different key projections, which blocks
+  * ReusedExchange — checkpointed once (the repo-documented d4/e5
+  * lesson), as are the oriented edges and the raw edge list.
   */
 object Triangles {
 
@@ -51,14 +58,38 @@ object Triangles {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true) // both sides of the wedge self-join
-    val wedges = oriented.select(col("src"), col("dst").as("x"))
-      .join(oriented.select(col("src"), col("dst").as("y")), "src")
-      // each unordered out-pair once; id-comparison (not order-position)
-      // is enough because the closing edge set is id-canonical (a < b)
-      .filter(col("x") < col("y"))
-    val tri = wedges.join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
-    tri.select(explode(array(col("src"), col("x"), col("y"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .localCheckpoint(true) // feeds the adjacency build AND the edge probe
+    val adjRaw = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true) // probed once per endpoint side
+    // The adjacency payload is exactly ONE long per oriented edge, and
+    // the edge count is free on the checkpointed frame — so the join
+    // strategy is an informed runtime choice, not a stats guess (a
+    // checkpointed LogicalRDD has no size stats, so Catalyst would
+    // default these to sort-merge and ship each edge row's two ~√m-long
+    // neighbor arrays through BOTH shuffles — measured 2× the whole
+    // op's cost at 1.2M edges). Under ~16M edges (≤ ~128 MB) the
+    // adjacency broadcasts and the edge side streams shuffle-free;
+    // above, plain node-keyed shuffle joins that AQE skew-splits.
+    val adj =
+      if (oriented.count() <= 16000000L) broadcast(adjRaw) else adjRaw
+    // triangle {u,v,w} (u<v<w under the order) is found exactly once: at
+    // its base edge u→v, as w ∈ N+(u) ∩ N+(v). An endpoint missing from
+    // adj has no out-edges — the inner join drops the edge, which is
+    // exact (its intersection would be empty).
+    val common = oriented
+      .join(adj.select(col("src"), col("nbrs").as("sn")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("sn"), col("dn")).as("tw"))
+      .filter(size(col("tw")) > 0)
+      .localCheckpoint(true) // base-endpoint counts + third-vertex explode
+    val baseCounts = common
+      .select(explode(array(col("src"), col("dst"))).as("node"),
+        size(col("tw")).cast("long").as("c"))
+    val thirdCounts = common
+      .select(explode(col("tw")).as("node"), lit(1L).as("c"))
+    baseCounts.unionByName(thirdCounts)
+      .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
   }
 }

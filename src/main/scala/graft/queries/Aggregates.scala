@@ -631,7 +631,11 @@ object Aggregates extends QueryGroup {
             sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"),
             sum((col("x").cast("long") * col("x")).cast("decimal(38,0)"))
               .cast("decimal(38,0)").as("sxx"))
-        m.select(col("segment"), col("n").cast("long").as("n_days"),
+        // a single-day series has no defined slope (denominator = 0
+        // exactly: Spark ANSI would abort, DuckDB would emit inf/NaN —
+        // a crash AND a divergence); both engines drop it
+        m.filter(col("n") >= 2)
+          .select(col("segment"), col("n").cast("long").as("n_days"),
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / 10000,
             4).as("slope_per_day"))
@@ -656,6 +660,6 @@ object Aggregates extends QueryGroup {
         SELECT segment, CAST(n AS BIGINT) AS n_days,
                round(CAST(n*sxy - sx*sy AS DOUBLE)
                  / CAST(n*sxx - sx*sx AS DOUBLE) / 10000, 4) AS slope_per_day
-        FROM m"""))
+        FROM m WHERE n >= 2"""))
   )
 }

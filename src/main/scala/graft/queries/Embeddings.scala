@@ -952,26 +952,100 @@ object Embeddings extends QueryGroup {
           SELECT q_id, vec_id FROM (
             SELECT q_id, vec_id,
                    row_number() OVER (PARTITION BY q_id
-                     ORDER BY list_sum(list_transform(range(1, 65), i -> qne[i] * ne[i])) DESC,
-                              vec_id ASC) AS rn
-            FROM q CROSS JOIN n WHERE vec_id <> q_id) WHERE rn <= 10),
+                     ORDER BY sc DESC, vec_id ASC) AS rn
+            FROM (SELECT q_id, vec_id,
+                    list_sum(list_transform(range(1, 65), i -> qne[i] * ne[i])) AS sc
+                  FROM q CROSS JOIN n WHERE vec_id <> q_id)
+            WHERE NOT isnan(sc)) WHERE rn <= 10),
         short AS (
           SELECT q_id, vec_id FROM (
             SELECT q_id, vec_id,
                    row_number() OVER (PARTITION BY q_id
-                     ORDER BY list_sum(list_transform(range(1, 33), i -> qpe[i] * pe[i])) DESC,
-                              vec_id ASC) AS rn
-            FROM q CROSS JOIN n WHERE vec_id <> q_id) WHERE rn <= 50),
+                     ORDER BY sc DESC, vec_id ASC) AS rn
+            FROM (SELECT q_id, vec_id,
+                    list_sum(list_transform(range(1, 33), i -> qpe[i] * pe[i])) AS sc
+                  FROM q CROSS JOIN n WHERE vec_id <> q_id)
+            WHERE NOT isnan(sc)) WHERE rn <= 50),
         rerank AS (
           SELECT q_id, vec_id FROM (
-            SELECT s.q_id, s.vec_id,
-                   row_number() OVER (PARTITION BY s.q_id
-                     ORDER BY list_sum(list_transform(range(1, 65), i -> qne[i] * nn.ne[i])) DESC,
-                              s.vec_id ASC) AS rn
-            FROM short s JOIN q USING (q_id) JOIN n nn ON s.vec_id = nn.vec_id) WHERE rn <= 10)
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sc DESC, vec_id ASC) AS rn
+            FROM (SELECT s.q_id, s.vec_id,
+                    list_sum(list_transform(range(1, 65), i -> qne[i] * nn.ne[i])) AS sc
+                  FROM short s JOIN q USING (q_id) JOIN n nn ON s.vec_id = nn.vec_id)
+            WHERE NOT isnan(sc)) WHERE rn <= 10)
         SELECT e.q_id, CAST(count(r.vec_id) AS BIGINT) AS n_hit,
                count(r.vec_id) / 10.0 AS recall_at_10
         FROM exact e LEFT JOIN rerank r ON e.q_id = r.q_id AND e.vec_id = r.vec_id
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // E12: metadata-FILTERED vector search — top-5 cosine neighbors where
+    // both query and candidate must satisfy a document predicate
+    // (lang = 'en' AND n_chars >= 300). The production "filtered ANN"
+    // workload: RAG retrieval with a tenant/language/recency filter.
+    //
+    // Scale: the filter applies BEFORE any pair forms (pre-filtering, not
+    // post-filtering) — the predicate lives on the metadata table, pushes
+    // into its parquet scan, and reaches the vector corpus as a key-only
+    // semi join (broadcast here; a doc-keyed semi join at 100 TB — or
+    // free, when embeddings are stored inline with their metadata). The
+    // O(|Q|·|V'|) scoring scan then runs over the SURVIVORS |V'|, so a
+    // 1 % predicate cuts scoring 10^4× vs post-filtering the top-k (which
+    // also under-fills k — the classic post-filter recall hole). Scoring
+    // itself is e1's shape: broadcast queries, corpus streams, map-side
+    // BoundedTopK shuffles |Q|·partitions·5 candidate rows only.
+    "e12_filtered_ann" -> QueryDef(
+      build = (s, d) => {
+        val keys = Tables.documents(s, d)
+          .filter(col("lang") === "en" && col("n_chars") >= 300)
+          .select(col("doc_id").as("vec_id"))
+        val vn = Tables.embeddings(s, d)
+          .transform(Tables.spread)
+          .join(broadcast(keys), "vec_id")
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+          // q (broadcast build) and the corpus side both read this frame
+          // with differing projections — checkpoint once or the
+          // scan+semi-join+normalize runs per consumer (the d4/e5
+          // ReusedExchange lesson)
+          .localCheckpoint(true)
+        val q = vn.filter(col("label") === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+        vn.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          // null/NaN scores rank nowhere (NaN would top Double.compare)
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(s"""
+        WITH keys AS (
+          SELECT doc_id AS vec_id FROM documents
+          WHERE lang = 'en' AND n_chars >= 300),
+        n AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings JOIN keys USING (vec_id)),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE label = 0),
+        pairs AS (
+          SELECT q_id, vec_id,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ne[i])) AS cos
+          FROM q CROSS JOIN n
+          WHERE vec_id <> q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM pairs)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM ranked WHERE rn <= 5"""))
   )
 }

@@ -13,6 +13,19 @@ import graft.ops.{PageRank, Triangles}
   */
 object Graph extends QueryGroup {
 
+  /** Distinct (order, part) basket membership — the shared projection
+    * gr2's triangle edges and gr3's co-occurrence pairs both start from.
+    * Checkpointed because every consumer feeds it to a self-join (both
+    * sides, differing projections — the d4/e5 ReusedExchange lesson);
+    * a per-order line cap against adversarial mega-baskets (the d12
+    * hot-fingerprint cap pattern) would slot here, once, for both.
+    */
+  private def basketItems(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+
   val defs: Map[String, QueryDef] = Map(
 
     // GR1: supplier purchase-graph centrality — PageRank (3 damped
@@ -95,10 +108,7 @@ object Graph extends QueryGroup {
     // moves only (node, tri_cnt) rows against the broadcastable part dim.
     "gr2_copurchase_triangles" -> QueryDef(
       build = (s, d) => {
-        val po = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-          .localCheckpoint(true) // both sides of the pair self-join
+        val po = basketItems(s, d)
         val edges = po
           .join(po.select(col("ok"), col("p").as("p2")), "ok")
           .filter(col("p") < col("p2"))
@@ -149,13 +159,7 @@ object Graph extends QueryGroup {
     "gr3_item_recs" -> QueryDef(
       build = (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val op = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-          // consumed three times (both join sides + frequency count) with
-          // differing projections — checkpoint once or the scan+distinct
-          // runs per consumer (ReusedExchange won't fire across them)
-          .localCheckpoint(true)
+        val op = basketItems(s, d)
         val freq = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
         val co = op
           .join(op.select(col("ok"), col("p").as("p2")), "ok")
@@ -199,6 +203,96 @@ object Graph extends QueryGroup {
         SELECT part, rec, co,
                floor(cs * 1000000) / 1000000.0 AS cosine,
                CAST(rn AS BIGINT) AS rn
-        FROM scored WHERE rn <= 3"""))
+        FROM scored WHERE rn <= 3""")),
+
+    // GR4: link prediction on the co-purchase graph — for every part, the
+    // top-3 NOT-yet-co-purchased parts ranked by the Resource-Allocation
+    // index (Zhou/Lü/Zhang 2009): RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z),
+    // the Adamic-Adar family member whose per-center contribution
+    // (1000000 div deg — integer micro-units) is EXACT integer
+    // arithmetic, so the wedge sum is order-independent and
+    // hash-verifiable cross-engine (the t15/gr1 micro-unit pattern; an
+    // FP 1/ln(deg) sum would hash-drift under Spark's partition-order
+    // reduction).
+    //
+    // Scale: wedge volume through a center z is C(deg z, 2) — the Σd²
+    // skew problem — so centers above WedgeCap (512) are excluded,
+    // bounding any hub's fan-out at C(512,2) ≈ 131k pairs (the d12
+    // hot-fingerprint df-cap pattern, and principled here: RA weights a
+    // center by 1/deg, so the dropped hubs are exactly the centers that
+    // contribute least per wedge). Cap mirrored in the oracle; max
+    // degree in this data is 206, so the testdata result is the exact
+    // uncapped index. The wedge self-join and the edge anti-join are
+    // plain keyed shuffles (AQE-skew-splittable); the per-part top-3 is
+    // one window the optimizer runs as WindowGroupLimit.
+    "gr4_link_prediction" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val po = basketItems(s, d)
+        val e = po
+          .join(po.select(col("ok"), col("p").as("p2")), "ok")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("a"), col("p2").as("b"))
+          .distinct()
+          // consumed by the undirected expansion AND the closing
+          // anti-join — checkpoint once (the d4/e5 ReusedExchange lesson)
+          .localCheckpoint(true)
+        val und = e.select(col("a").as("z"), col("b").as("n"))
+          .unionByName(e.select(col("b").as("z"), col("a").as("n")))
+          .localCheckpoint(true) // degrees + both wedge self-join sides
+        val deg = und.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= 512)
+          .withColumn("contrib", expr("1000000 div deg"))
+        val wedges = und.join(deg.select(col("z"), col("contrib")), "z")
+          .join(und.select(col("z"), col("n").as("n2")), "z")
+          .filter(col("n") < col("n2"))
+        val scored = wedges
+          .groupBy(col("n").as("x"), col("n2").as("y"))
+          .agg(sum(col("contrib")).as("ra_micro"),
+            count(lit(1)).as("common_nbrs"))
+          .join(e.select(col("a").as("x"), col("b").as("y")),
+            Seq("x", "y"), "left_anti")
+        val sym = scored
+          .select(col("x").as("part"), col("y").as("rec"),
+            col("ra_micro"), col("common_nbrs"))
+          .unionByName(scored.select(col("y").as("part"), col("x").as("rec"),
+            col("ra_micro"), col("common_nbrs")))
+        val w = Window.partitionBy("part")
+          .orderBy(col("ra_micro").desc, col("common_nbrs").desc, col("rec"))
+        sym.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("part"), col("rec"), col("ra_micro"),
+            col("common_nbrs"), col("rn").cast("long").as("rn"))
+      },
+      oracle = Some("""
+        WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        e AS (
+          SELECT DISTINCT x.p AS a, y.p AS b
+          FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p),
+        und AS (
+          SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (
+          SELECT z, 1000000 // count(*) AS contrib
+          FROM und GROUP BY 1 HAVING count(*) <= 512),
+        scored AS (
+          SELECT u1.n AS x, u2.n AS y,
+                 CAST(sum(deg.contrib) AS BIGINT) AS ra_micro,
+                 count(*) AS common_nbrs
+          FROM und u1 JOIN deg ON u1.z = deg.z
+          JOIN und u2 ON u2.z = u1.z AND u1.n < u2.n
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT x, y, ra_micro, common_nbrs FROM scored
+          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scored.x AND e.b = scored.y)),
+        sym AS (
+          SELECT x AS part, y AS rec, ra_micro, common_nbrs FROM cand
+          UNION ALL SELECT y, x, ra_micro, common_nbrs FROM cand),
+        ranked AS (
+          SELECT part, rec, ra_micro, common_nbrs,
+                 row_number() OVER (PARTITION BY part
+                   ORDER BY ra_micro DESC, common_nbrs DESC, rec) AS rn
+          FROM sym)
+        SELECT part, rec, ra_micro, common_nbrs, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 3"""))
   )
 }

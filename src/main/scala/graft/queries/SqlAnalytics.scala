@@ -166,6 +166,55 @@ object SqlAnalytics extends QueryGroup {
           AND o_orderdate >= DATE '1996-01-01'
           AND o_orderdate < DATE '1997-01-01'
         GROUP BY n_name
-        ORDER BY revenue DESC, n_name"""))
+        ORDER BY revenue DESC, n_name""")),
+
+    // SQL5: the large-volume-customer shape (TPC-H Q18) as pure SQL text —
+    // a HAVING-filtered semi-join subquery (orders whose total quantity
+    // exceeds 300) driving a 3-way join, re-aggregated per order.
+    //
+    // Scale: the subquery is a map-side-combinable sum over the fact keyed
+    // by l_orderkey; its >300 survivors are a tiny fraction of orders
+    // (99th-percentile order quantity is ~270 in this data), so Catalyst
+    // plans the IN as a semi join whose filtered side AQE shrinks to a
+    // broadcast — the outer fact join then probes a small hash set
+    // instead of shuffling twice. ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject (never a global sort). Exact DECIMAL quantity
+    // sums; the five-column tiebreak chain ends at o_orderkey (unique) so
+    // the top-100 is total-ordered and hash-verifiable.
+    "sql5_large_volume_customer" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey,
+                 date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
+                 round(CAST(o_totalprice AS DOUBLE), 4) AS total_price,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM customer_sql
+          JOIN orders_sql ON c_custkey = o_custkey
+          JOIN lineitem_sql ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem_sql
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          ORDER BY total_price DESC, order_day, o_orderkey
+          LIMIT 100""")
+      },
+      oracle = Some("""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               round(CAST(o_totalprice AS DOUBLE), 4) AS total_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY total_price DESC, order_day, o_orderkey
+        LIMIT 100"""))
   )
 }

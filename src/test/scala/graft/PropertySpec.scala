@@ -513,15 +513,15 @@ class PropertySpec extends SparkSpec {
     // exactly (integer closed form, single closing division);
     // segment S2: constant 5 dollars → slope 0.0
     val days = 0 to 9
-    val custs = Seq((1L, "S1"), (2L, "S2"))
+    val custs = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
     val orders = days.flatMap { x =>
       Seq((100L + x, 1L, java.sql.Timestamp.valueOf(f"1995-01-${x + 1}%02d 00:00:00")),
         (200L + x, 2L, java.sql.Timestamp.valueOf(f"1995-01-${x + 1}%02d 00:00:00")))
-    }
+    } :+ ((300L, 3L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
     val lines = days.flatMap { x =>
       Seq((100L + x, BigDecimal(10 + 2 * x).setScale(2), BigDecimal(0).setScale(2)),
         (200L + x, BigDecimal(5).setScale(2), BigDecimal(0).setScale(2)))
-    }
+    } :+ ((300L, BigDecimal(7).setScale(2), BigDecimal(0).setScale(2)))
     val dir = java.nio.file.Files.createTempDirectory("graft_a20_").toString
     custs.toDF("c_custkey", "c_mktsegment")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
@@ -533,5 +533,8 @@ class PropertySpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got("S1") == ((10L, 2.0)), s"exact linear slope: ${got("S1")}")
     assert(got("S2") == ((10L, 0.0)), s"flat series: ${got("S2")}")
+    // a single-day segment has a 0 denominator exactly — it must be
+    // DROPPED (not crash Spark ANSI, not emit DuckDB inf/NaN)
+    assert(!got.contains("S3"), s"single-day segment must be dropped: $got")
   }
 }
