@@ -1006,11 +1006,12 @@ object Embeddings extends QueryGroup {
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
-          // q (broadcast build) and the corpus side both read this frame
-          // with differing projections — checkpoint once or the
-          // scan+semi-join+normalize runs per consumer (the d4/e5
-          // ReusedExchange lesson)
-          .localCheckpoint(true)
+        // q and the corpus both read the frame above, so its scan+join
+        // runs twice — DELIBERATELY not checkpointed (unlike d4/e5):
+        // materializing the whole filtered corpus would be a 100 TB
+        // barrier, while the q-side re-scan is cheap (label + key
+        // filters push into it) and the corpus side streams once.
+        // Same posture as e1.
         val q = vn.filter(col("label") === 0)
           .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
         vn.crossJoin(broadcast(q))

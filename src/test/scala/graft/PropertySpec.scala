@@ -537,4 +537,77 @@ class PropertySpec extends SparkSpec {
     // DROPPED (not crash Spark ANSI, not emit DuckDB inf/NaN)
     assert(!got.contains("S3"), s"single-day segment must be dropped: $got")
   }
+
+  private def gr4On(baskets: Seq[(Long, Long)]): Map[(Long, Long), (Long, Long, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gr4_").toString
+    baskets.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    SparkEntry.queries("gr4_link_prediction")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  test("gr4 link prediction: closed-form RA on square and star graphs") {
+    // square 1-2-3-4-1 (each edge = one 2-item basket): the two diagonals
+    // are the only distance-2 pairs; each closes through TWO degree-2
+    // centers, so ra = 2 * (1000000 div 2) and common_nbrs = 2
+    val square = gr4On(Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L), (4L, 1L), (4L, 4L)))
+    assert(square == Map(
+      (1L, 1L) -> (3L, 1000000L, 2L), (3L, 1L) -> (1L, 1000000L, 2L),
+      (2L, 1L) -> (4L, 1000000L, 2L), (4L, 1L) -> (2L, 1000000L, 2L)),
+      s"square diagonals: $square")
+
+    // 3-leaf star (hub 1): every leaf pair closes through the one
+    // degree-3 hub — ra = 1000000 div 3 = 333333 exactly (integer
+    // micro-units, no FP), and hub itself gets NO predictions (all its
+    // distance-2 endpoints are... none: leaves have degree 1)
+    val star = gr4On(Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L),
+      (12L, 1L), (12L, 4L)))
+    val leaves = Seq(2L, 3L, 4L)
+    leaves.foreach { l =>
+      val recs = star.collect { case ((p, rn), v) if p == l => rn -> v }.toMap
+      assert(recs.size == 2 && recs.values.forall(v => v._2 == 333333L && v._3 == 1L),
+        s"leaf $l: $recs")
+    }
+    assert(!star.keys.exists(_._1 == 1L), s"hub must have no predictions: $star")
+  }
+
+  test("gr4 hub cap: centers above degree 512 contribute no wedges") {
+    // a 513-leaf star: the hub's degree exceeds WedgeCap, so it is
+    // excluded as a center — and leaves (degree 1) center nothing, so
+    // the prediction set is EMPTY (the d12 df-cap pattern: bounded
+    // per-hub fan-out, principled for RA because 1/deg contributions
+    // from such hubs are the smallest)
+    val baskets = (2L to 514L).map(leaf => (leaf * 100, 1L) :: (leaf * 100, leaf) :: Nil).flatten
+    assert(gr4On(baskets).isEmpty, "capped hub must yield no predictions")
+  }
+
+  test("e12 filtered ANN pre-filters: a globally-nearer non-matching doc never appears") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e12_").toString
+    // doc 0 = the query (en, long enough). doc 2 is EXACTLY parallel to
+    // the query (global cosine 1.0) but French; doc 3 is parallel but too
+    // short — both must be excluded BEFORE scoring (pre-filter), never
+    // ranked-then-dropped. Survivors: doc 1 (near-parallel) then doc 4
+    // (orthogonal).
+    Seq((0L, "q", "en", "s", 400L), (1L, "a", "en", "s", 400L),
+      (2L, "b", "fr", "s", 400L), (3L, "c", "en", "s", 100L),
+      (4L, "d", "en", "s", 400L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 1),
+      (2L, Seq(2f, 0f, 0f, 0f), 1),
+      (3L, Seq(1f, 0f, 0f, 0f), 1),
+      (4L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("e12_filtered_ann")(spark, dir).collect()
+      .map(r => r.getLong(3) -> (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.size == 2, s"exactly the two predicate survivors rank: $got")
+    assert(got(1L)._2 == 1L && got(1L)._3 > 0.99, s"rank 1 must be doc 1: $got")
+    assert(got(2L)._2 == 4L && math.abs(got(2L)._3) < 1e-9,
+      s"rank 2 must be the orthogonal doc 4: $got")
+  }
 }

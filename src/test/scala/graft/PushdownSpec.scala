@@ -471,4 +471,42 @@ class PushdownSpec extends SparkSpec {
       || (p11.contains("ObjectHashAggregate") && p11.contains("partial")),
       s"e11 lost its map-side partial top-k:\n$p11")
   }
+
+  test("sql5 plans the HAVING subquery as a join and never global-sorts; e12 filters before scoring; gr4 bounds its window map-side") {
+    // sql5: the quantity-sum subquery must reach the outer fact as a JOIN
+    // (semi or AQE-converted broadcast), both quantity aggregates combine
+    // map-side, and the top-100 runs as TakeOrderedAndProject.
+    val p5 = plan("sql5_large_volume_customer")
+    assert(p5.contains("Join") && p5.contains("partial_sum"),
+      s"sql5 lost its subquery join or map-side combine:\n$p5")
+    assert(p5.contains("TakeOrderedAndProject"),
+      s"sql5 top-100 must never global-sort:\n$p5")
+
+    // e12: the metadata predicate must PUSH into the documents scan
+    // (pre-filtering — the corpus is cut before any pair forms) and reach
+    // the vector side as a broadcast key join; the per-query top-k stays
+    // a map-side partial.
+    val p12 = plan("e12_filtered_ann")
+    assert(p12.contains("EqualTo(lang,en)") &&
+      p12.contains("GreaterThanOrEqual(n_chars,300)"),
+      s"e12 document predicate not pushed to the scan:\n$p12")
+    assert(p12.contains("BroadcastHashJoin"),
+      s"e12 key filter must reach the corpus as a broadcast join:\n$p12")
+    assert(p12.toLowerCase.contains("partial_boundedtopk")
+      || (p12.contains("ObjectHashAggregate") && p12.contains("partial")),
+      s"e12 lost its map-side partial top-k:\n$p12")
+
+    // gr4: the per-part top-3 must run as two-mode WindowGroupLimit and
+    // the lineitem scan must read only the two basket columns.
+    val pg = plan("gr4_link_prediction")
+    val wgl = pg.indexOf("WindowGroupLimit")
+    assert(wgl >= 0 && pg.indexOf("WindowGroupLimit", wgl + 1) > 0,
+      s"gr4 lost its two-mode WindowGroupLimit:\n$pg")
+    val rsg = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(pg).map(_.group(1)).toSeq
+    rsg.foreach { sch =>
+      val cols = sch.split(",").map(_.split(":")(0).trim).filter(_.nonEmpty).toSet
+      assert(cols.subsetOf(Set("l_orderkey", "l_partkey")),
+        s"gr4 scan reads beyond the basket columns: $cols")
+    }
+  }
 }
