@@ -1422,7 +1422,73 @@ object TextOps extends QueryGroup {
         SELECT doc_id, count(*) AS n_bigrams,
                CAST(sum(nll) AS BIGINT) AS nll_sum,
                CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
-        FROM bg JOIN scored USING (g) GROUP BY doc_id"""))
+        FROM bg JOIN scored USING (g) GROUP BY doc_id""")),
+
+    // T28: Zipf rank-frequency audit — per language, OLS slope of
+    // ln(freq) on ln(rank) over the top-200 tokens. Natural corpora obey
+    // Zipf's law with slope ≈ -1; a corpus whose slope drifts far from
+    // it is template-flooded (too steep: a few tokens dominate) or
+    // synthetic/shuffled (too flat) — the distribution-level corpus
+    // health check that t1's per-document stats can't see.
+    //
+    // Scale: the token count is map-side combinable; the per-lang
+    // top-200 is one lang-keyed window the optimizer runs as
+    // WindowGroupLimit (map tasks forward ≤ 200 rows per lang — never a
+    // global token sort); the regression is the a20 integer-moment
+    // pattern: ln() is the ONLY float, floor-scaled to BIGINT micro-nats
+    // per row (the t14/t15 pattern) so the moment sums are exact integer
+    // arithmetic — summation-order independent, hash-verifiable — and
+    // the one closing division is the only floating step. A
+    // single-token language (degenerate 0 denominator: ANSI abort vs
+    // DuckDB NaN) is dropped, mirrored (the a20 contract).
+    "t28_zipf_audit" -> QueryDef(
+      build = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(desc("freq"), asc("token"))
+        val ranked = Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 200)
+        val m = ranked
+          .select(col("lang"),
+            floor(log(col("rk").cast("double")) * 1000000.0).cast("long").as("x"),
+            floor(log(col("freq").cast("double")) * 1000000.0).cast("long").as("y"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        m.filter(col("n") >= 2)
+          .select(col("lang"), col("n").cast("long").as("n_tokens"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              4).as("zipf_slope"))
+      },
+      oracle = Some(s"""
+        WITH tf AS (
+          SELECT lang, token, count(*) AS freq
+          FROM (SELECT lang, unnest($sqlTokens) AS token FROM documents)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT lang, freq,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY freq DESC, token ASC) AS rk
+          FROM tf QUALIFY rk <= 200),
+        pts AS (
+          SELECT lang,
+                 CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+          FROM ranked),
+        m AS (
+          SELECT lang, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pts GROUP BY 1)
+        SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        FROM m WHERE n >= 2"""))
   )
 
   /** DuckDB twin of [[heavyHitterAudit]], shared by t25 and st16. */

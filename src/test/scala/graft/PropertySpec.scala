@@ -583,6 +583,48 @@ class PropertySpec extends SparkSpec {
     assert(gr4On(baskets).isEmpty, "capped hub must yield no predictions")
   }
 
+  test("t28 zipf slope equals an independent micro-floor OLS; single-token langs drop") {
+    // lang G: exact geometric frequencies — token tk appears 2^(9-k)
+    // times (k = 1..8), so rank k has freq 2^(9-k) and the OLS of
+    // ln(freq) on ln(rank) is computable independently below. lang R:
+    // seeded random multinomial. lang S: ONE distinct token — 0 moment
+    // denominator, must be dropped (the a20 contract).
+    val g = (1 to 8).flatMap(k => Seq.fill(1 << (9 - k))(s"tk$k"))
+    val rnd = new Random(31)
+    val r = Seq.fill(3000)(s"w${(math.pow(rnd.nextDouble(), 3) * 40).toInt}")
+    def docs(lang: String, toks: Seq[String], per: Int) =
+      toks.grouped(per).zipWithIndex.map { case (ts, i) =>
+        (lang.hashCode.toLong * 1000 + i, ts.mkString(" "), lang, "s", 1L)
+      }.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_t28_").toString
+    (docs("G", g, 37) ++ docs("R", r, 41) ++ docs("S", Seq.fill(9)("only"), 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t28_zipf_audit")(spark, dir).collect()
+      .map(row => row.getString(0) -> (row.getLong(1), row.getDouble(2))).toMap
+
+    def ref(toks: Seq[String]): (Long, Double) = {
+      val top = toks.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+        .toSeq.sortBy { case (t, f) => (-f, t) }.take(200)
+      val pts = top.zipWithIndex.map { case ((_, f), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1e6).toLong,
+          math.floor(math.log(f.toDouble) * 1e6).toLong)
+      }
+      val n = pts.size.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val raw = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      (n, BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got("G") == ref(g), s"geometric lang: ${got("G")} vs ${ref(g)}")
+    assert(got("R") == ref(r), s"random lang: ${got("R")} vs ${ref(r)}")
+    assert(!got.contains("S"), s"single-token lang must drop: $got")
+    // the geometric series is EXACT Zipf-with-base-2 — its slope must be
+    // steeply negative (ln2-geometric ≈ -2.9), the random one flatter
+    assert(got("G")._2 < -2.0 && got("R")._2 > got("G")._2, got.toString)
+  }
+
   test("e12 filtered ANN pre-filters: a globally-nearer non-matching doc never appears") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e12_").toString
     // doc 0 = the query (en, long enough). doc 2 is EXACTLY parallel to

@@ -496,6 +496,14 @@ class PushdownSpec extends SparkSpec {
       || (p12.contains("ObjectHashAggregate") && p12.contains("partial")),
       s"e12 lost its map-side partial top-k:\n$p12")
 
+    // t28: the token count combines map-side and the per-lang top-200
+    // runs as two-mode WindowGroupLimit — never a global token sort.
+    val p28 = plan("t28_zipf_audit")
+    assert(p28.contains("partial_count"), s"t28 lost map-side combine:\n$p28")
+    val w28 = p28.indexOf("WindowGroupLimit")
+    assert(w28 >= 0 && p28.indexOf("WindowGroupLimit", w28 + 1) > 0,
+      s"t28 lost its two-mode WindowGroupLimit:\n$p28")
+
     // gr4: the per-part top-3 must run as two-mode WindowGroupLimit and
     // the lineitem scan must read only the two basket columns.
     val pg = plan("gr4_link_prediction")
