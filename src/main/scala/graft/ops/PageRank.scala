@@ -33,7 +33,17 @@ object PageRank {
 
   /** @param edges three columns `src`, `dst`, `w` (numeric; w > 0 —
     *              a null/non-positive weight raises loudly: a silently
-    *              dropped edge would skew every downstream rank)
+    *              dropped edge would skew every downstream rank).
+    *              CALLER CONTRACT: the frame is consumed twice below
+    *              (out-weight join + its groupBy) before the one
+    *              materialization, so an expensive upstream pipeline
+    *              should be checkpointed BY THE CALLER first (gr1
+    *              checkpoints its fact-join edge build). The op
+    *              deliberately does NOT checkpoint the raw edge frame
+    *              itself: that materializes the pipeline's biggest
+    *              frame unconditionally — measured 2× the whole op's
+    *              cost at a 6M-edge corpus (10.5 s → 20.0 s) — to save
+    *              re-deriving what is usually a cheap projection.
     * @return (node, r) — micro-rank per node after `iterations` rounds;
     *         nodes with no in-edges hold the damping base. */
   def run(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
@@ -54,12 +64,6 @@ object PageRank {
           lit("PageRank: null/non-positive/non-integral edge weight w="),
           col("w").cast("string"))))
         .otherwise(col("w").cast("long")).as("w"))
-      // both sides of the out-weight self-join below read this frame with
-      // differing projections — checkpoint once or a caller passing a
-      // non-materialized edge pipeline pays its upstream twice (the d4/e5
-      // ReusedExchange lesson; gr1 happens to checkpoint its edges, but
-      // the op must not rely on callers doing so)
-      .localCheckpoint(true)
     val ew = e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), "src")
       .localCheckpoint(true) // reused every iteration — one materialization
     // derive nodes from the CHECKPOINTED frame (ew preserves every e row),
