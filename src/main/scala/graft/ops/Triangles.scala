@@ -68,11 +68,15 @@ object Triangles {
     // checkpointed LogicalRDD has no size stats, so Catalyst would
     // default these to sort-merge and ship each edge row's two ~√m-long
     // neighbor arrays through BOTH shuffles — measured 2× the whole
-    // op's cost at 1.2M edges). Under ~16M edges (≤ ~128 MB) the
-    // adjacency broadcasts and the edge side streams shuffle-free;
-    // above, plain node-keyed shuffle joins that AQE skew-splits.
+    // op's cost at 1.2M edges). The threshold budgets the MATERIALIZED
+    // broadcast, not raw payload: 4M edges is ~32 MB of neighbor longs,
+    // but each broadcast copy pays UnsafeRow + array headers and the
+    // HashedRelation table on top — a conservative ~4-6× multiplier
+    // puts the resident structure near ~150-200 MB, the sane ceiling
+    // for a per-executor broadcast. Above it, plain node-keyed shuffle
+    // joins that AQE skew-splits.
     val adj =
-      if (oriented.count() <= 16000000L) broadcast(adjRaw) else adjRaw
+      if (oriented.count() <= 4000000L) broadcast(adjRaw) else adjRaw
     // triangle {u,v,w} (u<v<w under the order) is found exactly once: at
     // its base edge u→v, as w ∈ N+(u) ∩ N+(v). An endpoint missing from
     // adj has no out-edges — the inner join drops the edge, which is

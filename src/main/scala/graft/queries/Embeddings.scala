@@ -916,7 +916,10 @@ object Embeddings extends QueryGroup {
           .select(col("vec_id").as("q_id"), col("ne").as("qne"), col("pe").as("qpe"))
         def topIds(scored: org.apache.spark.sql.DataFrame, kk: Int) = scored
           .filter(col("vec_id") =!= col("q_id"))
-          .filter(!isnan(col("sc")))
+          // isNotNull too: isnan(NULL) is false in Spark, so a bare
+          // !isnan would pass a NULL score straight into BoundedTopK's
+          // no-null input contract (e1/e12 carry the same guard pair)
+          .filter(col("sc").isNotNull && !isnan(col("sc")))
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(kk)(col("sc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
@@ -1045,7 +1048,8 @@ object Embeddings extends QueryGroup {
         ranked AS (
           SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-          FROM pairs)
+          FROM pairs
+          WHERE cos IS NOT NULL AND NOT isnan(cos))
         SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
         FROM ranked WHERE rn <= 5"""))
   )

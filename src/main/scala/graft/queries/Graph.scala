@@ -20,11 +20,23 @@ object Graph extends QueryGroup {
     * a per-order line cap against adversarial mega-baskets (the d12
     * hot-fingerprint cap pattern) would slot here, once, for both.
     */
-  private def basketItems(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** The un-checkpointed basket projection — split out so PushdownSpec
+    * can assert the pruned ReadSchema on a plan that still CONTAINS the
+    * parquet scan (the checkpointed frame below plans as ExistingRDD,
+    * which would make any scan assertion vacuously pass). */
+  private[graft] def basketScan(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true)
+
+  private def basketItems(s: org.apache.spark.sql.SparkSession, d: String) =
+    basketScan(s, d).localCheckpoint(true)
+
+  /** gr4 wedge centers above this degree are excluded (and the cap is
+    * interpolated into the DuckDB oracle, so both engines share ONE
+    * value): bounds any hub's wedge fan-out at C(cap, 2) — principled
+    * for Resource Allocation, which weights a center by 1/deg. */
+  private[graft] val WedgeCap = 512
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -216,7 +228,7 @@ object Graph extends QueryGroup {
     // reduction).
     //
     // Scale: wedge volume through a center z is C(deg z, 2) — the Σd²
-    // skew problem — so centers above WedgeCap (512) are excluded,
+    // skew problem — so centers above [[WedgeCap]] (512) are excluded,
     // bounding any hub's fan-out at C(512,2) ≈ 131k pairs (the d12
     // hot-fingerprint df-cap pattern, and principled here: RA weights a
     // center by 1/deg, so the dropped hubs are exactly the centers that
@@ -241,7 +253,7 @@ object Graph extends QueryGroup {
           .unionByName(e.select(col("b").as("z"), col("a").as("n")))
           .localCheckpoint(true) // degrees + both wedge self-join sides
         val deg = und.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") <= 512)
+          .filter(col("deg") <= WedgeCap)
           .withColumn("contrib", expr("1000000 div deg"))
         val wedges = und.join(deg.select(col("z"), col("contrib")), "z")
           .join(und.select(col("z"), col("n").as("n2")), "z")
@@ -264,7 +276,7 @@ object Graph extends QueryGroup {
           .select(col("part"), col("rec"), col("ra_micro"),
             col("common_nbrs"), col("rn").cast("long").as("rn"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         e AS (
           SELECT DISTINCT x.p AS a, y.p AS b
@@ -273,7 +285,7 @@ object Graph extends QueryGroup {
           SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
         deg AS (
           SELECT z, 1000000 // count(*) AS contrib
-          FROM und GROUP BY 1 HAVING count(*) <= 512),
+          FROM und GROUP BY 1 HAVING count(*) <= $WedgeCap),
         scored AS (
           SELECT u1.n AS x, u2.n AS y,
                  CAST(sum(deg.contrib) AS BIGINT) AS ra_micro,

@@ -58,4 +58,20 @@ class PageRankSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("fractional edge weight raises loudly instead of truncating to 0") {
+    // w = 0.5 passes the w <= 0 check but would silently zero the edge
+    // under cast("long") — the guard must bind the post-cast value too
+    val bad = Seq((1L, 2L, 0.5), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      PageRank.run(bad, iterations = 1).collect()
+    }
+    assert(Option(ex.getMessage).exists(_.contains("non-integral")) ||
+      Option(ex.getCause).exists(c => Option(c.getMessage).exists(_.contains("non-integral"))),
+      s"expected the non-integral raise, got: $ex")
+    // integral-valued DOUBLES are fine (1.0 == 1L) — the guard rejects
+    // fractional values, not the double type
+    val ok = Seq((1L, 2L, 1.0), (2L, 1L, 2.0)).toDF("src", "dst", "w")
+    assert(PageRank.run(ok, iterations = 1).count() == 2L)
+  }
 }

@@ -573,13 +573,16 @@ class PropertySpec extends SparkSpec {
     assert(!star.keys.exists(_._1 == 1L), s"hub must have no predictions: $star")
   }
 
-  test("gr4 hub cap: centers above degree 512 contribute no wedges") {
-    // a 513-leaf star: the hub's degree exceeds WedgeCap, so it is
-    // excluded as a center — and leaves (degree 1) center nothing, so
-    // the prediction set is EMPTY (the d12 df-cap pattern: bounded
+  test("gr4 hub cap: centers above WedgeCap degree contribute no wedges") {
+    // a (WedgeCap+1)-leaf star: the hub's degree exceeds the cap, so it
+    // is excluded as a center — and leaves (degree 1) center nothing,
+    // so the prediction set is EMPTY (the d12 df-cap pattern: bounded
     // per-hub fan-out, principled for RA because 1/deg contributions
-    // from such hubs are the smallest)
-    val baskets = (2L to 514L).map(leaf => (leaf * 100, 1L) :: (leaf * 100, leaf) :: Nil).flatten
+    // from such hubs are the smallest). Leaf count tracks the shared
+    // constant so retuning the cap cannot silently un-pin the boundary.
+    val nLeaves = graft.queries.Graph.WedgeCap + 1
+    val baskets = (2L to (1L + nLeaves))
+      .flatMap(leaf => Seq((leaf * 100, 1L), (leaf * 100, leaf)))
     assert(gr4On(baskets).isEmpty, "capped hub must yield no predictions")
   }
 
