@@ -1464,6 +1464,7 @@ object TextOps extends QueryGroup {
               (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
               4).as("zipf_slope"))
       },
+      bench = true,
       oracle = Some(s"""
         WITH tf AS (
           SELECT lang, token, count(*) AS freq
