@@ -1051,6 +1051,181 @@ object Embeddings extends QueryGroup {
           FROM pairs
           WHERE cos IS NOT NULL AND NOT isnan(cos))
         SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
-        FROM ranked WHERE rn <= 5"""))
+        FROM ranked WHERE rn <= 5""")),
+
+    // E13: MMR diversity re-ranking (Carbonell & Goldstein 1998) — from
+    // each query's exact top-20 shortlist, greedily select 5 results
+    // maximizing λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) with λ = 0.7:
+    // the de-duplicating re-rank every production retrieval/RAG stack
+    // runs after ANN (near-identical chunks crowd out coverage
+    // otherwise). The empty-set round uses max_sim(∅) = 0, so ONE
+    // formula covers all five rounds.
+    //
+    // Exactness: rel and pairwise sims are floor-scaled micro-cos longs,
+    // and λ rides as the exact integer pair (70, 30) — every greedy
+    // round is pure integer arithmetic with a total (mmr DESC, vec_id)
+    // order, so the pick sequence is deterministic and hash-verifiable
+    // against 4 unrolled oracle rounds (the gr1 unrolled-CTE pattern).
+    //
+    // Scale: the corpus appears ONLY in the e1-shaped shortlist pass
+    // (broadcast queries, map-side BoundedTopK) and the two key-pushed
+    // enrich joins; every greedy round runs on |Q|·20 rows — workload-
+    // sized, not corpus-sized — with the shortlist, the |Q|·20·19 sim
+    // table, and each round's picks checkpointed once (they are probed
+    // repeatedly across rounds).
+    "e13_mmr_rerank" -> QueryDef(
+      build = (s, d) => {
+        val vn = Tables.embeddings(s, d)
+          .transform(Tables.spread)
+          .withColumn("nrm", norm(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        // NOT checkpointed (the e1/e12 posture): the corpus side streams
+        // once; the other consumers re-scan with label/key pushdown.
+        val q = vn.filter(col("label") === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+        val short = vn.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+          .filter(col("cos").isNotNull && !isnan(col("cos")))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(20)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), explode(col("top")).as("c"))
+          .select(col("q_id"), col("c.id").as("vec_id"),
+            floor(col("c.score") * 1000000).cast("long").as("rel"))
+          .localCheckpoint(true) // pair build ×2 + every greedy round
+        val pairs = short.select(col("q_id"), col("vec_id").as("a"))
+          .join(short.select(col("q_id"), col("vec_id").as("b")), "q_id")
+          .filter(col("a") =!= col("b"))
+          .join(vn.select(col("vec_id").as("a"), col("ne").as("nea")), "a")
+          .join(vn.select(col("vec_id").as("b"), col("ne").as("neb")), "b")
+          .select(col("q_id"), col("a"), col("b"),
+            floor(call_function("vec_dot", col("nea"), col("neb")) * 1000000)
+              .cast("long").as("sim"))
+          .localCheckpoint(true) // probed every greedy round
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))
+        var picks = short
+          .withColumn("mmr", lit(70L) * col("rel"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("pick_rank"), col("mmr"))
+        for (t <- 2 to 5) {
+          val ms = pairs
+            .join(picks.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+            .groupBy(col("q_id"), col("a"))
+            .agg(max(col("sim")).as("msim"))
+            .select(col("q_id"), col("a").as("vec_id"), col("msim"))
+          val scored = short
+            .join(picks.select(col("q_id"), col("vec_id")),
+              Seq("q_id", "vec_id"), "left_anti")
+            .join(ms, Seq("q_id", "vec_id"))
+            .withColumn("mmr", lit(70L) * col("rel") - lit(30L) * col("msim"))
+          picks = picks.unionByName(
+            scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+              .select(col("q_id"), col("vec_id"),
+                lit(t.toLong).as("pick_rank"), col("mmr")))
+            .localCheckpoint(true)
+        }
+        picks
+      },
+      oracle = Some(s"""
+        WITH n AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE label = 0),
+        sc AS (
+          SELECT q_id, vec_id,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ne[i])) AS cos
+          FROM q CROSS JOIN n WHERE vec_id <> q_id),
+        short AS (
+          SELECT q_id, vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS rel
+          FROM (SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+                FROM sc WHERE cos IS NOT NULL AND NOT isnan(cos))
+          WHERE rn <= 20),
+        pr AS (
+          SELECT s1.q_id, s1.vec_id AS a, s2.vec_id AS b,
+                 CAST(floor(list_sum(list_transform(range(1, len(na.ne)+1),
+                   i -> na.ne[i] * nb.ne[i])) * 1000000) AS BIGINT) AS sim
+          FROM short s1 JOIN short s2
+            ON s1.q_id = s2.q_id AND s1.vec_id <> s2.vec_id
+          JOIN n na ON na.vec_id = s1.vec_id
+          JOIN n nb ON nb.vec_id = s2.vec_id),
+        p1 AS (
+          SELECT q_id, vec_id, 70 * rel AS mmr FROM
+            (SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+               ORDER BY rel DESC, vec_id) AS rn FROM short) WHERE rn = 1),
+        c2 AS (
+          SELECT s.q_id, s.vec_id, s.rel, max(pr.sim) AS msim
+          FROM short s
+          JOIN pr ON pr.q_id = s.q_id AND pr.a = s.vec_id
+          JOIN p1 ON p1.q_id = pr.q_id AND p1.vec_id = pr.b
+          WHERE NOT EXISTS (SELECT 1 FROM p1 x
+            WHERE x.q_id = s.q_id AND x.vec_id = s.vec_id)
+          GROUP BY 1, 2, 3),
+        p2 AS (
+          SELECT q_id, vec_id, mmr FROM
+            (SELECT q_id, vec_id, 70 * rel - 30 * msim AS mmr,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY 70 * rel - 30 * msim DESC, vec_id) AS rn FROM c2)
+          WHERE rn = 1),
+        sel2 AS (SELECT q_id, vec_id FROM p1 UNION ALL SELECT q_id, vec_id FROM p2),
+        c3 AS (
+          SELECT s.q_id, s.vec_id, s.rel, max(pr.sim) AS msim
+          FROM short s
+          JOIN pr ON pr.q_id = s.q_id AND pr.a = s.vec_id
+          JOIN sel2 ON sel2.q_id = pr.q_id AND sel2.vec_id = pr.b
+          WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+            WHERE x.q_id = s.q_id AND x.vec_id = s.vec_id)
+          GROUP BY 1, 2, 3),
+        p3 AS (
+          SELECT q_id, vec_id, mmr FROM
+            (SELECT q_id, vec_id, 70 * rel - 30 * msim AS mmr,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY 70 * rel - 30 * msim DESC, vec_id) AS rn FROM c3)
+          WHERE rn = 1),
+        sel3 AS (SELECT q_id, vec_id FROM sel2 UNION ALL SELECT q_id, vec_id FROM p3),
+        c4 AS (
+          SELECT s.q_id, s.vec_id, s.rel, max(pr.sim) AS msim
+          FROM short s
+          JOIN pr ON pr.q_id = s.q_id AND pr.a = s.vec_id
+          JOIN sel3 ON sel3.q_id = pr.q_id AND sel3.vec_id = pr.b
+          WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+            WHERE x.q_id = s.q_id AND x.vec_id = s.vec_id)
+          GROUP BY 1, 2, 3),
+        p4 AS (
+          SELECT q_id, vec_id, mmr FROM
+            (SELECT q_id, vec_id, 70 * rel - 30 * msim AS mmr,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY 70 * rel - 30 * msim DESC, vec_id) AS rn FROM c4)
+          WHERE rn = 1),
+        sel4 AS (SELECT q_id, vec_id FROM sel3 UNION ALL SELECT q_id, vec_id FROM p4),
+        c5 AS (
+          SELECT s.q_id, s.vec_id, s.rel, max(pr.sim) AS msim
+          FROM short s
+          JOIN pr ON pr.q_id = s.q_id AND pr.a = s.vec_id
+          JOIN sel4 ON sel4.q_id = pr.q_id AND sel4.vec_id = pr.b
+          WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+            WHERE x.q_id = s.q_id AND x.vec_id = s.vec_id)
+          GROUP BY 1, 2, 3),
+        p5 AS (
+          SELECT q_id, vec_id, mmr FROM
+            (SELECT q_id, vec_id, 70 * rel - 30 * msim AS mmr,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY 70 * rel - 30 * msim DESC, vec_id) AS rn FROM c5)
+          WHERE rn = 1)
+        SELECT q_id, vec_id, CAST(k AS BIGINT) AS pick_rank,
+               CAST(mmr AS BIGINT) AS mmr
+        FROM (
+          SELECT q_id, vec_id, 1 AS k, mmr FROM p1
+          UNION ALL SELECT q_id, vec_id, 2, mmr FROM p2
+          UNION ALL SELECT q_id, vec_id, 3, mmr FROM p3
+          UNION ALL SELECT q_id, vec_id, 4, mmr FROM p4
+          UNION ALL SELECT q_id, vec_id, 5, mmr FROM p5)"""))
   )
 }

@@ -628,6 +628,70 @@ class PropertySpec extends SparkSpec {
     assert(got("G")._2 < -2.0 && got("R")._2 > got("G")._2, got.toString)
   }
 
+  test("e13 MMR equals an independent greedy reference and actually diversifies") {
+    // crafted: candidates 10/11 are near-duplicates of EACH OTHER along
+    // a direction oblique to the query (mutual sim ≈ 0.9999 while rel ≈
+    // 0.79-0.80 — diversification only bites when duplicates are far
+    // more similar to each other than to the query); 12 is slightly
+    // less relevant but far from 10. Pure relevance ranks (10, 11, 12);
+    // MMR must pick 10, then JUMP to 12 (11's 30·sim penalty ≈ -30M
+    // dwarfs its relevance edge), then come back to 11. Randoms keep
+    // rel < -0.1 so their mmr (≤ 70·rel + 30·1e6 < 23M) can never beat
+    // 11's 25.4M round-3 score.
+    val crafted = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (10L, Seq(0.8f, 0.6f, 0f, 0f), 1),
+      (11L, Seq(0.79f, 0.61f, 0f, 0f), 1),
+      (12L, Seq(0.75f, -0.5f, 0.43f, 0f), 1))
+    val rnd = new Random(47)
+    val random = (100L to 140L).map { id =>
+      val v = Seq((-(0.1 + 0.9 * rnd.nextDouble())).toFloat,
+        (rnd.nextDouble() * 2 - 1).toFloat,
+        (rnd.nextDouble() * 2 - 1).toFloat,
+        (rnd.nextDouble() * 2 - 1).toFloat)
+      (id, v, if (id % 20 == 0) 0 else 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_e13_").toString
+    (crafted ++ random).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("e13_mmr_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3))).toMap
+
+    // independent greedy reference with the IDENTICAL integer contract:
+    // micro-floored rel/sims, mmr = 70*rel - 30*maxSim, ties by vec_id
+    val all = (crafted ++ random).map { case (id, v, l) =>
+      val d = v.map(_.toDouble)
+      val nrm = math.sqrt(d.map(x => x * x).sum)
+      (id, d.map(_ / nrm), l)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = all.filter(_._3 == 0).flatMap { case (qid, qv, _) =>
+      val cands = all.filter(_._1 != qid)
+        .map { case (id, v, _) => (id, math.floor(dot(qv, v) * 1e6).toLong, v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }.take(20)
+      var picked = List.empty[(Long, Seq[Double], Long)]
+      (1 to 5).foreach { t =>
+        val rem = cands.filter(c => !picked.exists(_._1 == c._1))
+        if (rem.nonEmpty) {
+          val best = rem.map { case (id, rel, v) =>
+            val msim = if (picked.isEmpty) 0L
+              else picked.map(p => math.floor(dot(v, p._2) * 1e6).toLong).max
+            (id, v, 70L * rel - 30L * msim)
+          }.minBy { case (id, _, mmr) => (-mmr, id) }
+          picked = picked :+ best
+        }
+      }
+      picked.zipWithIndex.map { case ((id, _, mmr), i) =>
+        (qid, i + 1L) -> (id, mmr)
+      }
+    }.toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
+    assert(got((0L, 1L))._1 == 10L && got((0L, 2L))._1 == 12L && got((0L, 3L))._1 == 11L,
+      s"MMR must jump to the orthogonal candidate at pick 2: " +
+        s"${(1 to 3).map(k => got((0L, k.toLong))._1)}")
+  }
+
   test("e12 filtered ANN pre-filters: a globally-nearer non-matching doc never appears") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e12_").toString
     // doc 0 = the query (en, long enough). doc 2 is EXACTLY parallel to
