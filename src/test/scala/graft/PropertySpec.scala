@@ -666,9 +666,13 @@ class PropertySpec extends SparkSpec {
     }
     def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
     val expected = all.filter(_._3 == 0).flatMap { case (qid, qv, _) =>
+      // the shortlist is cut on the RAW cos (BoundedTopK ranks doubles;
+      // flooring happens after) — a floored-rel sort here would diverge
+      // whenever a micro-bin tie straddles the rank-20 boundary
       val cands = all.filter(_._1 != qid)
-        .map { case (id, v, _) => (id, math.floor(dot(qv, v) * 1e6).toLong, v) }
-        .sortBy { case (id, rel, _) => (-rel, id) }.take(20)
+        .map { case (id, v, _) => (id, dot(qv, v), v) }
+        .sortBy { case (id, raw, _) => (-raw, id) }.take(20)
+        .map { case (id, raw, v) => (id, math.floor(raw * 1e6).toLong, v) }
       var picked = List.empty[(Long, Seq[Double], Long)]
       (1 to 5).foreach { t =>
         val rem = cands.filter(c => !picked.exists(_._1 == c._1))
