@@ -1489,7 +1489,49 @@ object TextOps extends QueryGroup {
         SELECT lang, CAST(n AS BIGINT) AS n_tokens,
                round(CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
-        FROM m WHERE n >= 2"""))
+        FROM m WHERE n >= 2""")),
+
+    // T29: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // 2006) — select 100 documents with inclusion probability skewed
+    // toward weight w = n_chars (the token-budget-proportional sampler:
+    // longer docs carry more training tokens, so a budget-holding
+    // subsample admits them proportionally more often). Unlike t6 (rank
+    // BY quality — a deterministic cutoff that never admits the tail)
+    // this keeps every document in play with probability ∝ its weight.
+    //
+    // Determinism: the E-S "random" u is the portable 60-bit hash of the
+    // doc_id (no RNG state — reproducible on any cluster and in the
+    // oracle); the E-S key u^(1/w) is rank-equivalent to
+    // −ln(u)/w ASCENDING, carried as the all-positive integer
+    // (floor(−ln(u)·1e6) · 1e6) div w so the ranking is exact integer
+    // arithmetic (negative division would diverge: Spark `div` truncates
+    // toward zero, DuckDB `//` floors — positives agree). ln() is the
+    // only float, micro-floored per row (the t14/t15 pattern).
+    //
+    // Scale: weights and hashes are row-local; the global top-100 runs
+    // as TakeOrderedAndProject (k·partitions rows cross the wire, never
+    // a global sort).
+    "t29_weighted_sample" -> QueryDef(
+      build = (s, d) => {
+        val u = (pmod(portableHash(col("doc_id").cast("string"), "ws:"),
+          lit(1000000L)) + 1).cast("double") / 1000000.0
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            floor(-log(u) * 1000000.0).cast("long").as("m"))
+          .withColumn("es_key", expr("(m * 1000000) div n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("es_key"))
+          .orderBy(col("es_key").asc, col("doc_id").asc)
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(floor(-ln(CAST(CAST(concat('0x', substr(md5(
+                     concat('ws:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % 1000000 + 1 AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT) AS m
+          FROM documents)
+        SELECT doc_id, source, n_chars, (m * 1000000) // n_chars AS es_key
+        FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT 100"""))
   )
 
   /** DuckDB twin of [[heavyHitterAudit]], shared by t25 and st16. */

@@ -628,6 +628,36 @@ class PropertySpec extends SparkSpec {
     assert(got("G")._2 < -2.0 && got("R")._2 > got("G")._2, got.toString)
   }
 
+  test("t29 weighted sample equals an independent E-S reference; heavy weights dominate") {
+    // 2000 docs: ids 0-999 weigh 900 chars, ids 1000-1999 weigh 100.
+    // E-S with k=100 out of 2000 must admit the heavy group far above
+    // its 50% population share (its 90% weight share pulls inclusion
+    // toward ~90%; assert a noise-safe > 70%).
+    val docs = (0L until 2000L).map { id =>
+      (id, "x", "en", "s", if (id < 1000) 900L else 100L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_t29_").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t29_weighted_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+
+    // independent reference: same portable hash, same micro-floored
+    // -ln(u), same positive integer division, same (key, id) order
+    val expected = docs.map { case (id, _, _, _, w) =>
+      val h = graft.functions.TextFunctions.portableHash60(s"ws:$id")
+      val u = (h % 1000000L + 1).toDouble / 1000000.0
+      val m = math.floor(-math.log(u) * 1000000.0).toLong
+      (id, w, m * 1000000L / w)
+    }.sortBy { case (id, _, key) => (key, id) }.take(100)
+    assert(got.toSeq == expected.toSeq,
+      s"diff: ${(got.toSet diff expected.toSet).take(3)} vs ${(expected.toSet diff got.toSet).take(3)}")
+    val heavy = got.count(_._2 == 900L)
+    assert(heavy > 70, s"heavy-weight group must dominate the sample: $heavy/100")
+    assert(got.exists(_._2 == 100L) || expected.count(_._2 == 100L) == 0,
+      "light-weight docs stay in play (E-S, not a deterministic cutoff)")
+  }
+
   test("e13 MMR equals an independent greedy reference and actually diversifies") {
     // crafted: candidates 10/11 are near-duplicates of EACH OTHER along
     // a direction oblique to the query (mutual sim ≈ 0.9999 while rel ≈
