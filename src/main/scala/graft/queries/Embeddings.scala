@@ -1105,16 +1105,22 @@ object Embeddings extends QueryGroup {
           .join(broadcast(short), "vec_id")
           .localCheckpoint(true) // pair self-join ×2 + every greedy round
         // each symmetric sim computed ONCE on a < b, then mirrored —
-        // vec_dot's sequential fold gives the identical double either way
+        // vec_dot's sequential fold gives the identical double either
+        // way. The CHECKPOINT sits on `half`, before the mirror union:
+        // Spark does no cross-branch CSE, so unioning two projections of
+        // the un-materialized subplan would re-run the self-join and
+        // every vec_dot kernel once per branch (the claimed halving
+        // would be physical fiction); the union of two projections of
+        // the materialized RDD is free per greedy-round consumer.
         val half = shortV.select(col("q_id"), col("vec_id").as("a"), col("ne").as("nea"))
           .join(shortV.select(col("q_id"), col("vec_id").as("b"), col("ne").as("neb")), "q_id")
           .filter(col("a") < col("b"))
           .select(col("q_id"), col("a"), col("b"),
             floor(call_function("vec_dot", col("nea"), col("neb")) * 1000000)
               .cast("long").as("sim"))
+          .localCheckpoint(true)
         val pairs = half.unionByName(
-            half.select(col("q_id"), col("b").as("a"), col("a").as("b"), col("sim")))
-          .localCheckpoint(true) // probed every greedy round
+          half.select(col("q_id"), col("b").as("a"), col("a").as("b"), col("sim")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))
         val cands = shortV.select(col("q_id"), col("vec_id"), col("rel"))

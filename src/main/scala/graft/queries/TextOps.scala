@@ -1516,6 +1516,12 @@ object TextOps extends QueryGroup {
         val u = (pmod(portableHash(col("doc_id").cast("string"), "ws:"),
           lit(1000000L)) + 1).cast("double") / 1000000.0
         Tables.documents(s, d)
+          // weight-0 docs are excluded, mirrored: E-S gives them zero
+          // inclusion probability, and the unguarded div would emit a
+          // NULL key whose sort position DIVERGES cross-engine (Spark
+          // ASC is NULLS FIRST — guaranteeing the weight-0 doc in! —
+          // vs DuckDB's NULLS LAST)
+          .filter(col("n_chars") > 0)
           .select(col("doc_id"), col("source"), col("n_chars"),
             floor(-log(u) * 1000000.0).cast("long").as("m"))
           .withColumn("es_key", expr("(m * 1000000) div n_chars"))
@@ -1529,7 +1535,7 @@ object TextOps extends QueryGroup {
                  CAST(floor(-ln(CAST(CAST(concat('0x', substr(md5(
                      concat('ws:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                    % 1000000 + 1 AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT) AS m
-          FROM documents)
+          FROM documents WHERE n_chars > 0)
         SELECT doc_id, source, n_chars, (m * 1000000) // n_chars AS es_key
         FROM keyed ORDER BY es_key ASC, doc_id ASC LIMIT 100"""))
   )

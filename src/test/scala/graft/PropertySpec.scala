@@ -654,8 +654,11 @@ class PropertySpec extends SparkSpec {
       s"diff: ${(got.toSet diff expected.toSet).take(3)} vs ${(expected.toSet diff got.toSet).take(3)}")
     val heavy = got.count(_._2 == 900L)
     assert(heavy > 70, s"heavy-weight group must dominate the sample: $heavy/100")
-    assert(got.exists(_._2 == 100L) || expected.count(_._2 == 100L) == 0,
-      "light-weight docs stay in play (E-S, not a deterministic cutoff)")
+    // asserted on the OUTPUT directly (a got==expected corollary would
+    // be vacuous): some light docs must be admitted — E-S keeps every
+    // positive weight in play, unlike a deterministic weight cutoff
+    assert(got.exists(_._2 == 100L),
+      s"light-weight docs stay in play (E-S, not a cutoff): ${got.count(_._2 == 100L)}/100")
   }
 
   test("e13 MMR equals an independent greedy reference and actually diversifies") {
