@@ -120,7 +120,13 @@ object ScaleGen {
         val rotL = Lower.drop(r % 26) + Lower.take(r % 26)
         val rotU = rotL.toUpperCase
         docs.select(
-          (col("doc_id") + lit(r.toLong * 1000000000000L)).as("doc_id"),
+          // SAME id transform as the embeddings replicas (r·10¹² +
+          // id·10 + 1), so a replica document still matches its replica
+          // vector — metadata-filtered vector search (e12) sees the
+          // corpus grow ∝ factor instead of a constant base slice. The
+          // transform is order-preserving within a replica, so
+          // id-canonical pair election (d12/t26) is unaffected.
+          (lit(r.toLong * 1000000000000L) + col("doc_id") * 10 + 1).as("doc_id"),
           translate(col("text"), Lower + Upper, rotL + rotU).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }

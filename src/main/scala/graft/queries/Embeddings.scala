@@ -1030,6 +1030,7 @@ object Embeddings extends QueryGroup {
             (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
             (col("pos") + 1).cast("long").as("rn"))
       },
+      bench = true,
       oracle = Some(s"""
         WITH keys AS (
           SELECT doc_id AS vec_id FROM documents
