@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the scaling-measurement corpus generator. These are
+  * load-bearing for SCALE.md's measured exponents: if replica documents
+  * stop matching replica vectors the filtered-ANN scaling read silently
+  * degenerates to a constant base slice, and if replica ids ever join the
+  * query id space the "query volume is a workload knob" premise breaks.
+  */
+class ScaleGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("factor-3 corpus: replica docs align with replica vectors, queries stay base-only") {
+    val src = java.nio.file.Files.createTempDirectory("graft_sg_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sg_out_").toString
+    Seq((0L, "alpha beta", "en", "s", 400L), (1L, "gamma", "fr", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    // 64-dim: ScaleGen's orthogonal dimension-roll is built for the
+    // driver corpus's fixed EmbDim
+    Seq((0L, Seq.tabulate(64)(i => if (i == 0) 1f else 0f), 0),
+      (1L, Seq.tabulate(64)(i => if (i == 1) 1f else 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    // minimal relational tables so writeRelational has inputs
+    Seq((1L, "S")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$src/customer.parquet")
+    Seq((1L, 1L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "F", 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    Seq((1L, 1L, 1L, 1.0)).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$src/lineitem.parquet")
+    Seq((1L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$src/events.parquet")
+    Seq((1L, "p")).toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$src/part.parquet")
+    Seq((1L, "sp", 1L)).toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$src/supplier.parquet")
+    Seq((1L, "n", 1L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$src/nation.parquet")
+    Seq((1L, "r")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$src/region.parquet")
+
+    ScaleGen.generate(spark, src, out, factor = 3)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val vecs = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(docs.count() == 6 && vecs.count() == 6)
+
+    // every replica document joins its replica vector 1:1 — the e12
+    // measurement invariant (and the base rows keep their raw ids)
+    val joined = docs.join(vecs, col("doc_id") === col("vec_id"))
+    assert(joined.count() == 6, s"doc/vec alignment broken: ${joined.count()}")
+
+    // replica vec_ids are ≡ 1 (mod 10) and labels ≥ 1000 — never a
+    // query under the e1 (label = 0) or e2/e4/e5 (id % 10 = 0) rules
+    val replicas = vecs.filter(col("vec_id") >= 1000000000000L)
+    assert(replicas.count() == 4)
+    assert(replicas.filter(pmod(col("vec_id"), lit(10L)) =!= 1L).count() == 0,
+      "replica vec_ids must be ≡ 1 (mod 10)")
+    assert(replicas.filter(col("label") < 1000).count() == 0,
+      "replica labels must be ≥ 1000")
+
+    // the cipher preserves language/source/length metadata and changes
+    // the text 1:1 (same token count, disjoint tokens vs base)
+    val baseText = docs.filter(col("doc_id") === 0L).select("text").as[String].head()
+    val repTexts = docs.filter(col("doc_id") > 1000000000000L && col("lang") === "en")
+      .select("text").as[String].collect()
+    assert(repTexts.length == 2 && repTexts.forall(_ != baseText))
+    assert(repTexts.forall(_.split(" ").length == baseText.split(" ").length),
+      "cipher must be 1:1 on tokens")
+  }
+}
