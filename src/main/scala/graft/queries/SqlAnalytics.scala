@@ -215,6 +215,68 @@ object SqlAnalytics extends QueryGroup {
           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY total_price DESC, order_day, o_orderkey
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // SQL6: the pricing-summary shape (TPC-H Q1) as pure SQL text — the
+    // canonical scan-heavy aggregate: one lineitem pass, a pushed date
+    // filter, six-column grouping-free-dim rollup to |returnflag| ×
+    // |linestatus| cells. Completes the TPC-H quartet (Q1/Q3/Q5/Q18)
+    // through the parser path.
+    //
+    // Exactness: all sums are DECIMAL (order-insensitive; the charge
+    // product grows scale exactly in both engines before the one
+    // closing double cast), and the three averages use the integer-
+    // cents half-up pattern (Exact.avg4FromCents written inline as SQL
+    // text) — `round(sum(double)/n, 4)` would sit on the repo-
+    // documented HALF_UP-vs-double-rounding boundary.
+    //
+    // Scale: zero joins; the date range pushes into the parquet scan;
+    // the aggregate combines map-side into 6 cells per task.
+    "sql6_pricing_summary" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                 floor((sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) * 200 + count(*))
+                   / (count(*) * 2)) / CAST(10000 AS DOUBLE) AS avg_qty,
+                 floor((sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 200 + count(*))
+                   / (count(*) * 2)) / CAST(10000 AS DOUBLE) AS avg_price,
+                 floor((sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) * 200 + count(*))
+                   / (count(*) * 2)) / CAST(10000 AS DOUBLE) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem_sql
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+      },
+      bench = true,
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               floor((CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                 / (count(*) * 2)) / 10000.0 AS avg_qty,
+               floor((CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                 / (count(*) * 2)) / 10000.0 AS avg_price,
+               floor((CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
+                 / (count(*) * 2)) / 10000.0 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }

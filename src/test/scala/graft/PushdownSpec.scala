@@ -511,6 +511,14 @@ class PushdownSpec extends SparkSpec {
     assert(w28 >= 0 && p28.indexOf("WindowGroupLimit", w28 + 1) > 0,
       s"t28 lost its two-mode WindowGroupLimit:\n$p28")
 
+    // sql6 (TPC-H Q1): the date filter pushes into the lineitem scan
+    // and the six-cell aggregate combines map-side — the canonical
+    // scan-heavy aggregate must run at scan speed.
+    val p6 = plan("sql6_pricing_summary")
+    assert(p6.contains("LessThanOrEqual(l_shipdate"),
+      s"sql6 date filter not pushed to the scan:\n$p6")
+    assert(p6.contains("partial_sum"), s"sql6 lost map-side combine:\n$p6")
+
     // gr4: the per-part top-3 must run as two-mode WindowGroupLimit
     // (its basket-scan pruning is pinned via basketScan above — the
     // checkpointed executed plan has no parquet scan to assert on).
