@@ -1149,6 +1149,10 @@ object Embeddings extends QueryGroup {
         }
         picks
       },
+      // benched since round 9: the MMR round machinery (checkpoint-cut
+      // greedy rounds) had no regression tripwire — its measured-flat
+      // scaling only stays flat while the checkpoint placement holds
+      bench = true,
       oracle = Some(s"""
         WITH n AS (
           SELECT vec_id, label,

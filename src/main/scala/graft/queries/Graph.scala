@@ -13,12 +13,34 @@ import graft.ops.{PageRank, Triangles}
   */
 object Graph extends QueryGroup {
 
-  /** Distinct (order, part) basket membership — the shared projection
-    * gr2's triangle edges and gr3's co-occurrence pairs both start from.
-    * Checkpointed because every consumer feeds it to a self-join (both
-    * sides, differing projections — the d4/e5 ReusedExchange lesson);
-    * a per-order line cap against adversarial mega-baskets (the d12
-    * hot-fingerprint cap pattern) would slot here, once, for both.
+  /** Per-order basket cap: only the [[BasketCap]] smallest part keys of
+    * an order enter the pair-forming self-joins (gr2/gr3/gr4), bounding
+    * any single order's pair fan-out at C(BasketCap, 2) whatever the
+    * corpus — an adversarial mega-basket (one order touching thousands
+    * of SKUs; ScaleGen.writeSkewed plants exactly one) would otherwise
+    * put C(k, 2) pairs on one reducer. Deterministic (the smallest keys,
+    * never a sample) and mirrored in every consumer's oracle via
+    * [[sqlPoCte]] — the WedgeCap pattern applied one stage earlier.
+    * Shipped testdata maxes at 17 distinct parts/order, so every SF's
+    * result is the exact uncapped baskets. */
+  private[graft] val BasketCap = 64
+
+  /** DuckDB twin of [[basketScan]]'s capped basket projection — the `po`
+    * CTE every gr-family oracle shares. */
+  private[graft] val sqlPoCte: String = s"""po AS (
+          SELECT ok, p FROM (
+            SELECT ok, p, row_number() OVER (PARTITION BY ok ORDER BY p) AS rn
+            FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem))
+          WHERE rn <= $BasketCap)"""
+
+  /** Distinct (order, part) basket membership under [[BasketCap]] — the
+    * shared projection gr2's triangle edges, gr3's co-occurrence pairs,
+    * and gr4's wedges all start from. One groupBy(order) shuffle does
+    * the dedup AND the cap (collect_set → sort_array → slice keeps the
+    * smallest keys; per-group state is bounded by the true basket size),
+    * replacing the previous distinct-only shuffle at the same cost.
+    * Checkpointed (below) because every consumer feeds it to a self-join
+    * with differing projections — the d4/e5 ReusedExchange lesson.
     */
   /** The un-checkpointed basket projection — split out so PushdownSpec
     * can assert the pruned ReadSchema on a plan that still CONTAINS the
@@ -27,7 +49,9 @@ object Graph extends QueryGroup {
   private[graft] def basketScan(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
+      .groupBy(col("ok"))
+      .agg(slice(sort_array(collect_set(col("p"))), 1, BasketCap).as("ps"))
+      .select(col("ok"), explode(col("ps")).as("p"))
 
   private def basketItems(s: org.apache.spark.sql.SparkSession, d: String) =
     basketScan(s, d).localCheckpoint(true)
@@ -37,6 +61,11 @@ object Graph extends QueryGroup {
     * value): bounds any hub's wedge fan-out at C(cap, 2) — principled
     * for Resource Allocation, which weights a center by 1/deg. */
   private[graft] val WedgeCap = 512
+
+  /** gr4's wedge-center degree bound for the benched gr4r scout variant
+    * (declared BEFORE `defs`: the oracle strings interpolate it eagerly
+    * at map construction — a later declaration reads 0). */
+  private[graft] val ScoutCap = 64
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -112,9 +141,10 @@ object Graph extends QueryGroup {
 
     // GR2: co-purchase triangle participation — how densely a part's
     // co-purchase neighborhood closes on itself. Edges = distinct part
-    // pairs sharing an order (per-order item count is bounded, so the
-    // pair expansion is ≤ C(items,2) per order — row-local fan-out, not
-    // a join blowup); triangles via degree-ordered orientation
+    // pairs sharing an order (per-order fan-out hard-bounded at
+    // C(BasketCap, 2) by the basketScan cap — row-local fan-out, not a
+    // join blowup, even under mega-basket skew); triangles via
+    // degree-ordered orientation
     // (ops/Triangles — each triangle found exactly once, exact integer
     // counts, skew-bounded wedge volume O(m^1.5)). The final name join
     // moves only (node, tri_cnt) rows against the broadcastable part dim.
@@ -132,9 +162,8 @@ object Graph extends QueryGroup {
           .select(col("p_partkey"), col("p_name"), col("tri_cnt"))
       },
       bench = true,
-      oracle = Some("""
-        WITH po AS (
-          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      oracle = Some(s"""
+        WITH $sqlPoCte,
         e AS (
           SELECT DISTINCT x.p AS a, y.p AS b
           FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p),
@@ -156,14 +185,12 @@ object Graph extends QueryGroup {
     // (the classic "customers who bought X also bought" operator; support
     // floor co >= 2 drops one-off coincidences).
     //
-    // Scale: the pair build is a self-equi-join on l_orderkey — pair
-    // expansion is bounded by lines-per-order squared (a per-basket
-    // constant — ≤ 13 distinct parts/order in this testdata — NOT corpus
-    // size), so it
-    // grows linearly with orders; a corpus with adversarial mega-baskets
-    // would add a per-order line cap before the self-join (the d12
-    // hot-fingerprint cap pattern). Item frequencies are a
-    // map-side-combinable count; the
+    // Scale: the pair build is a self-equi-join on the order key — pair
+    // expansion is bounded by distinct-parts-per-order squared (≤ 17 in
+    // this testdata, hard-capped at BasketCap by basketScan for
+    // adversarial mega-baskets — the d12 hot-fingerprint cap pattern,
+    // NOT corpus size), so it grows linearly with orders. Item
+    // frequencies are a map-side-combinable count; the
     // per-item top-3 is one part-keyed window that the optimizer runs as
     // WindowGroupLimit (top-k per group, never a full sort of all pairs).
     // Ranking ties resolve (cosine DESC, co DESC, rec ASC) — total, so
@@ -195,8 +222,9 @@ object Graph extends QueryGroup {
             (floor(col("cs") * 1000000) / 1000000.0).as("cosine"),
             col("rn").cast("long").as("rn"))
       },
-      oracle = Some("""
-        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      oracle = Some(s"""
+        WITH $sqlPoCte,
+        op AS (SELECT ok, p FROM po),
         pc AS (SELECT p, count(*) AS np FROM op GROUP BY 1),
         co AS (
           SELECT a.p AS p1, b.p AS p2, count(*) AS co
@@ -238,7 +266,32 @@ object Graph extends QueryGroup {
     // plain keyed shuffles (AQE-skew-splittable); the per-part top-3 is
     // one window the optimizer runs as WindowGroupLimit.
     "gr4_link_prediction" -> QueryDef(
-      build = (s, d) => {
+      build = (s, d) => linkPrediction(s, d, WedgeCap),
+      oracle = Some(sqlLinkPrediction(WedgeCap))),
+
+    // GR4R: gr4 restricted to the deg ≤ [[ScoutCap]] subgraph — the
+    // BENCHED regression tripwire for the wedge/anti-join/window
+    // machinery gr4 itself is too expensive to bench (gr4's 43.8 s at
+    // sf0.1 IS its output class — RA scores every distance-2 pair of a
+    // deg≈120 near-regular graph). The scout keeps only low-degree wedge
+    // centers (148 of 20k nodes at sf0.1), cutting wedge volume ~580×
+    // (148M → 252k) while running the identical operator pipeline —
+    // basket cap, undirected expansion, capped-degree contributions,
+    // wedge self-join, edge anti-join, two-mode WindowGroupLimit — so a
+    // regression in any of those stages (ops/Triangles-style wedge-path
+    // or checkpoint-placement changes) moves a driver-benched number
+    // instead of hiding in an unbenched query.
+    "gr4r_link_scout" -> QueryDef(
+      build = (s, d) => linkPrediction(s, d, ScoutCap),
+      bench = true,
+      oracle = Some(sqlLinkPrediction(ScoutCap)))
+  )
+
+  /** The gr4 Resource-Allocation link-prediction pipeline with the wedge
+    * cap as a parameter — ONE definition for gr4 (cap = [[WedgeCap]])
+    * and the benched gr4r scout (cap = [[ScoutCap]]). */
+  private[graft] def linkPrediction(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Int): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val po = basketItems(s, d)
         val e = po
@@ -261,10 +314,10 @@ object Graph extends QueryGroup {
         // wedges → 43.8 s at local[32], dominated by the pair hash agg).
         // A row-local explode-from-adjacency variant was measured 2.6×
         // WORSE (112 s): per-pair slice() allocation beats the shuffle
-        // it saves. Hub skew is what the WedgeCap bounds; AQE splits
+        // it saves. Hub skew is what the wedge cap bounds; AQE splits
         // the rest.
         val deg = und.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") <= WedgeCap)
+          .filter(col("deg") <= cap)
           .withColumn("contrib", expr("1000000 div deg"))
         val wedges = und.join(deg.select(col("z"), col("contrib")), "z")
           .join(und.select(col("z"), col("n").as("n2")), "z")
@@ -286,9 +339,12 @@ object Graph extends QueryGroup {
           .filter(col("rn") <= 3)
           .select(col("part"), col("rec"), col("ra_micro"),
             col("common_nbrs"), col("rn").cast("long").as("rn"))
-      },
-      oracle = Some(s"""
-        WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+  }
+
+  /** DuckDB twin of [[linkPrediction]], cap interpolated — the one
+    * oracle text gr4 and gr4r share. */
+  private def sqlLinkPrediction(cap: Int): String = s"""
+        WITH $sqlPoCte,
         e AS (
           SELECT DISTINCT x.p AS a, y.p AS b
           FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p),
@@ -296,7 +352,7 @@ object Graph extends QueryGroup {
           SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
         deg AS (
           SELECT z, 1000000 // count(*) AS contrib
-          FROM und GROUP BY 1 HAVING count(*) <= $WedgeCap),
+          FROM und GROUP BY 1 HAVING count(*) <= $cap),
         scored AS (
           SELECT u1.n AS x, u2.n AS y,
                  CAST(sum(deg.contrib) AS BIGINT) AS ra_micro,
@@ -316,6 +372,5 @@ object Graph extends QueryGroup {
                    ORDER BY ra_micro DESC, common_nbrs DESC, rec) AS rn
           FROM sym)
         SELECT part, rec, ra_micro, common_nbrs, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 3"""))
-  )
+        FROM ranked WHERE rn <= 3"""
 }
