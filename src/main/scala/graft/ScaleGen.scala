@@ -162,4 +162,127 @@ object ScaleGen {
       .repartition(factor * 2)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
+
+  // ------------------------------------------------------------- skew
+
+  /** Deterministic per-row selector in [0, m): full-key xxhash64 — the
+    * SaltedJoin.rowSalt rationale (stable under task recompute). */
+  private def pick(m: Int, cols: org.apache.spark.sql.Column*) =
+    pmod(xxhash64(cols: _*), lit(m.toLong))
+
+  /** Skew knobs — deterministic, and sized so the skewed corpus CROSSES
+    * the engine's own skew thresholds (Dedup.HotBucketRows = 256 for the
+    * salted bucket joins, Dedup.WinnowMaxDf = 1000 for the df cap,
+    * Graph.BasketCap = 64 for the basket pair build) instead of sitting
+    * politely under them. */
+  private[graft] val HotCustomerOrderPct = 1   // % of ALL orders → one customer
+  private[graft] val HotPartLinePct      = 2   // % of ALL lineitems → one part
+  private[graft] val MegaBasketPerMille  = 1   // ‰ of lineitems → one order
+  private[graft] val BoilerTierAPct      = 20  // % of docs sharing ONE boilerplate
+  private[graft] val BoilerVariants      = 12  // tier-B variant count
+  private[graft] val BoilerTierBPct      = 12  // % of docs spread over the variants
+  private[graft] val BoilerFrac          = 0.55 // prefix fraction replaced
+
+  /** Boilerplate text for variant v: synthetic tokens disjoint from the
+    * organic vocabulary, so injected shingles/fingerprints collide only
+    * across docs sharing the SAME boilerplate — the license-header /
+    * template regime the d12 df cap and d3 hot-bucket salting exist
+    * for. ~700 chars — longer than [[BoilerFrac]] × the longest doc, so
+    * a prefix substring never runs short. */
+  private[graft] def boilerText(v: Int): String =
+    (0 until 90).map(i => s"zb${v}w${i % 30}").mkString(" ")
+
+  /** Zipf-skewed twin of a uniform corpus at IDENTICAL volume: every
+    * table keeps its exact row count (documents additionally their exact
+    * text lengths); only the key/content DISTRIBUTION changes — so a
+    * uniform-vs-skewed wall-time ratio measures skew handling, never
+    * data size. Reads a [[generate]] output (or a driver testdata dir)
+    * and injects:
+    *
+    *  - orders: [[HotCustomerOrderPct]]% of ALL orders reassigned to the
+    *    single smallest customer key — "one customer owns 1% of the
+    *    business" (the a1/a4/j1/j2 join+agg skew regime).
+    *  - lineitem: [[HotPartLinePct]]% of rows reassigned to the smallest
+    *    part key (one SKU dominates — w8's per-part rank window and j2's
+    *    enrich join see a ~2%-of-fact hot key), and [[MegaBasketPerMille]]‰
+    *    of rows reassigned to the smallest order key (one adversarial
+    *    mega-basket — the C(k,2) fan-out Graph.BasketCap bounds).
+    *  - documents: [[BoilerTierAPct]]% get ONE shared boilerplate prefix
+    *    ([[BoilerFrac]] of their length — hot d3 band buckets, and
+    *    winnow fingerprints with df far above Dedup.WinnowMaxDf,
+    *    exercising the cap); [[BoilerTierBPct]]% split evenly across
+    *    [[BoilerVariants]] variant boilerplates sized to land each
+    *    variant's fingerprint df inside Dedup's (HotBucketRows,
+    *    WinnowMaxDf] salting band. Prefix REPLACEMENT, not prepend:
+    *    lengths (and the n_chars column) stay truthful.
+    *
+    * Hot keys are the smallest existing key of each table, so no foreign
+    * key breaks. Everything else copies through verbatim.
+    */
+  def writeSkewed(spark: SparkSession, src: String, out: String): Unit = {
+    def minKey(table: String, k: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(min(col(k)).cast("long")).head().getLong(0)
+    val hotCust = minKey("customer", "c_custkey")
+    val hotPart = minKey("part", "p_partkey")
+    val hotOrder = minKey("orders", "o_orderkey")
+
+    spark.read.parquet(s"$src/orders.parquet")
+      .withColumn("o_custkey",
+        when(pick(100 / HotCustomerOrderPct, col("o_orderkey")) === 0,
+          lit(hotCust)).otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("l_partkey",
+        when(pick(100 / HotPartLinePct, col("l_orderkey"), col("l_linenumber")) === 0,
+          lit(hotPart)).otherwise(col("l_partkey")))
+      .withColumn("l_orderkey",
+        when(pick(1000 / MegaBasketPerMille,
+            col("l_orderkey"), col("l_linenumber"), lit("mb")) === 0,
+          lit(hotOrder)).otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val boilers = array((0 to BoilerVariants).map(v => lit(boilerText(v))): _*)
+    val tier = pick(100, col("doc_id"), lit("boiler"))
+    // variant 0 = the shared tier-A boilerplate; 1..BoilerVariants = tier B
+    val variant = when(tier < BoilerTierAPct, lit(0))
+      .when(tier < BoilerTierAPct + BoilerTierBPct,
+        (pmod(xxhash64(col("doc_id"), lit("v")), lit(BoilerVariants.toLong)) + 1)
+          .cast("int"))
+      .otherwise(lit(-1))
+    val plen = ceil(length(col("text")) * lit(BoilerFrac)).cast("int")
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("_v", variant)
+      .withColumn("text",
+        when(col("_v") >= 0,
+          concat(
+            element_at(boilers, col("_v") + 1).substr(lit(1), plen),
+            col("text").substr(plen + 1, length(col("text")))))
+          .otherwise(col("text")))
+      .drop("_v")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    Seq("customer", "part", "supplier", "nation", "region", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    // events: same physical-type care as writeRelational
+    graft.core.Tables.events(spark, src)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"""{"skew_corpus":"$out","hot_cust":$hotCust,"hot_part":$hotPart,"hot_order":$hotOrder}""")
+  }
+}
+
+/** `graft.SkewGen <uniformCorpusDir> <outDir>` — CLI for
+  * [[ScaleGen.writeSkewed]]. */
+object SkewGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    ScaleGen.writeSkewed(spark, args(0), args(1))
+    spark.stop()
+  }
 }

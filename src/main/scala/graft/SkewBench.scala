@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Skew measurement harness (round 9: "measure skew, not just size" —
+  * every prior ScaleGen sweep preserved the original distributions by
+  * construction; real 100 TB corpora are Zipf-skewed).
+  *
+  * `graft.SkewBench <uniformDir> <skewedDir> <q1,q2,...>` times each
+  * named SparkEntry query min-of-3 on BOTH corpora inside one session
+  * (same JVM, same warmup — the uniform/skewed RATIO is the metric, so
+  * shared-JVM inflation cancels) and prints one JSON line.
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val (uni, skw) = (args(0), args(1))
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+    def time(n: String, dir: String): Double = {
+      System.gc()
+      Seq.fill(3) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val rows = names.map(n => (n, time(n, uni), time(n, skw)))
+    val js = rows.map { case (n, tu, ts) =>
+      f""""$n":{"uniform":$tu%.3f,"skewed":$ts%.3f,"ratio":${ts / tu}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"skewbench":$js,"uniform_dir":"$uni","skewed_dir":"$skw"}""")
+    spark.stop()
+  }
+}
+
+/** `graft.SkewReport <dir>` — reports whether a corpus actually crosses
+  * the engine's own skew thresholds: the evidence that the salted/capped
+  * paths ENGAGE on it rather than stay dormant (PushdownSpec pins them
+  * dormant on the shipped uniform testdata; DedupSpec proves
+  * result-equality under a planted hot bucket — this tool closes the
+  * loop on generated corpora).
+  */
+object SkewReport {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import graft.core.Tables
+
+    // --- d3 band buckets vs the HotBucketRows salting threshold
+    val banded = graft.queries.Dedup.bandedSignatures(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), Nil)
+    val buckets = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("k")).collect().map(_.getLong(0)).sorted.reverse
+    val hotRows = graft.queries.Dedup.HotBucketRows
+    val salt = graft.queries.Dedup.HotBucketSalt
+    val hot = buckets.filter(_ > hotRows)
+    println(s"[skew] d3 buckets: total=${buckets.length} " +
+      s"hot(>$hotRows)=${hot.length} top5=${buckets.take(5).mkString(",")}")
+    hot.take(5).foreach { k =>
+      // the bound the salt buys: a k-doc bucket puts k*k probe pairs on
+      // ONE reducer unsalted, k*ceil(k/salt) on the largest salted task
+      println(s"[skew] d3 hot bucket k=$k: per-task pairs " +
+        s"unsalted=${k * k} salted(x$salt)=${k * ((k + salt - 1) / salt)}")
+    }
+
+    // --- winnow fingerprint df vs the cap and the salting band
+    val df = graft.queries.Dedup.winnowIndex(spark, dir).df
+    val maxDf = graft.queries.Dedup.WinnowMaxDf
+    val st = df.agg(
+      max(col("df")).as("max_df"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("capped"),
+      sum(when(col("df") > hotRows && col("df") <= maxDf, 1L).otherwise(0L))
+        .as("salted"),
+      count(lit(1)).as("n")).head()
+    println(s"[skew] winnow df: fingerprints=${st.getAs[Long]("n")} " +
+      s"capped(>$maxDf)=${st.getAs[Long]("capped")} " +
+      s"salt-band($hotRows,$maxDf]=${st.getAs[Long]("salted")} " +
+      s"max_df=${st.getAs[Long]("max_df")}")
+
+    // --- relational hot keys and the basket cap
+    val li = Tables.lineitem(spark, dir)
+    val nLi = li.count()
+    val topPart = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc).head().getAs[Long]("c")
+    val ords = Tables.orders(spark, dir)
+    val nOrd = ords.count()
+    val topCust = ords.groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc).head().getAs[Long]("c")
+    val topBasket = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc).head().getAs[Long]("c")
+    println(f"[skew] relational: top part $topPart/$nLi lines " +
+      f"(${100.0 * topPart / nLi}%.2f%%); top customer $topCust/$nOrd orders " +
+      f"(${100.0 * topCust / nOrd}%.2f%%); max basket $topBasket distinct " +
+      s"parts vs BasketCap=${graft.queries.Graph.BasketCap}")
+    spark.stop()
+  }
+}
