@@ -42,6 +42,19 @@ object BloomProbe {
   /** Build the bitset over the distinct values of `keyCol` (long-typed
     * keys). One count job to size, one aggregation to assemble. */
   def build(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Bloom = {
+    // enforce the long-key contract LOUDLY at build time: cast("long")
+    // on a non-numeric column maps every value to NULL (or throws an
+    // ANSI cast error mid-job), collapsing the distinct key set to one
+    // row and degenerating the filter to effectively all-pass — a
+    // correctness-adjacent failure with no error to point at it
+    val dt = keys.schema(keyCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+      s"BloomProbe.build requires an integral key column; '$keyCol' is " +
+        s"$dt — hash a string key to long (xxhash64) before building")
     // distinct once, pinned: the count (for sizing) and the position
     // explode both read it — without the checkpoint each would re-run
     // the distinct shuffle over the full key set. The cast enforces the

@@ -83,14 +83,29 @@ object SaltedJoin {
     * overhead — the AQE-style "decide from statistics at the
     * boundary" pattern. When hot keys exist, only then does the salted
     * plan materialize. */
+  /** Hard ceiling on the collected hot-key set: the contract says "keys
+    * crossing a skew threshold" — metadata-sized — and an unbounded
+    * collect of a miscomputed (near-full-cardinality) frame would OOM
+    * the driver with no actionable error. 64k hot keys is already far
+    * beyond any plausible skew profile. */
+  private[graft] val MaxHotKeys = 65536
+
   def hotOnlyPrecomputed(large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int, hotKeyFrame: DataFrame): DataFrame = {
     require(keys.nonEmpty && saltFactor > 0)
     // distinct: a caller-supplied frame with a duplicated hot key would
     // otherwise fan every matching row out once per duplicate through the
     // two membership joins — silently duplicated join output. The frame
-    // is metadata-sized, so the dedup is free.
-    val hotRows = hotKeyFrame.select(keys.map(col): _*).collect().distinct
+    // is metadata-sized, so the dedup is free. limit(MaxHotKeys + 1):
+    // bound the driver collect BEFORE it happens and fail with the
+    // contract named, not an OOM.
+    val hotRows = hotKeyFrame.select(keys.map(col): _*)
+      .distinct().limit(MaxHotKeys + 1).collect()
+    require(hotRows.length <= MaxHotKeys,
+      s"hot-key frame exceeds $MaxHotKeys distinct keys — not " +
+        "metadata-sized. hotOnlyPrecomputed's contract is a frame of " +
+        "keys whose row count crosses a skew threshold; a near-full key " +
+        "set here means the caller's threshold is miscomputed")
     if (hotRows.isEmpty) return large.join(small, keys)
     val session = large.sparkSession
     val hotKeys = session.createDataFrame(

@@ -164,6 +164,17 @@ object Pipeline {
               w.setDaemon(true)
               w.start()
             }
+            // bound the undead window before the caller can retry: give
+            // the cancelled attempt thread a short grace to actually
+            // exit, so driver-side NON-Spark side effects in a table
+            // body (snapshot commits, manifest/file writes) don't
+            // interleave with the retry's. A thread stuck past the
+            // grace is the watchdog's to kill; bodies whose side
+            // effects live outside Spark jobs must additionally be
+            // idempotent (the engine's own MERGE/commit paths are).
+            try t.join(5000)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt() }
             throw new TaskTimeoutException(name, policy.timeoutMillis)
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }

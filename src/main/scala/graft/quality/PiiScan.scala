@@ -69,8 +69,12 @@ object PiiScan {
     * (digit/space/dash/paren runs) also matches ISO dates ('2024-01-01'
     * is a 10-char run with 8 digits) and date-prefixed codes — reported
     * as phone PII, a masking consumer would then mangle date columns.
-    * Heuristic gate: a real phone carries >= 9 digits and is not
-    * date-shaped. */
+    * Heuristic gate: strip a LEADING date shape, then demand a
+    * phone-weight (>= 9) digit run in the remainder — a bare date
+    * strips to nothing and is rejected, while a genuine phone that
+    * happens to start with a date-shaped prefix ('2024-01-01 555 867
+    * 5309' captured as one run) still reports. Rejecting on the prefix
+    * alone silently dropped that second class. */
   private def hasValueMatch(
       kind: String, p: java.util.regex.Pattern, v: String): Boolean = {
     val m = p.matcher(v)
@@ -78,7 +82,9 @@ object PiiScan {
     while (!found && m.find()) {
       found = kind != "phone" || {
         val g = m.group()
-        g.count(_.isDigit) >= 9 && !DateShape.matcher(g).lookingAt()
+        val dm = DateShape.matcher(g)
+        val rest = if (dm.lookingAt()) g.substring(dm.end()) else g
+        rest.count(_.isDigit) >= 9
       }
     }
     found
