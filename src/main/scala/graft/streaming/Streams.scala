@@ -159,13 +159,22 @@ object Streams {
     *                   (the replay-skip is scoped to it — see [[runTag]]).
     * @return final target contents.
     */
+  /** @param faultInjector test-only crash hook, called at the two torn
+    *        windows of a commit: ("after-write", batchId) between the
+    *        snapshot write and the pointer flip, and
+    *        ("before-checkpoint", batchId) after the pointer flip but
+    *        before foreachBatch returns — i.e. before the engine commits
+    *        the batch to the offset log. Throwing simulates a crash
+    *        INSIDE the commit; StreamingSpec proves replay idempotence
+    *        for both windows. Default no-op. */
   def runMergeSink(
       updates: DataFrame,
       targetDir: String,
       keyCols: Seq[String],
       versionCol: String,
       checkpoint: String,
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil,
+      faultInjector: (String, Long) => Unit = (_, _) => ()): DataFrame = {
     val spark = updates.sparkSession
     val q = updates.writeStream
       .outputMode("append")
@@ -182,7 +191,9 @@ object Streams {
         if (!current.contains(s"$targetDir/$snapDir")) {
           val existing = current.map(s.read.parquet(_)).getOrElse(batch.limit(0))
           val merged = MergeOps.upsertLatestWins(existing, batch, keyCols, versionCol, tiebreak)
-          commitSnapshot(targetDir, snapDir, merged, current)
+          commitSnapshot(targetDir, snapDir, merged, current,
+            () => faultInjector("after-write", batchId))
+          faultInjector("before-checkpoint", batchId)
         }
         ()
       }
@@ -192,11 +203,14 @@ object Streams {
     // otherwise lazily re-read a snapshot dir that the NEXT run on this
     // target deletes when it flips the pointer — deferred consumption
     // would hit FileNotFoundException on files that were live at return.
-    // No snapshot at all = zero micro-batches ran against a fresh target
-    // (caught-up checkpoint / empty source): nothing was merged, so the
-    // honest result is an EMPTY target-schema frame, not a crash far
-    // from the cause (runBatchwise handles its zero-batch case the same
-    // way).
+    // A SEEDED target that saw zero batches resolves through Some below
+    // and keeps the seed's schema/column order (never updates.schema —
+    // the stream projection may legitimately differ from the seed). No
+    // snapshot at all = zero micro-batches ran against a truly fresh
+    // target (caught-up checkpoint / empty source): nothing was merged
+    // and no target schema exists, so the honest result is an EMPTY
+    // updates-schema frame, not a crash far from the cause (runBatchwise
+    // handles its zero-batch case the same way).
     resolveCurrent(targetDir) match {
       case Some(dir) => spark.read.parquet(dir).localCheckpoint(true)
       case None => spark.createDataFrame(
@@ -210,8 +224,10 @@ object Streams {
     * first). The pointer makes deleting the superseded snapshot safe,
     * bounding on-disk copies at ~2 instead of one per micro-batch. */
   private def commitSnapshot(targetDir: String, snapDir: String,
-      snapshot: DataFrame, current: Option[String]): Unit = {
+      snapshot: DataFrame, current: Option[String],
+      afterWrite: () => Unit = () => ()): Unit = {
     snapshot.write.mode("overwrite").parquet(s"$targetDir/$snapDir")
+    afterWrite() // torn-commit window: data written, pointer not flipped
     val tmp = java.nio.file.Paths.get(targetDir, "_current.tmp")
     Files.writeString(tmp, snapDir)
     Files.move(tmp, java.nio.file.Paths.get(targetDir, "_current"),

@@ -70,6 +70,50 @@ class StreamingSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("merge sink: a crash INSIDE the commit replays idempotently (both torn windows)") {
+    // The core production guarantee: a foreachBatch MERGE that dies
+    // mid-commit must converge to the clean-run target on restart. The
+    // commit has two distinct torn windows, both injected here:
+    //  1. "after-write": snapshot dir written, pointer NOT flipped,
+    //     batch not in the offset log → the replay must RE-MERGE (same
+    //     inputs, same deterministic snapshot name → identical commit).
+    //  2. "before-checkpoint": pointer flipped, batch not in the offset
+    //     log → the replay must SKIP (the pointer already names this
+    //     batch's snapshot; the skip IS the exactly-once scoping).
+    val srcDir = Files.createTempDirectory("graft_crash_src_").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L)).toDF("k", "v", "ver")
+      .write.mode("overwrite").parquet(srcDir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+
+    // clean reference run (own target + checkpoint)
+    val reference = Streams.runMergeSink(stream(),
+      Files.createTempDirectory("graft_crash_ref_").toString + "/t",
+      Seq("k"), "ver",
+      Files.createTempDirectory("graft_crash_refck_").toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(reference == Set((1L, "a", 1L), (2L, "b2", 2L)))
+
+    for (phase <- Seq("after-write", "before-checkpoint")) {
+      val target = Files.createTempDirectory("graft_crash_t_").toString + "/t"
+      val ck = Files.createTempDirectory("graft_crash_ck_").toString
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Streams.runMergeSink(stream(), target, Seq("k"), "ver", ck,
+          faultInjector = (p, _) =>
+            if (p == phase) throw new RuntimeException(s"injected crash at $p"))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(boom).exists(_.contains("injected crash")),
+        s"expected the injected $phase fault, got: $boom")
+      // restart on the SAME checkpoint, fault removed → replay converges
+      val replayed = Streams.runMergeSink(stream(), target, Seq("k"), "ver", ck)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(replayed == reference,
+        s"$phase replay diverged: $replayed vs $reference")
+    }
+  }
+
   test("merge sink: a FRESH checkpoint against an existing target merges, never skips as replay") {
     // the replay-skip is scoped per checkpoint: run B starts a new
     // checkpoint (batchId restarts at 0) against run A's target — its
