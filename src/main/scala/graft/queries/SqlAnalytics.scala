@@ -277,6 +277,63 @@ object SqlAnalytics extends QueryGroup {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // SQL7: the volume-shipping shape (TPC-H Q7) as pure SQL text — the
+    // two-nation bilateral-trade query: the lineitem fact joins supplier
+    // and orders→customer, and NATION joins TWICE under different
+    // aliases; the (NATION_3, NATION_7) pair is accepted in EITHER
+    // direction via an OR-of-conjunctions over columns of BOTH nation
+    // aliases, revenue rolled up per (supp_nation, cust_nation, year).
+    //
+    // Why this query earns its slot: the OR predicate spans two join
+    // branches, so it cannot push into either nation scan alone —
+    // Catalyst must keep it above both broadcast joins WITHOUT falling
+    // back to a cartesian between the two nation sides (join-order +
+    // OR-predicate handling, the exact trap VERDICT r8 named). The
+    // two-year shipdate range DOES push into the lineitem parquet scan.
+    // Both pins in PushdownSpec. Exact DECIMAL revenue; year() cast to
+    // BIGINT on both engines (DuckDB's year() is BIGINT-typed).
+    "sql7_volume_shipping" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_sql")
+        Tables.nation(s, d).createOrReplaceTempView("nation_sql")
+        s.sql("""
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+          FROM supplier_sql
+          JOIN lineitem_sql ON s_suppkey = l_suppkey
+          JOIN orders_sql ON o_orderkey = l_orderkey
+          JOIN customer_sql ON c_custkey = o_custkey
+          JOIN nation_sql n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation_sql n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 23:59:59'
+          GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+          ORDER BY supp_nation, cust_nation, l_year""")
+      },
+      oracle = Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 23:59:59'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year"""))
   )
 }

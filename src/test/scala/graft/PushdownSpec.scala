@@ -519,6 +519,24 @@ class PushdownSpec extends SparkSpec {
       s"sql6 date filter not pushed to the scan:\n$p6")
     assert(p6.contains("partial_sum"), s"sql6 lost map-side combine:\n$p6")
 
+    // sql7 (TPC-H Q7): the two-nation OR predicate spans both nation
+    // join branches, so it can't push into either scan — the pin is
+    // that Catalyst keeps it above the joins WITHOUT degrading to a
+    // cartesian between the nation sides, the dims still broadcast,
+    // and the two-year shipdate range DOES push into the lineitem scan.
+    val p7 = plan("sql7_volume_shipping")
+    assert(!p7.contains("CartesianProduct"),
+      s"sql7 planned a cartesian:\n$p7")
+    assert(p7.contains("BroadcastHashJoin"),
+      s"sql7 lost its broadcast dim joins:\n$p7")
+    // assert the range's lower bound by PushedFilters name; the upper
+    // bound rides the same PushedFilters list but toString truncates it
+    // (…), so pin it via the post-scan filter literal instead
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate"),
+      s"sql7 shipdate range not pushed to the lineitem scan:\n$p7")
+    assert(p7.contains("l_shipdate") && p7.contains("<= 1996-1"),
+      s"sql7 lost the shipdate upper bound:\n$p7")
+
     // gr4: the per-part top-3 must run as two-mode WindowGroupLimit
     // (its basket-scan pruning is pinned via basketScan above — the
     // checkpointed executed plan has no parquet scan to assert on).
