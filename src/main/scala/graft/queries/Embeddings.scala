@@ -107,6 +107,84 @@ object Embeddings extends QueryGroup {
   private[graft] val sqlCentStats =
     s"(SELECT count(*) AS n_vecs, least(CAST(ceil(sqrt(count(*))) AS BIGINT), $MaxCentroids) AS k_cent FROM embeddings) stats"
 
+  /** e4's IVF candidate stage, factored out so t30's hybrid retrieval
+    * runs the SAME index definition (sqrtSample centroids, lowest-id tie
+    * assignment, 8-probe search, exact re-scoring) instead of a drifting
+    * copy. Input: `vn(vec_id, ne)` normalized corpus, `q(q_id, q_ne)`
+    * normalized queries. Output: (q_id, vec_id, cos) — exact cosines
+    * over the vectors of the probed cells, the query itself excluded,
+    * null/NaN screened (NaN would top Double.compare).
+    *
+    * Scale: the centroid table is the min(√N, [[MaxCentroids]]) sample,
+    * broadcast twice (assignment, probe selection); the one corpus-sized
+    * shuffle is the probes⋈assign cell join, keyed on cid — cost follows
+    * the probed cells, not the corpus. */
+  private[graft] def ivfCandidates(vn: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cents = sqrtSample(vn, vn)
+      .select(col("vec_id").as("cid"), col("ne").as("ce"))
+    // nearest centroid per vector: argmax by (cos, -cid) — ties to
+    // the lowest centroid id, same as the oracle's row_number order
+    val assign = vn.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(
+          call_function("vec_dot", col("ne"), col("ce")).as("cos"),
+          (-col("cid")).as("negcid")).as("sc"))
+      .groupBy("vec_id").agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_ne"),
+        call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedTopK.topK(8)(col("cos"), col("cid")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("cid"))
+    probes
+      .join(assign, "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(q, "q_id")
+      .join(vn.select(col("vec_id"), col("ne")), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+      // null/NaN scores rank nowhere (NaN would top Double.compare)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+  }
+
+  /** DuckDB twin of [[ivfCandidates]]: the CTE chain `n` (normalized
+    * corpus) → `c`/`avb`/`assign` (index) → `q` (caller-supplied body,
+    * must yield (q_id, qe); may reference `n`) → `qc`/`probes` (8-probe)
+    * → `scored(q_id, vec_id, cos)`. ONE oracle text for e4 and t30. */
+  private[graft] def sqlIvfScored(qCteBody: String): String = s"""n AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ne AS ce FROM n, $sqlCentStats WHERE $sqlCentGate),
+        avb AS (
+          SELECT n.vec_id, c.cid,
+                 list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
+          FROM n CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM avb) WHERE rnk = 1),
+        q AS ($qCteBody),
+        qc AS (
+          SELECT q.q_id, c.cid,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ce[i])) AS cos
+          FROM q CROSS JOIN c),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qc) WHERE rnk <= 8),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)"""
+
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
     // Vectors are L2-normalized ONCE up front (cosine = plain dot after),
@@ -270,35 +348,9 @@ object Embeddings extends QueryGroup {
           .withColumn("nrm", norm(col("embedding")))
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
-        val cents = sqrtSample(vn, vn)
-          .select(col("vec_id").as("cid"), col("ne").as("ce"))
-        // nearest centroid per vector: argmax by (cos, -cid) — ties to
-        // the lowest centroid id, same as the oracle's row_number order
-        val assign = vn.crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            struct(
-              call_function("vec_dot", col("ne"), col("ce")).as("cos"),
-              (-col("cid")).as("negcid")).as("sc"))
-          .groupBy("vec_id").agg(max(col("sc")).as("best"))
-          .select(col("vec_id"), (-col("best.negcid")).as("cid"))
         val q = vn.filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
-        val probes = q.crossJoin(broadcast(cents))
-          .select(col("q_id"), col("q_ne"),
-            call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
-          .filter(col("cos").isNotNull && !isnan(col("cos")))
-          .groupBy(col("q_id"))
-          .agg(graft.functions.BoundedTopK.topK(8)(col("cos"), col("cid")).as("top"))
-          .select(col("q_id"), explode(col("top.id")).as("cid"))
-        probes
-          .join(assign, "cid")
-          .filter(col("vec_id") =!= col("q_id"))
-          .join(q, "q_id")
-          .join(vn.select(col("vec_id"), col("ne")), "vec_id")
-          .select(col("q_id"), col("vec_id"),
-            call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
-          // null/NaN scores rank nowhere (NaN would top Double.compare)
-          .filter(col("cos").isNotNull && !isnan(col("cos")))
+        ivfCandidates(vn, q)
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
           .select(col("q_id"), posexplode(col("top")))
@@ -307,36 +359,7 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(s"""
-        WITH n AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
-          FROM embeddings),
-        c AS (SELECT vec_id AS cid, ne AS ce FROM n, $sqlCentStats WHERE $sqlCentGate),
-        avb AS (
-          SELECT n.vec_id, c.cid,
-                 list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
-          FROM n CROSS JOIN c),
-        assign AS (
-          SELECT vec_id, cid FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM avb) WHERE rnk = 1),
-        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
-        qc AS (
-          SELECT q.q_id, c.cid,
-                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ce[i])) AS cos
-          FROM q CROSS JOIN c),
-        probes AS (
-          SELECT q_id, cid FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM qc) WHERE rnk <= 8),
-        scored AS (
-          SELECT p.q_id, a.vec_id,
-                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
-          FROM probes p
-          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
-          JOIN q ON q.q_id = p.q_id
-          JOIN n ON n.vec_id = a.vec_id)
+        WITH ${sqlIvfScored("SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0")}
         SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
         FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
               FROM scored)

@@ -935,37 +935,8 @@ object TextOps extends QueryGroup {
     // corpus size.
     "t20_hybrid_rrf" -> QueryDef(
       build = (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-        // query set: docs that have an embedding, id % 100 == 0
-        val qIds = broadcast(
-          Tables.embeddings(s, d).select(col("vec_id").as("q_id"))
-            .filter(col("q_id") % 100 === 0)
-            .join(Tables.documents(s, d).select(col("doc_id").as("q_id")),
-              Seq("q_id"), "left_semi"))
-        // ---- lexical list: BM25 over the query doc's 8 rarest tokens
-        // (shared scaffolding with t16 — bm25Corpus/bm25Micro are the
-        // ONE definition of the tokenized corpus and the scoring kernel)
-        val c = bm25Corpus(s, d)
-        val qtok = broadcast(
-          c.tok.join(qIds, col("doc_id") === col("q_id"))
-            .select(col("q_id"), col("token")).distinct()
-            .join(c.dfTab, "token")
-            .withColumn("trn", row_number().over(
-              w.partitionBy(col("q_id")).orderBy(col("df").asc, col("token").asc)))
-            .filter(col("trn") <= 8)
-            .select("q_id", "token", "df"))
-        val lex = c.tok.join(qtok, "token")
-          .filter(col("doc_id") =!= col("q_id"))
-          .groupBy(col("q_id"), col("doc_id"), col("token"), col("df"))
-          .agg(count(lit(1)).as("tf"))
-          .join(c.dl, "doc_id").crossJoin(c.totals)
-          .withColumn("micro", bm25Micro)
-          .groupBy("q_id", "doc_id").agg(sum(col("micro")).as("bm25"))
-          .withColumn("lex_rank", row_number().over(
-            w.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id").asc))
-            .cast("long"))
-          .filter(col("lex_rank") <= 50)
-          .select("q_id", "doc_id", "lex_rank")
+        val qIds = rrfQueryIds(s, d)
+        val lex = rrfLexLeg(s, d, qIds)
         // ---- semantic list: cosine top-50 (e1's broadcast-query shape;
         // Embeddings.norm is the family's one dot/norm definition)
         val vn = Tables.embeddings(s, d)
@@ -987,39 +958,14 @@ object TextOps extends QueryGroup {
           .select(col("q_id"), posexplode(col("top")))
           .select(col("q_id"), col("col.id").as("doc_id"),
             (col("pos") + 1).cast("long").as("sem_rank"))
-        // ---- RRF fusion: integer micro contributions, missing list = 0
-        lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
-          .withColumn("rrf_micro",
-            coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
-              coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
-          .withColumn("rn", row_number().over(
-            w.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id").asc))
-            .cast("long"))
-          .filter(col("rn") <= 10)
+        rrfFuse(lex, sem)
       },
       oracle = Some(s"""
         WITH $sqlBm25Ctes,
         q AS (SELECT e.vec_id AS q_id FROM embeddings e
               JOIN documents doc ON doc.doc_id = e.vec_id
               WHERE e.vec_id % 100 = 0),
-        qt0 AS (SELECT q.q_id, t.token, dfx.df,
-                  row_number() OVER (PARTITION BY q.q_id
-                    ORDER BY dfx.df ASC, t.token ASC) AS trn
-                FROM q
-                JOIN (SELECT DISTINCT doc_id, token FROM tok) t ON t.doc_id = q.q_id
-                JOIN dfx ON dfx.token = t.token),
-        qtok AS (SELECT q_id, token, df FROM qt0 WHERE trn <= 8),
-        tf AS (SELECT qt.q_id, t.doc_id, qt.token, qt.df, count(*) AS tf
-               FROM tok t JOIN qtok qt ON qt.token = t.token
-               WHERE t.doc_id <> qt.q_id GROUP BY 1, 2, 3, 4),
-        bm AS (SELECT f.q_id, f.doc_id,
-                 CAST(sum($sqlBm25Micro) AS BIGINT) AS bm25
-               FROM tf f JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN tot
-               GROUP BY 1, 2),
-        lex AS (SELECT q_id, doc_id,
-                  CAST(row_number() OVER (PARTITION BY q_id
-                    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
-                FROM bm QUALIFY lex_rank <= 50),
+        $sqlRrfLexCtes,
         n AS (SELECT vec_id,
                 list_transform(embedding,
                   x -> CAST(x AS DOUBLE) / sqrt(${Embeddings.sqlDotOf("embedding", "embedding")})) AS ne
@@ -1031,19 +977,61 @@ object TextOps extends QueryGroup {
         sem AS (SELECT q_id, doc_id,
                   CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS sem_rank
-                FROM cosall QUALIFY sem_rank <= 50),
-        fused AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
-                    coalesce(l.doc_id, s.doc_id) AS doc_id,
-                    l.lex_rank, s.sem_rank,
-                    coalesce(CAST(1000000 // (60 + l.lex_rank) AS BIGINT), 0) +
-                      coalesce(CAST(1000000 // (60 + s.sem_rank) AS BIGINT), 0) AS rrf
-                  FROM lex l FULL OUTER JOIN sem s
-                    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
-        SELECT q_id, doc_id, lex_rank, sem_rank,
-               CAST(rrf AS BIGINT) AS rrf_micro,
-               CAST(row_number() OVER (PARTITION BY q_id
-                 ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn
-        FROM fused QUALIFY rn <= 10"""),
+                FROM cosall QUALIFY sem_rank <= 50)
+        $sqlRrfFusion"""),
+      bench = true),
+
+    // T30: hybrid retrieval over an ANN shortlist — t20's fusion with
+    // the semantic leg swapped from the exact brute-force scan to e4's
+    // IVF 8-probe index (Embeddings.ivfCandidates — ONE index
+    // definition, two consumers). This is the composition a production
+    // RAG stack actually runs (BM25 leg + ANN shortlist + RRF), and it
+    // exercises ANN-output-as-join-input: the shortlist flows into the
+    // full-outer fusion join instead of terminating at a top-k.
+    //
+    // Scale: the lex leg is t20's rare-token bucket join; the semantic
+    // leg replaces t20's corpus×queries brute scan — the term that
+    // MEASURABLY carried t20's growth (SCALE.md tail 0.54) — with
+    // centroid-broadcast probes + one cid-keyed cell join, whose cost
+    // follows the 8 probed cells, not the corpus. The recall price of
+    // the shortlist vs t20's exact leg is measured and gated in
+    // TextOpsSpec (the e4-vs-e1 recall contract applied to fused lists).
+    "t30_hybrid_ann_rrf" -> QueryDef(
+      build = (s, d) => {
+        val qIds = rrfQueryIds(s, d)
+        val lex = rrfLexLeg(s, d, qIds)
+        val vn = Tables.embeddings(s, d)
+          .transform(Tables.spread)
+          // plain norm (the family rule): zero-norm aborts under ANSI,
+          // NaN components drop at ivfCandidates' !isnan filters; e8 is
+          // the pre-flight gate
+          .withColumn("nrm", Embeddings.norm(col("embedding")))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val qv = vn.join(qIds, col("vec_id") === col("q_id"))
+          .select(col("q_id"), col("ne").as("q_ne"))
+        val sem = Embeddings.ivfCandidates(vn, qv)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(50)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("sem_rank"))
+        rrfFuse(lex, sem)
+      },
+      oracle = Some(s"""
+        WITH $sqlBm25Ctes,
+        ${Embeddings.sqlIvfScored("""SELECT e.vec_id AS q_id, n.ne AS qe
+              FROM embeddings e
+              JOIN documents doc ON doc.doc_id = e.vec_id
+              JOIN n ON n.vec_id = e.vec_id
+              WHERE e.vec_id % 100 = 0""")},
+        $sqlRrfLexCtes,
+        sem AS (SELECT q_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS sem_rank
+                FROM (SELECT q_id, vec_id AS doc_id, cos FROM scored)
+                QUALIFY sem_rank <= 50)
+        $sqlRrfFusion"""),
       bench = true),
 
     // T21: LENGTH-BUCKET padding analytics — training batches pad every
@@ -1610,6 +1598,99 @@ object TextOps extends QueryGroup {
                        (CAST(f.tf AS DOUBLE) +
                          1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
                    * 1000000.0) AS BIGINT)"""
+
+  /** The t20/t30 query set: docs that have an embedding, id % 100 == 0
+    * — broadcast (workload-sized). */
+  private def rrfQueryIds(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    broadcast(
+      Tables.embeddings(s, d).select(col("vec_id").as("q_id"))
+        .filter(col("q_id") % 100 === 0)
+        .join(Tables.documents(s, d).select(col("doc_id").as("q_id")),
+          Seq("q_id"), "left_semi"))
+
+  /** The t20/t30 lexical leg — BM25 over each query doc's 8 rarest
+    * tokens, ranks 1..50 per query (bm25Corpus/bm25Micro are the ONE
+    * definition of the tokenized corpus and the scoring kernel, shared
+    * with t16). Output: (q_id, doc_id, lex_rank). */
+  private def rrfLexLeg(s: org.apache.spark.sql.SparkSession, d: String,
+      qIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val c = bm25Corpus(s, d)
+    val qtok = broadcast(
+      c.tok.join(qIds, col("doc_id") === col("q_id"))
+        .select(col("q_id"), col("token")).distinct()
+        .join(c.dfTab, "token")
+        .withColumn("trn", row_number().over(
+          w.partitionBy(col("q_id")).orderBy(col("df").asc, col("token").asc)))
+        .filter(col("trn") <= 8)
+        .select("q_id", "token", "df"))
+    c.tok.join(qtok, "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"), col("token"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+      .join(c.dl, "doc_id").crossJoin(c.totals)
+      .withColumn("micro", bm25Micro)
+      .groupBy("q_id", "doc_id").agg(sum(col("micro")).as("bm25"))
+      .withColumn("lex_rank", row_number().over(
+        w.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("lex_rank") <= 50)
+      .select("q_id", "doc_id", "lex_rank")
+  }
+
+  /** The t20/t30 RRF fusion: integer micro contributions, a missing
+    * list contributes 0; top-10 per query with a total tiebreak. */
+  private def rrfFuse(lex: org.apache.spark.sql.DataFrame,
+      sem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  /** DuckDB twin of [[rrfLexLeg]] (CTEs qt0/qtok/tf/bm/lex; expects
+    * tok/dl/tot/dfx from [[sqlBm25Ctes]] and a `q(q_id, ...)` CTE in
+    * scope). */
+  private val sqlRrfLexCtes: String = s"""qt0 AS (SELECT q.q_id, t.token, dfx.df,
+                  row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY dfx.df ASC, t.token ASC) AS trn
+                FROM q
+                JOIN (SELECT DISTINCT doc_id, token FROM tok) t ON t.doc_id = q.q_id
+                JOIN dfx ON dfx.token = t.token),
+        qtok AS (SELECT q_id, token, df FROM qt0 WHERE trn <= 8),
+        tf AS (SELECT qt.q_id, t.doc_id, qt.token, qt.df, count(*) AS tf
+               FROM tok t JOIN qtok qt ON qt.token = t.token
+               WHERE t.doc_id <> qt.q_id GROUP BY 1, 2, 3, 4),
+        bm AS (SELECT f.q_id, f.doc_id,
+                 CAST(sum($sqlBm25Micro) AS BIGINT) AS bm25
+               FROM tf f JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN tot
+               GROUP BY 1, 2),
+        lex AS (SELECT q_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+                FROM bm QUALIFY lex_rank <= 50)"""
+
+  /** DuckDB twin of [[rrfFuse]] (the closing `fused` CTE + final SELECT;
+    * expects `lex` and `sem` CTEs in scope). */
+  private val sqlRrfFusion: String = """,
+        fused AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                    coalesce(l.doc_id, s.doc_id) AS doc_id,
+                    l.lex_rank, s.sem_rank,
+                    coalesce(CAST(1000000 // (60 + l.lex_rank) AS BIGINT), 0) +
+                      coalesce(CAST(1000000 // (60 + s.sem_rank) AS BIGINT), 0) AS rrf
+                  FROM lex l FULL OUTER JOIN sem s
+                    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+        SELECT q_id, doc_id, lex_rank, sem_rank,
+               CAST(rrf AS BIGINT) AS rrf_micro,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn
+        FROM fused QUALIFY rn <= 10"""
 
   /** t17's broadcast quota table: (source, n, quota) with
     * wm = floor(√n · 1e6), W = Σwm, B = 40% of the doc count, and

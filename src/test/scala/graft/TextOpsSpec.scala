@@ -388,6 +388,33 @@ class TextOpsSpec extends SparkSpec {
     assert(byDoc(3L)._3 < byDoc(4L)._3, s"meaning-only must out-fuse unrelated: $byDoc")
   }
 
+  test("t30: IVF-shortlist hybrid keeps most of t20's exact fused top-10 (recall delta recorded)") {
+    // t30 trades t20's exact brute-force semantic leg for e4's 8-probe
+    // IVF shortlist — the production composition. The price is recall
+    // against the exact fusion; this spec MEASURES it (driver testdata,
+    // sf0.01) and gates a floor: per-query top-10 overlap >= 0.5, mean
+    // >= 0.6. Measured at round 9: per-query 0.70-0.90, mean 0.80 —
+    // i.e. the shortlist swap costs ~2 of 10 fused results, the e4
+    // recall contract carried through the fusion.
+    val sf01 = "/root/testdata/sf0.01"
+    def top10(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf01)
+        .select(col("q_id"), col("doc_id")).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top10("t20_hybrid_rrf")
+    val ann = top10("t30_hybrid_ann_rrf")
+    assert(exact.keySet == ann.keySet, "query sets must match")
+    val overlaps = exact.map { case (q, docs) =>
+      val o = (docs & ann(q)).size.toDouble / docs.size
+      assert(o >= 0.5, f"t30 lost too much of t20's top-10 for query $q: $o%.2f")
+      o
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.6, f"mean t30-vs-t20 top-10 overlap $mean%.2f below floor")
+    info(f"t30 vs t20 top-10 overlap: mean $mean%.2f over ${overlaps.size} queries")
+  }
+
   test("t26: unaligned cross-doc overlap merges to one span; within-doc repetition excluded") {
     // shared = a 12-token passage (5 duplicated 8-grams, positions merge
     // into ONE span) planted at DIFFERENT offsets in docs 1 and 2 — the
