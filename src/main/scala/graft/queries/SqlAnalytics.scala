@@ -334,6 +334,56 @@ object SqlAnalytics extends QueryGroup {
           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                              AND TIMESTAMP '1996-12-31 23:59:59'
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-        ORDER BY supp_nation, cust_nation, l_year"""))
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // SQL8: the returned-item-reporting shape (TPC-H Q10) as pure SQL
+    // text — which customers returned the most revenue in a quarter:
+    // fact⋈orders⋈customer⋈nation with a returnflag filter on the fact
+    // and a one-quarter date window on orders, top-20 by lost revenue.
+    //
+    // Scale/plan: both filters push into their respective parquet scans
+    // (returnflag is a low-cardinality string pushed to lineitem; the
+    // date window to orders), nation broadcasts, and the top-20 plans
+    // as TakeOrderedAndProject off the aggregate — never a global sort.
+    // Exact DECIMAL revenue; o_orderkey-free grouping keeps cells =
+    // customers, so output is dim-sized whatever the fact size.
+    "sql8_returned_items" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.nation(s, d).createOrReplaceTempView("nation_sql")
+        s.sql("""
+          SELECT c_custkey, c_name,
+                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+                 round(CAST(c_acctbal AS DOUBLE), 4) AS acctbal,
+                 n_name
+          FROM customer_sql
+          JOIN orders_sql ON c_custkey = o_custkey
+          JOIN lineitem_sql ON l_orderkey = o_orderkey
+          JOIN nation_sql ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY revenue DESC, c_custkey
+          LIMIT 20""")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+               round(CAST(c_acctbal AS DOUBLE), 4) AS acctbal,
+               n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20"""))
   )
 }

@@ -537,6 +537,17 @@ class PushdownSpec extends SparkSpec {
     assert(p7.contains("l_shipdate") && p7.contains("<= 1996-1"),
       s"sql7 lost the shipdate upper bound:\n$p7")
 
+    // sql8 (TPC-H Q10): returnflag pushes into the lineitem scan, the
+    // quarter window into the orders scan, and the top-20 plans as
+    // TakeOrderedAndProject off the aggregate.
+    val p8 = plan("sql8_returned_items")
+    assert(p8.contains("EqualTo(l_returnflag,R)"),
+      s"sql8 returnflag not pushed to the lineitem scan:\n$p8")
+    assert(p8.contains("GreaterThanOrEqual(o_orderdate"),
+      s"sql8 date window not pushed to the orders scan:\n$p8")
+    assert(p8.contains("TakeOrderedAndProject"),
+      s"sql8 top-20 must never global-sort:\n$p8")
+
     // gr4: the per-part top-3 must run as two-mode WindowGroupLimit
     // (its basket-scan pruning is pinned via basketScan above — the
     // checkpointed executed plan has no parquet scan to assert on).

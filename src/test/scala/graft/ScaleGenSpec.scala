@@ -71,4 +71,69 @@ class ScaleGenSpec extends SparkSpec {
     assert(repTexts.forall(_.split(" ").length == baseText.split(" ").length),
       "cipher must be 1:1 on tokens")
   }
+
+  test("writeSkewed: identical volume, preserved lengths, keys redistributed not invented") {
+    // The skew measurement's load-bearing invariant: uniform and skewed
+    // corpora differ ONLY in distribution — same row count per table,
+    // same per-document text length (prefix REPLACEMENT) — so a
+    // uniform/skewed wall-time ratio can't be measuring data size.
+    val src = java.nio.file.Files.createTempDirectory("graft_skw_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_skw_out_").toString
+    val docs = (0L until 400L).map(i =>
+      (i, s"organic w$i " * 20 + s"tail$i", "en", "s", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    (1L to 50L).map(i => (i, "S")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$src/customer.parquet")
+    (1L to 500L).map(i => (i, 1 + i % 50,
+        java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "F", 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    (1L to 500L).flatMap(o => (1 to 3).map(ln =>
+        (o, 1 + (o * 7 + ln) % 40, ln, 1.0)))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$src/lineitem.parquet")
+    Seq((1L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$src/events.parquet")
+    (1L to 40L).map(i => (i, "p")).toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$src/part.parquet")
+    Seq((1L, "sp", 1L)).toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$src/supplier.parquet")
+    Seq((1L, "n", 1L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$src/nation.parquet")
+    Seq((1L, "r")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$src/region.parquet")
+    Seq((1L, Seq.tabulate(64)(_.toFloat), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+
+    ScaleGen.writeSkewed(spark, src, out)
+
+    // volume identity, table by table
+    for (t <- Seq("orders", "lineitem", "documents", "customer", "part",
+        "events", "embeddings"))
+      assert(spark.read.parquet(s"$out/$t.parquet").count() ==
+        spark.read.parquet(s"$src/$t.parquet").count(), s"$t row count changed")
+
+    // documents: every text keeps its EXACT length; some texts changed
+    val lens = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("a"))
+      .join(spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), length(col("text")).as("b"),
+          col("text").startsWith("zb").as("boiled")), "doc_id")
+    assert(lens.filter(col("a") =!= col("b")).count() == 0,
+      "prefix replacement must preserve every text length")
+    val boiled = lens.filter(col("boiled")).count()
+    assert(boiled > 0 && boiled < 400, s"boilerplate tier size off: $boiled")
+
+    // keys are REASSIGNED to existing mins, never invented: the skewed
+    // key sets are subsets of the uniform ones, and the min key is hot
+    val sk = spark.read.parquet(s"$out/lineitem.parquet")
+    assert(sk.join(spark.read.parquet(s"$src/part.parquet"),
+      col("l_partkey") === col("p_partkey"), "left_anti").count() == 0,
+      "skewed l_partkey must stay inside the part dim")
+    val hotShare = sk.filter(col("l_partkey") === 1L).count().toDouble / 1500
+    assert(hotShare > 0.02 && hotShare < 0.10,
+      s"hot part share out of band: $hotShare")
+  }
 }
