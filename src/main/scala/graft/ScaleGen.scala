@@ -183,14 +183,20 @@ object ScaleGen {
   private[graft] val BoilerTierBPct      = 12  // % of docs spread over the variants
   private[graft] val BoilerFrac          = 0.55 // prefix fraction replaced
 
-  /** Boilerplate text for variant v: synthetic tokens disjoint from the
-    * organic vocabulary, so injected shingles/fingerprints collide only
-    * across docs sharing the SAME boilerplate — the license-header /
-    * template regime the d12 df cap and d3 hot-bucket salting exist
-    * for. ~700 chars — longer than [[BoilerFrac]] × the longest doc, so
-    * a prefix substring never runs short. */
-  private[graft] def boilerText(v: Int): String =
-    (0 until 90).map(i => s"zb${v}w${i % 30}").mkString(" ")
+  /** Boilerplate text for variant v, tiled to at least `minLen` chars:
+    * synthetic tokens disjoint from the organic vocabulary, so injected
+    * shingles/fingerprints collide only across docs sharing the SAME
+    * boilerplate — the license-header / template regime the d12 df cap
+    * and d3 hot-bucket salting exist for. The caller sizes `minLen` to
+    * cover [[BoilerFrac]] × the longest document; a too-short literal
+    * would silently SHORTEN long docs (substr(boiler, 1, plen) returns
+    * fewer than plen chars) and break the identical-volume invariant
+    * the skew measurement rests on — writeSkewed asserts the cover. */
+  private[graft] def boilerText(v: Int, minLen: Int = 700): String = {
+    val unit = (0 until 90).map(i => s"zb${v}w${i % 30}").mkString(" ") + " "
+    val reps = minLen / unit.length + 1
+    (unit * reps).trim
+  }
 
   /** Zipf-skewed twin of a uniform corpus at IDENTICAL volume: every
     * table keeps its exact row count (documents additionally their exact
@@ -243,7 +249,17 @@ object ScaleGen {
           lit(hotOrder)).otherwise(col("l_orderkey")))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    val boilers = array((0 to BoilerVariants).map(v => lit(boilerText(v))): _*)
+    // size the boilerplate off the corpus's own longest document: the
+    // length-preservation invariant (prefix substring must COVER plen)
+    // holds for any regenerated testdata, not just today's ~600-char docs
+    val docsSrc = spark.read.parquet(s"$src/documents.parquet")
+    val maxLen = docsSrc.agg(max(length(col("text"))).cast("long")).head().getLong(0)
+    val needed = math.ceil(maxLen * BoilerFrac).toInt + 1
+    val boilerTexts = (0 to BoilerVariants).map(v => boilerText(v, needed))
+    require(boilerTexts.forall(_.length >= needed),
+      s"boilerplate shorter than BoilerFrac x longest doc ($needed chars) " +
+        "— prefix replacement would silently shorten texts")
+    val boilers = array(boilerTexts.map(lit): _*)
     val tier = pick(100, col("doc_id"), lit("boiler"))
     // variant 0 = the shared tier-A boilerplate; 1..BoilerVariants = tier B
     val variant = when(tier < BoilerTierAPct, lit(0))
@@ -252,7 +268,7 @@ object ScaleGen {
           .cast("int"))
       .otherwise(lit(-1))
     val plen = ceil(length(col("text")) * lit(BoilerFrac)).cast("int")
-    spark.read.parquet(s"$src/documents.parquet")
+    docsSrc
       .withColumn("_v", variant)
       .withColumn("text",
         when(col("_v") >= 0,

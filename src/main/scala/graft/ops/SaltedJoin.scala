@@ -83,12 +83,15 @@ object SaltedJoin {
     * overhead — the AQE-style "decide from statistics at the
     * boundary" pattern. When hot keys exist, only then does the salted
     * plan materialize. */
-  /** Hard ceiling on the collected hot-key set: the contract says "keys
-    * crossing a skew threshold" — metadata-sized — and an unbounded
-    * collect of a miscomputed (near-full-cardinality) frame would OOM
-    * the driver with no actionable error. 64k hot keys is already far
-    * beyond any plausible skew profile. */
-  private[graft] val MaxHotKeys = 65536
+  /** Hard ceiling on the collected hot-key set — a guard against a
+    * MISCOMPUTED near-full-cardinality frame, not a skew-profile bound:
+    * legitimate hot sets can be large (d12 feeds every salt-band
+    * fingerprint here, and template-heavy web corpora carry thousands of
+    * families), so the cap sits at 2^20 keys (~100 MB of collected rows
+    * at worst — comfortably inside the driver) rather than anywhere
+    * near a plausible hot-key count. Crossing it means the caller's
+    * threshold admits a meaningful fraction of ALL keys. */
+  private[graft] val MaxHotKeys = 1 << 20
 
   def hotOnlyPrecomputed(large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int, hotKeyFrame: DataFrame): DataFrame = {

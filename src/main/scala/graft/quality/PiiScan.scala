@@ -69,21 +69,23 @@ object PiiScan {
     * (digit/space/dash/paren runs) also matches ISO dates ('2024-01-01'
     * is a 10-char run with 8 digits) and date-prefixed codes — reported
     * as phone PII, a masking consumer would then mangle date columns.
-    * Heuristic gate: strip a LEADING date shape, then demand a
-    * phone-weight (>= 9) digit run in the remainder — a bare date
-    * strips to nothing and is rejected, while a genuine phone that
+    * Heuristic gate: strip EVERY date shape from the match, then demand
+    * a phone-weight (>= 9) digit run in the remainder — a bare date or
+    * a run of consecutive dates ('2024-01-01 2024-01-02 2024-01-03')
+    * strips to separators and is rejected, while a genuine phone that
     * happens to start with a date-shaped prefix ('2024-01-01 555 867
-    * 5309' captured as one run) still reports. Rejecting on the prefix
-    * alone silently dropped that second class. */
+    * 5309' captured as one run) still reports. Rejecting on a leading
+    * date alone silently dropped that class; a value-sample scanner
+    * leans recall-over-precision on what survives the strip (a
+    * date-prefixed 10-digit id still reports — masking consumers
+    * confirm by column, not by one sampled hit). */
   private def hasValueMatch(
       kind: String, p: java.util.regex.Pattern, v: String): Boolean = {
     val m = p.matcher(v)
     var found = false
     while (!found && m.find()) {
       found = kind != "phone" || {
-        val g = m.group()
-        val dm = DateShape.matcher(g)
-        val rest = if (dm.lookingAt()) g.substring(dm.end()) else g
+        val rest = DateShape.matcher(m.group()).replaceAll("")
         rest.count(_.isDigit) >= 9
       }
     }

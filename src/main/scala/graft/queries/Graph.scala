@@ -224,11 +224,10 @@ object Graph extends QueryGroup {
       },
       oracle = Some(s"""
         WITH $sqlPoCte,
-        op AS (SELECT ok, p FROM po),
-        pc AS (SELECT p, count(*) AS np FROM op GROUP BY 1),
+        pc AS (SELECT p, count(*) AS np FROM po GROUP BY 1),
         co AS (
           SELECT a.p AS p1, b.p AS p2, count(*) AS co
-          FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+          FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p
           GROUP BY 1, 2 HAVING count(*) >= 2),
         sym AS (
           SELECT p1 AS part, p2 AS rec, co FROM co

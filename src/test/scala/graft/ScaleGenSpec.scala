@@ -79,8 +79,12 @@ class ScaleGenSpec extends SparkSpec {
     // uniform/skewed wall-time ratio can't be measuring data size.
     val src = java.nio.file.Files.createTempDirectory("graft_skw_src_").toString
     val out = java.nio.file.Files.createTempDirectory("graft_skw_out_").toString
+    // one deliberately LONG doc (3000+ chars): the boilerplate must tile
+    // to cover BoilerFrac x the longest doc or prefix replacement would
+    // silently shorten it (the round-9 review finding)
     val docs = (0L until 400L).map(i =>
-      (i, s"organic w$i " * 20 + s"tail$i", "en", "s", 1L))
+      (i, s"organic w$i " * 20 + s"tail$i", "en", "s", 1L)) :+
+      ((400L, "long w " * 500 + "end", "en", "s", 1L))
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$src/documents.parquet")
     (1L to 50L).map(i => (i, "S")).toDF("c_custkey", "c_mktsegment")
@@ -124,7 +128,7 @@ class ScaleGenSpec extends SparkSpec {
     assert(lens.filter(col("a") =!= col("b")).count() == 0,
       "prefix replacement must preserve every text length")
     val boiled = lens.filter(col("boiled")).count()
-    assert(boiled > 0 && boiled < 400, s"boilerplate tier size off: $boiled")
+    assert(boiled > 0 && boiled < 401, s"boilerplate tier size off: $boiled")
 
     // keys are REASSIGNED to existing mins, never invented: the skewed
     // key sets are subsets of the uniform ones, and the min key is hot
