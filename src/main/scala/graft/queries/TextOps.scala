@@ -481,12 +481,16 @@ object TextOps extends QueryGroup {
           SELECT doc_id, CAST(start // 10 AS BIGINT) AS chunk_idx,
                  md5(array_to_string(list_slice(toks, start + 1, start + 10), ' ')) AS fp
           FROM t, unnest(range(0, len(toks), 10)) AS u(start)),
-        w AS (SELECT fp, min(doc_id * 1000000000 + chunk_idx) AS kk FROM ch GROUP BY fp)
+        w AS (SELECT fp, doc_id AS kd, chunk_idx AS kc FROM (
+                SELECT fp, doc_id, chunk_idx,
+                       row_number() OVER (PARTITION BY fp
+                         ORDER BY doc_id, chunk_idx) AS rn
+                FROM ch) WHERE rn = 1)
         SELECT ch.doc_id AS doc_id,
                count(*) AS n_chunks,
-               CAST(sum(CASE WHEN ch.doc_id * 1000000000 + ch.chunk_idx = w.kk
+               CAST(sum(CASE WHEN ch.doc_id = w.kd AND ch.chunk_idx = w.kc
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               CAST(count(*) - sum(CASE WHEN ch.doc_id * 1000000000 + ch.chunk_idx = w.kk
+               CAST(count(*) - sum(CASE WHEN ch.doc_id = w.kd AND ch.chunk_idx = w.kc
                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM ch JOIN w ON ch.fp = w.fp
         GROUP BY ch.doc_id"""),
