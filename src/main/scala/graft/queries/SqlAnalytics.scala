@@ -384,6 +384,51 @@ object SqlAnalytics extends QueryGroup {
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // SQL9: the discounted-revenue shape (TPC-H Q19) as pure SQL text —
+    // the OR-of-condition-groups stress: three disjunct conjunction
+    // groups, each mixing PART-side predicates (brand, size band) with
+    // LINEITEM-side predicates (quantity band), summed to one scalar.
+    //
+    // Why it earns its slot: the whole WHERE spans both join sides, so
+    // nothing pushes verbatim — the optimizer must still derive the
+    // per-side residuals (the brand IN-set for the part scan, the
+    // quantity hull for the fact scan) from the disjunction rather than
+    // scanning everything into the join. The pin asserts the join stays
+    // a broadcast hash join keyed on p_partkey with no cartesian, and
+    // that the aggregate is a single global cell (map-side combined).
+    // Exact DECIMAL revenue, count carried alongside so the single-row
+    // result hashes over more than one number.
+    "sql9_discounted_revenue" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.part(s, d).createOrReplaceTempView("part_sql")
+        s.sql("""
+          SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+                 count(*) AS n_lines
+          FROM lineitem_sql
+          JOIN part_sql ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 20 AND 30)""")
+      },
+      oracle = Some("""
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)"""))
   )
 }

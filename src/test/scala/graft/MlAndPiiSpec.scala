@@ -23,6 +23,25 @@ class MlAndPiiSpec extends SparkSpec {
     assert(!findings.exists(_.column == "balance"))
   }
 
+  test("PiiScan phone gate: dates never report, date-prefixed phones do") {
+    // the round-9 gate semantics: EVERY date shape is stripped from a
+    // match before the >= 9-digit phone test, so bare dates and runs of
+    // consecutive dates (16 digits across two dates!) stay silent while
+    // a phone captured behind a date prefix still reports
+    def kindsOf(values: Seq[String]): Set[String] = {
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "freetext")
+      PiiScan.scan(df).filter(_.column == "freetext").map(_.kind).toSet
+    }
+    assert(!kindsOf(Seq("2024-01-01")).contains("phone"),
+      "a bare ISO date is not a phone")
+    assert(!kindsOf(Seq("2024-01-01 2024-01-02 2024-01-03")).contains("phone"),
+      "consecutive dates must not sum their digits into a phone")
+    assert(kindsOf(Seq("2024-01-01 555 867 5309 x2")).contains("phone"),
+      "a genuine phone behind a date-shaped prefix must report")
+    assert(kindsOf(Seq("+1 (555) 123-4567")).contains("phone"))
+  }
+
   test("churn model trains on the cf1 features and separates the planted signal") {
     val feats = SparkEntry.queries("cf1_churn_features")(spark, "/root/testdata/sf0.001")
     val trained = ChurnModel.train(

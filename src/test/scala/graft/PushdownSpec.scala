@@ -548,6 +548,22 @@ class PushdownSpec extends SparkSpec {
     assert(p8.contains("TakeOrderedAndProject"),
       s"sql8 top-20 must never global-sort:\n$p8")
 
+    // sql9 (TPC-H Q19): the WHERE is an OR of condition groups spanning
+    // BOTH join sides — nothing pushes verbatim, so the pin is that the
+    // optimizer still derives the per-side residual disjunctions (the
+    // quantity-band OR into the lineitem scan, the brand/size OR into
+    // the part scan), keeps the join a broadcast hash join, and
+    // combines the single-cell aggregate map-side.
+    val p9 = plan("sql9_discounted_revenue")
+    assert(!p9.contains("CartesianProduct") && p9.contains("BroadcastHashJoin"),
+      s"sql9 lost its broadcast join:\n$p9")
+    assert(p9.contains("GreaterThanOrEqual(l_quantity,1.0"),
+      s"sql9 quantity disjunction not pushed to the lineitem scan:\n$p9")
+    assert(p9.contains("EqualTo(p_brand"),
+      s"sql9 brand disjunction not pushed to the part scan:\n$p9")
+    assert(p9.contains("partial_sum") && p9.contains("partial_count"),
+      s"sql9 lost map-side combine:\n$p9")
+
     // gr4: the per-part top-3 must run as two-mode WindowGroupLimit
     // (its basket-scan pruning is pinned via basketScan above — the
     // checkpointed executed plan has no parquet scan to assert on).
