@@ -178,6 +178,7 @@ object ScaleGen {
   private[graft] val HotCustomerOrderPct = 1   // % of ALL orders → one customer
   private[graft] val HotPartLinePct      = 2   // % of ALL lineitems → one part
   private[graft] val MegaBasketPerMille  = 1   // ‰ of lineitems → one order
+  private[graft] val HotUserEventPct     = 2   // % of ALL events → one user
   private[graft] val BoilerTierAPct      = 20  // % of docs sharing ONE boilerplate
   private[graft] val BoilerVariants      = 12  // tier-B variant count
   private[graft] val BoilerTierBPct      = 12  // % of docs spread over the variants
@@ -284,8 +285,16 @@ object ScaleGen {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-    // events: same physical-type care as writeRelational
-    graft.core.Tables.events(spark, src)
+    // events: [[HotUserEventPct]]% of ALL events reassigned to the
+    // smallest user id — the STREAMING-state skew regime (st9's
+    // flatMapGroupsWithState gets one key carrying 2% of the corpus in
+    // a single group iterator; w1/w2/w3's per-user windows get the same
+    // hot partition). Same physical-type care as writeRelational.
+    val ev = graft.core.Tables.events(spark, src)
+    val hotUser = ev.agg(min(col("user_id")).cast("long")).head().getLong(0)
+    ev.withColumn("user_id",
+        when(pick(100 / HotUserEventPct, col("event_id"), lit("hu")) === 0,
+          lit(hotUser)).otherwise(col("user_id")))
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"""{"skew_corpus":"$out","hot_cust":$hotCust,"hot_part":$hotPart,"hot_order":$hotOrder}""")
