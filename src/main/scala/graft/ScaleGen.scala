@@ -222,9 +222,15 @@ object ScaleGen {
     *    variant's fingerprint df inside Dedup's (HotBucketRows,
     *    WinnowMaxDf] salting band. Prefix REPLACEMENT, not prepend:
     *    lengths (and the n_chars column) stay truthful.
+    *  - events: [[HotUserEventPct]]% of rows reassigned to the smallest
+    *    user id — the STREAMING-state hot key (st9's
+    *    flatMapGroupsWithState drains one key carrying 2% of the corpus
+    *    through a single group iterator; w1/w2/w3's per-user windows
+    *    get the same hot partition).
     *
     * Hot keys are the smallest existing key of each table, so no foreign
-    * key breaks. Everything else copies through verbatim.
+    * key breaks. The remaining tables (customer, part, supplier, nation,
+    * region, embeddings) copy through verbatim.
     */
   def writeSkewed(spark: SparkSession, src: String, out: String): Unit = {
     def minKey(table: String, k: String): Long =
@@ -297,7 +303,7 @@ object ScaleGen {
           lit(hotUser)).otherwise(col("user_id")))
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    println(s"""{"skew_corpus":"$out","hot_cust":$hotCust,"hot_part":$hotPart,"hot_order":$hotOrder}""")
+    println(s"""{"skew_corpus":"$out","hot_cust":$hotCust,"hot_part":$hotPart,"hot_order":$hotOrder,"hot_user":$hotUser}""")
   }
 }
 

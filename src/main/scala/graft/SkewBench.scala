@@ -103,6 +103,14 @@ object SkewReport {
       f"(${100.0 * topPart / nLi}%.2f%%); top customer $topCust/$nOrd orders " +
       f"(${100.0 * topCust / nOrd}%.2f%%); max basket $topBasket distinct " +
       s"parts vs BasketCap=${graft.queries.Graph.BasketCap}")
+
+    // --- streaming-state hot key (st9/w1/w3 partition on user_id)
+    val ev = Tables.events(spark, dir)
+    val nEv = ev.count()
+    val topUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc).head().getAs[Long]("c")
+    println(f"[skew] events: top user $topUser/$nEv events " +
+      f"(${100.0 * topUser / nEv}%.2f%%)")
     spark.stop()
   }
 }

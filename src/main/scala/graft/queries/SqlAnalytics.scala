@@ -415,7 +415,7 @@ object SqlAnalytics extends QueryGroup {
                  AND l_quantity BETWEEN 1 AND 11)
              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
                  AND l_quantity BETWEEN 10 AND 20)
-             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                  AND l_quantity BETWEEN 20 AND 30)""")
       },
       oracle = Some("""
@@ -428,7 +428,7 @@ object SqlAnalytics extends QueryGroup {
                AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
                AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)"""))
   )
 }

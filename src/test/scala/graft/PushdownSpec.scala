@@ -519,6 +519,23 @@ class PushdownSpec extends SparkSpec {
       s"sql6 date filter not pushed to the scan:\n$p6")
     assert(p6.contains("partial_sum"), s"sql6 lost map-side combine:\n$p6")
 
+    // sql1: the dashboard's moving average must plan as
+    // AGG-THEN-WINDOW — one partial-combined aggregate collapsing to
+    // |days| rows, then the 30-row frame over that tiny frame — never a
+    // window over the raw orders.
+    val pq1 = plan("sql1_revenue_dashboard")
+    assert(pq1.contains("Window ") && pq1.contains("partial_sum"),
+      s"sql1 lost its agg-then-window shape:\n$pq1")
+    assert(pq1.indexOf("Window ") < pq1.indexOf("partial_sum"),
+      s"sql1's window must sit ABOVE the aggregate, not on raw rows:\n$pq1")
+
+    // sql2: the alert threshold is a scalar SUBQUERY computed once
+    // (its own partial-combined aggregate), not a per-row join or
+    // cartesian against the segment counts.
+    val pq2 = plan("sql2_alert_threshold")
+    assert(pq2.contains("Subquery") && !pq2.contains("CartesianProduct"),
+      s"sql2 lost its scalar-subquery shape:\n$pq2")
+
     // sql7 (TPC-H Q7): the two-nation OR predicate spans both nation
     // join branches, so it can't push into either scan — the pin is
     // that Catalyst keeps it above the joins WITHOUT degrading to a
