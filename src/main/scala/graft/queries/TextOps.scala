@@ -1194,46 +1194,53 @@ object TextOps extends QueryGroup {
     // shuffle join over the same ≪-corpus vocab instead; either way the
     // probe is the only corpus-sized shuffle after the counts.
     "t24_bigram_lm_score" -> QueryDef(
+      build = (s, d) => bigramNll(s, d),
+      oracle = Some(s"""
+        WITH $sqlBigramNllCtes
+        SELECT doc_id, n_bigrams, nll_sum, avg_nll_micro FROM dsc"""),
+      bench = true),
+
+    // T31: CCNet-style perplexity bucketing — split each language's
+    // corpus into head/middle/tail terciles of the t24 bigram-LM score
+    // (Wenzek et al. 2020: keep head+middle, drop the tail, per
+    // language, because perplexity is only comparable within a
+    // language). The keep flag IS the curation artifact; buckets stay
+    // in the output so mix planners (t6/t17) can reweight rather than
+    // hard-drop.
+    //
+    // Determinism: the tercile is ntile(3) over a TOTAL order
+    // (avg_nll_micro ASC, doc_id ASC) — integer micro-nat scores, so no
+    // FP rank flips; docs with < 2 tokens have no bigrams and are
+    // excluded by construction in BOTH engines (inner join to the
+    // scored frame).
+    //
+    // Scale: scoring is t24's (measured tail 0.80); the split adds one
+    // per-language window over the DOC-LEVEL frame — (doc_id, score)
+    // pairs, not tokens — so the sort moves ~16 bytes per document. At
+    // extreme corpus sizes the exact ntile swaps for approx-quantile
+    // thresholds (the a16 sketch) without changing the output contract;
+    // at any size the window never touches text.
+    "t31_perplexity_buckets" -> QueryDef(
       build = (s, d) => {
-        val bg = Tables.documents(s, d)
-          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
-          .localCheckpoint(true)
-        val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
-        // context mass c1(w1) = bigrams starting with w1 (Σ_w c(w1, w))
-        val c1 = bg.select(substring_index(col("g"), " ", 1).as("w1"))
-          .groupBy("w1").agg(count(lit(1)).as("c1"))
-        bg.join(c2, "g")
-          .withColumn("w1", substring_index(col("g"), " ", 1))
-          .join(c1, "w1")
-          .withColumn("nll",
-            floor(-log(col("c2").cast("double") / col("c1").cast("double"))
-              * 1000000.0).cast("long"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("nll")).as("nll_sum"))
-          .withColumn("avg_nll_micro", expr("nll_sum div n_bigrams"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("avg_nll_micro").asc, col("doc_id").asc)
+        bigramNll(s, d)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+            "doc_id")
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .withColumn("keep", col("bucket") <= 2)
+          .select(col("doc_id"), col("lang"), col("avg_nll_micro"),
+            col("bucket"), col("keep"))
       },
       oracle = Some(s"""
-        WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
-        bg AS (
-          SELECT doc_id,
-                 unnest(list_transform(range(1, greatest(len(t), 1)),
-                   i -> t[i] || ' ' || t[i+1])) AS g
-          FROM toks),
-        c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
-        c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
-               FROM bg GROUP BY 1),
-        scored AS (
-          SELECT doc_id,
-                 CAST(floor(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
-                   * 1000000) AS BIGINT) AS nll
-          FROM bg JOIN c2 USING (g)
-          JOIN c1 ON split_part(g, ' ', 1) = w1)
-        SELECT doc_id, count(*) AS n_bigrams,
-               CAST(sum(nll) AS BIGINT) AS nll_sum,
-               CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
-        FROM scored GROUP BY doc_id"""),
-      bench = true),
+        WITH $sqlBigramNllCtes
+        SELECT d.doc_id, doc.lang, d.avg_nll_micro,
+               CAST(ntile(3) OVER (PARTITION BY doc.lang
+                 ORDER BY d.avg_nll_micro ASC, d.doc_id ASC) AS BIGINT) AS bucket,
+               (ntile(3) OVER (PARTITION BY doc.lang
+                 ORDER BY d.avg_nll_micro ASC, d.doc_id ASC)) <= 2 AS keep
+        FROM dsc d JOIN documents doc ON doc.doc_id = d.doc_id""")),
 
     // T25: sketch-based heavy hitters — the 100 TB sibling of t5's exact
     // token top-k, via a mergeable Misra–Gries aggregator
@@ -1602,6 +1609,56 @@ object TextOps extends QueryGroup {
                        (CAST(f.tf AS DOUBLE) +
                          1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / avgdl)))))
                    * 1000000.0) AS BIGINT)"""
+
+  /** The t24/t31 bigram-LM scoring pipeline — per-doc
+    * (n_bigrams, nll_sum, avg_nll_micro) from the corpus-fit raw bigram
+    * model (nll floor-scaled to integer micro-nats BEFORE the per-doc
+    * sum, the t15 pattern). ONE definition for the score query and the
+    * perplexity-bucket curation built on it. */
+  private def bigramNll(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      .localCheckpoint(true)
+    val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+    // context mass c1(w1) = bigrams starting with w1 (Σ_w c(w1, w))
+    val c1 = bg.select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, "g")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, "w1")
+      .withColumn("nll",
+        floor(-log(col("c2").cast("double") / col("c1").cast("double"))
+          * 1000000.0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll")).as("nll_sum"))
+      .withColumn("avg_nll_micro", expr("nll_sum div n_bigrams"))
+  }
+
+  /** DuckDB twin of [[bigramNll]] — CTE chain ending in
+    * `dsc(doc_id, n_bigrams, nll_sum, avg_nll_micro)`. */
+  private val sqlBigramNllCtes: String = s"""toks AS (
+          SELECT doc_id, $sqlTokens AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t), 1)),
+                   i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+        c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+        c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+               FROM bg GROUP BY 1),
+        nsc AS (
+          SELECT doc_id,
+                 CAST(floor(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                   * 1000000) AS BIGINT) AS nll
+          FROM bg JOIN c2 USING (g)
+          JOIN c1 ON split_part(g, ' ', 1) = w1),
+        dsc AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(nll) AS BIGINT) AS nll_sum,
+                 CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
+          FROM nsc GROUP BY doc_id)"""
 
   /** The t20/t30 query set: docs that have an embedding, id % 100 == 0
     * — broadcast (workload-sized). */

@@ -415,6 +415,26 @@ class TextOpsSpec extends SparkSpec {
     info(f"t30 vs t20 top-10 overlap: mean $mean%.2f over ${overlaps.size} queries")
   }
 
+  test("t31: high-perplexity docs land in the dropped tail tercile, fluent docs keep") {
+    // 6 fluent docs are pure bigram repetition (every bigram's count
+    // equals its context mass → nll 0); 3 gibberish docs spread many
+    // distinct continuations over the shared context token 'x', so each
+    // of their bigrams pays ln(c1(x)) — strictly positive. ntile(3)
+    // over 9 docs in one language gives 3/3/3; the gibberish trio must
+    // BE the tail (bucket 3, keep = false), CCNet's drop set.
+    val fluent = (0L until 6L).map(i => (i, "y z " * 8 + "y z"))
+    val gibberish = (10L until 13L).map(i =>
+      (i, (0 until 8).map(j => s"x q${i}_$j").mkString(" ")))
+    val dir = docsDir(fluent ++ gibberish)
+    val byDoc = SparkEntry.queries("t31_perplexity_buckets")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Boolean]("keep"))).toMap
+    for (i <- 10L until 13L)
+      assert(byDoc(i) == (3L, false), s"gibberish doc $i not in the tail: ${byDoc(i)}")
+    for (i <- 0L until 6L)
+      assert(byDoc(i)._2, s"fluent doc $i was dropped: ${byDoc(i)}")
+  }
+
   test("t26: unaligned cross-doc overlap merges to one span; within-doc repetition excluded") {
     // shared = a 12-token passage (5 duplicated 8-grams, positions merge
     // into ONE span) planted at DIFFERENT offsets in docs 1 and 2 — the
