@@ -246,14 +246,32 @@ object ScaleGen {
           lit(hotCust)).otherwise(col("o_custkey")))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // mega-basket reassignment keeps (l_orderkey, l_linenumber) UNIQUE:
+    // rows pulled into the hot order are renumbered 100, 101, ... (their
+    // original line numbers came from DIFFERENT orders and would collide
+    // with each other and with the hot order's own 1..7 — any consumer
+    // keying on the composite would silently double-count). The window
+    // partitions by the NEW orderkey, so every partition is <= 7 rows
+    // except the one mega-basket; ordering by the original composite
+    // keeps the numbering deterministic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("_ok0"), col("_ln0"))
     spark.read.parquet(s"$src/lineitem.parquet")
       .withColumn("l_partkey",
         when(pick(100 / HotPartLinePct, col("l_orderkey"), col("l_linenumber")) === 0,
           lit(hotPart)).otherwise(col("l_partkey")))
+      .withColumn("_mb",
+        pick(1000 / MegaBasketPerMille,
+          col("l_orderkey"), col("l_linenumber"), lit("mb")) === 0)
+      .withColumn("_ok0", col("l_orderkey"))
+      .withColumn("_ln0", col("l_linenumber"))
       .withColumn("l_orderkey",
-        when(pick(1000 / MegaBasketPerMille,
-            col("l_orderkey"), col("l_linenumber"), lit("mb")) === 0,
-          lit(hotOrder)).otherwise(col("l_orderkey")))
+        when(col("_mb"), lit(hotOrder)).otherwise(col("l_orderkey")))
+      .withColumn("l_linenumber",
+        when(col("_mb"), (lit(100) + row_number().over(w)).cast("int"))
+          .otherwise(col("l_linenumber")))
+      .drop("_mb", "_ok0", "_ln0")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // size the boilerplate off the corpus's own longest document: the

@@ -21,8 +21,11 @@ object SkewBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
+      // swallow only non-fatal warmup failures (a query that can't run at
+      // sf0.001 still gets timed on the real corpora); a fatal error (OOM,
+      // linkage) must abort — a poisoned JVM would produce bogus timings
       try SparkEntry.queries(n)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     def time(n: String, dir: String): Double = {
       System.gc()

@@ -108,5 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "portable_minhash60 expects exactly 2 arguments: (shingles, k)")
         PortableMinhash60(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_min_set"),
+      new ExpressionInfo(
+        classOf[graft.functions.BoundedMinSetAgg].getName, "bounded_min_set"),
+      graft.functions.BoundedMinSetAgg.fromChildren))
   }
 }

@@ -63,13 +63,20 @@ object PiiScan {
     (byName.toSeq ++ byValue).distinct
   }
 
-  private val DateShape = java.util.regex.Pattern.compile("""\d{4}-\d{2}-\d{2}""")
+  // boundary guards: a date shape embedded INSIDE a longer digit/dash run
+  // ('555-1234-56-78 90') is part of the phone digits, not a date — only
+  // strip shapes not attached to an adjacent digit or dash on either side
+  private val DateShape =
+    java.util.regex.Pattern.compile("""(?<![\d-])\d{4}-\d{2}-\d{2}(?![\d-])""")
 
   /** find() with a per-kind plausibility gate. The phone shape
     * (digit/space/dash/paren runs) also matches ISO dates ('2024-01-01'
     * is a 10-char run with 8 digits) and date-prefixed codes — reported
     * as phone PII, a masking consumer would then mangle date columns.
-    * Heuristic gate: strip EVERY date shape from the match, then demand
+    * Heuristic gate: strip every boundary-delimited date shape (not one
+    * embedded inside a longer digit/dash run, which is phone material,
+    * e.g. the 1234-56-78 inside '555-1234-56-78 90') from the match,
+    * then demand
     * a phone-weight (>= 9) digit run in the remainder — a bare date or
     * a run of consecutive dates ('2024-01-01 2024-01-02 2024-01-03')
     * strips to separators and is rejected, while a genuine phone that

@@ -36,9 +36,11 @@ object Graph extends QueryGroup {
   /** Distinct (order, part) basket membership under [[BasketCap]] — the
     * shared projection gr2's triangle edges, gr3's co-occurrence pairs,
     * and gr4's wedges all start from. One groupBy(order) shuffle does
-    * the dedup AND the cap (collect_set → sort_array → slice keeps the
-    * smallest keys; per-group state is bounded by the true basket size),
-    * replacing the previous distinct-only shuffle at the same cost.
+    * the dedup AND the cap via [[graft.functions.BoundedMinSet]] (the
+    * smallest BasketCap distinct parts, O(BasketCap) group state — a
+    * collect_set would materialize the mega-basket's FULL distinct set
+    * in one buffer before any slice could cap it), replacing the
+    * previous distinct-only shuffle at the same cost.
     * Checkpointed (below) because every consumer feeds it to a self-join
     * with differing projections — the d4/e5 ReusedExchange lesson.
     */
@@ -50,7 +52,7 @@ object Graph extends QueryGroup {
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .groupBy(col("ok"))
-      .agg(slice(sort_array(collect_set(col("p"))), 1, BasketCap).as("ps"))
+      .agg(graft.functions.BoundedMinSet.minK(BasketCap)(col("p")).as("ps"))
       .select(col("ok"), explode(col("ps")).as("p"))
 
   private def basketItems(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -1208,39 +1208,84 @@ object TextOps extends QueryGroup {
     // in the output so mix planners (t6/t17) can reweight rather than
     // hard-drop.
     //
-    // Determinism: the tercile is ntile(3) over a TOTAL order
-    // (avg_nll_micro ASC, doc_id ASC) — integer micro-nat scores, so no
-    // FP rank flips; docs with < 2 tokens have no bigrams and are
-    // excluded by construction in BOTH engines (inner join to the
-    // scored frame).
+    // Scale: scoring is t24's (measured tail 0.80). The split must NOT
+    // be a window over the per-language DOC frame (an ntile(3)
+    // partitioned by lang sorts the head language's entire corpus —
+    // billions of rows at 100 TB — in ONE task; real corpora are
+    // majority one language). Instead the tercile is derived EXACTLY
+    // from the score HISTOGRAM: scores are integer micro-nats, so the
+    // per-(lang, score) histogram is one map-side-combinable groupBy,
+    // the cumulative count runs over the HISTOGRAM-sized frame
+    // (distinct scores per language, not docs), the two cutoff scores
+    // per language broadcast back, and each doc buckets by row-local
+    // comparison. No doc-frame sort anywhere.
     //
-    // Scale: scoring is t24's (measured tail 0.80); the split adds one
-    // per-language window over the DOC-LEVEL frame — (doc_id, score)
-    // pairs, not tokens — so the sort moves ~16 bytes per document. At
-    // extreme corpus sizes the exact ntile swaps for approx-quantile
-    // thresholds (the a16 sketch) without changing the output contract;
-    // at any size the window never touches text.
+    // Determinism / tie contract: bucket = 1 + (3 · |docs with score <
+    // s|) div n — the CDF form of ntile. Equal scores bucket
+    // IDENTICALLY (the cutoff never splits a tie group; plain ntile
+    // would split it by doc_id), and the rule is exact integer
+    // arithmetic mirrored verbatim in the oracle. Docs with < 2 tokens
+    // have no bigrams and are excluded by construction in BOTH engines
+    // (inner join to the scored frame).
     "t31_perplexity_buckets" -> QueryDef(
       build = (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang"))
-          .orderBy(col("avg_nll_micro").asc, col("doc_id").asc)
-        bigramNll(s, d)
+        // scored feeds the histogram AND the final bucket join with
+        // different projections — checkpoint once or the whole t24
+        // scoring pipeline runs per consumer (the d4/e5 lesson)
+        val scored = bigramNll(s, d)
           .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
             "doc_id")
-          .withColumn("bucket", ntile(3).over(w).cast("long"))
-          .withColumn("keep", col("bucket") <= 2)
+          .select(col("doc_id"), col("lang"), col("avg_nll_micro"))
+          .localCheckpoint(true)
+        val wLt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("s"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wLang = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+        val cuts = scored
+          .groupBy(col("lang"), col("avg_nll_micro").as("s"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum_lt", coalesce(sum(col("cnt")).over(wLt), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(wLang))
+          .withColumn("bucket", expr("1 + (3 * cum_lt) div n"))
+          .groupBy(col("lang"))
+          .agg(max(when(col("bucket") === 1L, col("s"))).as("c1"),
+            max(when(col("bucket") <= 2L, col("s"))).as("c2"))
+        scored.join(broadcast(cuts), Seq("lang"))
+          .withColumn("bucket",
+            when(col("avg_nll_micro") <= col("c1"), 1L)
+              .when(col("avg_nll_micro") <= col("c2"), 2L)
+              .otherwise(3L))
+          .withColumn("keep", col("avg_nll_micro") <= col("c2"))
           .select(col("doc_id"), col("lang"), col("avg_nll_micro"),
             col("bucket"), col("keep"))
       },
       oracle = Some(s"""
-        WITH $sqlBigramNllCtes
-        SELECT d.doc_id, doc.lang, d.avg_nll_micro,
-               CAST(ntile(3) OVER (PARTITION BY doc.lang
-                 ORDER BY d.avg_nll_micro ASC, d.doc_id ASC) AS BIGINT) AS bucket,
-               (ntile(3) OVER (PARTITION BY doc.lang
-                 ORDER BY d.avg_nll_micro ASC, d.doc_id ASC)) <= 2 AS keep
-        FROM dsc d JOIN documents doc ON doc.doc_id = d.doc_id""")),
+        WITH $sqlBigramNllCtes,
+        scored AS (
+          SELECT d.doc_id, doc.lang, d.avg_nll_micro
+          FROM dsc d JOIN documents doc ON doc.doc_id = d.doc_id),
+        hist AS (
+          SELECT lang, avg_nll_micro AS s, count(*) AS cnt
+          FROM scored GROUP BY 1, 2),
+        hb AS (
+          SELECT lang, s,
+            1 + CAST(3 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY lang
+                  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS BIGINT)
+              // CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS bucket
+          FROM hist),
+        cuts AS (
+          SELECT lang,
+            max(CASE WHEN bucket = 1 THEN s END) AS c1,
+            max(CASE WHEN bucket <= 2 THEN s END) AS c2
+          FROM hb GROUP BY lang)
+        SELECT doc_id, lang, avg_nll_micro,
+          CAST(CASE WHEN avg_nll_micro <= c1 THEN 1
+                    WHEN avg_nll_micro <= c2 THEN 2
+                    ELSE 3 END AS BIGINT) AS bucket,
+          avg_nll_micro <= c2 AS keep
+        FROM scored JOIN cuts USING (lang)""")),
 
     // T25: sketch-based heavy hitters — the 100 TB sibling of t5's exact
     // token top-k, via a mergeable Misra–Gries aggregator

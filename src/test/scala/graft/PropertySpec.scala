@@ -136,6 +136,29 @@ class PropertySpec extends SparkSpec {
     assert(got == want, "bounded top-k must equal exact sort-take under ties")
   }
 
+  test("BoundedMinSet equals sorted-distinct-take across partitionings and duplicates") {
+    val rnd = new Random(57)
+    // heavy duplication + one mega group, shuffled across 16 partitions so
+    // partial buffers merge in arbitrary order
+    val rows = (1 to 6000).map { i =>
+      val g = if (i % 3 == 0) 0L else rnd.nextInt(5).toLong + 1
+      (g, rnd.nextInt(200).toLong, i)
+    }
+    val df = rows.map { case (g, v, _) => (g, v) }.toDF("g", "v").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.BoundedMinSet.minK(8)($"v").as("ps"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.map(_._2).distinct.sorted.take(8).toList)
+    }
+    assert(got == want, s"bounded min-set diverged: $got vs $want")
+    // groups with fewer than k distinct values return them all
+    val small = Seq((9L, 3L), (9L, 3L), (9L, 1L)).toDF("g", "v")
+      .groupBy($"g").agg(graft.functions.BoundedMinSet.minK(8)($"v").as("ps"))
+      .collect().head.getSeq[Long](1).toList
+    assert(small == List(1L, 3L), s"got $small")
+  }
+
   test("d15 argmax-by-struct equals per-group sort under quality ties") {
     // d15's canonical selection is max(struct(quality, -doc_id)) — one
     // map-side-combinable agg. It must pick exactly the row a window

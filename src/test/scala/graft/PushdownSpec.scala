@@ -237,6 +237,33 @@ class PushdownSpec extends SparkSpec {
     assert(pt.contains("partial_"), s"t24 lost map-side combine:\n$pt")
   }
 
+  test("t31 terciles come from the histogram frame, never a doc-frame window") {
+    // the scale contract: the CDF window's input is the per-(lang, score)
+    // histogram AGGREGATE (distinct scores per language), not the doc
+    // frame — an ntile over partitionBy(lang) would sort the head
+    // language's entire corpus in one task at 100 TB. The scored frame is
+    // checkpointed, so every Window left in this plan IS the CDF one.
+    val qe = SparkEntry.queries("t31_perplexity_buckets")(spark, sf).queryExecution
+    val lp = qe.optimizedPlan
+    assert(!lp.toString.contains("ntile"),
+      s"t31 regressed to a doc-frame ntile window:\n$lp")
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, s"t31 lost its histogram CDF window:\n$lp")
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined,
+        s"t31's window must consume the per-(lang, score) histogram " +
+          s"aggregate, not doc rows:\n$w")
+    }
+    // and the cutoffs broadcast back — the doc-side bucket assignment is
+    // a row-local compare after a broadcast join, no doc-frame shuffle
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"t31 cutoff join must broadcast:\n${qe.executedPlan}")
+  }
+
   test("t26 spans stay bucketed and pruned; gr1's iteration history is checkpoint-cut") {
     // t26: the dup-fp position join is an equi-join on the 16-byte fp —
     // a nested-loop degeneration would pair every gram with every dup
@@ -546,13 +573,18 @@ class PushdownSpec extends SparkSpec {
       s"sql7 planned a cartesian:\n$p7")
     assert(p7.contains("BroadcastHashJoin"),
       s"sql7 lost its broadcast dim joins:\n$p7")
-    // assert the range's lower bound by PushedFilters name; the upper
-    // bound rides the same PushedFilters list but toString truncates it
-    // (…), so pin it via the post-scan filter literal instead
-    assert(p7.contains("GreaterThanOrEqual(l_shipdate"),
-      s"sql7 shipdate range not pushed to the lineitem scan:\n$p7")
-    assert(p7.contains("l_shipdate") && p7.contains("<= 1996-1"),
-      s"sql7 lost the shipdate upper bound:\n$p7")
+    // both range bounds pinned by PushedFilters NAME, never by a rendered
+    // timestamp literal (its formatting shifts with session timezone /
+    // Spark version). The default metadata render truncates the pushed
+    // list past ~100 chars, hiding the upper bound — widen it and
+    // re-render for this read only.
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    val p7full = try plan("sql7_volume_shipping")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p7full.contains("GreaterThanOrEqual(l_shipdate"),
+      s"sql7 shipdate lower bound not pushed to the lineitem scan:\n$p7full")
+    assert(p7full.contains("LessThanOrEqual(l_shipdate"),
+      s"sql7 shipdate upper bound not pushed to the lineitem scan:\n$p7full")
 
     // sql8 (TPC-H Q10): returnflag pushes into the lineitem scan, the
     // quarter window into the orders scan, and the top-20 plans as

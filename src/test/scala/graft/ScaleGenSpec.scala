@@ -139,5 +139,16 @@ class ScaleGenSpec extends SparkSpec {
     val hotShare = sk.filter(col("l_partkey") === 1L).count().toDouble / 1500
     assert(hotShare > 0.02 && hotShare < 0.10,
       s"hot part share out of band: $hotShare")
+
+    // mega-basket rows are renumbered, so the composite line key stays
+    // unique — a consumer joining on (l_orderkey, l_linenumber) must
+    // never double-count on the skewed corpus
+    assert(sk.groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      .filter(col("count") > 1).count() == 0,
+      "(l_orderkey, l_linenumber) must stay unique after reassignment")
+    assert(sk.filter(col("l_orderkey") === 1L).count() >
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .filter(col("l_orderkey") === 1L).count(),
+      "mega-basket reassignment must actually engage in this fixture")
   }
 }
