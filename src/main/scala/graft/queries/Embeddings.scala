@@ -121,24 +121,12 @@ object Embeddings extends QueryGroup {
     * the probed cells, not the corpus. */
   private[graft] def ivfCandidates(vn: org.apache.spark.sql.DataFrame,
       q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cents = sqrtSample(vn, vn)
-      .select(col("vec_id").as("cid"), col("ne").as("ce"))
-    // nearest centroid per vector: argmax by (cos, -cid) — ties to
-    // the lowest centroid id, same as the oracle's row_number order
-    val assign = vn.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct(
-          call_function("vec_dot", col("ne"), col("ce")).as("cos"),
-          (-col("cid")).as("negcid")).as("sc"))
-      .groupBy("vec_id").agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("q_id"), col("q_ne"),
-        call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
-      .filter(col("cos").isNotNull && !isnan(col("cos")))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.BoundedTopK.topK(8)(col("cos"), col("cid")).as("top"))
-      .select(col("q_id"), explode(col("top.id")).as("cid"))
+    // the index DEFINITIONS (centroid sample, lowest-cid-tie assignment,
+    // probe selection) live in ops/IvfIndex — ONE definition shared by
+    // this live path and the e14 persisted index, never a drifting copy
+    val cents = graft.ops.IvfIndex.centroidsOf(vn)
+    val assign = graft.ops.IvfIndex.assignCells(vn, cents)
+    val probes = graft.ops.IvfIndex.probeSelect(q, cents, nProbe = 8)
     probes
       .join(assign, "cid")
       .filter(col("vec_id") =!= col("q_id"))
@@ -184,6 +172,15 @@ object Embeddings extends QueryGroup {
           JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
           JOIN q ON q.q_id = p.q_id
           JOIN n ON n.vec_id = a.vec_id)"""
+
+  /** e4's full oracle — also e14's verbatim: the persisted-index probe
+    * must reproduce the live IVF result bit-for-bit. */
+  private[graft] val sqlIvfTop5: String = s"""
+        WITH ${sqlIvfScored("SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0")}
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5"""
 
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
@@ -358,12 +355,42 @@ object Embeddings extends QueryGroup {
             (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
             (col("pos") + 1).cast("long").as("rn"))
       },
-      oracle = Some(s"""
-        WITH ${sqlIvfScored("SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0")}
-        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
-        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-              FROM scored)
-        WHERE rn <= 5""")),
+      oracle = Some(sqlIvfTop5)),
+
+    // E14: ANN against the PERSISTED IVF index (ops/IvfIndex) — the
+    // production serving regime e4 only simulates: centroids + inverted
+    // lists are VersionedTable artifacts built ONCE per corpus
+    // (IvfIndex.ensure caches by corpus fingerprint), and the query is a
+    // probe-only read — zero corpus scans, zero assignment work, the
+    // probed cells pruned into the cells scan via a bounded (≤
+    // MaxCentroids) pushed IN-filter. The measured t30 crossover
+    // (SCALE.md) motivates this split: the per-run N·k_cent assignment
+    // pass dominates every live ANN query; amortizing it across query
+    // batches is what a vector index IS.
+    //
+    // Shares e4's exact definitions (IvfIndex.assignCells/probeSelect)
+    // and e4's oracle verbatim — the correctness claim IS that a probe
+    // of the persisted index reproduces the live-computed IVF result
+    // bit-for-bit. Queries are read from the index itself (the inverted
+    // lists store normalized vectors for exact re-scoring).
+    // Incremental appends assign against the pinned centroid set —
+    // rebuild parity proven in IvfIndexSpec.
+    "e14_ann_ivf_persisted" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.ensure(s, d)
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfTop5),
+      bench = true),
 
     // E5: ANN via product quantization + asymmetric distance computation
     // (ADC) — the memory-compression scale path next to e2 (LSH) and e4

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.maint.VersionedTable
+import graft.ops.IvfIndex
+
+/** Persisted-IVF-index contract (e14): a probe of the stored index must
+  * reproduce the live-computed IVF result exactly; incremental appends
+  * against the PINNED centroid set must equal a from-scratch assignment of
+  * the full corpus against those same centroids (FAISS `IndexIVF.add`
+  * semantics — an index never re-trains on add); the build must be
+  * cached-by-fingerprint and never rebuilt for an unchanged corpus.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Long): Seq[Float] =
+    Seq.tabulate(Embedded.Dim) { i =>
+      // deterministic non-degenerate components in [-1, 1), never all-zero
+      (((seed * 2654435761L + i * 40503L) % 1000L).toFloat / 501f) + 0.001f
+    }
+
+  private object Embedded { val Dim = 64 }
+
+  private def writeCorpus(ids: Seq[Long]): String = {
+    val dir = Files.createTempDirectory("graft_ivf_corpus_").toString
+    ids.map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def assignmentsOf(cells: DataFrame): Set[(Long, Long)] =
+    cells.select($"cid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("probe of the persisted index equals the live ivfCandidates result") {
+    val dir = writeCorpus(1L to 300L)
+    val root = IvfIndex.ensure(spark, dir)
+
+    val vn = IvfIndex.normalized(
+      graft.core.Tables.embeddings(spark, dir).transform(graft.core.Tables.spread))
+    val q = vn.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne"))
+
+    val live = graft.queries.Embeddings.ivfCandidates(vn, q)
+      .select($"q_id", $"vec_id", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val persisted = IvfIndex.probeCandidates(spark, root,
+        IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+          .select($"vec_id".as("q_id"), $"ne".as("q_ne")))
+      .select($"q_id", $"vec_id", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(persisted == live,
+      "persisted-index probe must be bit-identical to the live IVF path")
+  }
+
+  test("ensure() caches by corpus fingerprint — no rebuild on second call") {
+    val dir = writeCorpus(1L to 120L)
+    val root1 = IvfIndex.ensure(spark, dir)
+    val v1 = new VersionedTable(spark, s"$root1/cells").versions
+    val root2 = IvfIndex.ensure(spark, dir)
+    assert(root1 == root2, "same corpus must resolve to the same index")
+    assert(new VersionedTable(spark, s"$root2/cells").versions == v1,
+      "second ensure() must not write new versions")
+    // a CHANGED corpus gets a different root (stale-index guard)
+    Files.delete(java.nio.file.Paths.get(dir, "embeddings.parquet")
+      .toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath)
+    (1L to 121L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(IvfIndex.indexRoot(dir) != root1,
+      "regenerated corpus must fingerprint to a fresh index root")
+  }
+
+  test("incremental append through the change feed equals from-scratch assignment") {
+    // corpus lives as a versioned table with CDF — the d14/st14 admission
+    // shape applied to the index: new rows arrive as change-feed inserts
+    val baseIds = 1L to 200L
+    val newIds = 501L to 560L
+    val dir = writeCorpus(baseIds)
+    val root = IvfIndex.ensure(spark, dir)
+    val v0 = new VersionedTable(spark, s"$root/cells").versions.max
+
+    // cast to the parquet read-back shape (nullable elements): the CDF
+    // staging re-cast can't narrow containsNull on the round-trip
+    def corpusDf(ids: Seq[Long]) = ids.map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpusVt = new VersionedTable(spark,
+      Files.createTempDirectory("graft_ivf_cdc_").toString + "/corpus")
+    corpusVt.writeWithChangeFeed(corpusDf(baseIds), Seq("vec_id"))
+    val v1 = corpusVt.appendWithChangeFeed(corpusDf(newIds))
+
+    val inserts = corpusVt.changeFeed(fromVersion = v1)
+      .filter(col(graft.ops.ChangeFeed.ChangeTypeCol) === "insert")
+      .select($"vec_id", $"embedding")
+    IvfIndex.append(spark, root, inserts)
+
+    // parity: incremental result == assigning the WHOLE corpus at once
+    // against the same pinned centroids
+    val cents = IvfIndex.centroids(spark, root)
+    val full = IvfIndex.normalized(
+      (baseIds ++ newIds).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val want = IvfIndex.assignCells(full, cents).select($"cid", $"vec_id")
+    assert(assignmentsOf(IvfIndex.cells(spark, root)) == assignmentsOf(want),
+      "append must equal from-scratch assignment against pinned centroids")
+
+    // the index itself is versioned: the append advanced the cells table,
+    // and time travel still reads the pre-append inverted lists
+    val ct = new VersionedTable(spark, s"$root/cells")
+    assert(ct.versions.max > v0, "append must commit a new index version")
+    assert(ct.read(Some(v0)).count() == baseIds.size,
+      "time-travel must read the pre-append index")
+    assert(ct.read(None).count() == baseIds.size + newIds.size)
+  }
+}
