@@ -429,6 +429,51 @@ object SqlAnalytics extends QueryGroup {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
-               AND l_quantity BETWEEN 20 AND 30)"""))
+               AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // SQL10: the small-quantity-revenue shape (TPC-H Q17) as pure SQL
+    // text — the CORRELATED SCALAR SUBQUERY stress the quartet +
+    // Q7/Q10/Q19 never exercise: each filtered part's lineitems qualify
+    // only below 20% of THAT PART's average quantity. Naively this is a
+    // per-row re-aggregation of lineitem (O(|lineitem|²) at worst);
+    // correct planning DECORRELATES it — Catalyst's
+    // RewriteCorrelatedScalarSubquery turns the subquery into one
+    // per-partkey aggregate joined back on l_partkey, so the whole query
+    // is two scans + one map-side-combinable aggregate + equi-joins.
+    // PushdownSpec pins exactly that: no per-row subquery in the final
+    // plan, no cartesian/nested-loop degeneration, the avg combining
+    // map-side, and the brand/size dim filter pushed into the part scan.
+    // (p_container isn't in this schema; the brand + size-band filter
+    // keeps Q17's selective-dim contract.) Revenue summed in exact
+    // DECIMAL, cast once, divided by the 7.0 literal — Q17's
+    // avg-yearly convention.
+    "sql10_small_quantity_revenue" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.part(s, d).createOrReplaceTempView("part_sql")
+        s.sql("""
+          SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+                   AS avg_yearly,
+                 count(*) AS n_lines
+          FROM lineitem_sql
+          JOIN part_sql ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#23' AND p_size <= 20
+            AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity)
+              FROM lineitem_sql l2
+              WHERE l2.l_partkey = p_partkey)""")
+      },
+      oracle = Some("""
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+                 AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 20
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)"""))
   )
 }

@@ -610,6 +610,24 @@ class PushdownSpec extends SparkSpec {
       s"sql9 quantity disjunction not pushed to the lineitem scan:\n$p9")
     assert(p9.contains("EqualTo(p_brand"),
       s"sql9 brand disjunction not pushed to the part scan:\n$p9")
+
+    // sql10 (TPC-H Q17): the correlated scalar subquery (per-part 20%
+    // avg-quantity gate) must DECORRELATE — one per-partkey aggregate
+    // (combining map-side) joined back on the key, never a per-row
+    // subquery re-aggregation and never a nested-loop/cartesian
+    // degeneration; the brand/size dim filter pushes into the part scan.
+    val p10 = plan("sql10_small_quantity_revenue")
+    assert(!p10.contains("Subquery"),
+      s"sql10's correlated subquery failed to decorrelate into a join:\n$p10")
+    assert(!p10.contains("CartesianProduct") &&
+      !p10.contains("BroadcastNestedLoopJoin"),
+      s"sql10 degenerated to a non-equi join:\n$p10")
+    assert(p10.contains("partial_avg"),
+      s"sql10's decorrelated per-part avg lost map-side combine:\n$p10")
+    assert(p10.contains("BroadcastHashJoin"),
+      s"sql10's avg-gate join must stay a broadcast hash join:\n$p10")
+    assert(p10.contains("EqualTo(p_brand,Brand#23)"),
+      s"sql10 dim filter not pushed to the part scan:\n$p10")
     assert(p9.contains("partial_sum") && p9.contains("partial_count"),
       s"sql9 lost map-side combine:\n$p9")
 
