@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample plumbing.
   *
   * The Spark side — schema, partitioning, batch shape, metadata
-  * extraction — is real and tested. The codec itself is STUBBED (this
-  * container ships no image/audio libraries): [[StubCodec.decode]] returns
-  * a deterministic fake derived from the payload bytes, clearly marked. On
-  * a real cluster you swap StubCodec for a JNI/ffmpeg/ImageIO call — the
-  * operator shape (mapPartitions over micro-batches of byte arrays, one
-  * codec call per batch, constant memory) is exactly what survives 100 TB:
-  * payloads never pass through a shuffle, only their extracted features do.
+  * extraction — is real and tested, and [[MediaCodec]] decodes binary PPM
+  * (P6) FOR REAL in pure JVM byte arithmetic (header + exact Rec.601 mean
+  * luma). Containers needing native libraries this environment doesn't
+  * ship (png/riff/mp4) fall back to a deterministic fixture decode derived
+  * from the payload bytes, clearly marked; on a real cluster you add
+  * JNI/ffmpeg/ImageIO decoders next to the PPM one — the operator shape
+  * (mapPartitions over micro-batches of byte arrays, one codec call per
+  * batch, constant memory) is exactly what survives 100 TB: payloads never
+  * pass through a shuffle, only their extracted features do.
   */
 object MediaOps {
 
@@ -26,13 +28,18 @@ object MediaOps {
     * chars). 'ftyp' is recognized at byte offset 0 (this harness's
     * synthetic payloads) AND at offset 4, where real ISO-BMFF files put
     * it after the 4-byte box size — so the sniff keeps working when
-    * StubCodec is swapped for a real decoder. */
+    * MediaCodec is swapped for a real decoder. */
   def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val head = hex(substring(payload, 1, 4))
     val box = hex(substring(payload, 5, 4))
     when(head === "89504E47", "png")
       .when(head === "52494646", "riff")
       .when(head === "66747970" || box === "66747970", "mp4")
+      // P6 magic is 2 bytes + whitespace — prefix compare, not whole-head.
+      // Oracle-neutral on the synthetic corpus (every payload starts with
+      // one of the three magics above); exists for real PPM inputs, which
+      // MediaCodec.decodePpm then decodes for real.
+      .when(substring(head, 1, 4) === "5036", "ppm")
       .otherwise("unknown")
   }
 
@@ -52,22 +59,82 @@ object MediaOps {
   final case class MediaFeatures(
       width: Int, height: Int, n_frames: Int, mean_luma: Double)
 
-  /** STUB codec — deterministic fake decode so the pipeline is testable
-    * without native media libraries. Every field is a pure function of the
-    * payload bytes — specifically of the portable 60-bit md5 hash of the
-    * payload's hex form, which DuckDB reproduces bit-for-bit, so even the
-    * STUBBED feature pipeline is oracle-checked end to end. Swap this
-    * object for a real decoder in production. */
-  object StubCodec {
+  /** Media codec. One container is decoded FOR REAL, dependency-free:
+    * binary PPM (P6) — full header parse (comments included) + a pixel
+    * scan producing exact Rec.601 mean luma, pure JVM byte arithmetic
+    * ([[decodePpm]], spec'd against a known fixture down to the exact
+    * luma fraction). Containers whose decoders this environment doesn't
+    * ship (png/riff/mp4 need native libs) fall back to a deterministic
+    * fixture decode: every field a pure function of the portable 60-bit
+    * md5 hash of the payload's hex form, which DuckDB reproduces
+    * bit-for-bit, so even the fallback feature pipeline is oracle-checked
+    * end to end. Production swap point: add real decoders next to
+    * [[decodePpm]]; the batched mapPartitions shape doesn't change. */
+  object MediaCodec {
     private val HexDigits = "0123456789ABCDEF".toCharArray
+
+    /** Real P6 decode: `P6 <ws> width <ws> height <ws> maxval <single ws>
+      * <raw RGB rows>`, `#` comments legal anywhere in the header
+      * whitespace, 1-byte samples (maxval <= 255). Returns None unless
+      * the payload is a well-formed single-byte-sample P6 whose pixel
+      * data is complete — a truncated or 16-bit image falls through to
+      * the fixture decode rather than yielding half-read stats.
+      *
+      * mean_luma = mean over pixels of Rec.601 luma scaled to [0, 1]:
+      * (299 R + 587 G + 114 B) summed EXACTLY in integers, divided once
+      * by 1000 · maxval · n_pixels — deterministic, no per-pixel FP. */
+    def decodePpm(payload: Array[Byte]): Option[MediaFeatures] = {
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        return None
+      var i = 2
+      def skipWs(): Unit = {
+        var in = true
+        while (in && i < payload.length) {
+          val c = payload(i)
+          if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+          else in = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = -1
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = math.max(v, 0) * 10 + (payload(i) - '0')
+          i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      i += 1 // the single whitespace byte separating header from raster
+      val need = 3L * w * h
+      if (i + need > payload.length) return None
+      var lumaSum = 0L // max 1000·255·pixels — overflows long at ~3.6e13 px
+      var base = i
+      val end = i + need.toInt
+      while (base < end) {
+        lumaSum += 299L * (payload(base) & 0xff) +
+          587L * (payload(base + 1) & 0xff) + 114L * (payload(base + 2) & 0xff)
+        base += 3
+      }
+      Some(MediaFeatures(
+        width = w, height = h, n_frames = 1,
+        mean_luma = lumaSum.toDouble / (1000.0 * maxval * (w.toLong * h))))
+    }
 
     /** @param md reusable digest — hoisted per batch by extractFeatures so
       *           the per-row cost is the hash itself, not provider lookup */
     def decode(payload: Array[Byte],
-        md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): MediaFeatures = {
-      // ??? real implementation would decode the container here ???
-      // fake features from the shared portable kernel over hex(payload)
-      // (uppercase, matching both engines' hex()) — h is 60-bit non-negative
+        md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): MediaFeatures =
+      decodePpm(payload).getOrElse(fixtureDecode(payload, md))
+
+    /** Deterministic fixture decode for containers without a shipped
+      * decoder — fake features from the shared portable kernel over
+      * hex(payload) (uppercase, matching both engines' hex()); h is
+      * 60-bit non-negative. */
+    private def fixtureDecode(payload: Array[Byte],
+        md: java.security.MessageDigest): MediaFeatures = {
       val sb = new java.lang.StringBuilder(payload.length * 2)
       payload.foreach { b =>
         sb.append(HexDigits((b >> 4) & 0xf)); sb.append(HexDigits(b & 0xf))
@@ -130,10 +197,10 @@ object MediaOps {
           val payload = Option(r.getAs[Array[Byte]](1))
             .getOrElse(Array.emptyByteArray)
           val fmt = r.getString(2)
-          val f = StubCodec.decode(payload, md)
-          val (rw, rh) = StubCodec.resizePlan(f, maxDim)
+          val f = MediaCodec.decode(payload, md)
+          val (rw, rh) = MediaCodec.resizePlan(f, maxDim)
           Row(id, fmt, f.width, f.height, rw, rh, f.n_frames,
-            StubCodec.sampleFrames(f, framesPerClip), f.mean_luma)
+            MediaCodec.sampleFrames(f, framesPerClip), f.mean_luma)
         }
       }
     }(org.apache.spark.sql.Encoders.row(featureSchema))

@@ -8,7 +8,8 @@ import graft.multimodal.MediaOps
   * stands in for a media corpus — payload = container magic bytes + the
   * text bytes, media kind assigned round-robin. mm1 (metadata: sizes +
   * format sniffing) is pure column work and oracle-checked; mm2 runs the
-  * stub-codec mapPartitions pipeline (rows-only + MultimodalSpec).
+  * batched-codec mapPartitions pipeline (MediaOps.MediaCodec: real P6
+  * decode, deterministic fixture for native-lib containers).
   */
 object Multimodal extends QueryGroup {
 
@@ -58,10 +59,11 @@ object Multimodal extends QueryGroup {
         FROM media""")),
 
     // MM2: decode → feature-extract → resize-plan → frame-sample through
-    // the batched mapPartitions stub codec. The stub derives its fake
-    // features from the portable md5 hash of the payload, so even the
-    // stubbed pipeline is fully oracle-checked (the real-codec swap point
-    // stays clearly marked in MediaOps.StubCodec).
+    // the batched mapPartitions codec (MediaOps.MediaCodec — P6 decodes
+    // for real, spec'd to exact pixel stats; the synthetic png/riff/mp4
+    // payloads here take the deterministic fixture path, whose features
+    // derive from the portable md5 hash of the payload, so this pipeline
+    // is fully oracle-checked end to end).
     "mm2_media_features" -> QueryDef(
       build = (s, d) => {
         val media = withPayload(Tables.documents(s, d))
@@ -108,9 +110,10 @@ object Multimodal extends QueryGroup {
     // MM3: perceptual-style media near-dup — the media twin of d5: block
     // by (format, width) so candidate pairs only form inside small
     // same-shape buckets, then keep pairs whose mean-luma distance is
-    // tiny. With a real codec the features would be pHash/luma histograms;
-    // the stub's hash-derived features keep the exact same plan shape AND
-    // full oracle-checkability. At 100 TB the blocked self-join is keyed
+    // tiny. With full native codecs the features would be pHash/luma
+    // histograms; the fixture path's hash-derived features keep the exact
+    // same plan shape AND full oracle-checkability (real P6 inputs get
+    // real luma). At 100 TB the blocked self-join is keyed
     // on (format, width) — binary payloads never shuffle, only the small
     // feature rows.
     "mm3_media_neardup" -> QueryDef(

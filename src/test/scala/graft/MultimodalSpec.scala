@@ -3,11 +3,22 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.MediaOps
 
-/** Multimodal plumbing tests: format sniffing, metadata, and the batched
-  * stub-codec pipeline (determinism, resize bounds, frame-sample counts).
+/** Multimodal plumbing tests: format sniffing, metadata, the REAL P6/PPM
+  * decode (exact pixel stats on a known fixture), and the batched codec
+  * pipeline (determinism, resize bounds, frame-sample counts).
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  /** A real binary PPM: 2×2, maxval 255, header comment, pixels
+    * red / green / blue / white — Rec.601 mean luma exactly 0.5
+    * ((299 + 587 + 114 + 1000)·255 / (1000·255·4)). */
+  private def ppmFixture: Array[Byte] =
+    "P6\n# fixture comment\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+      0xff.toByte, 0x00, 0x00, /* red */
+      0x00, 0xff.toByte, 0x00, /* green */
+      0x00, 0x00, 0xff.toByte, /* blue */
+      0xff.toByte, 0xff.toByte, 0xff.toByte /* white */)
 
   private def media = Seq(
     (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)),
@@ -29,12 +40,12 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getLong(0) == 7L && row.getString(1) == "png")
   }
 
-  test("stub pipeline: deterministic, resize bounded, frame samples bounded") {
+  test("codec pipeline: deterministic, resize bounded, frame samples bounded") {
     val f1 = MediaOps.extractFeatures(media, "id", "payload", maxDim = 128, framesPerClip = 4)
       .collect().sortBy(_.getLong(0))
     val f2 = MediaOps.extractFeatures(media, "id", "payload", maxDim = 128, framesPerClip = 4)
       .collect().sortBy(_.getLong(0))
-    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq, "stub decode must be deterministic")
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq, "codec decode must be deterministic")
     f1.foreach { r =>
       assert(r.getInt(4) <= 128 && r.getInt(5) <= 128, "resize plan exceeds maxDim")
       val sampled = r.getSeq[Int](7)
@@ -42,6 +53,29 @@ class MultimodalSpec extends SparkSpec {
       assert(sampled.forall(i => i >= 0 && i < r.getInt(6)))
       assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
     }
+  }
+
+  test("P6 decode is real: exact header + pixel stats from a known fixture") {
+    // unit level: exact dims, single frame, EXACT luma fraction
+    val f = MediaOps.MediaCodec.decodePpm(ppmFixture)
+    assert(f.contains(MediaOps.MediaFeatures(2, 2, 1, 0.5)), s"got $f")
+    // malformed inputs fall through to the fixture decode, never half-read:
+    // truncated raster, 16-bit maxval, and a non-P6 magic all return None
+    assert(MediaOps.MediaCodec.decodePpm(ppmFixture.dropRight(1)).isEmpty)
+    assert(MediaOps.MediaCodec.decodePpm(
+      "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](24)(1)).isEmpty)
+    assert(MediaOps.MediaCodec.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+
+    // pipeline level: the SAME fixture through sniff + extractFeatures
+    val df = Seq((7L, ppmFixture)).toDF("id", "payload")
+    assert(df.select(MediaOps.sniffFormat(col("payload"))).head().getString(0) == "ppm")
+    val row = MediaOps.extractFeatures(df, "id", "payload",
+      maxDim = 256, framesPerClip = 4).collect()(0)
+    assert(row.getLong(0) == 7L && row.getString(1) == "ppm")
+    assert(row.getInt(2) == 2 && row.getInt(3) == 2, "real decoded dims")
+    assert(row.getInt(4) == 2 && row.getInt(5) == 2, "no upscale past maxDim")
+    assert(row.getInt(6) == 1 && row.getSeq[Int](7) == Seq(0))
+    assert(row.getDouble(8) == 0.5, "exact Rec.601 mean luma")
   }
 
   test("batching covers every row exactly once across partitions") {
