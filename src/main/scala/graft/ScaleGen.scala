@@ -183,6 +183,16 @@ object ScaleGen {
   private[graft] val BoilerVariants      = 12  // tier-B variant count
   private[graft] val BoilerTierBPct      = 12  // % of docs spread over the variants
   private[graft] val BoilerFrac          = 0.55 // prefix fraction replaced
+  /** ~1/3 of non-centroid vectors re-aimed at ONE centroid's direction
+    * (pick-modulus 100/33 = 3), breaking the N/k_cent uniform-cell
+    * assumption e4/e12/t30/e14's probe-cost model rests on. */
+  private[graft] val HotCellVecPct       = 33
+  /** Direction blend for re-aimed vectors: v' ∝ (1−λ)·v̂ + λ·ĉ, then
+    * rescaled to the ORIGINAL norm — cos(v', ĉ) ≈ λ, far above any
+    * random centroid, so the whole selected mass assigns to the hot
+    * cell; norms (and thus every normalization, validation, and e1
+    * scoring cost) are preserved. */
+  private[graft] val HotCellBlend        = 0.85
 
   /** Boilerplate text for variant v, tiled to at least `minLen` chars:
     * synthetic tokens disjoint from the organic vocabulary, so injected
@@ -229,8 +239,10 @@ object ScaleGen {
     *    get the same hot partition).
     *
     * Hot keys are the smallest existing key of each table, so no foreign
-    * key breaks. The remaining tables (customer, part, supplier, nation,
-    * region, embeddings) copy through verbatim.
+    * key breaks. Embeddings get the hot-IVF-cell treatment (a third of
+    * the vector mass re-aimed at one centroid, norms preserved — see the
+    * embeddings block below). The remaining tables (customer, part,
+    * supplier, nation, region) copy through verbatim.
     */
   def writeSkewed(spark: SparkSession, src: String, out: String): Unit = {
     def minKey(table: String, k: String): Long =
@@ -304,7 +316,43 @@ object ScaleGen {
       .drop("_v")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    Seq("customer", "part", "supplier", "nation", "region", "embeddings")
+    // embeddings: the hot-IVF-cell regime — re-aim [[HotCellVecPct]]% of
+    // NON-CENTROID vectors at one centroid's direction with norms
+    // preserved. Same count, same vec_ids, same norms ⇒ the sqrtSample
+    // admission set (hash(vec_id) pmod n_vecs < k_cent) is IDENTICAL to
+    // the uniform twin's, and centroid vectors are untouched (a re-aimed
+    // centroid would collapse near-parallel to the hot one and split the
+    // hot mass across FP-tie cells) — so exactly ONE cell absorbs the
+    // selected third of the corpus, the regime where per-cell probe cost
+    // stops being N/k_cent.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVecs = emb.count()
+    val kCent = math.min(math.ceil(math.sqrt(nVecs.toDouble)).toLong,
+      graft.queries.Embeddings.MaxCentroids)
+    val isCentroid = pmod(graft.functions.TextFunctions.portableHash(
+      col("vec_id").cast("string"), "cent:"), lit(nVecs)) < lit(kCent)
+    val hotCid = emb.filter(isCentroid)
+      .agg(min(col("vec_id")).cast("long")).head().getLong(0)
+    val hotVec = emb.filter(col("vec_id") === hotCid)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val cLit = array(hotVec.map(f => lit(f.toDouble)): _*)
+    def dotd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VecDot.dotCol(a, b)
+    val lam = HotCellBlend
+    val vN = sqrt(dotd(col("embedding"), col("embedding")))
+    val cN = sqrt(dotd(cLit, cLit))
+    val blended = zip_with(col("embedding").cast("array<double>"), cLit,
+      (a, b) => a / vN * (1 - lam) + b / cN * lam)
+    val bN = sqrt(dotd(blended, blended))
+    emb
+      .withColumn("embedding",
+        when(pick(100 / HotCellVecPct, col("vec_id"), lit("hc")) === 0
+            && !isCentroid,
+          transform(blended, x => x * vN / bN).cast("array<float>"))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Seq("customer", "part", "supplier", "nation", "region")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")

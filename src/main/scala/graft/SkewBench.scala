@@ -107,6 +107,25 @@ object SkewReport {
       f"(${100.0 * topCust / nOrd}%.2f%%); max basket $topBasket distinct " +
       s"parts vs BasketCap=${graft.queries.Graph.BasketCap}")
 
+    // --- IVF cell occupancy (e4/e12/t30/e14 probe-cost assumption):
+    // uniform cells hold ~N/k_cent vectors; a hot cell breaks the
+    // "probe cost follows the probed cells" model — report the top
+    // cells as multiples of the uniform expectation
+    val vn = graft.ops.IvfIndex.normalized(
+      Tables.embeddings(spark, dir).transform(Tables.spread))
+      .localCheckpoint(true)
+    val cellSizes = graft.ops.IvfIndex
+      .assignCells(vn, graft.ops.IvfIndex.centroidsOf(vn))
+      .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc)
+      .select(col("c")).collect().map(_.getLong(0))
+    val nVec = cellSizes.sum
+    val uniformCell = nVec.toDouble / cellSizes.length
+    println(f"[skew] ivf cells: k=${cellSizes.length} n_vecs=$nVec " +
+      f"top cell ${cellSizes.head} (${100.0 * cellSizes.head / nVec}%.2f%% " +
+      f"of corpus, ${cellSizes.head / uniformCell}%.1fx the uniform " +
+      f"N/k=${uniformCell}%.0f) top5=${cellSizes.take(5).mkString(",")}")
+
     // --- streaming-state hot key (st9/w1/w3 partition on user_id)
     val ev = Tables.events(spark, dir)
     val nEv = ev.count()

@@ -108,7 +108,12 @@ class ScaleGenSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$src/nation.parquet")
     Seq((1L, "r")).toDF("r_regionkey", "r_name")
       .write.mode("overwrite").parquet(s"$src/region.parquet")
-    Seq((1L, Seq.tabulate(64)(_.toFloat), 0)).toDF("vec_id", "embedding", "label")
+    // enough vectors in varied directions that the hot-cell re-aim has a
+    // centroid sample and a measurable assignment distribution
+    (1L to 120L).map(i =>
+        (i, Seq.tabulate(64)(j => math.sin(i * 13.7 + j * 0.91).toFloat),
+          (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
 
     ScaleGen.writeSkewed(spark, src, out)
@@ -139,6 +144,36 @@ class ScaleGenSpec extends SparkSpec {
     val hotShare = sk.filter(col("l_partkey") === 1L).count().toDouble / 1500
     assert(hotShare > 0.02 && hotShare < 0.10,
       s"hot part share out of band: $hotShare")
+
+    // embeddings: vec_ids and NORMS are preserved (so the centroid
+    // admission set and all normalization math match the uniform twin),
+    // a nontrivial share of vectors changed direction, and the IVF
+    // assignment now has a HOT CELL absorbing far more than N/k
+    val eu = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("a"))
+    val es = spark.read.parquet(s"$out/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("b"))
+    assert(es.count() == 120 &&
+      es.join(eu, "vec_id").count() == 120, "vec_id set must be preserved")
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(graft.functions.VecDot.dotCol(c, c))
+    val joined = eu.join(es, "vec_id")
+      .select(col("vec_id"), nrm(col("a")).as("na"), nrm(col("b")).as("nb"),
+        (col("a") =!= col("b")).as("moved"))
+      .collect()
+    assert(joined.forall(r =>
+      math.abs(r.getDouble(1) - r.getDouble(2)) <= 1e-4 * r.getDouble(1)),
+      "re-aimed vectors must keep their norms")
+    val movedN = joined.count(_.getBoolean(3))
+    assert(movedN > 20 && movedN < 60, s"hot-cell share off: $movedN/120 moved")
+    val vnS = graft.ops.IvfIndex.normalized(
+      spark.read.parquet(s"$out/embeddings.parquet"))
+    val cellTop = graft.ops.IvfIndex
+      .assignCells(vnS, graft.ops.IvfIndex.centroidsOf(vnS))
+      .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(cellTop >= movedN,
+      s"one cell must absorb the re-aimed mass: top=$cellTop moved=$movedN")
 
     // mega-basket rows are renumbered, so the composite line key stays
     // unique — a consumer joining on (l_orderkey, l_linenumber) must
