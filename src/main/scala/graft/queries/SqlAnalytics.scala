@@ -236,15 +236,22 @@ object SqlAnalytics extends QueryGroup {
       build = (s, d) => {
         register(s, d)
         Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        // the two product sums carry scale 4/6 — at the 10x corpus their
+        // RAW scaled integers pass 2^53, where DuckDB's two-step
+        // decimal->double (int128 to double, THEN x 10^-scale) double-
+        // rounds while Spark's BigDecimal converts in one rounding — a
+        // 1-ULP hash miss (caught by the round-10 10x gate). round(_, 2)
+        // first: the exact-decimal round is engine-identical and the
+        // scale-2 raw value converts exactly in both engines.
         s.sql("""
           SELECT l_returnflag, l_linestatus,
                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
                  floor((sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) * 200 + count(*))
                    / (count(*) * 2)) / CAST(10000 AS DOUBLE) AS avg_qty,
                  floor((sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 200 + count(*))
@@ -262,11 +269,11 @@ object SqlAnalytics extends QueryGroup {
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                 * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                 * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
                floor((CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
                  / (count(*) * 2)) / 10000.0 AS avg_qty,
                floor((CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) * 200 + count(*))
