@@ -259,17 +259,22 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // mega-basket reassignment keeps (l_orderkey, l_linenumber) UNIQUE:
-    // rows pulled into the hot order are renumbered 100, 101, ... (their
-    // original line numbers came from DIFFERENT orders and would collide
-    // with each other and with the hot order's own 1..7 — any consumer
-    // keying on the composite would silently double-count). The window
-    // partitions by the NEW orderkey, so every partition is <= 7 rows
-    // except the one mega-basket; ordering by the original composite
-    // keeps the numbering deterministic.
+    // rows pulled into the hot order are renumbered maxLn+1, maxLn+2, ...
+    // (their original line numbers came from DIFFERENT orders and would
+    // collide with each other and with the hot order's own lines — any
+    // consumer keying on the composite would silently double-count). The
+    // base is the TABLE's max line number, not a constant: a corpus with
+    // wide orders (or a chained writeSkewed output, whose hot order
+    // already carries renumbered rows) would collide with any fixed
+    // base. The window partitions by the NEW orderkey, so every
+    // partition is small except the one mega-basket; ordering by the
+    // original composite keeps the numbering deterministic.
+    val liSrc = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxLn = liSrc.agg(max(col("l_linenumber")).cast("long")).head().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"))
       .orderBy(col("_ok0"), col("_ln0"))
-    spark.read.parquet(s"$src/lineitem.parquet")
+    liSrc
       .withColumn("l_partkey",
         when(pick(100 / HotPartLinePct, col("l_orderkey"), col("l_linenumber")) === 0,
           lit(hotPart)).otherwise(col("l_partkey")))
@@ -281,7 +286,7 @@ object ScaleGen {
       .withColumn("l_orderkey",
         when(col("_mb"), lit(hotOrder)).otherwise(col("l_orderkey")))
       .withColumn("l_linenumber",
-        when(col("_mb"), (lit(100) + row_number().over(w)).cast("int"))
+        when(col("_mb"), (lit(maxLn) + row_number().over(w)).cast("int"))
           .otherwise(col("l_linenumber")))
       .drop("_mb", "_ok0", "_ln0")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
@@ -325,14 +330,20 @@ object ScaleGen {
     // hot mass across FP-tie cells) — so exactly ONE cell absorbs the
     // selected third of the corpus, the regime where per-cell probe cost
     // stops being N/k_cent.
+    // centroid admission comes from THE shared definition
+    // (Embeddings.sqrtSample — the same one e4/e14/d8 run), never an
+    // inline re-derivation that could silently drift if the sampling
+    // rule changes; the admitted set is metadata-sized (<= MaxCentroids)
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val nVecs = emb.count()
-    val kCent = math.min(math.ceil(math.sqrt(nVecs.toDouble)).toLong,
-      graft.queries.Embeddings.MaxCentroids)
-    val isCentroid = pmod(graft.functions.TextFunctions.portableHash(
-      col("vec_id").cast("string"), "cent:"), lit(nVecs)) < lit(kCent)
-    val hotCid = emb.filter(isCentroid)
-      .agg(min(col("vec_id")).cast("long")).head().getLong(0)
+    val centIds = graft.queries.Embeddings.sqrtSample(emb, emb)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+    // the hash-threshold admission count is binomial around k_cent —
+    // bound it loosely, it only needs to stay metadata-sized
+    require(centIds.nonEmpty &&
+      centIds.length <= 4 * graft.queries.Embeddings.MaxCentroids,
+      s"centroid sample out of range: ${centIds.length}")
+    val isCentroid = col("vec_id").isin(centIds.toIndexedSeq: _*)
+    val hotCid = centIds.min
     val hotVec = emb.filter(col("vec_id") === hotCid)
       .select(col("embedding")).head().getSeq[Float](0)
     val cLit = array(hotVec.map(f => lit(f.toDouble)): _*)

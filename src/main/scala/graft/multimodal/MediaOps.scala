@@ -35,11 +35,13 @@ object MediaOps {
     when(head === "89504E47", "png")
       .when(head === "52494646", "riff")
       .when(head === "66747970" || box === "66747970", "mp4")
-      // P6 magic is 2 bytes + whitespace — prefix compare, not whole-head.
-      // Oracle-neutral on the synthetic corpus (every payload starts with
-      // one of the three magics above); exists for real PPM inputs, which
+      // P6 magic is 2 bytes + REQUIRED header whitespace (or a comment) —
+      // a 'P6000parts…' blob is not a PPM. Oracle-neutral on the
+      // synthetic corpus (every payload starts with one of the three
+      // magics above); exists for real PPM inputs, which
       // MediaCodec.decodePpm then decodes for real.
-      .when(substring(head, 1, 4) === "5036", "ppm")
+      .when(substring(head, 1, 4) === "5036" &&
+        substring(head, 5, 2).isin("20", "09", "0A", "0D", "23"), "ppm")
       .otherwise("unknown")
   }
 
@@ -84,7 +86,7 @@ object MediaOps {
       * (299 R + 587 G + 114 B) summed EXACTLY in integers, divided once
       * by 1000 · maxval · n_pixels — deterministic, no per-pixel FP. */
     def decodePpm(payload: Array[Byte]): Option[MediaFeatures] = {
-      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      if (payload.length < 3 || payload(0) != 'P' || payload(1) != '6')
         return None
       var i = 2
       def skipWs(): Unit = {
@@ -98,13 +100,19 @@ object MediaOps {
       }
       def readInt(): Int = {
         skipWs()
-        var v = -1
+        var v = -1L // Long accumulator: an Int would WRAP on a corrupt
+        // header ('P6 4294967297 1 255' reads as 1x1) and decode
+        // confidently wrong geometry instead of falling through
         while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-          v = math.max(v, 0) * 10 + (payload(i) - '0')
+          v = math.min(math.max(v, 0L) * 10 + (payload(i) - '0'), Int.MaxValue.toLong)
           i += 1
         }
-        v
+        if (v == Int.MaxValue.toLong) -1 else v.toInt
       }
+      // the byte after the magic must be header whitespace (or a comment)
+      // — 'P6000parts...' is not a PPM
+      if (payload(2) != ' ' && payload(2) != '\t' && payload(2) != '\n' &&
+          payload(2) != '\r' && payload(2) != '#') return None
       val w = readInt(); val h = readInt(); val maxval = readInt()
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
       i += 1 // the single whitespace byte separating header from raster

@@ -138,14 +138,40 @@ object IvfIndex {
       try Files.move(Paths.get(tmp), Paths.get(root),
         StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.FileSystemException =>
-          // another process finished first — its index is identical
-          // (deterministic build); keep it, discard ours
-          deleteRecursively(tmp)
+        case e: java.nio.file.FileSystemException =>
+          // only a LOST RACE is swallowable (another process finished
+          // first — deterministic build, its index is identical). Any
+          // other move failure must surface NOW, not as a confusing
+          // missing-path error on the first probe.
+          if (Files.exists(Paths.get(root, "_COMPLETE"))) deleteRecursively(tmp)
+          else throw e
       }
+      pruneStale(root)
     }
     root
+  }
+
+  /** Cache hygiene: each corpus regeneration fingerprints to a fresh
+    * root, and a crashed build orphans its scratch dir — without pruning,
+    * /tmp accumulates a full normalized-corpus copy per generation.
+    * Runs after a successful build only; anything touched in the last
+    * 6 hours is left alone (a concurrent process may be using or
+    * building it). */
+  private def pruneStale(keepRoot: String): Unit = {
+    val parent = Paths.get(keepRoot).getParent
+    if (parent == null || !Files.isDirectory(parent)) return
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val s = Files.list(parent)
+    try s.iterator().asScala
+      .filter(p => p.toString != keepRoot)
+      .filter(p => p.getFileName.toString.startsWith("idx-"))
+      .filter(p =>
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.io.IOException => false })
+      .foreach(p =>
+        try deleteRecursively(p.toString)
+        catch { case _: java.io.IOException => () }) // best-effort hygiene
+    finally s.close()
   }
 
   /** Full build into `root`: centroid sample + every vector's cell

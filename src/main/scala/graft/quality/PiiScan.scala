@@ -65,9 +65,14 @@ object PiiScan {
 
   // boundary guards: a date shape embedded INSIDE a longer digit/dash run
   // ('555-1234-56-78 90') is part of the phone digits, not a date — only
-  // strip shapes not attached to an adjacent digit or dash on either side
-  private val DateShape =
-    java.util.regex.Pattern.compile("""(?<![\d-])\d{4}-\d{2}-\d{2}(?![\d-])""")
+  // strip shapes not attached to an adjacent digit or dash on either side.
+  // Dash-JOINED CHAINS of dates ('2024-01-01-2024-01-31', the compact
+  // range form) are one match: the chain group consumes the whole range,
+  // so ranges still strip and are rejected as phone, while a date glued
+  // to a non-date digit run ('2024-01-01-0001234') stays unstripped —
+  // the documented recall-over-precision posture for date-prefixed ids.
+  private val DateShape = java.util.regex.Pattern.compile(
+    """(?<![\d-])\d{4}-\d{2}-\d{2}(-\d{4}-\d{2}-\d{2})*(?![\d-])""")
 
   /** find() with a per-kind plausibility gate. The phone shape
     * (digit/space/dash/paren runs) also matches ISO dates ('2024-01-01'

@@ -329,22 +329,12 @@ object Embeddings extends QueryGroup {
     // skewed key.
     "e4_ann_ivf" -> QueryDef(
       build = (s, d) => {
-        val vn = Tables.embeddings(s, d)
-          .transform(Tables.spread)
-          // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
-          // disables codegen subexpression elimination, so the 64-element
-          // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector aborts loudly here —
-          // Spark 4 ANSI raises DIVIDE_BY_ZERO for double 0/0 too
-          // (pinned in EmbeddingsSpec's NaN-posture test). A NaN/Inf
-          // COMPONENT is the silent path instead: x/NaN propagates NaN
-          // with no error, and NaN out-ranks every real cosine under
-          // Double.compare — closed by the !isnan ranking filters
-          // downstream plus the e8 pre-flight validator
-          // (ops/CorpusContract) a pipeline runs before this job.
-          .withColumn("nrm", norm(col("embedding")))
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        // normalization IS the shared index definition (IvfIndex
+        // .normalized): e14's PERSISTED `ne` must stay bit-identical to
+        // this live frame, so neither side may drift — the plain-norm /
+        // ANSI-abort / !isnan rationale lives there and at e1 above
+        val vn = graft.ops.IvfIndex.normalized(
+          Tables.embeddings(s, d).transform(Tables.spread))
         val q = vn.filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
         ivfCandidates(vn, q)
@@ -378,9 +368,13 @@ object Embeddings extends QueryGroup {
     "e14_ann_ivf_persisted" -> QueryDef(
       build = (s, d) => {
         val root = graft.ops.IvfIndex.ensure(s, d)
+        // q feeds probeCandidates TWICE (probe selection + the re-score
+        // join) — checkpoint once or the cells parquet scans an extra
+        // time per consumer (|Q| = corpus/10 rows, cheap to pin)
         val q = graft.ops.IvfIndex.cells(s, root)
           .filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
         graft.ops.IvfIndex.probeCandidates(s, root, q)
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
@@ -431,22 +425,10 @@ object Embeddings extends QueryGroup {
         // vn itself stays lineage-visible (NOT checkpointed) so the
         // column-pruned parquet scan under the re-rank joins remains
         // auditable in the final plan (PushdownSpec reads its ReadSchema).
-        val vn = Tables.embeddings(s, d)
-          .transform(Tables.spread)
-          // plain norm, deliberately: wrapping it in nullif (a CaseWhen)
-          // disables codegen subexpression elimination, so the 64-element
-          // normalize lambda re-evaluates sqrt(vec_dot) per element —
-          // measured 4x on e5. A zero-norm vector aborts loudly here —
-          // Spark 4 ANSI raises DIVIDE_BY_ZERO for double 0/0 too
-          // (pinned in EmbeddingsSpec's NaN-posture test). A NaN/Inf
-          // COMPONENT is the silent path instead: x/NaN propagates NaN
-          // with no error, and NaN out-ranks every real cosine under
-          // Double.compare — closed by the !isnan ranking filters
-          // downstream plus the e8 pre-flight validator
-          // (ops/CorpusContract) a pipeline runs before this job.
-          .withColumn("nrm", norm(col("embedding")))
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        // shared normalization (IvfIndex.normalized — the plain-norm /
+        // ANSI-abort rationale lives there and at e1)
+        val vn = graft.ops.IvfIndex.normalized(
+          Tables.embeddings(s, d).transform(Tables.spread))
         val sub = vn
           .select(col("vec_id"), explode(sequence(lit(1), lit(nSub))).as("s"), col("ne"))
           .select(col("vec_id"), col("s"),
@@ -869,10 +851,7 @@ object Embeddings extends QueryGroup {
           .groupBy(col("q_id"))
           .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
-        val vn = v
-          .withColumn("nrm", norm(col("embedding")))
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        val vn = graft.ops.IvfIndex.normalized(v)
         shortlist
           .join(vn.select(col("vec_id").as("q_id"), col("ne").as("q_ne")), "q_id")
           .join(vn, "vec_id")

@@ -943,13 +943,10 @@ object TextOps extends QueryGroup {
         val lex = rrfLexLeg(s, d, qIds)
         // ---- semantic list: cosine top-50 (e1's broadcast-query shape;
         // Embeddings.norm is the family's one dot/norm definition)
-        val vn = Tables.embeddings(s, d)
-          .transform(Tables.spread)
-          // plain norm (the family rule): zero-norm aborts under ANSI,
-          // NaN components drop at the !isnan filter; e8 is the gate
-          .withColumn("nrm", Embeddings.norm(col("embedding")))
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        // shared normalization (IvfIndex.normalized — zero-norm aborts
+        // under ANSI, NaN components drop at the !isnan filter; e8 gates)
+        val vn = graft.ops.IvfIndex.normalized(
+          Tables.embeddings(s, d).transform(Tables.spread))
         val qv = vn.join(qIds, col("vec_id") === col("q_id"))
           .select(col("q_id"), col("ne").as("q_ne"))
         val sem = vn.crossJoin(broadcast(qv))
@@ -1004,14 +1001,10 @@ object TextOps extends QueryGroup {
       build = (s, d) => {
         val qIds = rrfQueryIds(s, d)
         val lex = rrfLexLeg(s, d, qIds)
-        val vn = Tables.embeddings(s, d)
-          .transform(Tables.spread)
-          // plain norm (the family rule): zero-norm aborts under ANSI,
-          // NaN components drop at ivfCandidates' !isnan filters; e8 is
-          // the pre-flight gate
-          .withColumn("nrm", Embeddings.norm(col("embedding")))
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+        // shared normalization (IvfIndex.normalized — e14's persisted
+        // frame and this live one must stay bit-identical)
+        val vn = graft.ops.IvfIndex.normalized(
+          Tables.embeddings(s, d).transform(Tables.spread))
         val qv = vn.join(qIds, col("vec_id") === col("q_id"))
           .select(col("q_id"), col("ne").as("q_ne"))
         val sem = Embeddings.ivfCandidates(vn, qv)

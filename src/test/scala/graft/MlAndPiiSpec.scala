@@ -40,6 +40,13 @@ class MlAndPiiSpec extends SparkSpec {
     assert(kindsOf(Seq("2024-01-01 555 867 5309 x2")).contains("phone"),
       "a genuine phone behind a date-shaped prefix must report")
     assert(kindsOf(Seq("+1 (555) 123-4567")).contains("phone"))
+    // round-10 boundary semantics: a date INSIDE a longer digit/dash run
+    // is phone material (never stripped), while a dash-joined date RANGE
+    // is one chained date match (stripped, rejected)
+    assert(kindsOf(Seq("555-1234-56-78 90")).contains("phone"),
+      "a date shape embedded in a phone run must not strip its digits")
+    assert(!kindsOf(Seq("2024-01-01-2024-01-31")).contains("phone"),
+      "a compact dash-joined date range is not a phone")
   }
 
   test("churn model trains on the cf1 features and separates the planted signal") {

@@ -65,6 +65,12 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaOps.MediaCodec.decodePpm(
       "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill[Byte](24)(1)).isEmpty)
     assert(MediaOps.MediaCodec.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    // header-int overflow must reject, not wrap mod 2^32 into a tiny
+    // "valid" geometry; 'P6' glued to a non-whitespace byte is not a PPM
+    assert(MediaOps.MediaCodec.decodePpm(
+      ("P6 4294967297 1 255\n" + "xyz").getBytes("US-ASCII")).isEmpty)
+    assert(MediaOps.MediaCodec.decodePpm(
+      ("P6000parts 1 1 255\n" + "xyz").getBytes("US-ASCII")).isEmpty)
 
     // pipeline level: the SAME fixture through sniff + extractFeatures
     val df = Seq((7L, ppmFixture)).toDF("id", "payload")
