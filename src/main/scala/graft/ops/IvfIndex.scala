@@ -84,6 +84,41 @@ object IvfIndex {
       .groupBy("vec_id").agg(max(col("sc")).as("best"))
       .select(col("vec_id"), (-col("best.negcid")).as("cid"))
 
+  /** Two-level probe width: nearest coarse groups inspected per query. */
+  val NCoarseProbe = 4
+
+  /** Hard ceiling on the coarse-level sample of the centroid set —
+    * the e5/MaxCentroids rationale one level up. */
+  val MaxCoarse = 64L
+
+  /** Coarse level over the CENTROID set: the same deterministic
+    * hash-threshold admission as sqrtSample, applied to centroid ids
+    * under a distinct seed prefix — min(√k_cent, MaxCoarse) group
+    * vectors. This is the "two-level assignment" a billion-cell index
+    * needs: a query scores k_coarse group vectors, then only the member
+    * centroids of its nearest groups, never the full centroid list.
+    * Mirrored literally in the e15 oracle. */
+  private[graft] def coarseOf(cents: DataFrame): DataFrame =
+    cents
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_cent"))
+        .select(col("n_cent"),
+          least(ceil(sqrt(col("n_cent"))).cast("long"), lit(MaxCoarse))
+            .as("k_coarse"))))
+      .filter(pmod(graft.functions.TextFunctions.portableHash(
+        col("cid").cast("string"), "coarse:"), col("n_cent")) < col("k_coarse"))
+      .select(col("cid").as("gid"), col("ce").as("ge"))
+
+  /** Nearest coarse group per centroid — the assignCells argmax one
+    * level up (ties to the lowest gid). Output (cid, gid). */
+  private[graft] def assignGroups(cents: DataFrame, coarse: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(coarse))
+      .select(col("cid"),
+        struct(
+          call_function("vec_dot", col("ce"), col("ge")).as("cos"),
+          (-col("gid")).as("neggid")).as("sc"))
+      .groupBy("cid").agg(max(col("sc")).as("best"))
+      .select(col("cid"), (-col("best.neggid")).as("gid"))
+
   /** Each query's nProbe nearest centroids (NaN-screened — NaN would top
     * Double.compare). Input q(q_id, q_ne); output (q_id, cid). */
   private[graft] def probeSelect(
@@ -223,8 +258,53 @@ object IvfIndex {
     * into the cells scan (row-group skipping): bounded by construction at
     * MaxCentroids = 256 entries — driver metadata, not data. */
   def probeCandidates(spark: SparkSession, root: String, q: DataFrame,
-      nProbe: Int = NProbe): DataFrame = {
-    val probes = probeSelect(q, centroids(spark, root), nProbe)
+      nProbe: Int = NProbe): DataFrame =
+    rescoreCells(spark, root,
+      probeSelect(q, centroids(spark, root), nProbe), q)
+
+  /** Two-level probe: query → nearest [[NCoarseProbe]] coarse groups →
+    * their member centroids only → nProbe cells → exact rescore. The
+    * query-side centroid work drops from k_cent dots to k_coarse +
+    * (members of the probed groups) — the shape that keeps per-query
+    * cost flat when the cell count itself outgrows a broadcast scoring
+    * pass (a 100 TB index wants ~10⁶ cells; scoring all of them per
+    * query is the level-1 bottleneck this level removes). Same exact
+    * rescore, same determinism (every argmax ties to the lowest id),
+    * fully oracle-checked (e15). */
+  def probeCandidatesTwoLevel(spark: SparkSession, root: String, q: DataFrame,
+      nCoarse: Int = NCoarseProbe, nProbe: Int = NProbe): DataFrame = {
+    // cents feeds the coarse sample, the group assignment, and the
+    // candidate scoring join — checkpoint once (metadata-sized)
+    val cents = centroids(spark, root).localCheckpoint(true)
+    val coarse = coarseOf(cents).localCheckpoint(true)
+    val qg = q.crossJoin(broadcast(coarse))
+      .select(col("q_id"),
+        call_function("vec_dot", col("q_ne"), col("ge")).as("cos"), col("gid"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedTopK.topK(nCoarse)(col("cos"), col("gid")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("gid"))
+    val probes = qg
+      .join(assignGroups(cents, coarse), "gid")
+      .join(cents, "cid")
+      .join(q, "q_id")
+      .select(col("q_id"),
+        call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedTopK.topK(nProbe)(col("cos"), col("cid")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("cid"))
+    rescoreCells(spark, root, probes, q)
+  }
+
+  /** Shared probe tail: exact cosines of `probes`(q_id, cid) against the
+    * stored inverted lists, query excluded, NaN screened. The probed-cell
+    * set is collected driver-side to push `cid IN (...)` into the cells
+    * scan (row-group skipping): bounded by construction at
+    * MaxCentroids = 256 entries — driver metadata, not data. */
+  private def rescoreCells(spark: SparkSession, root: String,
+      probesRaw: DataFrame, q: DataFrame): DataFrame = {
+    val probes = probesRaw
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val cids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq

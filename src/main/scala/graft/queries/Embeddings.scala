@@ -182,6 +182,77 @@ object Embeddings extends QueryGroup {
               FROM scored)
         WHERE rn <= 5"""
 
+  /** e15's oracle: the TWO-LEVEL probe chain — the same index build
+    * (n/c/avb/assign) as [[sqlIvfScored]], plus the coarse level over the
+    * centroid set (hash-gate sample under the 'coarse:' seed, mirroring
+    * IvfIndex.coarseOf), the centroid→group argmax, the query's
+    * top-[[graft.ops.IvfIndex.NCoarseProbe]] groups, and probe selection
+    * restricted to the probed groups' member centroids. Every argmax
+    * ties to the lowest id, as everywhere. */
+  private[graft] val sqlIvfTwoLevelTop5: String = {
+    val nCoarse = graft.ops.IvfIndex.NCoarseProbe
+    val maxCoarse = graft.ops.IvfIndex.MaxCoarse
+    s"""
+        WITH n AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ne AS ce FROM n, $sqlCentStats WHERE $sqlCentGate),
+        avb AS (
+          SELECT n.vec_id, c.cid,
+                 list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
+          FROM n CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM avb) WHERE rnk = 1),
+        cstats AS (SELECT count(*) AS n_cent,
+                          least(CAST(ceil(sqrt(count(*))) AS BIGINT), $maxCoarse) AS k_coarse
+                   FROM c),
+        g AS (SELECT cid AS gid, ce AS ge FROM c, cstats
+              WHERE (CAST(concat('0x', substr(md5(concat('coarse:', CAST(cid AS VARCHAR))),1,15)) AS BIGINT)
+                     % n_cent) < k_coarse),
+        cgs AS (
+          SELECT c.cid, g.gid,
+                 list_sum(list_transform(range(1, len(ce)+1), i -> ce[i] * ge[i])) AS cos
+          FROM c CROSS JOIN g),
+        cg AS (
+          SELECT cid, gid FROM (
+            SELECT *, row_number() OVER (PARTITION BY cid ORDER BY cos DESC, gid ASC) AS rnk
+            FROM cgs) WHERE rnk = 1),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
+        qgs AS (
+          SELECT q.q_id, g.gid,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ge[i])) AS cos
+          FROM q CROSS JOIN g),
+        qg AS (
+          SELECT q_id, gid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, gid ASC) AS rnk
+            FROM qgs) WHERE rnk <= $nCoarse),
+        qc AS (
+          SELECT qg.q_id, cg.cid,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * c.ce[i])) AS cos
+          FROM qg JOIN cg USING (gid)
+          JOIN c ON c.cid = cg.cid
+          JOIN q ON q.q_id = qg.q_id),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qc) WHERE rnk <= 8),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
     // Vectors are L2-normalized ONCE up front (cosine = plain dot after),
@@ -384,6 +455,38 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(sqlIvfTop5),
+      bench = true),
+
+    // E15: TWO-LEVEL probe of the same persisted index — the e5 note's
+    // "two-level assignment" made real: a coarse hash-gate sample of the
+    // CENTROID set (min(√k_cent, 64) group vectors, IvfIndex.coarseOf)
+    // routes each query to its 4 nearest groups, and probe selection
+    // scores only those groups' member centroids. Query-side centroid
+    // work drops from k_cent to k_coarse + probed-group members — the
+    // level that matters when the cell count itself is the bottleneck
+    // (a 100 TB index wants ~10⁶ cells; scoring every cell vector per
+    // query is level-1's hidden linear term). Deterministic arithmetic
+    // end to end (every argmax ties to the lowest id), so unlike
+    // production coarse quantizers this one is FULLY oracle-checked;
+    // recall vs the single-level e14 is spec-gated in IvfIndexSpec.
+    "e15_ann_ivf_two_level" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.ensure(s, d)
+        // q feeds the coarse scoring, the candidate scoring, and the
+        // re-score join — checkpoint once (the e14 rationale)
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidatesTwoLevel(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfTwoLevelTop5),
       bench = true),
 
     // E5: ANN via product quantization + asymmetric distance computation

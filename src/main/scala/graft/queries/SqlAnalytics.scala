@@ -481,6 +481,45 @@ object SqlAnalytics extends QueryGroup {
           AND l_quantity < (
             SELECT 0.2 * avg(l_quantity)
             FROM lineitem l2
-            WHERE l2.l_partkey = p_partkey)"""))
+            WHERE l2.l_partkey = p_partkey)""")),
+
+    // SQL11: the order-priority checking shape (TPC-H Q4) as pure SQL
+    // text — the correlated EXISTS stress: count a quarter's orders per
+    // priority, keeping only orders with at least one returned line.
+    // (This schema has no l_commitdate/l_receiptdate; the returnflag
+    // predicate keeps Q4's exists-one-qualifying-line contract.)
+    //
+    // Correct planning turns the EXISTS into a LEFT SEMI join on
+    // o_orderkey — each order tests membership once, never counts
+    // multiplicity (a rewrite to INNER join would double-count orders
+    // with several returned lines, which is why the semi-join pin is a
+    // CORRECTNESS pin here, not just a performance one). The returnflag
+    // filter pushes into the lineitem scan, the quarter window into the
+    // orders scan; the per-priority count combines map-side.
+    "sql11_priority_returns" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM orders_sql
+          WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+            AND EXISTS (
+              SELECT 1 FROM lineitem_sql
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

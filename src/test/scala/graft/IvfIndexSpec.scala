@@ -78,6 +78,30 @@ class IvfIndexSpec extends SparkSpec {
       "regenerated corpus must fingerprint to a fresh index root")
   }
 
+  test("two-level probe recall vs the single-level probe stays high") {
+    // the coarse level restricts which centroids a query may probe —
+    // the recall cost of that routing must stay bounded (the t30-vs-t20
+    // gate pattern). Measured on the shipped sf0.001 corpus: mean top-5
+    // overlap 0.87; gate at 0.70 to absorb regenerated-testdata drift.
+    val d = "/root/testdata/sf0.001"
+    def top5(name: String): Map[Long, Seq[Long]] =
+      SparkEntry.queries(name)(spark, d)
+        .select($"q_id", $"vec_id", $"rn").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          (q, rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq)
+        }
+    val one = top5("e14_ann_ivf_persisted")
+    val two = top5("e15_ann_ivf_two_level")
+    assert(one.keySet == two.keySet, "query sets must match")
+    val overlaps = one.keys.toSeq.map { q =>
+      (one(q).toSet intersect two(q).toSet).size.toDouble / one(q).size
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"mean top-5 overlap e15 vs e14: $mean%.3f over ${overlaps.size} queries")
+    assert(mean >= 0.70, f"two-level routing lost too much recall: $mean%.3f")
+  }
+
   test("incremental append through the change feed equals from-scratch assignment") {
     // corpus lives as a versioned table with CDF — the d14/st14 admission
     // shape applied to the index: new rows arrive as change-feed inserts

@@ -628,6 +628,24 @@ class PushdownSpec extends SparkSpec {
       s"sql10's avg-gate join must stay a broadcast hash join:\n$p10")
     assert(p10.contains("EqualTo(p_brand,Brand#23)"),
       s"sql10 dim filter not pushed to the part scan:\n$p10")
+
+    // sql11 (TPC-H Q4): the correlated EXISTS must plan as a LEFT SEMI
+    // join — a CORRECTNESS pin, not just performance: an inner-join
+    // rewrite would count an order once per returned line. Both side
+    // filters push into their scans; the priority count combines
+    // map-side.
+    val p11 = plan("sql11_priority_returns")
+    assert(p11.contains("LeftSemi"),
+      s"sql11's EXISTS must decorrelate to a left-semi join:\n$p11")
+    assert(!p11.contains("CartesianProduct") &&
+      !p11.contains("BroadcastNestedLoopJoin"),
+      s"sql11 degenerated to a non-equi join:\n$p11")
+    assert(p11.contains("EqualTo(l_returnflag,R)"),
+      s"sql11 returnflag not pushed to the lineitem scan:\n$p11")
+    assert(p11.contains("GreaterThanOrEqual(o_orderdate"),
+      s"sql11 quarter window not pushed to the orders scan:\n$p11")
+    assert(p11.contains("partial_count"),
+      s"sql11 priority count lost map-side combine:\n$p11")
     assert(p9.contains("partial_sum") && p9.contains("partial_count"),
       s"sql9 lost map-side combine:\n$p9")
 
