@@ -138,11 +138,11 @@ object Embeddings extends QueryGroup {
       .filter(col("cos").isNotNull && !isnan(col("cos")))
   }
 
-  /** DuckDB twin of [[ivfCandidates]]: the CTE chain `n` (normalized
-    * corpus) → `c`/`avb`/`assign` (index) → `q` (caller-supplied body,
-    * must yield (q_id, qe); may reference `n`) → `qc`/`probes` (8-probe)
-    * → `scored(q_id, vec_id, cos)`. ONE oracle text for e4 and t30. */
-  private[graft] def sqlIvfScored(qCteBody: String): String = s"""n AS (
+  /** The index-build CTE prefix (`n` normalized corpus → `c` centroids →
+    * `avb`/`assign` cell assignment) — ONE text composed by EVERY IVF
+    * oracle (e4/e14/t30 via [[sqlIvfScored]], e15's two-level chain), so
+    * a change to the shared index definition cannot drift between them. */
+  private[graft] val sqlIvfIndexCtes: String = s"""n AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
@@ -155,7 +155,30 @@ object Embeddings extends QueryGroup {
         assign AS (
           SELECT vec_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM avb) WHERE rnk = 1),
+            FROM avb) WHERE rnk = 1)"""
+
+  /** Shared exact-rescore CTE: probed cells' vectors, query excluded —
+    * expects `probes(q_id, cid)`, `assign`, `q`, `n` in scope. */
+  private[graft] val sqlIvfScoredCte: String = """scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)"""
+
+  /** Shared top-5 tail over `scored`. */
+  private[graft] val sqlScoredTop5Tail: String = """
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5"""
+
+  /** DuckDB twin of [[ivfCandidates]]: the shared index prefix → `q`
+    * (caller-supplied body, must yield (q_id, qe); may reference `n`) →
+    * `qc`/`probes` (8-probe) → `scored(q_id, vec_id, cos)`. ONE oracle
+    * text for e4, e14, and t30. */
+  private[graft] def sqlIvfScored(qCteBody: String): String = s"""$sqlIvfIndexCtes,
         q AS ($qCteBody),
         qc AS (
           SELECT q.q_id, c.cid,
@@ -165,22 +188,13 @@ object Embeddings extends QueryGroup {
           SELECT q_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
             FROM qc) WHERE rnk <= 8),
-        scored AS (
-          SELECT p.q_id, a.vec_id,
-                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
-          FROM probes p
-          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
-          JOIN q ON q.q_id = p.q_id
-          JOIN n ON n.vec_id = a.vec_id)"""
+        $sqlIvfScoredCte"""
 
   /** e4's full oracle — also e14's verbatim: the persisted-index probe
     * must reproduce the live IVF result bit-for-bit. */
   private[graft] val sqlIvfTop5: String = s"""
         WITH ${sqlIvfScored("SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0")}
-        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
-        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-              FROM scored)
-        WHERE rn <= 5"""
+        $sqlScoredTop5Tail"""
 
   /** e15's oracle: the TWO-LEVEL probe chain — the same index build
     * (n/c/avb/assign) as [[sqlIvfScored]], plus the coarse level over the
@@ -193,20 +207,7 @@ object Embeddings extends QueryGroup {
     val nCoarse = graft.ops.IvfIndex.NCoarseProbe
     val maxCoarse = graft.ops.IvfIndex.MaxCoarse
     s"""
-        WITH n AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
-          FROM embeddings),
-        c AS (SELECT vec_id AS cid, ne AS ce FROM n, $sqlCentStats WHERE $sqlCentGate),
-        avb AS (
-          SELECT n.vec_id, c.cid,
-                 list_sum(list_transform(range(1, len(ne)+1), i -> ne[i] * ce[i])) AS cos
-          FROM n CROSS JOIN c),
-        assign AS (
-          SELECT vec_id, cid FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM avb) WHERE rnk = 1),
+        WITH $sqlIvfIndexCtes,
         cstats AS (SELECT count(*) AS n_cent,
                           least(CAST(ceil(sqrt(count(*))) AS BIGINT), $maxCoarse) AS k_coarse
                    FROM c),
@@ -240,17 +241,8 @@ object Embeddings extends QueryGroup {
           SELECT q_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
             FROM qc) WHERE rnk <= 8),
-        scored AS (
-          SELECT p.q_id, a.vec_id,
-                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
-          FROM probes p
-          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
-          JOIN q ON q.q_id = p.q_id
-          JOIN n ON n.vec_id = a.vec_id)
-        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
-        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-              FROM scored)
-        WHERE rn <= 5"""
+        $sqlIvfScoredCte
+        $sqlScoredTop5Tail"""
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -610,6 +610,8 @@ class PushdownSpec extends SparkSpec {
       s"sql9 quantity disjunction not pushed to the lineitem scan:\n$p9")
     assert(p9.contains("EqualTo(p_brand"),
       s"sql9 brand disjunction not pushed to the part scan:\n$p9")
+    assert(p9.contains("partial_sum") && p9.contains("partial_count"),
+      s"sql9 lost map-side combine:\n$p9")
 
     // sql10 (TPC-H Q17): the correlated scalar subquery (per-part 20%
     // avg-quantity gate) must DECORRELATE — one per-partkey aggregate
@@ -646,8 +648,6 @@ class PushdownSpec extends SparkSpec {
       s"sql11 quarter window not pushed to the orders scan:\n$p11")
     assert(p11.contains("partial_count"),
       s"sql11 priority count lost map-side combine:\n$p11")
-    assert(p9.contains("partial_sum") && p9.contains("partial_count"),
-      s"sql9 lost map-side combine:\n$p9")
 
     // gr4: the per-part top-3 must run as two-mode WindowGroupLimit
     // (its basket-scan pruning is pinned via basketScan above — the
