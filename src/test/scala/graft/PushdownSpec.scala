@@ -237,6 +237,20 @@ class PushdownSpec extends SparkSpec {
     assert(pt.contains("partial_"), s"t24 lost map-side combine:\n$pt")
   }
 
+  test("e14 probes the persisted index only: pushed cell prune, zero corpus scans") {
+    // the probe-only contract, in-plan: the ONLY parquet scan is the
+    // index's inverted lists, pruned by the pushed probed-cell IN list
+    // (row-group skipping); the corpus table is never rescanned — the
+    // whole point of persisting the index.
+    val p = plan("e14_ann_ivf_persisted")
+    assert(p.contains("In(cid"),
+      s"e14's probed-cell prune must push into the cells scan:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"e14 must not rescan the corpus — probe-only means index reads only:\n$p")
+    assert(p.contains("graft_ivf"),
+      s"e14's scan must read the persisted index:\n$p")
+  }
+
   test("t31 terciles come from the histogram frame, never a doc-frame window") {
     // the scale contract: the CDF window's input is the per-(lang, score)
     // histogram AGGREGATE (distinct scores per language), not the doc
