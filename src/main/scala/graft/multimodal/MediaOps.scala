@@ -115,7 +115,13 @@ object MediaOps {
           payload(2) != '\r' && payload(2) != '#') return None
       val w = readInt(); val h = readInt(); val maxval = readInt()
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-      i += 1 // the single whitespace byte separating header from raster
+      // the single byte separating header from raster must be whitespace —
+      // 'P6 2 2 255X<raster>' would otherwise decode a misaligned raster
+      // with confident-but-wrong luma instead of falling through
+      if (i >= payload.length ||
+          (payload(i) != ' ' && payload(i) != '\t' &&
+           payload(i) != '\n' && payload(i) != '\r')) return None
+      i += 1
       val need = 3L * w * h
       if (i + need > payload.length) return None
       var lumaSum = 0L // max 1000·255·pixels — overflows long at ~3.6e13 px

@@ -174,7 +174,20 @@ object IvfIndex {
     * loser of a race discards its build). */
   def ensure(spark: SparkSession, corpusDir: String): String = synchronized {
     val root = indexRoot(corpusDir)
-    if (!Files.exists(Paths.get(root, "_COMPLETE"))) {
+    if (Files.exists(Paths.get(root, "_COMPLETE"))) {
+      // refresh the root's mtime: pruneStale keys staleness on it, and
+      // probe reads don't update it — without this touch an index built
+      // >6h ago but still actively probed could be pruned out from under
+      // an in-flight session when a different corpus builds
+      try Files.setLastModifiedTime(Paths.get(root),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () } // hygiene only
+    } else {
+      // a root WITHOUT _COMPLETE can only be debris (an interrupted prune
+      // or manual cleanup — a completed build always moves in atomically
+      // with its marker): clear it, or the ATOMIC_MOVE below fails every
+      // time with DirectoryNotEmptyException and nothing self-heals
+      deleteRecursively(root)
       val tmp = root + s".build-${ProcessHandle.current().pid()}"
       deleteRecursively(tmp)
       build(spark, corpusDir, tmp)

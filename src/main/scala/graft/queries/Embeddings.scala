@@ -126,7 +126,7 @@ object Embeddings extends QueryGroup {
     // this live path and the e14 persisted index, never a drifting copy
     val cents = graft.ops.IvfIndex.centroidsOf(vn)
     val assign = graft.ops.IvfIndex.assignCells(vn, cents)
-    val probes = graft.ops.IvfIndex.probeSelect(q, cents, nProbe = 8)
+    val probes = graft.ops.IvfIndex.probeSelect(q, cents, nProbe = graft.ops.IvfIndex.NProbe)
     probes
       .join(assign, "cid")
       .filter(col("vec_id") =!= col("q_id"))
@@ -187,7 +187,7 @@ object Embeddings extends QueryGroup {
         probes AS (
           SELECT q_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM qc) WHERE rnk <= 8),
+            FROM qc) WHERE rnk <= ${graft.ops.IvfIndex.NProbe}),
         $sqlIvfScoredCte"""
 
   /** e4's full oracle — also e14's verbatim: the persisted-index probe
@@ -206,6 +206,7 @@ object Embeddings extends QueryGroup {
   private[graft] val sqlIvfTwoLevelTop5: String = {
     val nCoarse = graft.ops.IvfIndex.NCoarseProbe
     val maxCoarse = graft.ops.IvfIndex.MaxCoarse
+    val nProbe = graft.ops.IvfIndex.NProbe
     s"""
         WITH $sqlIvfIndexCtes,
         cstats AS (SELECT count(*) AS n_cent,
@@ -240,7 +241,7 @@ object Embeddings extends QueryGroup {
         probes AS (
           SELECT q_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM qc) WHERE rnk <= 8),
+            FROM qc) WHERE rnk <= $nProbe),
         $sqlIvfScoredCte
         $sqlScoredTop5Tail"""
   }
