@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -56,8 +57,9 @@ object IvfIndex {
 
   /** Bump when the on-disk layout changes: a stale cached index from an
     * older build would otherwise be probed with new-format expectations.
-    * v2: + persisted coarse level (`coarse`, `groups` tables). */
-  private val FormatVersion = 2
+    * v2: + persisted coarse level (`coarse`, `groups` tables).
+    * v3: + PQ side (`codebook` table; `codes` column on `cells`). */
+  private val FormatVersion = 3
 
   // ---------------------------------------------------------------- shared
   // index DEFINITIONS (also used by the live e4/t30 path via
@@ -140,6 +142,74 @@ object IvfIndex {
       .groupBy(col("q_id"))
       .agg(graft.functions.BoundedTopK.topK(nProbe)(col("cos"), col("cid")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cid"))
+
+  // ----------------------------------------------------- PQ definitions
+  // (shared by the live e5 path and the persisted IVFPQ side — one
+  // definition, never a drifting copy; the e4/e14 contract applied to
+  // the compressed representation)
+
+  /** Subspace count: 64-dim vectors split into 16 slices of 4. */
+  val NSub = 16
+
+  /** Elements per PQ subspace. */
+  private[graft] val SubDim: Int = Embeddings.EmbDim / NSub
+
+  /** ADC shortlist depth before the exact re-rank (e5's top-50). */
+  val PqShortlist = 50
+
+  /** Normalized vectors → per-subspace slices (vec_id, s, sv). */
+  private[graft] def subspacesOf(vn: DataFrame): DataFrame =
+    vn.select(col("vec_id"), explode(sequence(lit(1), lit(NSub))).as("s"), col("ne"))
+      .select(col("vec_id"), col("s"),
+        slice(col("ne"), ((col("s") - 1) * SubDim + 1).cast("int"), lit(SubDim)).as("sv"))
+
+  /** PQ codebook: subspace slices of the ~√N hash-threshold vector sample
+    * (the SAME admission gate as the IVF centroids — one sampled id set
+    * serves both roles); `rnk` is the centroid's dense 1-based index, the
+    * identical order both engines derive. */
+  private[graft] def codebookOf(sub: DataFrame, counted: DataFrame): DataFrame =
+    Embeddings.sqrtSample(sub, counted)
+      .select(col("s"),
+        dense_rank().over(Window.partitionBy(col("s")).orderBy(col("vec_id"))).as("rnk"),
+        col("sv").as("cv"))
+
+  /** Statically unrolled squared L2 over one subspace (SubDim = 4 terms,
+    * left-to-right adds — the oracle's list_sum fold order). element_at
+    * with computed indices stays inside whole-stage codegen; a ragged row
+    * fails loudly under ANSI (the EmbeddingsSpec 64-dim contract). */
+  private def l2sq(a: Column, b: Column): Column =
+    (1 to SubDim).map { i =>
+      (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
+    }.reduce(_ + _)
+
+  /** PQ encode: per (vector, subspace) argmin squared-L2 over the
+    * codebook — struct min ties to the lowest centroid index. Output
+    * (vec_id, codes: array of NSub 1-based code indices). */
+  private[graft] def encodeCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"),
+        struct(l2sq(col("sv"), col("cv")).as("d2"), col("rnk")).as("sc"))
+      .groupBy("vec_id", "s").agg(min("sc").as("best"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("s"), col("best.rnk").as("code"))).as("sc"))
+      .select(col("vec_id"),
+        transform(array_sort(col("sc")), x => x.getField("code")).as("codes"))
+
+  /** Per-query ADC lookup table: dot(query subvector, codebook centroid)
+    * for every (subspace, centroid), nested array ordered [s][rnk].
+    * Input qsub(q_id, s, qv); output (q_id, lut). */
+  private[graft] def queryLut(qsub: DataFrame, cb: DataFrame): DataFrame =
+    qsub.join(broadcast(cb), "s")
+      .select(col("q_id"), col("s"), col("rnk"),
+        call_function("vec_dot", col("qv"), col("cv")).as("dp"))
+      .groupBy("q_id", "s")
+      .agg(collect_list(struct(col("rnk"), col("dp"))).as("rd"))
+      .select(col("q_id"), col("s"),
+        transform(array_sort(col("rd")), x => x.getField("dp")).as("dps"))
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("s"), col("dps"))).as("sd"))
+      .select(col("q_id"),
+        transform(array_sort(col("sd")), x => x.getField("dps")).as("lut"))
 
   // ------------------------------------------------------------ lifecycle
 
@@ -232,10 +302,12 @@ object IvfIndex {
     finally s.close()
   }
 
-  /** Full build into `root`: centroid sample + every vector's cell
-    * assignment. `vn` feeds three consumers (sample, assignment cross
-    * join, the ne join-back) with differing projections — checkpoint
-    * once (the d4/e5 ReusedExchange lesson). */
+  /** Full build into `root`: centroid sample, PQ codebook, and every
+    * vector's cell assignment + PQ codes. `vn` feeds several consumers
+    * (sample, assignment cross join, the ne join-back, the PQ slices)
+    * with differing projections — checkpoint once (the d4/e5
+    * ReusedExchange lesson); likewise `sub` (codebook + encode) and the
+    * tiny `cb`. */
   def build(spark: SparkSession, corpusDir: String, root: String): Unit = {
     val vn = normalized(Tables.embeddings(spark, corpusDir).transform(Tables.spread))
       .localCheckpoint(true)
@@ -249,9 +321,16 @@ object IvfIndex {
     new VersionedTable(spark, s"$root/coarse").write(coarse, "ivf-build")
     new VersionedTable(spark, s"$root/groups")
       .write(assignGroups(cents, coarse), "ivf-build")
+    // PQ side: codebook pinned at build exactly like the centroids —
+    // appends ENCODE against it and never re-train, so persisted codes
+    // are provably identical to encoding the whole corpus at once
+    val sub = subspacesOf(vn).localCheckpoint(true)
+    val cb = codebookOf(sub, vn).localCheckpoint(true)
+    new VersionedTable(spark, s"$root/codebook").write(cb, "ivf-build")
     val cellRows = assignCells(vn, cents)
       .join(vn, "vec_id")
-      .select(col("cid"), col("vec_id"), col("ne"))
+      .join(encodeCodes(sub, cb), "vec_id")
+      .select(col("cid"), col("vec_id"), col("ne"), col("codes"))
       .repartition(col("cid"))
     new VersionedTable(spark, s"$root/cells").write(cellRows, "ivf-build")
   }
@@ -263,6 +342,18 @@ object IvfIndex {
   def cells(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/cells").read()
       .select(col("cid"), col("vec_id"), col("ne"))
+
+  /** The inverted lists' COMPRESSED representation only — (cid, vec_id,
+    * codes). Parquet is columnar, so this scan never reads the `ne`
+    * vector bytes (plan-pinned in PushdownSpec): the 100 TB ADC pass
+    * touches 16 small ints per vector, not 64 doubles. */
+  def cellCodes(spark: SparkSession, root: String): DataFrame =
+    new VersionedTable(spark, s"$root/cells").read()
+      .select(col("cid"), col("vec_id"), col("codes"))
+
+  def codebook(spark: SparkSession, root: String): DataFrame =
+    new VersionedTable(spark, s"$root/codebook").read()
+      .select(col("s"), col("rnk"), col("cv"))
 
   def coarseLevel(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/coarse").read()
@@ -281,9 +372,13 @@ object IvfIndex {
   def append(spark: SparkSession, root: String, vecs: DataFrame): Long = {
     val vn = normalized(vecs).localCheckpoint(true)
     val cents = centroids(spark, root)
+    // codes encode against the FROZEN codebook, the same pinned-artifact
+    // rule as the centroid assignment (FAISS IndexIVFPQ.add semantics)
+    val codes = encodeCodes(subspacesOf(vn), codebook(spark, root))
     val newRows = assignCells(vn, cents)
       .join(vn, "vec_id")
-      .select(col("cid"), col("vec_id"), col("ne"))
+      .join(codes, "vec_id")
+      .select(col("cid"), col("vec_id"), col("ne"), col("codes"))
       .repartition(col("cid"))
     new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
   }
