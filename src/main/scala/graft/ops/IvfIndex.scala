@@ -195,6 +195,15 @@ object IvfIndex {
       .select(col("vec_id"),
         transform(array_sort(col("sc")), x => x.getField("code")).as("codes"))
 
+  /** ADC approximation of cos(q, v): Σ_s lut[s][codes[s]] — 16 array
+    * lookups per (query, vector) pair, left-to-right adds (the oracle's
+    * list_sum fold order). Shared by e5's full-corpus ADC and the
+    * IVF-restricted [[probeCandidatesPq]]. */
+  private[graft] def adcScore(lut: Column, codes: Column): Column =
+    (1 to NSub).map { s =>
+      element_at(element_at(lut, s), element_at(codes, s))
+    }.reduce(_ + _)
+
   /** Per-query ADC lookup table: dot(query subvector, codebook centroid)
     * for every (subspace, centroid), nested array ordered [s][rnk].
     * Input qsub(q_id, s, qv); output (q_id, lut). */
@@ -248,35 +257,54 @@ object IvfIndex {
       // refresh the root's mtime: pruneStale keys staleness on it, and
       // probe reads don't update it — without this touch an index built
       // >6h ago but still actively probed could be pruned out from under
-      // an in-flight session when a different corpus builds
+      // an in-flight session when a different corpus builds. Residual
+      // window: a session that keeps probing for >6h WITHOUT re-calling
+      // ensure() is still exposed; callers holding a root that long
+      // should re-ensure() per query batch (every graft query does).
       try Files.setLastModifiedTime(Paths.get(root),
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       catch { case _: java.io.IOException => () } // hygiene only
     } else {
-      // a root WITHOUT _COMPLETE can only be debris (an interrupted prune
-      // or manual cleanup — a completed build always moves in atomically
-      // with its marker): clear it, or the ATOMIC_MOVE below fails every
-      // time with DirectoryNotEmptyException and nothing self-heals
-      deleteRecursively(root)
       val tmp = root + s".build-${ProcessHandle.current().pid()}"
       deleteRecursively(tmp)
       build(spark, corpusDir, tmp)
       Files.createFile(Paths.get(tmp, "_COMPLETE"))
       Files.createDirectories(Paths.get(root).getParent)
-      try Files.move(Paths.get(tmp), Paths.get(root),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: java.nio.file.FileSystemException =>
-          // only a LOST RACE is swallowable (another process finished
-          // first — deterministic build, its index is identical). Any
-          // other move failure must surface NOW, not as a confusing
-          // missing-path error on the first probe.
-          if (Files.exists(Paths.get(root, "_COMPLETE"))) deleteRecursively(tmp)
-          else throw e
-      }
+      moveIntoPlace(tmp, root)
       pruneStale(root)
     }
     root
+  }
+
+  /** Publish a completed build: ATOMIC_MOVE `tmp` → `root`. Failure
+    * handling, in order: a root that gained `_COMPLETE` is a LOST RACE
+    * (another process finished first — deterministic build, its index is
+    * identical), so discard `tmp`; a root present WITHOUT the marker is
+    * debris (an interrupted prune or manual cleanup — a completed build
+    * only ever appears atomically WITH its marker), so clear it and retry
+    * ONCE. Deleting only on move failure — never ahead of the move —
+    * closes the TOCTOU where a pre-emptive "clear debris" pass destroys
+    * an index that a racing winner published (and may already be probing)
+    * between the exists-check and the delete. Anything else surfaces NOW,
+    * not as a confusing missing-path error on the first probe. */
+  private def moveIntoPlace(tmp: String, root: String): Unit = {
+    var retriedDebris = false
+    while (true) {
+      try {
+        Files.move(Paths.get(tmp), Paths.get(root),
+          StandardCopyOption.ATOMIC_MOVE)
+        return
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(Paths.get(root, "_COMPLETE"))) {
+            deleteRecursively(tmp)
+            return
+          } else if (!retriedDebris && Files.exists(Paths.get(root))) {
+            retriedDebris = true
+            deleteRecursively(root)
+          } else throw e
+      }
+    }
   }
 
   /** Cache hygiene: each corpus regeneration fingerprints to a fresh
@@ -435,25 +463,31 @@ object IvfIndex {
     rescoreCells(spark, root, probes, q)
   }
 
-  /** Shared probe tail: exact cosines of `probes`(q_id, cid) against the
-    * stored inverted lists, query excluded, NaN screened. The probed-cell
-    * set is collected driver-side to push `cid IN (...)` into the cells
-    * scan (row-group skipping): bounded by construction at
-    * MaxCentroids = 256 entries — driver metadata, not data. */
-  private def rescoreCells(spark: SparkSession, root: String,
-      probesRaw: DataFrame, q: DataFrame): DataFrame = {
-    val probes = probesRaw
-      .localCheckpoint(true) // consumed by the cid collect AND the join
+  /** Driver-side probed-cell id list, for pushing `cid IN (...)` into an
+    * index scan (parquet row-group skipping). Bounded by construction:
+    * the probed set ⊆ the centroid set, whose hash-threshold admission is
+    * binomial AROUND min(√N, MaxCentroids) — allow the overshoot (a hard
+    * == MaxCentroids bound would flake at the cap). Metadata, not data. */
+  private def probedCidList(probes: DataFrame): Seq[Long] = {
     val cids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    // bound: the probed set ⊆ the centroid set, whose hash-threshold
-    // admission is binomial AROUND min(√N, MaxCentroids) — allow the
-    // overshoot (a hard == MaxCentroids bound would flake at the cap)
     require(cids.length <= 4 * Embeddings.MaxCentroids,
       s"probed cell set ${cids.length} far exceeds MaxCentroids — " +
         "the driver-side prune list must stay metadata-sized " +
         "(at a cell count past the cap, swap the collected IN list " +
         "for a left-semi join on the probes frame)")
+    cids
+  }
+
+  /** Shared probe tail: exact cosines of `probes`(q_id, cid) against the
+    * stored inverted lists, query excluded, NaN screened. The probed-cell
+    * set is collected driver-side to push `cid IN (...)` into the cells
+    * scan (row-group skipping) — [[probedCidList]]'s bound. */
+  private def rescoreCells(spark: SparkSession, root: String,
+      probesRaw: DataFrame, q: DataFrame): DataFrame = {
+    val probes = probesRaw
+      .localCheckpoint(true) // consumed by the cid collect AND the join
+    val cids = probedCidList(probes)
     probes
       .join(cells(spark, root).filter(col("cid").isin(cids: _*)), "cid")
       .filter(col("vec_id") =!= col("q_id"))
@@ -463,13 +497,65 @@ object IvfIndex {
       .filter(col("cos").isNotNull && !isnan(col("cos")))
   }
 
+  /** IVFPQ probe — the FAISS `IndexIVFPQ.search` serving pipeline over
+    * the persisted artifacts: probe selection against the pinned
+    * centroids, then ADC over the probed cells' stored CODES (16 small
+    * ints per vector — [[cellCodes]]'s ne-free scan) via each query's
+    * broadcast lookup table, a per-query [[PqShortlist]] cut, and an
+    * exact re-rank of the shortlist from the stored full-precision
+    * vectors. Output (q_id, vec_id, cos) for the surviving shortlist —
+    * the e14 contract at ADC cost.
+    *
+    * Scale shape: the LUTs broadcast to the codes side (never shuffle
+    * corpus codes by query — e5's rule); the ADC pass reads codes only,
+    * so at 100 TB it touches 16 bytes-ish per probed vector instead of
+    * 64 doubles; the full-precision pass touches |Q|·shortlist vectors,
+    * not the corpus. The shortlist join back to `cells` is keyed on
+    * vec_id with a broadcast of the (|Q|·shortlist)-row shortlist — the
+    * corpus side never shuffles. */
+  def probeCandidatesPq(spark: SparkSession, root: String, q: DataFrame,
+      nProbe: Int = NProbe, shortlist: Int = PqShortlist): DataFrame = {
+    val probes = probeSelect(q, centroids(spark, root), nProbe)
+      .localCheckpoint(true) // consumed by the cid collect AND the join
+    val cids = probedCidList(probes)
+    val qsub = subspacesOf(q.select(col("q_id").as("vec_id"), col("q_ne").as("ne")))
+      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+    val lut = queryLut(qsub, codebook(spark, root))
+    val short = probes
+      .join(cellCodes(spark, root).filter(col("cid").isin(cids: _*)), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        adcScore(col("lut"), col("codes")).as("adc"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedTopK.topK(shortlist)(col("adc"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    // the shortlist's vectors all come from probed cells, so the
+    // full-precision scan gets the same pushed cid prune as the ADC scan
+    broadcast(short)
+      .join(cells(spark, root).filter(col("cid").isin(cids: _*))
+        .select(col("vec_id"), col("ne")), "vec_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        call_function("vec_dot", col("q_ne"), col("ne")).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+  }
+
+  /** Tolerates entries vanishing mid-walk (a concurrent prune of the same
+    * debris): NoSuchFileException on the walk or a single delete means the
+    * work is already done, not a failure. A DirectoryNotEmptyException
+    * (files APPEARING mid-walk) still propagates — the caller decides. */
   private def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
-    }
+    if (!Files.exists(p)) return
+    val s =
+      try Files.walk(p)
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach { f =>
+        try Files.delete(f)
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    finally s.close()
   }
 }

@@ -142,11 +142,14 @@ object Embeddings extends QueryGroup {
     * `avb`/`assign` cell assignment) — ONE text composed by EVERY IVF
     * oracle (e4/e14/t30 via [[sqlIvfScored]], e15's two-level chain), so
     * a change to the shared index definition cannot drift between them. */
-  private[graft] val sqlIvfIndexCtes: String = s"""n AS (
+  /** The normalized-corpus CTE every embedding oracle opens with. */
+  private[graft] val sqlNormCte: String = s"""n AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
-          FROM embeddings),
+          FROM embeddings)"""
+
+  private[graft] val sqlIvfIndexCtes: String = s"""$sqlNormCte,
         c AS (SELECT vec_id AS cid, ne AS ce FROM n, $sqlCentStats WHERE $sqlCentGate),
         avb AS (
           SELECT n.vec_id, c.cid,
@@ -174,11 +177,11 @@ object Embeddings extends QueryGroup {
               FROM scored)
         WHERE rn <= 5"""
 
-  /** DuckDB twin of [[ivfCandidates]]: the shared index prefix → `q`
-    * (caller-supplied body, must yield (q_id, qe); may reference `n`) →
-    * `qc`/`probes` (8-probe) → `scored(q_id, vec_id, cos)`. ONE oracle
-    * text for e4, e14, and t30. */
-  private[graft] def sqlIvfScored(qCteBody: String): String = s"""$sqlIvfIndexCtes,
+  /** The shared index prefix → `q` (caller-supplied body, must yield
+    * (q_id, qe); may reference `n`) → `qc`/`probes` (8-probe): everything
+    * up to the probed-cell set, shared by the exact rescore
+    * ([[sqlIvfScored]]) and the ADC serve (e16's oracle). */
+  private[graft] def sqlIvfProbes(qCteBody: String): String = s"""$sqlIvfIndexCtes,
         q AS ($qCteBody),
         qc AS (
           SELECT q.q_id, c.cid,
@@ -187,7 +190,12 @@ object Embeddings extends QueryGroup {
         probes AS (
           SELECT q_id, cid FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
-            FROM qc) WHERE rnk <= ${graft.ops.IvfIndex.NProbe}),
+            FROM qc) WHERE rnk <= ${graft.ops.IvfIndex.NProbe})"""
+
+  /** DuckDB twin of [[ivfCandidates]]: [[sqlIvfProbes]] →
+    * `scored(q_id, vec_id, cos)`. ONE oracle text for e4, e14, and t30. */
+  private[graft] def sqlIvfScored(qCteBody: String): String =
+    s"""${sqlIvfProbes(qCteBody)},
         $sqlIvfScoredCte"""
 
   /** e4's full oracle — also e14's verbatim: the persisted-index probe
@@ -245,6 +253,72 @@ object Embeddings extends QueryGroup {
         $sqlIvfScoredCte
         $sqlScoredTop5Tail"""
   }
+
+  /** Shared PQ oracle CTEs (require `n` in scope): subspace slices →
+    * codebook (`cent` — the same 'cent:' hash-gate sample as the IVF
+    * centroids, so one sampled id set serves both roles) → per-vector
+    * codes → per-query ADC LUTs (queries = vec_id % 10 = 0, the shared
+    * query set). Mirrors IvfIndex.subspacesOf / codebookOf / encodeCodes /
+    * queryLut — ONE text composed by BOTH PQ oracles (e5's full-corpus
+    * ADC, e16's IVF-restricted ADC), so the PQ definition cannot drift
+    * between them. */
+  private[graft] val sqlPqCtes: String = s"""sub AS (
+          SELECT vec_id, s, ne[(s-1)*4+1:s*4] AS sv
+          FROM n, unnest(range(1, 17)) AS t(s)),
+        cent AS (
+          SELECT s, dense_rank() OVER (PARTITION BY s ORDER BY vec_id) AS rnk, sv AS cv
+          FROM sub, $sqlCentStats WHERE $sqlCentGate),
+        enc AS (
+          SELECT sub.vec_id, sub.s, cent.rnk,
+                 list_sum(list_transform(range(1, 5),
+                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
+          FROM sub JOIN cent ON sub.s = cent.s),
+        code1 AS (
+          SELECT vec_id, s, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, rnk ASC) AS rn
+            FROM enc) WHERE rn = 1),
+        codes AS (SELECT vec_id, list(rnk ORDER BY s) AS cds FROM code1 GROUP BY vec_id),
+        lut0 AS (
+          SELECT sub.vec_id AS q_id, sub.s, cent.rnk,
+                 list_sum(list_transform(range(1, 5), i -> sv[i] * cv[i])) AS dp
+          FROM sub JOIN cent ON sub.s = cent.s
+          WHERE sub.vec_id % 10 = 0),
+        lut1 AS (SELECT q_id, s, list(dp ORDER BY rnk) AS dps FROM lut0 GROUP BY q_id, s),
+        lut AS (SELECT q_id, list(dps ORDER BY s) AS l FROM lut1 GROUP BY q_id)"""
+
+  /** Shared PQ serving tail (requires `n` + the caller's ADC scoring body
+    * yielding (q_id, vec_id, adc)): top-[[graft.ops.IvfIndex.PqShortlist]]
+    * ADC shortlist → exact re-rank from full-precision vectors → top-5. */
+  private[graft] def sqlPqServe(adcsBody: String): String = s"""adcs AS ($adcsBody),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM adcs) WHERE rn <= ${graft.ops.IvfIndex.PqShortlist}),
+        rerank AS (
+          SELECT sh.q_id, sh.vec_id,
+                 list_sum(list_transform(range(1, 65), i -> a.ne[i] * b.ne[i])) AS cos
+          FROM short sh
+          JOIN n a ON a.vec_id = sh.q_id
+          JOIN n b ON b.vec_id = sh.vec_id)
+        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM rerank)
+        WHERE rn <= 5"""
+
+  /** e16's oracle: the IVFPQ serve — the shared IVF probe selection
+    * ([[sqlIvfProbes]], e4/e14's text verbatim), ADC restricted to the
+    * probed cells' members via the shared PQ CTEs, then the shared
+    * shortlist → exact-re-rank tail. */
+  private[graft] val sqlIvfPqTop5: String = s"""
+        WITH ${sqlIvfProbes("SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0")},
+        $sqlPqCtes,
+        ${sqlPqServe(s"""
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, 17), s -> l[s][cds[s]])) AS adc
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN codes ON codes.vec_id = a.vec_id
+          JOIN lut ON lut.q_id = p.q_id""")}"""
 
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
@@ -499,80 +573,36 @@ object Embeddings extends QueryGroup {
     // additionally gated vs exact in EmbeddingsSpec.
     "e5_pq_adc_topk" -> QueryDef(
       build = (s, d) => {
-        val nSub = 16
-        val subDim = EmbDim / nSub
-        // statically unrolled (subDim = 4 terms, left-to-right adds — the
-        // same fold order as the oracle's list_sum): element_at with
-        // computed-per-row indices stays inside whole-stage codegen,
-        // where zip_with/aggregate higher-order lambdas would not
-        // plain element_at, deliberately: the nested try_element_at variant
-        // measured 4x slower (it exits whole-stage codegen), and a ragged
-        // embedding row SHOULD fail loudly here — EmbeddingsSpec pins the
-        // 64-dim contract, so an ANSI index error names real data
-        // corruption instead of silently scoring NULL
-        def l2sq(a: Column, b: Column): Column =
-          (1 to subDim).map { i =>
-            (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
-          }.reduce(_ + _)
-        // sub feeds the codebook, the encoder, and the LUT — three
-        // consumers with differing projections, which blocks
-        // ReusedExchange (the d4 prefix-table lesson): materialize the
-        // normalize→explode→slice pipeline once or it runs per consumer.
-        // vn itself stays lineage-visible (NOT checkpointed) so the
-        // column-pruned parquet scan under the re-rank joins remains
-        // auditable in the final plan (PushdownSpec reads its ReadSchema).
-        // shared normalization (IvfIndex.normalized — the plain-norm /
-        // ANSI-abort rationale lives there and at e1)
+        // EVERY PQ definition (subspace slicer, codebook sample, encoder,
+        // query LUT, ADC fold) is IvfIndex's — one definition shared with
+        // the persisted IVFPQ side (e16), never a drifting copy; this
+        // oracle is the parity proof for both. sub feeds the codebook,
+        // the encoder, and the LUT — three consumers with differing
+        // projections, which blocks ReusedExchange (the d4 prefix-table
+        // lesson): materialize the normalize→explode→slice pipeline once
+        // or it runs per consumer. vn itself stays lineage-visible (NOT
+        // checkpointed) so the column-pruned parquet scan under the
+        // re-rank joins remains auditable in the final plan (PushdownSpec
+        // reads its ReadSchema).
         val vn = graft.ops.IvfIndex.normalized(
           Tables.embeddings(s, d).transform(Tables.spread))
-        val sub = vn
-          .select(col("vec_id"), explode(sequence(lit(1), lit(nSub))).as("s"), col("ne"))
-          .select(col("vec_id"), col("s"),
-            slice(col("ne"), ((col("s") - 1) * subDim + 1).cast("int"), lit(subDim)).as("sv"))
-          .localCheckpoint(true)
-        // codebook: subspace slices of a ~√N hash-threshold vector sample
-        // (sqrtSample); rnk is the centroid's dense 1-based index (same
-        // order both engines)
-        val cents = sqrtSample(sub, vn)
-          .select(col("s"),
-            dense_rank().over(Window.partitionBy(col("s")).orderBy(col("vec_id"))).as("rnk"),
-            col("sv").as("cv"))
-        // encode: per (vector, subspace) argmin squared-L2 over the
-        // codebook — struct min ties to the lowest centroid index
-        val codes = sub.join(broadcast(cents), "s")
-          .select(col("vec_id"), col("s"),
-            struct(l2sq(col("sv"), col("cv")).as("d2"), col("rnk")).as("sc"))
-          .groupBy("vec_id", "s").agg(min("sc").as("best"))
-          .groupBy("vec_id")
-          .agg(collect_list(struct(col("s"), col("best.rnk").as("code"))).as("sc"))
-          .select(col("vec_id"),
-            transform(array_sort(col("sc")), x => x.getField("code")).as("codes"))
-        // per-query LUT: dot(query subvector, centroid) for every
-        // (subspace, centroid) — nested array ordered [s][rnk]
-        val lut = sub.filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-          .join(broadcast(cents), "s")
-          .select(col("q_id"), col("s"), col("rnk"),
-            call_function("vec_dot", col("qv"), col("cv")).as("dp"))
-          .groupBy("q_id", "s")
-          .agg(collect_list(struct(col("rnk"), col("dp"))).as("rd"))
-          .select(col("q_id"), col("s"),
-            transform(array_sort(col("rd")), x => x.getField("dp")).as("dps"))
-          .groupBy("q_id")
-          .agg(collect_list(struct(col("s"), col("dps"))).as("sd"))
-          .select(col("q_id"),
-            transform(array_sort(col("sd")), x => x.getField("dps")).as("lut"))
+        val sub = graft.ops.IvfIndex.subspacesOf(vn).localCheckpoint(true)
+        val cents = graft.ops.IvfIndex.codebookOf(sub, vn)
+        val codes = graft.ops.IvfIndex.encodeCodes(sub, cents)
+        val lut = graft.ops.IvfIndex.queryLut(
+          sub.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv")),
+          cents)
         // ADC: approx cos(q, v) = Σ_s LUT[s][code_v[s]] — 16 lookups per
         // pair, corpus vectors reduced to their codes; keep a top-50
         // shortlist per query
         val shortlist = codes.crossJoin(broadcast(lut))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            (1 to nSub).map { s =>
-              element_at(element_at(col("lut"), s), element_at(col("codes"), s))
-            }.reduce(_ + _).as("adc"))
+            graft.ops.IvfIndex.adcScore(col("lut"), col("codes")).as("adc"))
           .groupBy(col("q_id"))
-          .agg(graft.functions.BoundedTopK.topK(50)(col("adc"), col("vec_id")).as("top"))
+          .agg(graft.functions.BoundedTopK.topK(
+            graft.ops.IvfIndex.PqShortlist)(col("adc"), col("vec_id")).as("top"))
           .select(col("q_id"), explode(col("top.id")).as("vec_id"))
         // exact re-rank of the shortlist only (|Q|·50 full-precision dots).
         // The !isnan guard here costs |Q|·50 rows, not the corpus: a NaN
@@ -593,53 +623,44 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(s"""
-        WITH n AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) / sqrt(${sqlDotOf("embedding", "embedding")})) AS ne
-          FROM embeddings),
-        sub AS (
-          SELECT vec_id, s, ne[(s-1)*4+1:s*4] AS sv
-          FROM n, unnest(range(1, 17)) AS t(s)),
-        cent AS (
-          SELECT s, dense_rank() OVER (PARTITION BY s ORDER BY vec_id) AS rnk, sv AS cv
-          FROM sub, $sqlCentStats WHERE $sqlCentGate),
-        enc AS (
-          SELECT sub.vec_id, sub.s, cent.rnk,
-                 list_sum(list_transform(range(1, 5),
-                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
-          FROM sub JOIN cent ON sub.s = cent.s),
-        code1 AS (
-          SELECT vec_id, s, rnk FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, rnk ASC) AS rn
-            FROM enc) WHERE rn = 1),
-        codes AS (SELECT vec_id, list(rnk ORDER BY s) AS cds FROM code1 GROUP BY vec_id),
-        lut0 AS (
-          SELECT sub.vec_id AS q_id, sub.s, cent.rnk,
-                 list_sum(list_transform(range(1, 5), i -> sv[i] * cv[i])) AS dp
-          FROM sub JOIN cent ON sub.s = cent.s
-          WHERE sub.vec_id % 10 = 0),
-        lut1 AS (SELECT q_id, s, list(dp ORDER BY rnk) AS dps FROM lut0 GROUP BY q_id, s),
-        lut AS (SELECT q_id, list(dps ORDER BY s) AS l FROM lut1 GROUP BY q_id),
-        scored AS (
+        WITH $sqlNormCte,
+        $sqlPqCtes,
+        ${sqlPqServe("""
           SELECT q_id, vec_id,
                  list_sum(list_transform(range(1, 17), s -> l[s][cds[s]])) AS adc
           FROM codes CROSS JOIN lut
-          WHERE vec_id <> q_id),
-        short AS (
-          SELECT q_id, vec_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS rn
-            FROM scored) WHERE rn <= 50),
-        rerank AS (
-          SELECT sh.q_id, sh.vec_id,
-                 list_sum(list_transform(range(1, 65), i -> a.ne[i] * b.ne[i])) AS cos
-          FROM short sh
-          JOIN n a ON a.vec_id = sh.q_id
-          JOIN n b ON b.vec_id = sh.vec_id)
-        SELECT q_id, vec_id, floor(cos * 1000000) / 1000000.0 AS score, rn
-        FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-              FROM rerank)
-        WHERE rn <= 5"""),
+          WHERE vec_id <> q_id""")}"""),
+      bench = true),
+
+    // E16: IVFPQ serve from the PERSISTED index — the production vector-DB
+    // read path (FAISS IndexIVFPQ.search): e14's probe selection against
+    // the pinned centroids, then e5's ADC over the probed cells' STORED
+    // codes (the index's ne-free compressed scan), a top-50 shortlist, and
+    // an exact re-rank from the stored full-precision vectors. ZERO corpus
+    // reads and zero training/encode work at query time — both the coarse
+    // quantizer (e14's win over e4) and the PQ encode (e5's dominant cost)
+    // are paid once at build. The whole chain is deterministic arithmetic,
+    // so unlike production IVFPQ it is FULLY oracle-checked; recall vs the
+    // exact-rescore e14 is additionally spec-gated (IvfIndexSpec), and the
+    // codes-only scan's ReadSchema is plan-pinned (PushdownSpec).
+    "e16_ann_ivfpq_persisted" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.ensure(s, d)
+        // q feeds probe selection, the LUT build, and the re-score join —
+        // checkpoint once (the e14 rationale)
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidatesPq(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfPqTop5),
       bench = true),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a

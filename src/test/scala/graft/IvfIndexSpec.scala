@@ -39,6 +39,10 @@ class IvfIndexSpec extends SparkSpec {
     cells.select($"cid", $"vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  private def codesOf(df: DataFrame): Map[Long, Seq[Int]] =
+    df.select($"vec_id", $"codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+
   test("probe of the persisted index equals the live ivfCandidates result") {
     val dir = writeCorpus(1L to 300L)
     val root = IvfIndex.ensure(spark, dir)
@@ -58,6 +62,51 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(persisted == live,
       "persisted-index probe must be bit-identical to the live IVF path")
+  }
+
+  test("persisted PQ codebook and codes equal the live e5 encode") {
+    // the IVFPQ build side's contract: the stored codebook is the live
+    // codebookOf of the same corpus, and every stored code vector is the
+    // live encodeCodes result — so e16's ADC over persisted codes scores
+    // exactly what e5's live ADC would
+    val dir = writeCorpus(1L to 300L)
+    val root = IvfIndex.ensure(spark, dir)
+    val vn = IvfIndex.normalized(
+      graft.core.Tables.embeddings(spark, dir).transform(graft.core.Tables.spread))
+    val sub = IvfIndex.subspacesOf(vn)
+    val cb = IvfIndex.codebookOf(sub, vn)
+    def cbMap(df: DataFrame): Map[(Int, Int), Seq[Double]] =
+      df.select($"s", $"rnk", $"cv").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    assert(cbMap(IvfIndex.codebook(spark, root)) == cbMap(cb),
+      "persisted codebook must equal the live codebookOf")
+    assert(codesOf(IvfIndex.cellCodes(spark, root))
+        == codesOf(IvfIndex.encodeCodes(sub, cb)),
+      "persisted codes must equal the live encode")
+  }
+
+  test("e16 IVFPQ recall vs the exact-rescore e14 probe stays high") {
+    // ADC scores codes, not vectors — the shortlist may miss true
+    // neighbors the exact rescore keeps. Measured on the shipped sf0.001
+    // corpus: mean top-5 overlap 0.856; gate at 0.70 to absorb
+    // regenerated-testdata drift.
+    val d = "/root/testdata/sf0.001"
+    def top5(name: String): Map[Long, Seq[Long]] =
+      SparkEntry.queries(name)(spark, d)
+        .select($"q_id", $"vec_id", $"rn").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          (q, rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq)
+        }
+    val exact = top5("e14_ann_ivf_persisted")
+    val pq = top5("e16_ann_ivfpq_persisted")
+    assert(exact.keySet == pq.keySet, "query sets must match")
+    val overlaps = exact.keys.toSeq.map { q =>
+      (exact(q).toSet intersect pq(q).toSet).size.toDouble / exact(q).size
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"mean top-5 overlap e16 vs e14: $mean%.3f over ${overlaps.size} queries")
+    assert(mean >= 0.70, f"PQ shortlist lost too much recall: $mean%.3f")
   }
 
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
@@ -134,6 +183,14 @@ class IvfIndexSpec extends SparkSpec {
     val want = IvfIndex.assignCells(full, cents).select($"cid", $"vec_id")
     assert(assignmentsOf(IvfIndex.cells(spark, root)) == assignmentsOf(want),
       "append must equal from-scratch assignment against pinned centroids")
+
+    // PQ parity: appended vectors encode against the FROZEN codebook
+    // (FAISS IndexIVFPQ.add never re-trains) — the stored codes must
+    // equal encoding the whole corpus at once against that codebook
+    val wantCodes = IvfIndex.encodeCodes(
+      IvfIndex.subspacesOf(full), IvfIndex.codebook(spark, root))
+    assert(codesOf(IvfIndex.cellCodes(spark, root)) == codesOf(wantCodes),
+      "append codes must equal a whole-corpus encode against the frozen codebook")
 
     // the index itself is versioned: the append advanced the cells table,
     // and time travel still reads the pre-append inverted lists

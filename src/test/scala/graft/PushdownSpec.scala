@@ -251,6 +251,27 @@ class PushdownSpec extends SparkSpec {
       s"e14's scan must read the persisted index:\n$p")
   }
 
+  test("e16's ADC pass scans codes only — its ReadSchema excludes the ne vectors") {
+    // the IVFPQ economics, in-plan: the cell-pruned ADC scan reads the
+    // 16-int codes column and NEVER the 64-double ne vectors (parquet is
+    // columnar — this is what makes the 100 TB ADC pass cheap); ne is
+    // read only by the shortlist re-rank scan, which carries no codes.
+    // Probe-only like e14: pushed cell prune, zero corpus scans.
+    val p = plan("e16_ann_ivfpq_persisted")
+    assert(p.contains("In(cid"),
+      s"e16's probed-cell prune must push into the codes scan:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"e16 must not rescan the corpus — probe-only means index reads only:\n$p")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    val codesScans = schemas.filter(_.contains("codes:"))
+    assert(codesScans.nonEmpty, s"e16 must scan the persisted codes:\n$p")
+    assert(codesScans.forall(!_.contains("ne:")),
+      s"e16's ADC scan must not read the full-precision vectors:\n$codesScans\n$p")
+    val neScans = schemas.filter(_.contains("ne:"))
+    assert(neScans.nonEmpty && neScans.forall(!_.contains("codes:")),
+      s"e16's re-rank scan must read ne without codes:\n$schemas\n$p")
+  }
+
   test("t31 terciles come from the histogram frame, never a doc-frame window") {
     // the scale contract: the CDF window's input is the per-(lang, score)
     // histogram AGGREGATE (distinct scores per language), not the doc
