@@ -19,6 +19,13 @@ object SkewBench {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // SPARK_GRAFT_NO_BROADCAST=1 forces the SHUFFLED join regime
+    // (autoBroadcastJoinThreshold=-1): the posture a 100 TB cluster is in
+    // once build sides outgrow broadcast range — used to measure whether
+    // the salted skew paths ENGAGE and what they buy, since at bench SF
+    // the small sides broadcast and the salts stay dormant
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
       // swallow only non-fatal warmup failures (a query that can't run at

@@ -391,6 +391,74 @@ object IvfIndex {
     new VersionedTable(spark, s"$root/groups").read()
       .select(col("cid"), col("gid"))
 
+  /** GDPR erasure applied to the index ITSELF (the reference's
+    * erase-then-serve compliance contract, compliance_policies.py:136-212
+    * applied to the serving artifact): logically delete every
+    * inverted-list row matching `condition` as ONE versioned commit over
+    * `cells` — the deletion-vector shape, O(metadata) not O(data), the
+    * only form that scales to a 100 TB index. The pinned centroids and PQ
+    * codebook are TRAINED artifacts, not member data, so they stay (FAISS
+    * `remove_ids` semantics — the quantizer never untrains). Probes of
+    * the head never see erased rows (read() applies the stored
+    * anti-predicates); time travel still audits pre-erasure versions
+    * until a `compact()` materializes the deletes physically — run it to
+    * hard-delete (IvfIndexSpec proves both layers). */
+  def delete(spark: SparkSession, root: String, condition: String): Long =
+    new VersionedTable(spark, s"$root/cells").deleteWhere(condition)
+
+  /** A CACHED erased twin of the corpus index: the completed base index
+    * file-copied to a condition-keyed sibling root, with [[delete]]
+    * committed once — so a repeatable query (e17) probes a stable
+    * post-erasure head instead of mutating the shared index out from
+    * under e14/e15/e16. Same lifecycle contract as [[ensure]]
+    * (fingerprint-keyed, atomic publish, 6h prune via the shared idx-
+    * prefix). */
+  def ensureErased(spark: SparkSession, corpusDir: String,
+      condition: String): String = synchronized {
+    val base = ensure(spark, corpusDir)
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(condition.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val root = s"$base-erased-$sig"
+    if (Files.exists(Paths.get(root, "_COMPLETE"))) {
+      try Files.setLastModifiedTime(Paths.get(root),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () } // hygiene only
+    } else {
+      val tmp = root + s".build-${ProcessHandle.current().pid()}"
+      deleteRecursively(tmp)
+      copyTree(base, tmp)
+      // the delete commit must run AGAINST THE FINAL PATH: deleteWhere
+      // records the referenced data dir absolutely, so committing inside
+      // the scratch dir would leave the published index pointing at a
+      // path the atomic move just vacated. Publish the copy first (sans
+      // marker), then commit the erasure, then mark complete — a crash
+      // in between leaves a marker-less root that the next ensureErased's
+      // move-failure path clears as debris.
+      Files.deleteIfExists(Paths.get(tmp, "_COMPLETE"))
+      moveIntoPlace(tmp, root)
+      if (!Files.exists(Paths.get(root, "_COMPLETE"))) {
+        delete(spark, root, condition)
+        // a concurrent loser applying the same idempotent predicate can
+        // land a duplicate marker — tolerate it
+        try Files.createFile(Paths.get(root, "_COMPLETE"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    root
+  }
+
+  private def copyTree(from: String, to: String): Unit = {
+    val src = Paths.get(from)
+    val s = Files.walk(src)
+    try s.iterator().asScala.foreach { p =>
+      val dst = Paths.get(to).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    finally s.close()
+  }
+
   /** Incremental add: assign `vecs` (vec_id, embedding) against the
     * PINNED centroid set and append them to the inverted lists as a new
     * version — never re-trains, so the result is provably identical to
@@ -479,6 +547,56 @@ object IvfIndex {
     cids
   }
 
+  /** Hot-cell salt width — the d3 HotBucketSalt rationale applied to
+    * inverted lists: a hot cell's rows spread across this many reducers. */
+  private[graft] val HotCellSalt = 8
+
+  /** A probed cell is HOT when its stored row count exceeds this multiple
+    * of the mean of the OTHER probed cells (leave-one-out — a hot cell
+    * inflates the plain mean enough to hide itself behind it when few
+    * cells are probed). RELATIVE, deliberately: uniform corpus growth
+    * never trips it at any scale (cells grow together), only genuine
+    * assignment skew does — an absolute row threshold would
+    * false-positive every cell once N/k_cent outgrew it. */
+  private[graft] val HotCellFactor = 8
+
+  /** The probes(q_id, cid) ⋈ pruned-lists equi-join every probe tail
+    * runs, HOT-CELL-SAFE: in the broadcast regime (lists fit the hash
+    * side — today's measured posture, SCALE.md) candidates are generated
+    * across query-partitioned tasks and skew is output-bound; once the
+    * lists outgrow broadcast range the join shuffles on cid, and a hot
+    * inverted list (the skew twin's 47.7× cell) would pin one reducer.
+    * Detected-hot cells are therefore salted [[HotCellSalt]] ways via
+    * SaltedJoin.hotOnlyPrecomputed — dormant (the PLAIN equi-join,
+    * zero plan overhead) when no probed cell exceeds [[HotCellFactor]]×
+    * the mean, engaged only under real skew; result-identical both ways
+    * (IvfIndexSpec pins both plans and the hash parity). The detection
+    * aggregate scans ONE column of the already-pruned lists — at 100 TB
+    * you'd persist per-cell counts as an index artifact or reuse AQE
+    * shuffle statistics; the join shape is identical. */
+  private def joinProbesCells(probes: DataFrame, prunedCells: DataFrame): DataFrame = {
+    // ONE detection job: the per-cell counts are metadata-sized (probed
+    // cells ≤ 4×MaxCentroids — probedCidList's bound), so collect them
+    // once and gate driver-side rather than paying hotOnlyPrecomputed's
+    // separate detection collect a second scan
+    val counts = prunedCells.groupBy(col("cid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tot = counts.map(_._2).sum
+    val nCells = counts.length
+    // leave-one-out gate, multiplied out to stay integer and 0-safe:
+    // count / ((tot - count) / (n_cells - 1)) > factor; a SINGLE probed
+    // cell (n_cells = 1) is hot by definition — all rows on one reducer
+    val hot = counts.collect {
+      case (cid, c) if c * math.max(nCells - 1, 1) > HotCellFactor.toLong * (tot - c) => cid
+    }
+    if (hot.isEmpty) probes.join(prunedCells, "cid") // dormant: the plain equi-join
+    else {
+      import probes.sparkSession.implicits._
+      SaltedJoin.hotOnlyPrecomputed(prunedCells, probes, Seq("cid"),
+        HotCellSalt, hot.toSeq.toDF("cid"))
+    }
+  }
+
   /** Shared probe tail: exact cosines of `probes`(q_id, cid) against the
     * stored inverted lists, query excluded, NaN screened. The probed-cell
     * set is collected driver-side to push `cid IN (...)` into the cells
@@ -488,8 +606,7 @@ object IvfIndex {
     val probes = probesRaw
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val cids = probedCidList(probes)
-    probes
-      .join(cells(spark, root).filter(col("cid").isin(cids: _*)), "cid")
+    joinProbesCells(probes, cells(spark, root).filter(col("cid").isin(cids: _*)))
       .filter(col("vec_id") =!= col("q_id"))
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -521,8 +638,8 @@ object IvfIndex {
     val qsub = subspacesOf(q.select(col("q_id").as("vec_id"), col("q_ne").as("ne")))
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
     val lut = queryLut(qsub, codebook(spark, root))
-    val short = probes
-      .join(cellCodes(spark, root).filter(col("cid").isin(cids: _*)), "cid")
+    val short = joinProbesCells(probes,
+        cellCodes(spark, root).filter(col("cid").isin(cids: _*)))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")
       .select(col("q_id"), col("vec_id"),

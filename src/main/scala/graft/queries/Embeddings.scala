@@ -320,6 +320,26 @@ object Embeddings extends QueryGroup {
           JOIN codes ON codes.vec_id = a.vec_id
           JOIN lut ON lut.q_id = p.q_id""")}"""
 
+  /** e17's erasure predicate — the GDPR request applied to the index. */
+  private[graft] val sqlErasedPred = "vec_id % 7 = 3"
+
+  /** e17's oracle: the e14 probe chain over the REDUCED member set —
+    * queries and candidates exclude erased vectors, while probe selection
+    * still runs against the FULL pinned centroid sample (erasure removes
+    * member data, never un-trains the quantizer — FAISS remove_ids). */
+  private[graft] val sqlIvfErasedTop5: String = s"""
+        WITH ${sqlIvfProbes(
+    s"SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0 AND NOT ($sqlErasedPred)")},
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+                       AND NOT (${sqlErasedPred.replace("vec_id", "a.vec_id")})
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        $sqlScoredTop5Tail"""
+
   def defs: Map[String, QueryDef] = Map(
     // E1: brute-force cosine top-5 for every label-0 query vector.
     // Vectors are L2-normalized ONCE up front (cosine = plain dot after),
@@ -662,6 +682,33 @@ object Embeddings extends QueryGroup {
       },
       oracle = Some(sqlIvfPqTop5),
       bench = true),
+
+    // E17: GDPR erasure reaching the PERSISTED index — the round-trip a
+    // compliance pipeline runs: erase every matching vector from the
+    // inverted lists (one logical-delete commit over a cached erased twin
+    // of the index — IvfIndex.ensureErased, so repeated runs probe a
+    // stable post-erasure head and the shared e14/e15/e16 index is never
+    // mutated), then serve: probes never return an erased id. Centroids
+    // and codebook stay pinned (trained artifacts, not member data).
+    // Hard-delete materialization (compact) and rebuild-parity are
+    // spec-proven in IvfIndexSpec.
+    "e17_gdpr_index_erasure" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.ensureErased(s, d, sqlErasedPred)
+        // post-erasure cells: the erased queries are gone with the rest
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfErasedTop5)),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a
     // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,

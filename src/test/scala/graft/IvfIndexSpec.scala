@@ -109,6 +109,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(mean >= 0.70, f"PQ shortlist lost too much recall: $mean%.3f")
   }
 
+  test("hot-cell salting: dormant on uniform lists; _salt widens the forced-shuffle probe join on a hot cell; result-identical") {
+    // the shuffled-list regime: with broadcast off, the probes⋈cells join
+    // shuffles on cid and a hot inverted list would pin one reducer —
+    // joinProbesCells must salt DETECTED-hot cells only (the d3 adaptive
+    // contract): plain equi-join on uniform occupancy, _salt in the join
+    // key under real skew, identical rows both ways
+    def resultSet(df: DataFrame): Set[(Long, Long, Double)] =
+      df.select($"q_id", $"vec_id", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def qOf(root: String): DataFrame =
+      IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+        .select($"vec_id".as("q_id"), $"ne".as("q_ne")).localCheckpoint(true)
+
+    val uRoot = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
+    // hot corpus: ids 1..300 share ONE identical vector — every clone's
+    // centroid argmax ties, and ties resolve to the lowest cid, so one
+    // inverted list holds 3/4 of the corpus; 301..400 stay diverse
+    val hotDir = {
+      val dir = Files.createTempDirectory("graft_ivf_hot_").toString
+      val base = vec(7L)
+      ((1L to 300L).map(i => (i, base, (i % 3).toInt)) ++
+        (301L to 400L).map(i => (i, vec(i), (i % 3).toInt)))
+        .toDF("vec_id", "embedding", "label").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val hotRoot = IvfIndex.ensure(spark, hotDir)
+    val hq = qOf(hotRoot)
+    val broadcastRegime = resultSet(IvfIndex.probeCandidates(spark, hotRoot, hq))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val uniform = IvfIndex.probeCandidates(spark, uRoot, qOf(uRoot))
+      assert(!uniform.queryExecution.executedPlan.toString.contains("_salt"),
+        "salting must be dormant on uniform cell occupancy")
+      val hot = IvfIndex.probeCandidates(spark, hotRoot, hq)
+      val hotPlan = hot.queryExecution.executedPlan.toString
+      assert(hotPlan.contains("_salt"),
+        s"a hot cell must widen the probe join key with _salt:\n$hotPlan")
+      for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+        assert(!hotPlan.contains(bad), s"$bad in salted probe plan:\n$hotPlan")
+      assert(resultSet(hot) == broadcastRegime,
+        "salted shuffle-regime probe must be result-identical to the broadcast regime")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
     val dir = writeCorpus(1L to 120L)
     val root1 = IvfIndex.ensure(spark, dir)
@@ -149,6 +196,50 @@ class IvfIndexSpec extends SparkSpec {
     val mean = overlaps.sum / overlaps.size
     info(f"mean top-5 overlap e15 vs e14: $mean%.3f over ${overlaps.size} queries")
     assert(mean >= 0.70, f"two-level routing lost too much recall: $mean%.3f")
+  }
+
+  test("GDPR erasure reaches the index: probes never return erased ids and equal a reduced-corpus assignment; compact hard-deletes") {
+    val dir = writeCorpus(1L to 300L)
+    val erased = "vec_id % 7 = 3"
+    val root = IvfIndex.ensureErased(spark, dir, erased)
+
+    // 1. the erased rows are gone from the head (logical delete applies
+    //    at read), and a probe can never return one
+    val remaining = IvfIndex.cells(spark, root)
+    assert(remaining.filter(expr(erased)).count() == 0,
+      "erased vectors must not survive in the inverted lists")
+    val q = remaining.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne")).localCheckpoint(true)
+    val probed = IvfIndex.probeCandidates(spark, root, q)
+    assert(probed.filter(expr(erased)).count() == 0,
+      "a probe of the erased index must never return an erased id")
+
+    // 2. parity: the erased head equals assigning the REDUCED corpus
+    //    from scratch against the same pinned centroids (per-vector
+    //    assignment is independent, so erasure ≡ reduced-corpus build
+    //    under a frozen quantizer)
+    val reduced = IvfIndex.normalized(
+      (1L to 300L).filterNot(_ % 7 == 3).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val want = IvfIndex.assignCells(reduced, IvfIndex.centroids(spark, root))
+    assert(assignmentsOf(remaining) == assignmentsOf(want),
+      "erased index must equal a reduced-corpus assignment against pinned centroids")
+
+    // 3. the base index is untouched (e14/e15/e16 share it)
+    val baseRoot = IvfIndex.ensure(spark, dir)
+    assert(IvfIndex.cells(spark, baseRoot).filter(expr(erased)).count() > 0,
+      "erasure must act on the cached erased twin, never the shared base index")
+
+    // 4. the audit trail: pre-erasure versions still time-travel, and
+    //    compact() materializes the deletion physically (the VACUUM-style
+    //    hard-delete step a retention deadline forces)
+    val ct = new VersionedTable(spark, s"$root/cells")
+    val pre = ct.versions.max - 1
+    assert(ct.read(Some(pre)).filter(expr(erased)).count() > 0,
+      "time travel must still audit the pre-erasure version")
+    ct.compact()
+    val physical = spark.read.parquet(s"$root/cells/v=${ct.versions.max}")
+    assert(physical.filter(expr(erased)).count() == 0,
+      "compact must materialize the erasure — no erased bytes in the head data files")
   }
 
   test("incremental append through the change feed equals from-scratch assignment") {
