@@ -520,6 +520,63 @@ object SqlAnalytics extends QueryGroup {
             SELECT 1 FROM lineitem
             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // SQL12: TPC-H Q21's "suppliers who kept orders waiting" — the
+    // hardest decorrelation shape in the suite: a correlated EXISTS and a
+    // correlated NOT EXISTS against the SAME fact table, both carrying a
+    // non-equi conjunct (l2.l_suppkey <> l1.l_suppkey) on top of the
+    // correlated equi-key. 'At fault' here = returnflag 'R' on a finished
+    // order where the supplier was the ONLY at-fault supplier among
+    // several. Catalyst must rewrite both subqueries as one LeftSemi and
+    // one LeftAnti join on l_orderkey (PushdownSpec pins exactly that —
+    // no per-row subquery, no cartesian), so at 100 TB the fact table is
+    // scanned a bounded number of times and every pass is an equi-keyed
+    // shuffle join; the top-k tail is TakeOrderedAndProject, never a
+    // global sort.
+    "sql12_waiting_suppliers" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_sql")
+        s.sql("""
+          SELECT s_name, count(*) AS numwait
+          FROM supplier_sql s
+          JOIN lineitem_sql l1 ON s.s_suppkey = l1.l_suppkey
+          JOIN orders_sql o ON o.o_orderkey = l1.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l1.l_returnflag = 'R'
+            AND EXISTS (
+              SELECT 1 FROM lineitem_sql l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (
+              SELECT 1 FROM lineitem_sql l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name
+          LIMIT 100""")
+      },
+      oracle = Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100"""))
   )
 }

@@ -48,6 +48,14 @@ object Streaming extends QueryGroup {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** st17's incoming-id predicate (the ids erased from the corpus index)
+    * and rejection threshold: reject when the floored nearest-corpus
+    * cosine reaches tau. 0.4 sits at the ~75th percentile of the
+    * testdata's exact-NN cosine distribution (measured min 0.29 / median
+    * 0.37 / max 0.49), so both outcomes are exercised. */
+  private[graft] val SemanticIncomingPred = "vec_id % 5 = 0"
+  private[graft] val SemanticTau = 0.4
+
   def defs: Map[String, QueryDef] = Map(
     // ST1+ST3: watermarked tumbling-window aggregation (1h windows per
     // event type), complete mode (ST9) for batch-equivalent output.
@@ -541,6 +549,56 @@ object Streaming extends QueryGroup {
     // (TextOps.heavyHitterAudit): exact top-10 plus hash-gated
     // capture/error-bound booleans, which the mergeable-summaries
     // theorem keeps TRUE regardless of how the stream was micro-batched.
+    // ST17: SEMANTIC admission at ingest — st14 gates on the exact
+    // fingerprint, st15 on winnowing overlap; both wave through a true
+    // paraphrase (new words, same meaning). st17 closes that hole with
+    // the embedding space: each micro-batch probes the PERSISTED corpus
+    // IVF index (e14's artifact — IvfIndex.ensureErased with the incoming
+    // ids erased gives the corpus-only member set under the same pinned
+    // quantizer) and rejects any vector whose nearest known-corpus
+    // cosine reaches SemanticTau. Stream-static and STATELESS (st14's
+    // contract): the index is static over the run, so admission is
+    // micro-batch-split invariant by construction; the sequential
+    // corpus-extending variant is d14's shape. At 100 TB the per-batch
+    // cost is |batch| probes of the shared index — the amortization e14
+    // exists for. Deterministic arithmetic end to end → fully
+    // oracle-checked; StreamingSpec contrasts an st15-admitted
+    // paraphrase that st17 rejects.
+    "st17_semantic_admission" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.ensureErased(s, d, SemanticIncomingPred)
+        val incoming = Streams.tableStream(s, d, "embeddings")
+          .filter(col("vec_id") % 5 === 0)
+        Streams.runBatchwise(incoming) { batch =>
+          val q = graft.ops.IvfIndex.normalized(batch)
+            .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+            .localCheckpoint(true)
+          val nn = graft.ops.IvfIndex.probeCandidates(s, root, q)
+            .groupBy(col("q_id"))
+            .agg((floor(max(col("cos")) * 1000000) / 1000000.0).as("nn_cos"))
+          batch.select(col("vec_id"))
+            .join(nn.select(col("q_id").as("vec_id"), col("nn_cos")),
+              Seq("vec_id"), "left")
+            .filter(col("nn_cos").isNull || col("nn_cos") < SemanticTau)
+        }
+      },
+      oracle = Some(s"""
+        WITH ${graft.queries.Embeddings.sqlIvfProbes(
+    "SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 5 = 0")},
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+                       AND NOT (a.vec_id % 5 = 0)
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id),
+        mx AS (SELECT q_id, floor(max(cos) * 1000000) / 1000000.0 AS nn_cos
+               FROM scored GROUP BY q_id)
+        SELECT e.vec_id, mx.nn_cos
+        FROM embeddings e LEFT JOIN mx ON mx.q_id = e.vec_id
+        WHERE e.vec_id % 5 = 0 AND (mx.nn_cos IS NULL OR mx.nn_cos < $SemanticTau)""")),
+
     "st16_stream_heavy_hitters" -> QueryDef(
       build = (s, d) => {
         val stream = Streams.tableStream(s, d, "documents")

@@ -69,6 +69,11 @@ object TextOps extends QueryGroup {
         + least(len(list_distinct($sqlTokens)), 40)
         + CASE WHEN n_chars BETWEEN 200 AND 400 THEN 20 ELSE 0 END"""
 
+  /** t32's fixed hashed-feature space: 2^16 buckets — the DSIR paper's
+    * hashing-trick sizing, declared once so the Spark plan and the DuckDB
+    * oracle share the literal. */
+  private[graft] val DsirBuckets = 65536L
+
   def defs: Map[String, QueryDef] = Map(
     // T1: per-document stats — token count, char count, punctuation count,
     // stopword count/ratio, average token length.
@@ -874,6 +879,78 @@ object TextOps extends QueryGroup {
         GROUP BY t.doc_id
         ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50"""),
       bench = true),
+
+    // T32: DSIR over HASHED features — the form the DSIR paper actually
+    // ships at scale: tokens map to a FIXED 2^16-bucket feature space via
+    // the shared portable hash, so the weight table is bounded at 65,536
+    // rows no matter the corpus (t18's per-token table grows with the
+    // vocabulary — fine at bench SF, unbounded at 100 TB web scale).
+    // SAME log-ratio arithmetic as t18 in every other respect (add-one
+    // smoothing over the observed distinct-feature count, micro-scaled
+    // integer weights, integer tie-broken top-50) — on a collision-free
+    // vocabulary the two are provably identical (TextOpsSpec's parity
+    // gate); under collisions the bucket simply pools its tokens'
+    // counts, the standard hashing-trick trade.
+    "t32_dsir_hashed" -> QueryDef(
+      build = (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+          .select(col("doc_id"), col("source"),
+            pmod(graft.functions.TextFunctions.portableHash(
+              col("token"), "dsir:"), lit(DsirBuckets)).as("b"))
+          .localCheckpoint(true)
+        val tgt = broadcast(tok.agg(min(col("source")).as("tgt")))
+        val totals = broadcast(tok.crossJoin(tgt).agg(
+          count(lit(1)).as("Tc"),
+          count(when(col("source") === col("tgt"), 1)).as("Tt"),
+          countDistinct(col("b")).as("V")))
+        val cc = tok.groupBy("b").agg(count(lit(1)).as("cc"))
+        val ct = tok.crossJoin(tgt).filter(col("source") === col("tgt"))
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val weights = cc.join(ct, Seq("b"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(totals)
+          .withColumn("w_micro",
+            floor(log(
+              (col("ct") + 1L).cast("double") * (col("Tc") + col("V")).cast("double") /
+                ((col("cc") + 1L).cast("double") * (col("Tt") + col("V")).cast("double")))
+              * 1000000.0).cast("long"))
+          .select("b", "w_micro")
+        tok.crossJoin(tgt).filter(col("source") =!= col("tgt"))
+          .join(broadcast(weights), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("dsir_micro"))
+          .orderBy(col("dsir_micro").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 (CAST(concat('0x', substr(md5(concat('dsir:', token)),1,15)) AS BIGINT)
+                  % $DsirBuckets) AS b
+          FROM (SELECT doc_id, source, unnest($sqlTokens) AS token FROM documents)),
+        tgt AS (SELECT min(source) AS tgt FROM tok),
+        tot AS (
+          SELECT count(*) AS Tc,
+                 count(CASE WHEN source = tgt THEN 1 END) AS Tt,
+                 count(DISTINCT b) AS V
+          FROM tok CROSS JOIN tgt),
+        cc AS (SELECT b, count(*) AS cc FROM tok GROUP BY 1),
+        ct AS (SELECT b, count(*) AS ct FROM tok CROSS JOIN tgt
+               WHERE source = tgt GROUP BY 1),
+        w AS (
+          SELECT cc.b,
+                 CAST(floor(ln(
+                   CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(Tc + V AS DOUBLE) /
+                   (CAST(cc.cc + 1 AS DOUBLE) * CAST(Tt + V AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS w_micro
+          FROM cc LEFT JOIN ct ON cc.b = ct.b CROSS JOIN tot)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(w.w_micro) AS BIGINT) AS dsir_micro
+        FROM tok t CROSS JOIN tgt JOIN w ON t.b = w.b
+        WHERE t.source <> tgt
+        GROUP BY t.doc_id
+        ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50""")),
 
     // T19: per-document novelty/redundancy profile — what fraction of a
     // document's winnowed regions (d12's local fingerprints) appears

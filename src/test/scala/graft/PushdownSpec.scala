@@ -251,6 +251,18 @@ class PushdownSpec extends SparkSpec {
       s"e14's scan must read the persisted index:\n$p")
   }
 
+  test("sql12 decorrelates both subqueries: LeftSemi + LeftAnti joins, no per-row subquery, no cartesian, top-k without global sort") {
+    val p = plan("sql12_waiting_suppliers")
+    assert(p.contains("LeftSemi"),
+      s"the correlated EXISTS must plan as a LeftSemi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the correlated NOT EXISTS must plan as a LeftAnti join:\n$p")
+    for (bad <- Seq("InSubqueryExec", "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in sql12 plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sql12's LIMIT must top-k, never global-sort:\n$p")
+  }
+
   test("e16's ADC pass scans codes only — its ReadSchema excludes the ne vectors") {
     // the IVFPQ economics, in-plan: the cell-pruned ADC scan reads the
     // 16-int codes column and NEVER the 64-double ne vectors (parquet is

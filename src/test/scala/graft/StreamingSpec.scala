@@ -14,6 +14,54 @@ class StreamingSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("st17 rejects the paraphrase st15 admits — semantic beats fingerprint admission") {
+    // a PARAPHRASE shares (almost) no winnowing fingerprints with its
+    // source, so fingerprint admission (st15) waves it through — but its
+    // embedding is the source's, so semantic admission (st17) rejects it.
+    // The verbatim copy proves the reverse edge, and a genuinely novel
+    // vector passes the semantic gate.
+    val dir = Files.createTempDirectory("graft_st17_").toString
+    def vec(seed: Long): Seq[Float] = Seq.tabulate(64) { i =>
+      (((seed * 2654435761L + i * 40503L) % 1000L).toFloat / 501f) + 0.001f
+    }
+    val oneHot: Seq[Float] = Seq.tabulate(64)(i => if (i == 63) 1f else 0f)
+    val srcText = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "ravens circle above the quiet harbor and fishermen mend their nets at dawn"
+    val paraText = "a swift russet vulpine leaps across an idle hound as many " +
+      "corvids wheel overhead near a calm port where sailors repair rigging early"
+    def filler(i: Long) = s"document number $i carries entirely unrelated filler " +
+      s"content token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val ids = 1L to 150L
+    ids.map { i =>
+        val text = i match {
+          case 1L  => srcText
+          case 5L  => paraText // paraphrase of corpus doc 1
+          case 15L => srcText  // verbatim copy of corpus doc 1
+          case _   => filler(i)
+        }
+        (i, text, "en", "spec", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    ids.map { i =>
+        val v = i match {
+          case 5L  => vec(1L) // the paraphrase MEANS what corpus doc 1 means
+          case 10L => oneHot  // genuinely novel direction
+          case _   => vec(i)
+        }
+        (i, v, (i % 3).toInt)
+      }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val byFp = SparkEntry.queries("st15_winnow_admission")(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val bySem = SparkEntry.queries("st17_semantic_admission")(spark, dir)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(byFp.contains(5L), "fingerprint admission must wave the paraphrase through")
+    assert(!bySem.contains(5L), "semantic admission must reject the paraphrase")
+    assert(!byFp.contains(15L), "the verbatim copy must fail fingerprint admission")
+    assert(bySem.contains(10L), "a genuinely novel vector must pass semantic admission")
+  }
+
   test("MergeOps.upsertLatestWins is idempotent and deterministic") {
     val target = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "ver")
     val source = Seq((2L, "b2", 25L), (3L, "c", 5L)).toDF("k", "v", "ver")

@@ -22,6 +22,38 @@ class TextOpsSpec extends SparkSpec {
     dir
   }
 
+  test("t32 hashed DSIR equals exact t18 on a collision-free vocabulary") {
+    // the hashing-trick contract: when no two vocabulary tokens share a
+    // bucket, pooling is a bijection and the hashed variant must
+    // reproduce the exact per-token computation bit for bit — same
+    // counts, same smoothing, same micro-weights, same ranking
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+      "november", "oscar", "papa")
+    val buckets = vocab.map(t =>
+      graft.functions.TextFunctions.portableHash60("dsir:" + t) %
+        graft.queries.TextOps.DsirBuckets)
+    assert(buckets.distinct.size == vocab.size,
+      "spec vocabulary must be collision-free in the hashed feature space")
+    val dir = Files.createTempDirectory("graft_dsir_").toString
+    (1L to 40L).map { i =>
+        val words = (0 until 30).map(j => vocab(((i * 31 + j * 17) % vocab.size).toInt))
+        val src = if (i % 4 == 0) "a_target" else "web"
+        (i, words.mkString(" "), src)
+      }.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(name: String): Seq[(Long, Long, Long)] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows("t18_dsir_importance")
+    val hashed = rows("t32_dsir_hashed")
+    assert(exact.nonEmpty, "parity fixture must produce scored documents")
+    assert(hashed == exact,
+      "hashed DSIR must equal exact DSIR on a collision-free vocabulary")
+  }
+
   test("t8: a corpus doc quoting a benchmark 5-gram is flagged; clean docs are not") {
     // doc 0 (id%50==0) is the benchmark; doc 1 quotes 5 consecutive
     // tokens of it; doc 2 shares only shorter fragments
