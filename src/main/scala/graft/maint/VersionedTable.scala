@@ -670,15 +670,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   /** Recursive dir copy — shallow-clone and deleteWhere both carry tiny
-    * index/stats trees forward with it. */
-  private def copyTree(src: Path, dest: Path): Unit = {
-    val s = Files.walk(src)
-    try s.iterator().asScala.toSeq.foreach { p =>
-      val tgt = dest.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(tgt)
-      else Files.copy(p, tgt)
-    } finally s.close()
-  }
+    * index/stats trees forward with it (shared: [[VersionedTable.copyTree]]).
+    */
+  private def copyTree(src: Path, dest: Path): Unit =
+    VersionedTable.copyTree(src, dest)
 
   /** [[copyTree]] landing ATOMICALLY (stage + rename) — bloom index dirs
     * carried after a commit point must appear complete-or-absent, the
@@ -1438,6 +1433,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
 }
 
 object VersionedTable {
+  /** Recursive dir copy into a fresh destination — THE tree copy for
+    * version/index artifacts (shallow clones, deleteWhere stats carries,
+    * IvfIndex twins): one definition, so the copy semantics can't drift
+    * between the table layer and the index layer. Not atomic — callers
+    * that publish the copy must stage + rename ([[copyTreeAtomic]] /
+    * IvfIndex's moveIntoPlace). */
+  private[graft] def copyTree(src: java.nio.file.Path,
+      dest: java.nio.file.Path): Unit = {
+    val s = Files.walk(src)
+    try s.iterator().asScala.toSeq.foreach { p =>
+      val tgt = dest.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(tgt)
+      else Files.copy(p, tgt)
+    } finally s.close()
+  }
+
   /** Per-root commit locks — the stand-in for the storage layer's
     * conditional put. In-process writers serialize the tiny
     * check-rename-append critical section here (staging and data writes

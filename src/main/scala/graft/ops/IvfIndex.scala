@@ -428,36 +428,36 @@ object IvfIndex {
       val tmp = root + s".build-${ProcessHandle.current().pid()}"
       deleteRecursively(tmp)
       copyTree(base, tmp)
-      // the delete commit must run AGAINST THE FINAL PATH: deleteWhere
-      // records the referenced data dir absolutely, so committing inside
-      // the scratch dir would leave the published index pointing at a
-      // path the atomic move just vacated. Publish the copy first (sans
-      // marker), then commit the erasure, then mark complete — a crash
-      // in between leaves a marker-less root that the next ensureErased's
-      // move-failure path clears as debris.
+      // the erasure commits INSIDE the scratch dir, so `_COMPLETE` (laid
+      // down in tmp, like ensure's build path) travels atomically WITH
+      // the erased content — a root without the marker is always debris,
+      // the invariant moveIntoPlace's clear-and-retry path relies on. One
+      // wrinkle: deleteWhere records the version's data/stats dirs as
+      // ABSOLUTE paths (the shallow-clone contract), so the fresh commit
+      // line points into tmp — rebase those references onto the final
+      // root before publishing. (The inherited commit lines reference the
+      // BASE index's dirs — immutable and shared, they stay as-is.)
       Files.deleteIfExists(Paths.get(tmp, "_COMPLETE"))
+      delete(spark, tmp, condition)
+      // each index artifact is its own VersionedTable with its own
+      // manifest — rebase every one of them (only cells gained a commit,
+      // but a blanket pass can't rot when a future erasure touches more)
+      val tmpAbs = Paths.get(tmp).toAbsolutePath.toString
+      val rootAbs = Paths.get(root).toAbsolutePath.toString
+      val walk = Files.walk(Paths.get(tmp))
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString == "_manifest")
+        .foreach(m => Files.writeString(m,
+          Files.readString(m).replace(tmpAbs, rootAbs)))
+      finally walk.close()
+      Files.createFile(Paths.get(tmp, "_COMPLETE"))
       moveIntoPlace(tmp, root)
-      if (!Files.exists(Paths.get(root, "_COMPLETE"))) {
-        delete(spark, root, condition)
-        // a concurrent loser applying the same idempotent predicate can
-        // land a duplicate marker — tolerate it
-        try Files.createFile(Paths.get(root, "_COMPLETE"))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      }
     }
     root
   }
 
-  private def copyTree(from: String, to: String): Unit = {
-    val src = Paths.get(from)
-    val s = Files.walk(src)
-    try s.iterator().asScala.foreach { p =>
-      val dst = Paths.get(to).resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(dst)
-      else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
-    }
-    finally s.close()
-  }
+  private def copyTree(from: String, to: String): Unit =
+    VersionedTable.copyTree(Paths.get(from), Paths.get(to))
 
   /** Incremental add: assign `vecs` (vec_id, embedding) against the
     * PINNED centroid set and append them to the inverted lists as a new
@@ -531,14 +531,17 @@ object IvfIndex {
     rescoreCells(spark, root, probes, q)
   }
 
-  /** Driver-side probed-cell id list, for pushing `cid IN (...)` into an
-    * index scan (parquet row-group skipping). Bounded by construction:
-    * the probed set ⊆ the centroid set, whose hash-threshold admission is
-    * binomial AROUND min(√N, MaxCentroids) — allow the overshoot (a hard
-    * == MaxCentroids bound would flake at the cap). Metadata, not data. */
-  private def probedCidList(probes: DataFrame): Seq[Long] = {
-    val cids = probes.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+  /** Driver-side probed-cell id list WITH per-cell probe multiplicity:
+    * the ids push `cid IN (...)` into an index scan (parquet row-group
+    * skipping), the multiplicities feed hot-cell detection (a cell's
+    * reducer load is probes×rows, not rows alone). Bounded by
+    * construction: the probed set ⊆ the centroid set, whose
+    * hash-threshold admission is binomial AROUND min(√N, MaxCentroids) —
+    * allow the overshoot (a hard == MaxCentroids bound would flake at
+    * the cap). Metadata, not data. */
+  private def probedCidCounts(probes: DataFrame): Seq[(Long, Long)] = {
+    val cids = probes.groupBy(col("cid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     require(cids.length <= 4 * Embeddings.MaxCentroids,
       s"probed cell set ${cids.length} far exceeds MaxCentroids — " +
         "the driver-side prune list must stay metadata-sized " +
@@ -547,17 +550,44 @@ object IvfIndex {
     cids
   }
 
+  /** Per-cell stored-row counts for one committed version of an index's
+    * inverted lists, cached per (root, cells-version) — the counts are a
+    * pure function of the committed version (appends and logical deletes
+    * both bump it), so each index version pays ONE cid-column scan per
+    * session and every subsequent probe's hot-cell detection is a true
+    * driver-side metadata lookup (st17 probes per micro-batch — without
+    * the cache it would re-scan per batch). At 100 TB the same map would
+    * be persisted as a build/append artifact next to the centroids;
+    * the cache is the session-local form of that artifact. Bounded: ≤
+    * MaxCentroids entries per version, capped version count. */
+  private val cellCountsCache =
+    scala.collection.mutable.HashMap.empty[(String, Long), Map[Long, Long]]
+
+  private def cellRowCounts(spark: SparkSession, root: String): Map[Long, Long] =
+    synchronized {
+      val v = new VersionedTable(spark, s"$root/cells").latestVersion.getOrElse(0L)
+      if (cellCountsCache.size > 64) cellCountsCache.clear()
+      cellCountsCache.getOrElseUpdate((root, v),
+        cells(spark, root).groupBy(col("cid")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+
   /** Hot-cell salt width — the d3 HotBucketSalt rationale applied to
     * inverted lists: a hot cell's rows spread across this many reducers. */
   private[graft] val HotCellSalt = 8
 
-  /** A probed cell is HOT when its stored row count exceeds this multiple
-    * of the mean of the OTHER probed cells (leave-one-out — a hot cell
-    * inflates the plain mean enough to hide itself behind it when few
-    * cells are probed). RELATIVE, deliberately: uniform corpus growth
-    * never trips it at any scale (cells grow together), only genuine
-    * assignment skew does — an absolute row threshold would
-    * false-positive every cell once N/k_cent outgrew it. */
+  /** A probed cell is HOT when its reducer load (probe multiplicity ×
+    * stored rows — the row count a cid-keyed shuffle actually routes to
+    * that cell's reducer) exceeds this multiple of the MEDIAN load of
+    * the probed cells. Median, not leave-one-out mean: several
+    * similar-sized hot cells inflate each other's mean enough to hide
+    * behind it, while the median stays anchored to the normal cells.
+    * Probe-weighted, not size-only: queries concentrating on one
+    * normal-sized cell pin its reducer just as surely as one oversized
+    * list does. RELATIVE, deliberately: uniform corpus growth never
+    * trips it at any scale (loads grow together), only genuine skew
+    * does — an absolute threshold would false-positive every cell once
+    * N/k_cent outgrew it. */
   private[graft] val HotCellFactor = 8
 
   /** The probes(q_id, cid) ⋈ pruned-lists equi-join every probe tail
@@ -568,32 +598,35 @@ object IvfIndex {
     * inverted list (the skew twin's 47.7× cell) would pin one reducer.
     * Detected-hot cells are therefore salted [[HotCellSalt]] ways via
     * SaltedJoin.hotOnlyPrecomputed — dormant (the PLAIN equi-join,
-    * zero plan overhead) when no probed cell exceeds [[HotCellFactor]]×
-    * the mean, engaged only under real skew; result-identical both ways
-    * (IvfIndexSpec pins both plans and the hash parity). The detection
-    * aggregate scans ONE column of the already-pruned lists — at 100 TB
-    * you'd persist per-cell counts as an index artifact or reuse AQE
-    * shuffle statistics; the join shape is identical. */
-  private def joinProbesCells(probes: DataFrame, prunedCells: DataFrame): DataFrame = {
-    // ONE detection job: the per-cell counts are metadata-sized (probed
-    // cells ≤ 4×MaxCentroids — probedCidList's bound), so collect them
-    // once and gate driver-side rather than paying hotOnlyPrecomputed's
-    // separate detection collect a second scan
-    val counts = prunedCells.groupBy(col("cid")).count()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val tot = counts.map(_._2).sum
-    val nCells = counts.length
-    // leave-one-out gate, multiplied out to stay integer and 0-safe:
-    // count / ((tot - count) / (n_cells - 1)) > factor; a SINGLE probed
-    // cell (n_cells = 1) is hot by definition — all rows on one reducer
-    val hot = counts.collect {
-      case (cid, c) if c * math.max(nCells - 1, 1) > HotCellFactor.toLong * (tot - c) => cid
+    * zero plan overhead) when no probed cell's load exceeds
+    * [[HotCellFactor]]× the probed median, engaged only under real
+    * skew; result-identical both ways (IvfIndexSpec pins both plans and
+    * the hash parity). Detection is pure driver-side arithmetic: probe
+    * multiplicities ride the prune collect every probe already pays,
+    * and stored per-cell rows come from the per-(root, version) counts
+    * cache — no extra Spark job per probe (st17 probes every
+    * micro-batch). */
+  private def joinProbesCells(spark: SparkSession, root: String,
+      probes: DataFrame, probeCounts: Seq[(Long, Long)],
+      prunedCells: DataFrame): DataFrame = {
+    val rows = cellRowCounts(spark, root)
+    // reducer load of cell c under a cid-keyed shuffle = probes(c) ×
+    // rows(c); a SINGLE probed cell is hot by definition (all rows on
+    // one reducer, and its own median would mask it)
+    val loads = probeCounts.map { case (cid, np) =>
+      cid -> np * rows.getOrElse(cid, 0L)
     }
+    val hot =
+      if (loads.sizeIs == 1) loads.map(_._1)
+      else {
+        val med = math.max(loads.map(_._2).sorted.apply(loads.size / 2), 1L)
+        loads.collect { case (cid, l) if l > HotCellFactor.toLong * med => cid }
+      }
     if (hot.isEmpty) probes.join(prunedCells, "cid") // dormant: the plain equi-join
     else {
       import probes.sparkSession.implicits._
       SaltedJoin.hotOnlyPrecomputed(prunedCells, probes, Seq("cid"),
-        HotCellSalt, hot.toSeq.toDF("cid"))
+        HotCellSalt, hot.toDF("cid"))
     }
   }
 
@@ -605,8 +638,10 @@ object IvfIndex {
       probesRaw: DataFrame, q: DataFrame): DataFrame = {
     val probes = probesRaw
       .localCheckpoint(true) // consumed by the cid collect AND the join
-    val cids = probedCidList(probes)
-    joinProbesCells(probes, cells(spark, root).filter(col("cid").isin(cids: _*)))
+    val counts = probedCidCounts(probes)
+    val cids = counts.map(_._1)
+    joinProbesCells(spark, root, probes, counts,
+        cells(spark, root).filter(col("cid").isin(cids: _*)))
       .filter(col("vec_id") =!= col("q_id"))
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -634,11 +669,12 @@ object IvfIndex {
       nProbe: Int = NProbe, shortlist: Int = PqShortlist): DataFrame = {
     val probes = probeSelect(q, centroids(spark, root), nProbe)
       .localCheckpoint(true) // consumed by the cid collect AND the join
-    val cids = probedCidList(probes)
+    val counts = probedCidCounts(probes)
+    val cids = counts.map(_._1)
     val qsub = subspacesOf(q.select(col("q_id").as("vec_id"), col("q_ne").as("ne")))
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
     val lut = queryLut(qsub, codebook(spark, root))
-    val short = joinProbesCells(probes,
+    val short = joinProbesCells(spark, root, probes, counts,
         cellCodes(spark, root).filter(col("cid").isin(cids: _*)))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")

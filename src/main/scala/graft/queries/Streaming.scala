@@ -567,8 +567,13 @@ object Streaming extends QueryGroup {
     "st17_semantic_admission" -> QueryDef(
       build = (s, d) => {
         val root = graft.ops.IvfIndex.ensureErased(s, d, SemanticIncomingPred)
+        // the SAME predicate string selects the incoming stream and names
+        // the erased-twin ids — parsing it (not a hand-copied Column)
+        // keeps "what streams in" ≡ "what the index no longer knows", the
+        // invariant the whole gate rests on (a drifted copy would let a
+        // vector find ITSELF in the index at cos 1.0)
         val incoming = Streams.tableStream(s, d, "embeddings")
-          .filter(col("vec_id") % 5 === 0)
+          .filter(expr(SemanticIncomingPred))
         Streams.runBatchwise(incoming) { batch =>
           val q = graft.ops.IvfIndex.normalized(batch)
             .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
@@ -584,20 +589,21 @@ object Streaming extends QueryGroup {
       },
       oracle = Some(s"""
         WITH ${graft.queries.Embeddings.sqlIvfProbes(
-    "SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 5 = 0")},
+    s"SELECT vec_id AS q_id, ne AS qe FROM n WHERE $SemanticIncomingPred")},
         scored AS (
           SELECT p.q_id, a.vec_id,
                  list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
           FROM probes p
           JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
-                       AND NOT (a.vec_id % 5 = 0)
+                       AND NOT (${SemanticIncomingPred.replace("vec_id", "a.vec_id")})
           JOIN q ON q.q_id = p.q_id
           JOIN n ON n.vec_id = a.vec_id),
         mx AS (SELECT q_id, floor(max(cos) * 1000000) / 1000000.0 AS nn_cos
                FROM scored GROUP BY q_id)
         SELECT e.vec_id, mx.nn_cos
         FROM embeddings e LEFT JOIN mx ON mx.q_id = e.vec_id
-        WHERE e.vec_id % 5 = 0 AND (mx.nn_cos IS NULL OR mx.nn_cos < $SemanticTau)""")),
+        WHERE ${SemanticIncomingPred.replace("vec_id", "e.vec_id")}
+          AND (mx.nn_cos IS NULL OR mx.nn_cos < $SemanticTau)""")),
 
     "st16_stream_heavy_hitters" -> QueryDef(
       build = (s, d) => {

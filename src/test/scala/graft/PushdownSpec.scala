@@ -16,9 +16,19 @@ class PushdownSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Column lists of every ReadSchema in `p` — GREEDY to the line's last
+    * '>': nested generics (array<double>) close with '>' too, and a lazy
+    * match truncates the schema at the first one, hiding every column
+    * after the first array-typed column from the assertions. */
+  private def readSchemas(p: String): Seq[String] =
+    "ReadSchema: struct<(.*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+
+  private def firstReadSchema(p: String): String =
+    readSchemas(p).headOption.getOrElse("")
+
   test("projection pruning: p1's parquet scan reads only the projected columns") {
     val p = plan("p1_schema_projection")
-    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    val readSchema = readSchemas(p).headOption
     assert(readSchema.isDefined, s"no ReadSchema in plan:\n$p")
     val cols = readSchema.get.split(",").map(_.split(":")(0).trim).toSet
     assert(!cols.exists(_.startsWith("o_comment")) && cols.size <= 6,
@@ -86,7 +96,7 @@ class PushdownSpec extends SparkSpec {
       "e5_pq_adc_topk" -> Set("vec_id", "embedding"))
     allowed.foreach { case (q, ok) =>
       val p = plan(q)
-      val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      val schemas = readSchemas(p)
       assert(schemas.nonEmpty, s"no ReadSchema in $q plan")
       schemas.foreach { sch =>
         val cols = sch.split(",").map(_.split(":")(0).trim).filter(_.nonEmpty).toSet
@@ -182,8 +192,7 @@ class PushdownSpec extends SparkSpec {
     val p = plan("a18_psi_drift")
     assert(p.contains("partial_"),
       s"a18 lost its map-side partial aggregation:\n$p")
-    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
-      .map(_.group(1)).getOrElse("")
+    val rs = firstReadSchema(p)
     assert(Seq("event_type", "ts", "value").forall(rs.contains),
       s"a18 scan missing a needed column: $rs")
     assert(!rs.contains("props") && !rs.contains("user_id") && !rs.contains("event_id"),
@@ -207,8 +216,7 @@ class PushdownSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"))
     val pa = daily.queryExecution.executedPlan.toString
     assert(pa.contains("partial_"), s"a19 daily frame lost map-side combine:\n$pa")
-    val rsa = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pa)
-      .map(_.group(1)).getOrElse("")
+    val rsa = firstReadSchema(pa)
     assert(rsa.contains("event_type") && rsa.contains("ts") &&
       !rsa.contains("value") && !rsa.contains("props") && !rsa.contains("user_id"),
       s"a19 daily scan reads columns the monitor never uses: $rsa")
@@ -217,8 +225,7 @@ class PushdownSpec extends SparkSpec {
     val pw = plan("w13_markov_transitions")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pw).size == 1,
       s"w13 must plan exactly one user_id window exchange:\n$pw")
-    val rsw = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pw)
-      .map(_.group(1)).getOrElse("")
+    val rsw = firstReadSchema(pw)
     assert(!rsw.contains("value") && !rsw.contains("props"),
       s"w13 scan reads columns the matrix never uses: $rsw")
     // e9: the centroid probe is the packed 1-row broadcast fold, so the
@@ -274,7 +281,7 @@ class PushdownSpec extends SparkSpec {
       s"e16's probed-cell prune must push into the codes scan:\n$p")
     assert(!p.contains("embeddings.parquet"),
       s"e16 must not rescan the corpus — probe-only means index reads only:\n$p")
-    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    val schemas = readSchemas(p)
     val codesScans = schemas.filter(_.contains("codes:"))
     assert(codesScans.nonEmpty, s"e16 must scan the persisted codes:\n$p")
     assert(codesScans.forall(!_.contains("ne:")),
@@ -330,9 +337,7 @@ class PushdownSpec extends SparkSpec {
         explode(sequence(lit(1), size(col("toks")) - 7)).as("i"))
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", slice(col("toks"), col("i"), lit(8)))).as("fp"))
-    val rst = "ReadSchema: struct<([^>]*)>".r
-      .findFirstMatchIn(inner.queryExecution.executedPlan.toString)
-      .map(_.group(1)).getOrElse("")
+    val rst = firstReadSchema(inner.queryExecution.executedPlan.toString)
     assert(rst.contains("doc_id") && rst.contains("text") &&
       !rst.contains("lang") && !rst.contains("source") && !rst.contains("n_chars"),
       s"t26 scan reads columns the spans never use: $rst")
@@ -346,8 +351,7 @@ class PushdownSpec extends SparkSpec {
       s"gr1 final plan must rescan ONLY the supplier dim:\n$pg")
     assert(pg.contains("BroadcastHashJoin"),
       s"gr1 supplier dim join must broadcast:\n$pg")
-    val rsg = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pg)
-      .map(_.group(1)).getOrElse("")
+    val rsg = firstReadSchema(pg)
     assert(rsg.contains("s_suppkey") && rsg.contains("s_name") &&
       !rsg.contains("s_address") && !rsg.contains("s_comment"),
       s"gr1 supplier scan reads columns the rank never uses: $rsg")
@@ -480,8 +484,7 @@ class PushdownSpec extends SparkSpec {
       s"j14's two frames must ride ONE Window node:\n$pj")
     assert(pj.contains("In(event_type, [purchase,view])"),
       s"j14 type filter not pushed to the events scan:\n$pj")
-    val rsj = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pj)
-      .map(_.group(1)).getOrElse("")
+    val rsj = firstReadSchema(pj)
     assert(!rsj.contains("value") && !rsj.contains("props"),
       s"j14 scan reads columns the join never uses: $rsj")
     // sql3: pure SQL text, optimizer-placed physical ops. Pin only the
@@ -528,7 +531,7 @@ class PushdownSpec extends SparkSpec {
     // The pruning pin lives on the un-checkpointed basketScan instead.
     val pb = graft.queries.Graph.basketScan(spark, sf)
       .queryExecution.executedPlan.toString
-    val rsb = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(pb).map(_.group(1)).toSeq
+    val rsb = readSchemas(pb)
     assert(rsb.nonEmpty, s"no parquet scan in basketScan plan:\n$pb")
     rsb.foreach { sch =>
       val cols = sch.split(",").map(_.split(":")(0).trim).filter(_.nonEmpty).toSet
