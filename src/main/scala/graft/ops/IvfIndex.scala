@@ -58,8 +58,11 @@ object IvfIndex {
   /** Bump when the on-disk layout changes: a stale cached index from an
     * older build would otherwise be probed with new-format expectations.
     * v2: + persisted coarse level (`coarse`, `groups` tables).
-    * v3: + PQ side (`codebook` table; `codes` column on `cells`). */
-  private val FormatVersion = 3
+    * v3: + PQ side (`codebook` table; `codes` column on `cells`).
+    * v4: + `label` metadata column on `cells` (filtered search — the
+    *      predicate prunes at the index scan, FAISS IDSelector done
+    *      the columnar way). */
+  private val FormatVersion = 4
 
   // ---------------------------------------------------------------- shared
   // index DEFINITIONS (also used by the live e4/t30 path via
@@ -72,6 +75,15 @@ object IvfIndex {
       .withColumn("nrm", Embeddings.norm(col("embedding")))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("ne"))
+
+  /** (vec_id, label) of an input frame, tolerant of frames without the
+    * metadata column (spec corpora, raw append feeds): absent → typed
+    * nulls, so the index schema is identical either way and a filtered
+    * probe over an unlabeled index simply matches nothing. */
+  private def labelsOf(emb: DataFrame): DataFrame =
+    if (emb.columns.contains("label"))
+      emb.select(col("vec_id"), col("label").cast("int"))
+    else emb.select(col("vec_id"), lit(null).cast("int").as("label"))
 
   /** Pinned-at-build centroid sample over the normalized corpus. */
   private[graft] def centroidsOf(vn: DataFrame): DataFrame =
@@ -337,8 +349,8 @@ object IvfIndex {
     * ReusedExchange lesson); likewise `sub` (codebook + encode) and the
     * tiny `cb`. */
   def build(spark: SparkSession, corpusDir: String, root: String): Unit = {
-    val vn = normalized(Tables.embeddings(spark, corpusDir).transform(Tables.spread))
-      .localCheckpoint(true)
+    val emb = Tables.embeddings(spark, corpusDir).transform(Tables.spread)
+    val vn = normalized(emb).localCheckpoint(true)
     val cents = centroidsOf(vn).localCheckpoint(true)
     new VersionedTable(spark, s"$root/centroids").write(cents, "ivf-build")
     // the coarse level is a pure function of the PINNED centroid set, so
@@ -358,7 +370,8 @@ object IvfIndex {
     val cellRows = assignCells(vn, cents)
       .join(vn, "vec_id")
       .join(encodeCodes(sub, cb), "vec_id")
-      .select(col("cid"), col("vec_id"), col("ne"), col("codes"))
+      .join(labelsOf(emb), "vec_id")
+      .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
       .repartition(col("cid"))
     new VersionedTable(spark, s"$root/cells").write(cellRows, "ivf-build")
   }
@@ -369,7 +382,7 @@ object IvfIndex {
 
   def cells(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/cells").read()
-      .select(col("cid"), col("vec_id"), col("ne"))
+      .select(col("cid"), col("vec_id"), col("label"), col("ne"))
 
   /** The inverted lists' COMPRESSED representation only — (cid, vec_id,
     * codes). Parquet is columnar, so this scan never reads the `ne`
@@ -406,20 +419,41 @@ object IvfIndex {
   def delete(spark: SparkSession, root: String, condition: String): Long =
     new VersionedTable(spark, s"$root/cells").deleteWhere(condition)
 
-  /** A CACHED erased twin of the corpus index: the completed base index
-    * file-copied to a condition-keyed sibling root, with [[delete]]
-    * committed once — so a repeatable query (e17) probes a stable
-    * post-erasure head instead of mutating the shared index out from
-    * under e14/e15/e16. Same lifecycle contract as [[ensure]]
-    * (fingerprint-keyed, atomic publish, 6h prune via the shared idx-
-    * prefix). */
+  /** A CACHED erased twin of the corpus index: [[deriveTwin]] with one
+    * [[delete]] committed — so a repeatable query (e17, st17) probes a
+    * stable post-erasure head instead of mutating the shared index out
+    * from under e14/e15/e16. */
   def ensureErased(spark: SparkSession, corpusDir: String,
-      condition: String): String = synchronized {
-    val base = ensure(spark, corpusDir)
-    val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest(condition.getBytes("UTF-8"))
+      condition: String): String =
+    deriveTwin(spark, corpusDir, s"erased-${keySig(condition)}")(
+      tmp => delete(spark, tmp, condition))
+
+  private[graft] def keySig(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
-    val root = s"$base-erased-$sig"
+
+  /** A CACHED derived twin of the corpus index: the completed base index
+    * file-copied to a `key`-named sibling root, transformed ONCE by
+    * `body` (erasure commits, stream appends — any sequence of versioned
+    * commits against the scratch path it receives), then published
+    * atomically. Same lifecycle contract as [[ensure]]: fingerprint +
+    * key-cached, `_COMPLETE` travels with the content (a marker-less
+    * root is always debris — the invariant moveIntoPlace's
+    * clear-and-retry relies on), 6h prune via the shared idx- prefix.
+    * Callers must key every input of `body` into `key` (predicate hash,
+    * feed id) — a cache hit SKIPS body entirely.
+    *
+    * One wrinkle: commits record the version's data/stats dirs as
+    * ABSOLUTE paths (the shallow-clone contract), so fresh commit lines
+    * point into the scratch dir — every artifact manifest is rebased
+    * onto the final root before publishing. (Inherited commit lines
+    * reference the BASE index's dirs — immutable and shared, they stay
+    * as-is.) */
+  def deriveTwin(spark: SparkSession, corpusDir: String, key: String)(
+      body: String => Unit): String = synchronized {
+    val base = ensure(spark, corpusDir)
+    val root = s"$base-$key"
     if (Files.exists(Paths.get(root, "_COMPLETE"))) {
       try Files.setLastModifiedTime(Paths.get(root),
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
@@ -428,20 +462,8 @@ object IvfIndex {
       val tmp = root + s".build-${ProcessHandle.current().pid()}"
       deleteRecursively(tmp)
       copyTree(base, tmp)
-      // the erasure commits INSIDE the scratch dir, so `_COMPLETE` (laid
-      // down in tmp, like ensure's build path) travels atomically WITH
-      // the erased content — a root without the marker is always debris,
-      // the invariant moveIntoPlace's clear-and-retry path relies on. One
-      // wrinkle: deleteWhere records the version's data/stats dirs as
-      // ABSOLUTE paths (the shallow-clone contract), so the fresh commit
-      // line points into tmp — rebase those references onto the final
-      // root before publishing. (The inherited commit lines reference the
-      // BASE index's dirs — immutable and shared, they stay as-is.)
       Files.deleteIfExists(Paths.get(tmp, "_COMPLETE"))
-      delete(spark, tmp, condition)
-      // each index artifact is its own VersionedTable with its own
-      // manifest — rebase every one of them (only cells gained a commit,
-      // but a blanket pass can't rot when a future erasure touches more)
+      body(tmp)
       val tmpAbs = Paths.get(tmp).toAbsolutePath.toString
       val rootAbs = Paths.get(root).toAbsolutePath.toString
       val walk = Files.walk(Paths.get(tmp))
@@ -474,7 +496,8 @@ object IvfIndex {
     val newRows = assignCells(vn, cents)
       .join(vn, "vec_id")
       .join(codes, "vec_id")
-      .select(col("cid"), col("vec_id"), col("ne"), col("codes"))
+      .join(labelsOf(vecs), "vec_id")
+      .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
       .repartition(col("cid"))
     new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
   }
@@ -488,9 +511,9 @@ object IvfIndex {
     * into the cells scan (row-group skipping): bounded by construction at
     * MaxCentroids = 256 entries — driver metadata, not data. */
   def probeCandidates(spark: SparkSession, root: String, q: DataFrame,
-      nProbe: Int = NProbe): DataFrame =
+      nProbe: Int = NProbe, candWhere: Option[String] = None): DataFrame =
     rescoreCells(spark, root,
-      probeSelect(q, centroids(spark, root), nProbe), q)
+      probeSelect(q, centroids(spark, root), nProbe), q, candWhere)
 
   /** Two-level probe: query → nearest [[NCoarseProbe]] coarse groups →
     * their member centroids only → nProbe cells → exact rescore. The
@@ -633,15 +656,27 @@ object IvfIndex {
   /** Shared probe tail: exact cosines of `probes`(q_id, cid) against the
     * stored inverted lists, query excluded, NaN screened. The probed-cell
     * set is collected driver-side to push `cid IN (...)` into the cells
-    * scan (row-group skipping) — [[probedCidList]]'s bound. */
+    * scan (row-group skipping) — [[probedCidCounts]]'s bound.
+    *
+    * `candWhere` is the FILTERED-search form (FAISS IDSelector): a SQL
+    * predicate over the index's stored metadata (`label`), applied to
+    * the cells scan itself — so it pushes into parquet beside the cid
+    * prune and non-matching vectors never enter the scoring join, rather
+    * than being dropped after scoring. Hot-cell detection still keys on
+    * UNFILTERED stored counts (the cached per-version map) — an
+    * overestimate under a selective filter, which errs toward salting:
+    * conservative, never a pinned reducer. */
   private def rescoreCells(spark: SparkSession, root: String,
-      probesRaw: DataFrame, q: DataFrame): DataFrame = {
+      probesRaw: DataFrame, q: DataFrame,
+      candWhere: Option[String] = None): DataFrame = {
     val probes = probesRaw
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val counts = probedCidCounts(probes)
     val cids = counts.map(_._1)
-    joinProbesCells(spark, root, probes, counts,
-        cells(spark, root).filter(col("cid").isin(cids: _*)))
+    val pruned = candWhere.foldLeft(
+      cells(spark, root).filter(col("cid").isin(cids: _*)))(
+      (c, w) => c.filter(expr(w)))
+    joinProbesCells(spark, root, probes, counts, pruned)
       .filter(col("vec_id") =!= col("q_id"))
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),

@@ -320,6 +320,29 @@ object Embeddings extends QueryGroup {
           JOIN codes ON codes.vec_id = a.vec_id
           JOIN lut ON lut.q_id = p.q_id""")}"""
 
+  /** e18's oracle: the e14 probe chain with the metadata filter applied
+    * to BOTH sides the way the served path does — label-0 queries, and
+    * candidates restricted to label-1 vectors BEFORE scoring (the
+    * pre-filter contract: a matching neighbor can never be displaced
+    * from the top-5 by a filtered-out one). Probe selection runs
+    * unfiltered against the full pinned centroid sample, like erasure:
+    * the quantizer is a trained artifact, the filter is member
+    * metadata. */
+  private[graft] val sqlIvfFilteredTop5: String = s"""
+        WITH ${sqlIvfProbes(
+    """SELECT n.vec_id AS q_id, n.ne AS qe FROM n
+           JOIN embeddings e ON e.vec_id = n.vec_id
+           WHERE n.vec_id % 10 = 0 AND e.label = 0""")},
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN embeddings el ON el.vec_id = a.vec_id AND el.label = 1
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        $sqlScoredTop5Tail"""
+
   /** e17's erasure predicate — the GDPR request applied to the index. */
   private[graft] val sqlErasedPred = "vec_id % 7 = 3"
 
@@ -709,6 +732,36 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(sqlIvfErasedTop5)),
+
+    // E18: FILTERED search served from the PERSISTED index — the vector-DB
+    // "metadata filter" read path (FAISS IDSelector / the WHERE clause of
+    // every production vector store): label-0 queries retrieve their
+    // top-5 among label-1 vectors ONLY. The index stores `label` beside
+    // each inverted-list entry, so the predicate pushes into the cells
+    // scan NEXT TO the cid prune (parquet row groups skip on both —
+    // plan-pinned in PushdownSpec) and non-matching vectors never enter
+    // the scoring join: PRE-filtering, not a post-scoring drop — a top-5
+    // cut before the filter would silently lose matching neighbors
+    // (e12 is the live-compute twin of this contract; this is it served
+    // at probe cost). Zero corpus reads, like e14.
+    "e18_ann_ivf_filtered" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.ensure(s, d)
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0 && col("label") === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q,
+            candWhere = Some("label = 1"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfFilteredTop5),
+      bench = true),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a
     // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,

@@ -577,6 +577,57 @@ object SqlAnalytics extends QueryGroup {
               AND l3.l_returnflag = 'R')
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // SQL13: the potential-part-promotion shape (TPC-H Q20) — the DEEPEST
+    // standard decorrelation nest: an IN subquery whose HAVING holds a
+    // correlated scalar aggregate over the same fact (suppliers shipping
+    // more than 10% of a part's total quantity), plus a second semi-
+    // joined dimension filter. Catalyst must rewrite the outer IN as a
+    // LeftSemi join and the correlated HAVING aggregate as a grouped
+    // aggregate joined back on l_partkey (PushdownSpec pins: LeftSemi,
+    // no per-row subquery, no cartesian) — so at 100 TB the fact table
+    // is read a bounded number of times, both passes are equi-keyed
+    // partial aggregates, and the threshold comparison is a cheap
+    // post-join filter. The alias discipline (l1/l2) is load-bearing:
+    // an unqualified l_partkey inside the subquery silently resolves to
+    // l2 ITSELF (always-true correlation → one global total → empty
+    // result) in BOTH engines.
+    "sql13_part_promotion" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_sql")
+        Tables.part(s, d).createOrReplaceTempView("part_sql")
+        Tables.nation(s, d).createOrReplaceTempView("nation_sql")
+        s.sql("""
+          SELECT s_name, s_acctbal
+          FROM supplier_sql s
+          WHERE s.s_suppkey IN (
+              SELECT l1.l_suppkey FROM lineitem_sql l1
+              JOIN part_sql ON p_partkey = l1.l_partkey
+              WHERE p_name LIKE '%an%'
+              GROUP BY l1.l_partkey, l1.l_suppkey
+              HAVING sum(l1.l_quantity) > (
+                SELECT 0.1 * sum(l2.l_quantity) FROM lineitem_sql l2
+                WHERE l2.l_partkey = l1.l_partkey))
+            AND s.s_nationkey IN (
+              SELECT n_nationkey FROM nation_sql WHERE n_name LIKE 'NATION_1%')
+          ORDER BY s_name""")
+      },
+      oracle = Some("""
+        SELECT s_name, s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l1.l_suppkey FROM lineitem l1
+            JOIN part ON p_partkey = l1.l_partkey
+            WHERE p_name LIKE '%an%'
+            GROUP BY l1.l_partkey, l1.l_suppkey
+            HAVING sum(l1.l_quantity) > (
+              SELECT 0.1 * sum(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey))
+          AND s.s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+        ORDER BY s_name"""))
   )
 }

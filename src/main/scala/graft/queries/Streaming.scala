@@ -56,6 +56,11 @@ object Streaming extends QueryGroup {
   private[graft] val SemanticIncomingPred = "vec_id % 5 = 0"
   private[graft] val SemanticTau = 0.4
 
+  /** st18's stream-arriving member set: the slice of the corpus that is
+    * ABSENT from the index head when the maintenance stream starts and
+    * arrives through it micro-batch by micro-batch. */
+  private[graft] val StreamInPred = "vec_id % 6 = 1"
+
   def defs: Map[String, QueryDef] = Map(
     // ST1+ST3: watermarked tumbling-window aggregation (1h windows per
     // event type), complete mode (ST9) for batch-equivalent output.
@@ -604,6 +609,57 @@ object Streaming extends QueryGroup {
         FROM embeddings e LEFT JOIN mx ON mx.q_id = e.vec_id
         WHERE ${SemanticIncomingPred.replace("vec_id", "e.vec_id")}
           AND (mx.nn_cos IS NULL OR mx.nn_cos < $SemanticTau)""")),
+
+    // ST18: streaming MAINTENANCE of the persisted vector index — the
+    // write half of the production loop st17 reads from: new vectors
+    // arrive as a stream and foreachBatch commits each micro-batch into
+    // the index via IvfIndex.append (assignment + PQ encode against the
+    // PINNED artifacts — never a re-train, so the appends provably
+    // commute and the result is micro-batch-split invariant: FAISS
+    // IndexIVF.add semantics, batched). Runs against a derived twin whose
+    // StreamInPred slice was erased first, so the stream genuinely
+    // extends the member set; the probe afterwards matches the
+    // FULL-corpus e14 oracle — any batch lost, duplicated, or encoded
+    // against a drifted codebook breaks the hash. At 100 TB each batch
+    // costs |batch|·k_cent assignment dots and one O(batch) versioned
+    // append — the corpus is never rescanned. The twin is cache-keyed on
+    // (corpus, predicate): the stream-build runs once, replays probe the
+    // published head (StreamingSpec drives the multi-batch form and the
+    // streamed ≡ built-at-once parity).
+    "st18_stream_index_maintenance" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.deriveTwin(s, d,
+          s"streamed-${graft.ops.IvfIndex.keySig(StreamInPred)}") { tmp =>
+          graft.ops.IvfIndex.delete(s, tmp, StreamInPred)
+          // materialize the erasure BEFORE the stream starts: the arriving
+          // vectors match the just-deleted predicate by construction, and
+          // a logical-delete head would re-erase them on every read
+          // (VersionedTable.append guards exactly this — appends onto
+          // deletion-vector heads are refused until compact())
+          new graft.maint.VersionedTable(s, s"$tmp/cells").compact()
+          Streams.runBatchwise(
+            Streams.tableStream(s, d, "embeddings").filter(expr(StreamInPred))) {
+            batch =>
+              graft.ops.IvfIndex.append(s, tmp, batch)
+              batch.select(col("vec_id"))
+          }
+        }
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 9 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(s"""
+        WITH ${graft.queries.Embeddings.sqlIvfScored(
+    "SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 9 = 0")}
+        ${graft.queries.Embeddings.sqlScoredTop5Tail}""")),
 
     "st16_stream_heavy_hitters" -> QueryDef(
       build = (s, d) => {

@@ -291,4 +291,69 @@ class IvfIndexSpec extends SparkSpec {
       "time-travel must read the pre-append index")
     assert(ct.read(None).count() == baseIds.size + newIds.size)
   }
+
+  test("filtered probe: label rides the index; the predicate pre-filters, never displaces matching neighbors") {
+    val dir = writeCorpus(1L to 300L)
+    val root = IvfIndex.ensure(spark, dir)
+
+    // the stored metadata column equals the corpus labels, row for row
+    val stored = IvfIndex.cells(spark, root).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored.size == 300 && stored.forall { case (id, l) => l == (id % 3).toInt },
+      "index must persist each vector's label verbatim")
+
+    // pre-filter semantics: a filtered probe equals the unfiltered probe
+    // restricted to matching candidates — same probed cells, same scores,
+    // nothing displaced and nothing leaked (the e12 contract served)
+    val q = IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select($"q_id", $"vec_id", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unfiltered = rows(IvfIndex.probeCandidates(spark, root, q))
+    val filtered = rows(IvfIndex.probeCandidates(spark, root, q,
+      candWhere = Some("label = 1")))
+    assert(filtered == unfiltered.filter(_._2 % 3 == 1),
+      "filtered probe must equal the unfiltered probe restricted to matching candidates")
+    assert(filtered.nonEmpty && filtered.size < unfiltered.size,
+      "the filter must engage without emptying the result")
+  }
+
+  test("streamed maintenance equals the built-at-once index: multi-batch appends, identical member set and codes") {
+    // st18's parity gate: erase a slice, stream it back in THREE
+    // rate-limited micro-batches (one file per trigger), and the twin
+    // must equal the base index bit-for-bit — assignment, label, AND
+    // PQ codes (batch-split invariance of IndexIVF.add, proven across
+    // real micro-batch boundaries, not the single-batch degenerate)
+    val ids = 1L to 300L
+    val dir = writeCorpus(ids)
+    val fullRoot = IvfIndex.ensure(spark, dir)
+    val streamed = IvfIndex.deriveTwin(spark, dir, "spec-streamed") { tmp =>
+      IvfIndex.delete(spark, tmp, "vec_id % 6 = 1")
+      new VersionedTable(spark, s"$tmp/cells").compact()
+      val feed = Files.createTempDirectory("graft_ivf_feed_").toString
+      ids.filter(_ % 6 == 1).map(i => (i, vec(i), (i % 3).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .repartition(3).write.mode("overwrite").parquet(feed)
+      val schema = spark.read.parquet(feed).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      graft.streaming.Streams.runBatchwise(stream) { batch =>
+        IvfIndex.append(spark, tmp, batch)
+        batch.select($"vec_id")
+      }
+    }
+    // the stream really arrived in several commits, not one degenerate batch
+    val appends = new VersionedTable(spark, s"$streamed/cells").history()
+      .filter($"operation" === "ivf-append").count()
+    assert(appends == 3, s"expected 3 micro-batch appends, saw $appends")
+    def members(root: String): Set[(Long, Long, Int)] =
+      IvfIndex.cells(spark, root).select($"cid", $"vec_id", $"label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(members(streamed) == members(fullRoot),
+      "streamed twin must equal the built-at-once index member-for-member")
+    assert(codesOf(IvfIndex.cellCodes(spark, streamed))
+        == codesOf(IvfIndex.cellCodes(spark, fullRoot)),
+      "streamed twin's PQ codes must equal the built-at-once encode")
+  }
 }

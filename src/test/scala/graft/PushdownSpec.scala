@@ -291,6 +291,42 @@ class PushdownSpec extends SparkSpec {
       s"e16's re-rank scan must read ne without codes:\n$schemas\n$p")
   }
 
+  test("e18's filtered probe pushes BOTH prunes into the index scan: In(cid) and the label predicate") {
+    // the filtered-search economics: the metadata predicate must reach
+    // the parquet scan BESIDE the probed-cell prune (pre-filtering — a
+    // row that fails the filter is never decoded into the scoring join),
+    // and like every persisted-index serve there is no corpus rescan
+    // the 16-entry In(cid, ...) list overflows the default 100-char
+    // metadata render and would truncate PushedFilters before the label
+    // entry — widen the render for this assertion only
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    val p = try plan("e18_ann_ivf_filtered")
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+    assert(p.contains("In(cid"),
+      s"e18's probed-cell prune must push into the cells scan:\n$p")
+    assert(p.contains("EqualTo(label,1)"),
+      s"e18's metadata filter must push into the cells scan:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"e18 must not rescan the corpus — probe-only means index reads only:\n$p")
+  }
+
+  test("sql13 decorrelates the nested IN + correlated HAVING: semi joins and grouped aggregates, no per-row subquery") {
+    // TPC-H Q20's nest is the deepest standard decorrelation: the IN
+    // must become a LeftSemi join, the correlated scalar aggregate in
+    // HAVING a grouped aggregate joined back on l_partkey — so the fact
+    // table is read a bounded number of times with map-side combine,
+    // and the p_name filter reaches the part scan
+    val p = plan("sql13_part_promotion")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"sql13 must plan BOTH membership tests as semi joins:\n$p")
+    for (bad <- Seq("InSubqueryExec", "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in sql13 plan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"sql13's quantity aggregates must combine map-side:\n$p")
+    assert(p.contains("StringContains(p_name,an)"),
+      s"sql13's part filter must push into the part scan:\n$p")
+  }
+
   test("t31 terciles come from the histogram frame, never a doc-frame window") {
     // the scale contract: the CDF window's input is the per-(lang, score)
     // histogram AGGREGATE (distinct scores per language), not the doc
