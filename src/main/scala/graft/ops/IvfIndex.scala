@@ -502,6 +502,68 @@ object IvfIndex {
     new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
   }
 
+  /** Split one inverted list in place — the INDEX-SIDE skew remedy
+    * (SPFresh's LIRE split applied to this layout; SCALE.md names it as
+    * the fix beyond salting once a cell outgrows every join-side
+    * mitigation). Two of the cell's members become fresh centroids (the
+    * 'split:'-hash-minimal pair — deterministic, mirroring the 'cent:'
+    * sample that trained the original quantizer from corpus vectors),
+    * the cell's members re-assign between them by the shared
+    * nearest-candidate argmax, and three versioned commits retire the
+    * parent: centroids/groups/cells each APPEND the replacement rows
+    * first and logically DELETE the parent cid after (append-then-delete
+    * keeps every commit O(new rows) + O(metadata) — no table rewrite, so
+    * a 100 TB index splits a cell for the cost of that cell). The parent
+    * centroid VECTOR (vec_id == cid) stays a member like any other but
+    * is excluded from seed eligibility — a split must mint FRESH cell
+    * ids, or the parent's delete would erase its own replacement.
+    * Vectors outside the cell, the coarse level, PQ codebook, and codes
+    * are untouched. Returns the two new cell ids.
+    *
+    * The parent's logical delete leaves deletion vectors on each table's
+    * head, and [[VersionedTable.append]] refuses deletion-vector heads —
+    * so a FURTHER split or append on the same index requires `compact()`
+    * first (st18 does exactly that after its erasure). At 100 TB the
+    * production form compacts only the parent cid's partition; here
+    * compact() is the honest stand-in. */
+  def split(spark: SparkSession, root: String, cid: Long): (Long, Long) = {
+    val members = cells(spark, root).filter(col("cid") === cid)
+      .select(col("vec_id"), col("label"), col("ne"))
+      .localCheckpoint(true) // feeds seed pick, reassign, and the cells append
+    val codes = cellCodes(spark, root).filter(col("cid") === cid)
+      .select(col("vec_id"), col("codes"))
+    val seedRows = members
+      .filter(col("vec_id") =!= cid)
+      .withColumn("h", graft.functions.TextFunctions.portableHash(
+        col("vec_id").cast("string"), "split:"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(2)
+      .select(col("vec_id"), col("ne"))
+      .localCheckpoint(true)
+    val seeds = seedRows.select(col("vec_id")).collect().map(_.getLong(0))
+    require(seeds.length == 2,
+      s"cell $cid has fewer than 3 members — nothing to split")
+    val newCents = seedRows.select(col("vec_id").as("cid"), col("ne").as("ce"))
+    val reassigned = nearestCandidate(
+        members.select(col("vec_id").as("_id"), col("ne").as("_v")),
+        newCents.select(col("cid").as("_cand"), col("ce").as("_cv")))
+      .select(col("_id").as("vec_id"), col("_cand").as("cid"))
+    val centsT = new VersionedTable(spark, s"$root/centroids")
+    centsT.append(newCents, "ivf-split")
+    centsT.deleteWhere(s"cid = $cid")
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    groupsT.append(assignGroups(newCents, coarseLevel(spark, root)), "ivf-split")
+    groupsT.deleteWhere(s"cid = $cid")
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    cellsT.append(
+      reassigned.join(members, "vec_id").join(codes, "vec_id")
+        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
+        .repartition(col("cid")),
+      "ivf-split")
+    cellsT.deleteWhere(s"cid = $cid")
+    (seeds(0), seeds(1))
+  }
+
   /** Probe the persisted index: exact cosines over the probed cells'
     * vectors, query itself excluded — (q_id, vec_id, cos), the same
     * contract as `Embeddings.ivfCandidates` but with ZERO corpus reads

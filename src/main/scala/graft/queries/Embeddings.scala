@@ -343,6 +343,61 @@ object Embeddings extends QueryGroup {
           JOIN n ON n.vec_id = a.vec_id)
         $sqlScoredTop5Tail"""
 
+  /** e19's oracle: the e14 probe chain over a POST-SPLIT index — the
+    * heaviest cell (max members, ties to the lowest cid) is retired and
+    * its members re-assigned between the two 'split:'-hash-minimal
+    * member seeds (parent centroid vector excluded from seed
+    * eligibility, [[graft.ops.IvfIndex.split]]'s fresh-id rule); probe
+    * selection then runs against the post-split centroid set. Every
+    * argmax ties to the lowest id, as everywhere. */
+  private[graft] val sqlIvfSplitTop5: String = s"""
+        WITH $sqlIvfIndexCtes,
+        counts AS (SELECT cid, count(*) AS cnt FROM assign GROUP BY cid),
+        heavy AS (SELECT cid FROM counts ORDER BY cnt DESC, cid ASC LIMIT 1),
+        seeds AS (
+          SELECT a.vec_id, n.ne
+          FROM assign a JOIN heavy h ON a.cid = h.cid
+          JOIN n ON n.vec_id = a.vec_id
+          WHERE a.vec_id <> h.cid
+          ORDER BY CAST(concat('0x', substr(md5(concat('split:', CAST(a.vec_id AS VARCHAR))),1,15)) AS BIGINT) ASC,
+                   a.vec_id ASC
+          LIMIT 2),
+        c2 AS (
+          SELECT cid, ce FROM c WHERE cid NOT IN (SELECT cid FROM heavy)
+          UNION ALL
+          SELECT vec_id AS cid, ne AS ce FROM seeds),
+        re0 AS (
+          SELECT a.vec_id, s.vec_id AS cid,
+                 list_sum(list_transform(range(1, len(n.ne)+1), i -> n.ne[i] * s.ne[i])) AS cos
+          FROM assign a JOIN heavy h ON a.cid = h.cid
+          JOIN n ON n.vec_id = a.vec_id
+          CROSS JOIN seeds s),
+        re AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM re0) WHERE rnk = 1),
+        assign2 AS (
+          SELECT a.vec_id, a.cid FROM assign a
+          WHERE a.cid NOT IN (SELECT cid FROM heavy)
+          UNION ALL SELECT vec_id, cid FROM re),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
+        qc AS (
+          SELECT q.q_id, c2.cid,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ce[i])) AS cos
+          FROM q CROSS JOIN c2),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qc) WHERE rnk <= ${graft.ops.IvfIndex.NProbe}),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign2 a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        $sqlScoredTop5Tail"""
+
   /** e17's erasure predicate — the GDPR request applied to the index. */
   private[graft] val sqlErasedPred = "vec_id % 7 = 3"
 
@@ -762,6 +817,43 @@ object Embeddings extends QueryGroup {
       },
       oracle = Some(sqlIvfFilteredTop5),
       bench = true),
+
+    // E19: hot-cell SPLIT maintenance — the index-side skew remedy
+    // (SPFresh's LIRE split; SCALE.md names it as the fix once a cell
+    // outgrows every join-side mitigation): retire the heaviest inverted
+    // list, promote two of its members to fresh centroids, re-assign the
+    // members between them, then serve. The split is three O(cell)+
+    // O(metadata) versioned commits — never a corpus or table rewrite —
+    // and the probe afterwards is the standard e14 contract against the
+    // post-split centroid set. Deterministic end to end (hash-minimal
+    // seeds, lowest-id argmax ties), so unlike production splitters it
+    // is FULLY oracle-checked; IvfIndexSpec additionally proves member
+    // preservation, nearest-seed re-assignment parity, both fragments
+    // strictly smaller than the parent, and that time travel still
+    // audits the pre-split index. Runs against a cached derived twin —
+    // the shared e14/e15/e16 index is never mutated.
+    "e19_ann_cell_split" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.deriveTwin(s, d, "split-heaviest") { tmp =>
+          val heavy = graft.ops.IvfIndex.cells(s, tmp)
+            .groupBy(col("cid")).count()
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sortBy { case (cid, cnt) => (-cnt, cid) }.head._1
+          graft.ops.IvfIndex.split(s, tmp, heavy)
+        }
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfSplitTop5)),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a
     // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,

@@ -356,4 +356,59 @@ class IvfIndexSpec extends SparkSpec {
         == codesOf(IvfIndex.cellCodes(spark, fullRoot)),
       "streamed twin's PQ codes must equal the built-at-once encode")
   }
+
+  test("cell split: members preserved, nearest-seed reassignment, fragments shrink, history audits the parent") {
+    val root = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
+    val before = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val heavy = before.groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val parentMembers = before.collect { case (c, v) if c == heavy => v }.toSet
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val v0 = cellsT.versions.max
+
+    val (s1, s2) = IvfIndex.split(spark, root, heavy)
+
+    // the parent cid is retired everywhere; its members land in exactly
+    // the two fragments, both strictly smaller — nothing else moves
+    val after = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!after.exists(_._1 == heavy), "parent cell must be retired")
+    val frag1 = after.collect { case (c, v) if c == s1 => v }.toSet
+    val frag2 = after.collect { case (c, v) if c == s2 => v }.toSet
+    assert((frag1 ++ frag2) == parentMembers && (frag1 & frag2).isEmpty,
+      "fragments must partition the parent's members exactly")
+    assert(frag1.nonEmpty && frag2.nonEmpty
+        && frag1.size < parentMembers.size && frag2.size < parentMembers.size,
+      "both fragments must be non-empty and strictly smaller than the parent")
+    assert(after.filterNot(t => t._1 == s1 || t._1 == s2).toSet
+        == before.filterNot(_._1 == heavy).toSet,
+      "vectors outside the split cell must not move")
+
+    // each member sits at its NEAREST seed (the shared argmax, ties to
+    // the lowest id) — recomputed independently from the stored vectors
+    val members = cellsT.read(Some(v0)).filter($"cid" === heavy)
+      .select($"vec_id", $"ne")
+    val want = IvfIndex.assignCells(members,
+        IvfIndex.centroids(spark, root).filter($"cid".isin(s1, s2)))
+      .select($"cid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.filter(t => t._1 == s1 || t._1 == s2).toSet == want,
+      "reassignment must equal the nearest-seed argmax")
+
+    // centroids/groups follow: fresh ids present, parent gone — so the
+    // one-level AND two-level probe selection both see the split
+    val cents = IvfIndex.centroids(spark, root).select($"cid")
+      .collect().map(_.getLong(0)).toSet
+    assert(cents.contains(s1) && cents.contains(s2) && !cents.contains(heavy))
+    val gids = IvfIndex.groups(spark, root).select($"cid")
+      .collect().map(_.getLong(0)).toSet
+    assert(gids.contains(s1) && gids.contains(s2) && !gids.contains(heavy))
+
+    // the split is three versioned commits, and time travel still reads
+    // the pre-split inverted lists
+    assert(cellsT.read(Some(v0)).filter($"cid" === heavy).count()
+        == parentMembers.size,
+      "time travel must audit the pre-split index")
+  }
 }
