@@ -564,6 +564,35 @@ object IvfIndex {
     (seeds(0), seeds(1))
   }
 
+  /** Merge one inverted list away — [[split]]'s dual (SPFresh's LIRE
+    * merge): a cell too small to earn its probe slot is retired, and its
+    * members re-assign to the NEAREST of the remaining centroids by the
+    * shared argmax — the same rule that placed every other vector, so
+    * the post-merge index is exactly "the same quantizer minus one
+    * centroid". Two commit pairs (cells append-then-delete,
+    * centroids/groups delete only), each O(cell) + O(metadata) — never a
+    * rewrite. Same deletion-vector-head constraint as [[split]]:
+    * compact() before a further append. Returns the member count moved. */
+  def merge(spark: SparkSession, root: String, cid: Long): Long = {
+    val members = cells(spark, root).filter(col("cid") === cid)
+      .select(col("vec_id"), col("label"), col("ne"))
+      .localCheckpoint(true) // feeds the reassign and the cells append
+    val codes = cellCodes(spark, root).filter(col("cid") === cid)
+      .select(col("vec_id"), col("codes"))
+    val remaining = centroids(spark, root).filter(col("cid") =!= cid)
+    val reassigned = assignCells(members.select(col("vec_id"), col("ne")), remaining)
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    cellsT.append(
+      reassigned.join(members, "vec_id").join(codes, "vec_id")
+        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
+        .repartition(col("cid")),
+      "ivf-merge")
+    cellsT.deleteWhere(s"cid = $cid")
+    new VersionedTable(spark, s"$root/centroids").deleteWhere(s"cid = $cid")
+    new VersionedTable(spark, s"$root/groups").deleteWhere(s"cid = $cid")
+    members.count()
+  }
+
   /** Probe the persisted index: exact cosines over the probed cells'
     * vectors, query itself excluded — (q_id, vec_id, cos), the same
     * contract as `Embeddings.ivfCandidates` but with ZERO corpus reads

@@ -398,6 +398,48 @@ object Embeddings extends QueryGroup {
           JOIN n ON n.vec_id = a.vec_id)
         $sqlScoredTop5Tail"""
 
+  /** e20's oracle: the e14 probe chain over a POST-MERGE index — the
+    * smallest cell (min members, ties to the lowest cid) is retired and
+    * its members re-assign to the nearest REMAINING centroid by the
+    * shared lowest-id-tie argmax; probe selection then runs against the
+    * reduced centroid set. */
+  private[graft] val sqlIvfMergeTop5: String = s"""
+        WITH $sqlIvfIndexCtes,
+        counts AS (SELECT cid, count(*) AS cnt FROM assign GROUP BY cid),
+        small AS (SELECT cid FROM counts ORDER BY cnt ASC, cid ASC LIMIT 1),
+        c2 AS (SELECT cid, ce FROM c WHERE cid NOT IN (SELECT cid FROM small)),
+        re0 AS (
+          SELECT a.vec_id, c2.cid,
+                 list_sum(list_transform(range(1, len(n.ne)+1), i -> n.ne[i] * c2.ce[i])) AS cos
+          FROM assign a JOIN small sm ON a.cid = sm.cid
+          JOIN n ON n.vec_id = a.vec_id
+          CROSS JOIN c2),
+        re AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM re0) WHERE rnk = 1),
+        assign2 AS (
+          SELECT a.vec_id, a.cid FROM assign a
+          WHERE a.cid NOT IN (SELECT cid FROM small)
+          UNION ALL SELECT vec_id, cid FROM re),
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
+        qc AS (
+          SELECT q.q_id, c2.cid,
+                 list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * ce[i])) AS cos
+          FROM q CROSS JOIN c2),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qc) WHERE rnk <= ${graft.ops.IvfIndex.NProbe}),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * n.ne[i])) AS cos
+          FROM probes p
+          JOIN assign2 a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        $sqlScoredTop5Tail"""
+
   /** e17's erasure predicate — the GDPR request applied to the index. */
   private[graft] val sqlErasedPred = "vec_id % 7 = 3"
 
@@ -854,6 +896,37 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(sqlIvfSplitTop5)),
+
+    // E20: cell MERGE maintenance — e19's dual, completing the SPFresh-
+    // style index lifecycle this engine now serves end to end (build →
+    // append/stream → erase → split → merge): a cell too small to earn
+    // its probe slot is retired and its members re-assign to the nearest
+    // REMAINING centroid by the same argmax that placed every other
+    // vector, so the result is exactly "the same quantizer minus one
+    // centroid". O(cell) + O(metadata) commits, fully oracle-checked,
+    // served from a cached derived twin like e17/e19.
+    "e20_ann_cell_merge" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.deriveTwin(s, d, "merge-smallest") { tmp =>
+          val small = graft.ops.IvfIndex.cells(s, tmp)
+            .groupBy(col("cid")).count()
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sortBy { case (cid, cnt) => (cnt, cid) }.head._1
+          graft.ops.IvfIndex.merge(s, tmp, small)
+        }
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfMergeTop5)),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a
     // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,

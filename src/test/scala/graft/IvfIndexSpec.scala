@@ -411,4 +411,46 @@ class IvfIndexSpec extends SparkSpec {
         == parentMembers.size,
       "time travel must audit the pre-split index")
   }
+
+  test("cell merge: members re-assign to nearest remaining centroids, parent retired, history audits it") {
+    val root = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
+    val before = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val small = before.groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (c, n) => (n, c) }.head._1
+    val parentMembers = before.collect { case (c, v) if c == small => v }.toSet
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val v0 = cellsT.versions.max
+
+    val moved = IvfIndex.merge(spark, root, small)
+    assert(moved == parentMembers.size)
+
+    // every member re-homed, nothing lost, nothing else moved, and the
+    // landing cell is each member's NEAREST remaining centroid
+    val after = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!after.exists(_._1 == small), "merged cell must be retired")
+    assert(after.map(_._2).toSet == before.map(_._2).toSet,
+      "merge must preserve the member set")
+    val members = cellsT.read(Some(v0)).filter($"cid" === small)
+      .select($"vec_id", $"ne")
+    val want = IvfIndex.assignCells(members,
+        IvfIndex.centroids(spark, root))
+      .select($"cid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.filter(t => parentMembers.contains(t._2)).toSet == want,
+      "re-homing must equal the nearest-remaining-centroid argmax")
+    assert(after.filterNot(t => parentMembers.contains(t._2)).toSet
+        == before.filterNot(t => parentMembers.contains(t._2)).toSet,
+      "vectors outside the merged cell must not move")
+
+    // centroid and group rows retired; time travel still audits
+    assert(!IvfIndex.centroids(spark, root).select($"cid")
+      .collect().map(_.getLong(0)).contains(small))
+    assert(!IvfIndex.groups(spark, root).select($"cid")
+      .collect().map(_.getLong(0)).contains(small))
+    assert(cellsT.read(Some(v0)).filter($"cid" === small).count()
+        == parentMembers.size,
+      "time travel must audit the pre-merge index")
+  }
 }
