@@ -509,23 +509,27 @@ object IvfIndex {
     * 'split:'-hash-minimal pair — deterministic, mirroring the 'cent:'
     * sample that trained the original quantizer from corpus vectors),
     * the cell's members re-assign between them by the shared
-    * nearest-candidate argmax, and three versioned commits retire the
-    * parent: centroids/groups/cells each APPEND the replacement rows
-    * first and logically DELETE the parent cid after (append-then-delete
-    * keeps every commit O(new rows) + O(metadata) — no table rewrite, so
-    * a 100 TB index splits a cell for the cost of that cell). The parent
+    * nearest-candidate argmax, and a staged commit sequence retires the
+    * parent: new rows land UNREACHABLE first, one atomic centroid-set
+    * replace flips visibility, then cleanup deletes retire the parent
+    * (see the commit-order comment in the body — a live prober never
+    * loses a candidate and never sees a duplicate). Every data commit
+    * is O(cell); the cleanup deletes are O(metadata) — no table
+    * rewrite, so a 100 TB index splits a cell for the cost of that
+    * cell (the centroid replace rewrites the ≤MaxCentroids-row
+    * centroid table, metadata-sized by construction). The parent
     * centroid VECTOR (vec_id == cid) stays a member like any other but
     * is excluded from seed eligibility — a split must mint FRESH cell
     * ids, or the parent's delete would erase its own replacement.
     * Vectors outside the cell, the coarse level, PQ codebook, and codes
     * are untouched. Returns the two new cell ids.
     *
-    * The parent's logical delete leaves deletion vectors on each table's
-    * head, and [[VersionedTable.append]] refuses deletion-vector heads —
-    * so a FURTHER split or append on the same index requires `compact()`
-    * first (st18 does exactly that after its erasure). At 100 TB the
-    * production form compacts only the parent cid's partition; here
-    * compact() is the honest stand-in. */
+    * The parent's logical delete leaves deletion vectors on the
+    * cells/groups heads, and [[VersionedTable.append]] refuses
+    * deletion-vector heads — so a FURTHER split or append on the same
+    * index requires `compact()` first (st18 does exactly that after
+    * its erasure). At 100 TB the production form compacts only the
+    * parent cid's partition; here compact() is the honest stand-in. */
   def split(spark: SparkSession, root: String, cid: Long): (Long, Long) = {
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
@@ -548,18 +552,32 @@ object IvfIndex {
         members.select(col("vec_id").as("_id"), col("ne").as("_v")),
         newCents.select(col("cid").as("_cand"), col("ce").as("_cv")))
       .select(col("_id").as("vec_id"), col("_cand").as("cid"))
-    val centsT = new VersionedTable(spark, s"$root/centroids")
-    centsT.append(newCents, "ivf-split")
-    centsT.deleteWhere(s"cid = $cid")
-    val groupsT = new VersionedTable(spark, s"$root/groups")
-    groupsT.append(assignGroups(newCents, coarseLevel(spark, root)), "ivf-split")
-    groupsT.deleteWhere(s"cid = $cid")
+    // Commit order is load-bearing for LIVE maintenance (per-table
+    // commits are atomic, cross-table transactions don't exist here —
+    // at cluster scale that's the catalog's multi-table commit): stage
+    // everything UNREACHABLE first, then flip visibility with ONE
+    // atomic centroid-set replace. Every intermediate state serves
+    // either the exact pre-split or exact post-split result — a
+    // concurrent prober never loses a candidate and never sees a
+    // duplicate; a crash leaves only invisible debris plus pending
+    // cleanup deletes. (1) new cells rows: unreachable, their cids are
+    // not in `centroids` yet; (2) seed group rows: a superset is
+    // harmless, the two-level probe prunes through the centroids join;
+    // (3) centroids REPLACE — the visibility switch; (4)-(5) retire the
+    // parent's group row and stale cells rows (already invisible).
     val cellsT = new VersionedTable(spark, s"$root/cells")
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
         .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
         .repartition(col("cid")),
       "ivf-split")
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    groupsT.append(assignGroups(newCents, coarseLevel(spark, root)), "ivf-split")
+    val centsT = new VersionedTable(spark, s"$root/centroids")
+    centsT.write(
+      centroids(spark, root).filter(col("cid") =!= cid).unionByName(newCents),
+      "ivf-split")
+    groupsT.deleteWhere(s"cid = $cid")
     cellsT.deleteWhere(s"cid = $cid")
     (seeds(0), seeds(1))
   }
@@ -569,10 +587,18 @@ object IvfIndex {
     * members re-assign to the NEAREST of the remaining centroids by the
     * shared argmax — the same rule that placed every other vector, so
     * the post-merge index is exactly "the same quantizer minus one
-    * centroid". Two commit pairs (cells append-then-delete,
-    * centroids/groups delete only), each O(cell) + O(metadata) — never a
-    * rewrite. Same deletion-vector-head constraint as [[split]]:
-    * compact() before a further append. Returns the member count moved. */
+    * centroid". Commit order mirrors [[split]]'s staged protocol: the
+    * re-homed rows land first, ONE atomic centroid-set replace retires
+    * the parent from probe selection, then cleanup deletes. One honest
+    * asymmetry vs split: the re-homed rows land in LIVE cells, so a
+    * concurrent prober inside the pre-replace window that probes both
+    * the parent and a landing cell can transiently see a candidate
+    * TWICE (never lose one — split's windows are loss- and
+    * duplicate-free; a live deployment that can't tolerate transient
+    * duplicates runs merges in a [[deriveTwin]], as e20 does). Every
+    * data commit is O(cell) + O(metadata) — never a rewrite. Same
+    * deletion-vector-head constraint as [[split]]: compact() before a
+    * further append. Returns the member count moved. */
   def merge(spark: SparkSession, root: String, cid: Long): Long = {
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
@@ -580,6 +606,10 @@ object IvfIndex {
     val codes = cellCodes(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("codes"))
     val remaining = centroids(spark, root).filter(col("cid") =!= cid)
+      .localCheckpoint(true) // feeds the guard, the reassign, and the replace
+    require(!remaining.isEmpty,
+      s"cell $cid is the index's only centroid — merging it would empty " +
+        "the index; delete or rebuild instead")
     val reassigned = assignCells(members.select(col("vec_id"), col("ne")), remaining)
     val cellsT = new VersionedTable(spark, s"$root/cells")
     cellsT.append(
@@ -587,9 +617,9 @@ object IvfIndex {
         .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
         .repartition(col("cid")),
       "ivf-merge")
-    cellsT.deleteWhere(s"cid = $cid")
-    new VersionedTable(spark, s"$root/centroids").deleteWhere(s"cid = $cid")
+    new VersionedTable(spark, s"$root/centroids").write(remaining, "ivf-merge")
     new VersionedTable(spark, s"$root/groups").deleteWhere(s"cid = $cid")
+    cellsT.deleteWhere(s"cid = $cid")
     members.count()
   }
 
@@ -676,15 +706,27 @@ object IvfIndex {
     * MaxCentroids entries per version, capped version count. */
   private val cellCountsCache =
     scala.collection.mutable.HashMap.empty[(String, Long), Map[Long, Long]]
+  // the cache gets its OWN tiny lock: the IvfIndex object monitor is held
+  // across entire builds and deriveTwin bodies (tens of seconds, and a
+  // body can run a streaming query) — a probe of an already-published
+  // index must never block on it, and the counts collect itself runs
+  // OUTSIDE any lock (a racing duplicate compute is benign)
+  private val cellCountsLock = new Object
 
-  private def cellRowCounts(spark: SparkSession, root: String): Map[Long, Long] =
-    synchronized {
-      val v = new VersionedTable(spark, s"$root/cells").latestVersion.getOrElse(0L)
-      if (cellCountsCache.size > 64) cellCountsCache.clear()
-      cellCountsCache.getOrElseUpdate((root, v),
-        cells(spark, root).groupBy(col("cid")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  private def cellRowCounts(spark: SparkSession, root: String): Map[Long, Long] = {
+    val v = new VersionedTable(spark, s"$root/cells").latestVersion.getOrElse(0L)
+    cellCountsLock.synchronized(cellCountsCache.get((root, v))) match {
+      case Some(m) => m
+      case None =>
+        val m = cells(spark, root).groupBy(col("cid")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        cellCountsLock.synchronized {
+          if (cellCountsCache.size > 64) cellCountsCache.clear()
+          cellCountsCache.update((root, v), m)
+        }
+        m
     }
+  }
 
   /** Hot-cell salt width — the d3 HotBucketSalt rationale applied to
     * inverted lists: a hot cell's rows spread across this many reducers. */
@@ -733,7 +775,13 @@ object IvfIndex {
     val hot =
       if (loads.sizeIs == 1) loads.map(_._1)
       else {
-        val med = math.max(loads.map(_._2).sorted.apply(loads.size / 2), 1L)
+        // LOWER median ((n-1)/2), deliberately: with 2 probed cells the
+        // upper median IS the larger load (skew self-masks — the exact
+        // case the old leave-one-out gate caught), and with half the
+        // probed set hot the upper median sits on a hot cell; the lower
+        // median stays anchored to the normal cells in both
+        val med = math.max(
+          loads.map(_._2).sorted.apply((loads.size - 1) / 2), 1L)
         loads.collect { case (cid, l) if l > HotCellFactor.toLong * med => cid }
       }
     if (hot.isEmpty) probes.join(prunedCells, "cid") // dormant: the plain equi-join

@@ -298,10 +298,16 @@ class PushdownSpec extends SparkSpec {
     // and like every persisted-index serve there is no corpus rescan
     // the 16-entry In(cid, ...) list overflows the default 100-char
     // metadata render and would truncate PushedFilters before the label
-    // entry — widen the render for this assertion only
+    // entry — widen the render for this assertion only, restoring
+    // whatever was set before (unset = back to the session default),
+    // never a hardcoded value that could clobber later tests
+    val prevLen = spark.conf.getOption("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
     val p = try plan("e18_ann_ivf_filtered")
-    finally spark.conf.set("spark.sql.maxMetadataStringLength", 100)
+    finally prevLen match {
+      case Some(v) => spark.conf.set("spark.sql.maxMetadataStringLength", v)
+      case None => spark.conf.unset("spark.sql.maxMetadataStringLength")
+    }
     assert(p.contains("In(cid"),
       s"e18's probed-cell prune must push into the cells scan:\n$p")
     assert(p.contains("EqualTo(label,1)"),
