@@ -29,13 +29,18 @@ import graft.queries.Embeddings
   *     `IndexIVF.add` semantics), which is exactly what makes
   *     incremental-append ≡ from-scratch-assignment provable
   *     (IvfIndexSpec).
-  *   - `cells` (cid, vec_id, ne): the inverted lists — every corpus
-  *     vector's cell assignment plus its L2-normalized embedding for
-  *     exact re-scoring at probe time. Written repartitioned by cid so
-  *     parquet row-group stats cluster by cell; a probe's `cid IN (...)`
-  *     pushes into the scan and skips non-probed cells' row groups.
-  *     (Plain column, not a partition dir: appends must keep the head's
-  *     layout, and a partition-dir round-trip would retype cid.)
+  *   - `cells` (cid, vec_id, label, ne): the inverted lists — every
+  *     corpus vector's cell assignment, its metadata label, and its
+  *     L2-normalized embedding for exact re-scoring at probe time.
+  *     Written repartitioned by cid and sorted (cid, label) within
+  *     partitions, so parquet row-group stats cluster by cell AND by
+  *     label within a cell: a probe's `cid IN (...)` skips non-probed
+  *     cells' row groups, and a filtered probe's label predicate (e18)
+  *     skips non-matching row groups inside large cells — the layout
+  *     answer to the measured hot-twin finding that a filter prunes
+  *     only after the hot list is scanned. (Plain column, not a
+  *     partition dir: appends must keep the head's layout, and a
+  *     partition-dir round-trip would retype cid.)
   *   - `coarse` (gid, ge) and `groups` (cid, gid): the two-level
   *     routing artifacts for e15 — pure functions of the pinned
   *     centroid set, so they are built ONCE here, never per probe.
@@ -373,6 +378,7 @@ object IvfIndex {
       .join(labelsOf(emb), "vec_id")
       .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
       .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("label"))
     new VersionedTable(spark, s"$root/cells").write(cellRows, "ivf-build")
   }
 
@@ -499,6 +505,7 @@ object IvfIndex {
       .join(labelsOf(vecs), "vec_id")
       .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
       .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("label"))
     new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
   }
 
@@ -569,7 +576,8 @@ object IvfIndex {
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
         .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
-        .repartition(col("cid")),
+        .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("label")),
       "ivf-split")
     val groupsT = new VersionedTable(spark, s"$root/groups")
     groupsT.append(assignGroups(newCents, coarseLevel(spark, root)), "ivf-split")
@@ -615,7 +623,8 @@ object IvfIndex {
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
         .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
-        .repartition(col("cid")),
+        .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("label")),
       "ivf-merge")
     new VersionedTable(spark, s"$root/centroids").write(remaining, "ivf-merge")
     new VersionedTable(spark, s"$root/groups").deleteWhere(s"cid = $cid")
