@@ -628,6 +628,60 @@ object SqlAnalytics extends QueryGroup {
               WHERE l2.l_partkey = l1.l_partkey))
           AND s.s_nationkey IN (
             SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
-        ORDER BY s_name"""))
+        ORDER BY s_name""")),
+
+    // SQL14: the important-stock-identification shape (TPC-H Q11) — a
+    // grouped aggregate filtered against SCALAR subqueries over the SAME
+    // aggregation (suppliers whose regional revenue exceeds 1.02× the
+    // mean supplier's share). The threshold is relative, so the query is
+    // meaningful at every scale factor (Q11's literal fraction silently
+    // empties as the supplier count grows — the classic Q11 trap).
+    // Catalyst must plan the threshold as one-row scalar subqueries
+    // computed ONCE (never per group, never a cartesian), with the CTE
+    // aggregate map-side combined and the nation filter pushed; all
+    // threshold arithmetic is in integer scale-4 units — the product
+    // DECIMAL(18,2)×DECIMAL(3,2) has scale 4, so ×10000 is exactly
+    // integral in both engines; a ×100 cents cast would ROUND the last
+    // two digits and Spark/DuckDB disagree on the x.xx5 grid (measured:
+    // a few-cent drift per supplier at sf0.01).
+    "sql14_top_supplier_share" -> QueryDef(
+      build = (s, d) => {
+        register(s, d)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sql")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_sql")
+        Tables.nation(s, d).createOrReplaceTempView("nation_sql")
+        s.sql("""
+          WITH ss AS (
+            SELECT l_suppkey,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       * 10000 AS BIGINT)) AS rev_units
+            FROM lineitem_sql
+            JOIN supplier_sql ON s_suppkey = l_suppkey
+            JOIN nation_sql ON s_nationkey = n_nationkey
+            WHERE n_name LIKE 'NATION_1%'
+            GROUP BY l_suppkey)
+          SELECT l_suppkey, CAST(rev_units AS DOUBLE) / 10000.0 AS total_value
+          FROM ss
+          WHERE rev_units * (SELECT count(*) FROM ss) * 100
+              > 102 * (SELECT sum(rev_units) FROM ss)
+          ORDER BY rev_units DESC, l_suppkey""")
+      },
+      oracle = Some("""
+        WITH ss AS (
+          SELECT l_suppkey,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     * 10000 AS BIGINT)) AS rev_units
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name LIKE 'NATION_1%'
+          GROUP BY l_suppkey)
+        SELECT l_suppkey, CAST(rev_units AS DOUBLE) / 10000.0 AS total_value
+        FROM ss
+        WHERE rev_units * (SELECT count(*) FROM ss) * 100
+            > 102 * (SELECT sum(rev_units) FROM ss)
+        ORDER BY rev_units DESC, l_suppkey"""))
   )
 }

@@ -333,6 +333,22 @@ class PushdownSpec extends SparkSpec {
       s"sql13's part filter must push into the part scan:\n$p")
   }
 
+  test("sql14 computes its thresholds as one-row scalar subqueries — never per group, never a cartesian") {
+    // the Q11 shape: the HAVING-style filter compares each group against
+    // scalar aggregates of the SAME CTE — Catalyst must plan those as
+    // Subquery nodes executed once, with the grouped aggregate map-side
+    // combined and the nation filter reaching its scan
+    val p = plan("sql14_top_supplier_share")
+    assert(p.contains("Subquery subquery"),
+      s"sql14's thresholds must plan as one-row scalar subqueries:\n$p")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "InSubqueryExec"))
+      assert(!p.contains(bad), s"$bad in sql14 plan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"sql14's revenue aggregate must combine map-side:\n$p")
+    assert(p.contains("LIKE NATION_1%"),
+      s"sql14's nation filter must reach the nation scan:\n$p")
+  }
+
   test("t31 terciles come from the histogram frame, never a doc-frame window") {
     // the scale contract: the CDF window's input is the per-(lang, score)
     // histogram AGGREGATE (distinct scores per language), not the doc
