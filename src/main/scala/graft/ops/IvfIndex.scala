@@ -66,8 +66,13 @@ object IvfIndex {
     * v3: + PQ side (`codebook` table; `codes` column on `cells`).
     * v4: + `label` metadata column on `cells` (filtered search — the
     *      predicate prunes at the index scan, FAISS IDSelector done
-    *      the columnar way). */
-  private val FormatVersion = 4
+    *      the columnar way).
+    * v5: PQ codes quantize IVF RESIDUALS (x − centroid(cid)) instead of
+    *      raw subvectors (FAISS IndexIVFPQ `by_residual` semantics —
+    *      residuals carry far less variance per cell, so the same 16×
+    *      code budget buys a materially better ADC shortlist); the
+    *      query-side ADC adds the probed centroid's dot back. */
+  private val FormatVersion = 5
 
   // ---------------------------------------------------------------- shared
   // index DEFINITIONS (also used by the live e4/t30 path via
@@ -152,18 +157,32 @@ object IvfIndex {
     * Double.compare). Input q(q_id, q_ne); output (q_id, cid). */
   private[graft] def probeSelect(
       q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    probeSelectScored(q, cents, nProbe).select(col("q_id"), col("cid"))
+
+  /** [[probeSelect]] keeping each probed centroid's query dot as `qccos` —
+    * the residual-PQ serve needs it: with codes quantizing x − c(cid),
+    * cos(q, x) ≈ dot(q, c(cid)) + Σ_s lut[s][code_s], and dot(q, c(cid))
+    * is exactly the score probe selection already computed. Output
+    * (q_id, cid, qccos). */
+  private[graft] def probeSelectScored(
+      q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
     q.crossJoin(broadcast(cents))
       .select(col("q_id"),
         call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
       .groupBy(col("q_id"))
       .agg(graft.functions.BoundedTopK.topK(nProbe)(col("cos"), col("cid")).as("top"))
-      .select(col("q_id"), explode(col("top.id")).as("cid"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("cid"), col("t.score").as("qccos"))
 
   // ----------------------------------------------------- PQ definitions
   // (shared by the live e5 path and the persisted IVFPQ side — one
   // definition, never a drifting copy; the e4/e14 contract applied to
-  // the compressed representation)
+  // the compressed representation). Two encodings share the machinery:
+  // e5 quantizes RAW subvectors (FAISS IndexPQ — there is no cell, so
+  // there is no residual), while the persisted IVFPQ side feeds
+  // [[residualsOf]] through the SAME slicer/codebook/encoder (FAISS
+  // IndexIVFPQ by_residual) and adds the centroid term back at serve.
 
   /** Subspace count: 64-dim vectors split into 16 slices of 4. */
   val NSub = 16
@@ -174,18 +193,38 @@ object IvfIndex {
   /** ADC shortlist depth before the exact re-rank (e5's top-50). */
   val PqShortlist = 50
 
+  /** IVF residuals (vec_id, ne = x − centroid(cid)) — what the persisted
+    * IVFPQ side quantizes (FAISS IndexIVFPQ by_residual): per cell the
+    * residual distribution is centered and low-variance, so the frozen
+    * 16-subspace codebook spends its 16×k_cent budget on the part of the
+    * vector the coarse quantizer did NOT already explain. The output
+    * column is named `ne` so [[subspacesOf]]/[[codebookOf]]/
+    * [[encodeCodes]] apply verbatim. One broadcast join — the centroid
+    * table is metadata-sized by construction. */
+  private[graft] def residualsOf(vn: DataFrame, assign: DataFrame,
+      cents: DataFrame): DataFrame =
+    vn.join(assign, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), zip_with(col("ne"), col("ce"), (a, b) => a - b).as("ne"))
+
   /** Normalized vectors → per-subspace slices (vec_id, s, sv). */
   private[graft] def subspacesOf(vn: DataFrame): DataFrame =
     vn.select(col("vec_id"), explode(sequence(lit(1), lit(NSub))).as("s"), col("ne"))
       .select(col("vec_id"), col("s"),
         slice(col("ne"), ((col("s") - 1) * SubDim + 1).cast("int"), lit(SubDim)).as("sv"))
 
-  /** PQ codebook: subspace slices of the ~√N hash-threshold vector sample
-    * (the SAME admission gate as the IVF centroids — one sampled id set
-    * serves both roles); `rnk` is the centroid's dense 1-based index, the
-    * identical order both engines derive. */
-  private[graft] def codebookOf(sub: DataFrame, counted: DataFrame): DataFrame =
-    Embeddings.sqrtSample(sub, counted)
+  /** PQ codebook: subspace slices of the ~√N hash-threshold vector
+    * sample; `rnk` is the centroid's dense 1-based index, the identical
+    * order both engines derive. The RAW codebook (e5's IndexPQ) keeps
+    * the default 'cent:' seed — one sampled id set serves the IVF
+    * centroids and the raw codebook. The RESIDUAL codebook must pass a
+    * DIFFERENT seed ('pq:'): the 'cent:' ids ARE the centroids, whose
+    * residuals are identically zero (each centroid's nearest centroid is
+    * itself), and an all-zero codebook cannot rank anything — the v5
+    * lesson, measured as a recall collapse before the seed split. */
+  private[graft] def codebookOf(sub: DataFrame, counted: DataFrame,
+      seed: String = "cent:"): DataFrame =
+    Embeddings.sqrtSample(sub, counted, seed)
       .select(col("s"),
         dense_rank().over(Window.partitionBy(col("s")).orderBy(col("vec_id"))).as("rnk"),
         col("sv").as("cv"))
@@ -351,7 +390,7 @@ object IvfIndex {
     * vector's cell assignment + PQ codes. `vn` feeds several consumers
     * (sample, assignment cross join, the ne join-back, the PQ slices)
     * with differing projections — checkpoint once (the d4/e5
-    * ReusedExchange lesson); likewise `sub` (codebook + encode) and the
+    * ReusedExchange lesson); likewise `rsub` (codebook + encode) and the
     * tiny `cb`. */
   def build(spark: SparkSession, corpusDir: String, root: String): Unit = {
     val emb = Tables.embeddings(spark, corpusDir).transform(Tables.spread)
@@ -368,13 +407,17 @@ object IvfIndex {
       .write(assignGroups(cents, coarse), "ivf-build")
     // PQ side: codebook pinned at build exactly like the centroids —
     // appends ENCODE against it and never re-train, so persisted codes
-    // are provably identical to encoding the whole corpus at once
-    val sub = subspacesOf(vn).localCheckpoint(true)
-    val cb = codebookOf(sub, vn).localCheckpoint(true)
+    // are provably identical to encoding the whole corpus at once. The
+    // codebook trains on (and codes quantize) IVF RESIDUALS: assignment
+    // must come first, and the assign frame feeds both the residuals and
+    // the cells rows — checkpoint it once
+    val assign = assignCells(vn, cents).localCheckpoint(true)
+    val rsub = subspacesOf(residualsOf(vn, assign, cents)).localCheckpoint(true)
+    val cb = codebookOf(rsub, vn, seed = "pq:").localCheckpoint(true)
     new VersionedTable(spark, s"$root/codebook").write(cb, "ivf-build")
-    val cellRows = assignCells(vn, cents)
+    val cellRows = assign
       .join(vn, "vec_id")
-      .join(encodeCodes(sub, cb), "vec_id")
+      .join(encodeCodes(rsub, cb), "vec_id")
       .join(labelsOf(emb), "vec_id")
       .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
       .repartition(col("cid"))
@@ -496,10 +539,13 @@ object IvfIndex {
   def append(spark: SparkSession, root: String, vecs: DataFrame): Long = {
     val vn = normalized(vecs).localCheckpoint(true)
     val cents = centroids(spark, root)
-    // codes encode against the FROZEN codebook, the same pinned-artifact
-    // rule as the centroid assignment (FAISS IndexIVFPQ.add semantics)
-    val codes = encodeCodes(subspacesOf(vn), codebook(spark, root))
-    val newRows = assignCells(vn, cents)
+    val assign = assignCells(vn, cents).localCheckpoint(true)
+    // codes quantize the RESIDUAL against the FROZEN codebook, the same
+    // pinned-artifact rule as the centroid assignment (FAISS
+    // IndexIVFPQ.add semantics — by_residual, never a re-train)
+    val codes = encodeCodes(
+      subspacesOf(residualsOf(vn, assign, cents)), codebook(spark, root))
+    val newRows = assign
       .join(vn, "vec_id")
       .join(codes, "vec_id")
       .join(labelsOf(vecs), "vec_id")
@@ -528,8 +574,11 @@ object IvfIndex {
     * centroid VECTOR (vec_id == cid) stays a member like any other but
     * is excluded from seed eligibility — a split must mint FRESH cell
     * ids, or the parent's delete would erase its own replacement.
-    * Vectors outside the cell, the coarse level, PQ codebook, and codes
-    * are untouched. Returns the two new cell ids.
+    * Vectors outside the cell, the coarse level, and the PQ codebook are
+    * untouched; the MOVED members' codes are RE-ENCODED against the
+    * frozen codebook (their residual changed with their centroid — the
+    * FAISS by_residual contract), an O(cell) cost that rides the same
+    * append. Returns the two new cell ids.
     *
     * The parent's logical delete leaves deletion vectors on the
     * cells/groups heads, and [[VersionedTable.append]] refuses
@@ -538,11 +587,16 @@ object IvfIndex {
     * its erasure). At 100 TB the production form compacts only the
     * parent cid's partition; here compact() is the honest stand-in. */
   def split(spark: SparkSession, root: String, cid: Long): (Long, Long) = {
+    // net +1 centroid per call: keep the probe machinery's
+    // metadata-sized-collect invariants honest (probedCidCounts' bound,
+    // probeSelect's broadcast) — past the band, merge or rebuild instead
+    require(centroids(spark, root).count() + 1 <= 4 * Embeddings.MaxCentroids,
+      "split would grow the centroid set past 4×MaxCentroids — the " +
+        "metadata-sized probe-collect bound; merge under-occupied cells " +
+        "or rebuild with a larger quantizer instead")
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
       .localCheckpoint(true) // feeds seed pick, reassign, and the cells append
-    val codes = cellCodes(spark, root).filter(col("cid") === cid)
-      .select(col("vec_id"), col("codes"))
     val seedRows = members
       .filter(col("vec_id") =!= cid)
       .withColumn("h", graft.functions.TextFunctions.portableHash(
@@ -559,6 +613,13 @@ object IvfIndex {
         members.select(col("vec_id").as("_id"), col("ne").as("_v")),
         newCents.select(col("cid").as("_cand"), col("ce").as("_cv")))
       .select(col("_id").as("vec_id"), col("_cand").as("cid"))
+      .localCheckpoint(true) // feeds the residual re-encode AND the append
+    // moved members' residuals changed with their centroid — re-encode
+    // against the frozen codebook (O(cell), rides the same append)
+    val codes = encodeCodes(
+      subspacesOf(residualsOf(members.select(col("vec_id"), col("ne")),
+        reassigned, newCents)),
+      codebook(spark, root))
     // Commit order is load-bearing for LIVE maintenance (per-table
     // commits are atomic, cross-table transactions don't exist here —
     // at cluster scale that's the catalog's multi-table commit): stage
@@ -611,14 +672,19 @@ object IvfIndex {
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
       .localCheckpoint(true) // feeds the reassign and the cells append
-    val codes = cellCodes(spark, root).filter(col("cid") === cid)
-      .select(col("vec_id"), col("codes"))
     val remaining = centroids(spark, root).filter(col("cid") =!= cid)
       .localCheckpoint(true) // feeds the guard, the reassign, and the replace
     require(!remaining.isEmpty,
       s"cell $cid is the index's only centroid — merging it would empty " +
         "the index; delete or rebuild instead")
     val reassigned = assignCells(members.select(col("vec_id"), col("ne")), remaining)
+      .localCheckpoint(true) // feeds the residual re-encode AND the append
+    // re-homed members' residuals changed with their centroid — re-encode
+    // against the frozen codebook (split's rule; O(cell))
+    val codes = encodeCodes(
+      subspacesOf(residualsOf(members.select(col("vec_id"), col("ne")),
+        reassigned, remaining)),
+      codebook(spark, root))
     val cellsT = new VersionedTable(spark, s"$root/cells")
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
@@ -834,12 +900,14 @@ object IvfIndex {
 
   /** IVFPQ probe — the FAISS `IndexIVFPQ.search` serving pipeline over
     * the persisted artifacts: probe selection against the pinned
-    * centroids, then ADC over the probed cells' stored CODES (16 small
-    * ints per vector — [[cellCodes]]'s ne-free scan) via each query's
-    * broadcast lookup table, a per-query [[PqShortlist]] cut, and an
-    * exact re-rank of the shortlist from the stored full-precision
-    * vectors. Output (q_id, vec_id, cos) for the surviving shortlist —
-    * the e14 contract at ADC cost.
+    * centroids, then ADC over the probed cells' stored RESIDUAL codes
+    * (16 small ints per vector — [[cellCodes]]'s ne-free scan) via each
+    * query's broadcast lookup table plus the probed centroid's dot (the
+    * by_residual reconstruction: cos(q,x) ≈ dot(q,c) + Σ_s lut[s][code]),
+    * a per-query [[PqShortlist]] cut, and an exact re-rank of the
+    * shortlist from the stored full-precision vectors. Output
+    * (q_id, vec_id, cos) for the surviving shortlist — the e14 contract
+    * at ADC cost.
     *
     * Scale shape: the LUTs broadcast to the codes side (never shuffle
     * corpus codes by query — e5's rule); the ADC pass reads codes only,
@@ -850,7 +918,11 @@ object IvfIndex {
     * corpus side never shuffles. */
   def probeCandidatesPq(spark: SparkSession, root: String, q: DataFrame,
       nProbe: Int = NProbe, shortlist: Int = PqShortlist): DataFrame = {
-    val probes = probeSelect(q, centroids(spark, root), nProbe)
+    // probe selection KEEPS each probed centroid's query dot (qccos):
+    // codes quantize residuals, so the ADC estimate of cos(q, x) is
+    // dot(q, c(cid)) + Σ_s lut[s][code_s] — the centroid term rides the
+    // probes frame for free (probe selection computed it anyway)
+    val probes = probeSelectScored(q, centroids(spark, root), nProbe)
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val counts = probedCidCounts(probes)
     val cids = counts.map(_._1)
@@ -862,7 +934,7 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")
       .select(col("q_id"), col("vec_id"),
-        adcScore(col("lut"), col("codes")).as("adc"))
+        (col("qccos") + adcScore(col("lut"), col("codes"))).as("adc"))
       .groupBy(col("q_id"))
       .agg(graft.functions.BoundedTopK.topK(shortlist)(col("adc"), col("vec_id")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))

@@ -86,22 +86,35 @@ object Embeddings extends QueryGroup {
     * per vector) — no driver-side count(), no collect. `df` is the
     * frame to gate (may be multi-row per vec_id, e.g. e5's subspace
     * slices). Deterministic under any partitioning; the DuckDB oracle
-    * applies [[sqlCentGate]], the exact same rule. */
+    * applies [[sqlCentGate]], the exact same rule.
+    *
+    * `seed` distinguishes INDEPENDENT samples of the same size: the
+    * default 'cent:' set doubles as IVF centroids and the raw-PQ
+    * codebook; the residual-PQ codebook (IvfIndex v5) MUST train on a
+    * different sample ('pq:'), because every 'cent:' vector's residual
+    * is identically zero — its nearest centroid is itself — and a
+    * codebook of zero vectors cannot rank anything. */
   private[graft] def sqrtSample(df: org.apache.spark.sql.DataFrame,
-      counted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      counted: org.apache.spark.sql.DataFrame,
+      seed: String = "cent:"): org.apache.spark.sql.DataFrame =
     df.crossJoin(broadcast(counted
         .agg(count(lit(1)).as("n_vecs"))
         .select(col("n_vecs"),
           least(ceil(sqrt(col("n_vecs"))).cast("long"),
             lit(MaxCentroids)).as("k_cent"))))
       .filter(pmod(graft.functions.TextFunctions.portableHash(
-        col("vec_id").cast("string"), "cent:"), col("n_vecs")) < col("k_cent"))
+        col("vec_id").cast("string"), seed), col("n_vecs")) < col("k_cent"))
       .drop("n_vecs", "k_cent")
 
   /** DuckDB twin of [[sqrtSample]]'s admission predicate; pair with
     * [[sqlCentStats]] in the FROM clause. */
   private[graft] val sqlCentGate =
     "(CAST(concat('0x', substr(md5(concat('cent:', CAST(vec_id AS VARCHAR))),1,15)) AS BIGINT) % n_vecs) < k_cent"
+
+  /** The 'pq:'-seeded twin of [[sqlCentGate]] — the residual-PQ
+    * codebook's training sample (disjoint seed, same size law). */
+  private[graft] val sqlPqGate =
+    "(CAST(concat('0x', substr(md5(concat('pq:', CAST(vec_id AS VARCHAR))),1,15)) AS BIGINT) % n_vecs) < k_cent"
 
   /** DuckDB twin of the broadcast (n_vecs, k_cent) stats row. */
   private[graft] val sqlCentStats =
@@ -259,9 +272,9 @@ object Embeddings extends QueryGroup {
     * centroids, so one sampled id set serves both roles) → per-vector
     * codes → per-query ADC LUTs (queries = vec_id % 10 = 0, the shared
     * query set). Mirrors IvfIndex.subspacesOf / codebookOf / encodeCodes /
-    * queryLut — ONE text composed by BOTH PQ oracles (e5's full-corpus
-    * ADC, e16's IVF-restricted ADC), so the PQ definition cannot drift
-    * between them. */
+    * queryLut over RAW subvectors — e5's IndexPQ oracle (no cell, no
+    * residual); the persisted IVFPQ side quantizes residuals instead
+    * ([[sqlResidualPqCtes]], same machinery over r = ne − ce). */
   private[graft] val sqlPqCtes: String = s"""sub AS (
           SELECT vec_id, s, ne[(s-1)*4+1:s*4] AS sv
           FROM n, unnest(range(1, 17)) AS t(s)),
@@ -305,20 +318,62 @@ object Embeddings extends QueryGroup {
               FROM rerank)
         WHERE rn <= 5"""
 
+  /** The RESIDUAL-PQ CTEs (FAISS IndexIVFPQ by_residual — what the
+    * persisted index stores): residual r = ne − ce(assigned cid) per
+    * vector, subspace slices of r, the codebook trained on the residual
+    * slices of the 'pq:'-gated sample (NOT 'cent:' — those ids are the
+    * centroids, whose residuals are zero), per-vector codes, and
+    * per-query LUTs over RAW query slices (the centroid term is added
+    * back in the ADC body, not baked into the LUT). Requires `n`, `c`,
+    * `assign`, `q` in scope — mirrors IvfIndex.residualsOf/subspacesOf/
+    * codebookOf/encodeCodes/queryLut. */
+  private[graft] val sqlResidualPqCtes: String = s"""r AS (
+          SELECT a.vec_id,
+                 list_transform(range(1, len(n.ne)+1), i -> n.ne[i] - c.ce[i]) AS rne
+          FROM assign a JOIN n ON n.vec_id = a.vec_id JOIN c ON c.cid = a.cid),
+        rsub AS (
+          SELECT vec_id, s, rne[(s-1)*4+1:s*4] AS sv
+          FROM r, unnest(range(1, 17)) AS t(s)),
+        rcent AS (
+          SELECT s, dense_rank() OVER (PARTITION BY s ORDER BY vec_id) AS rnk, sv AS cv
+          FROM rsub, $sqlCentStats WHERE $sqlPqGate),
+        renc AS (
+          SELECT rsub.vec_id, rsub.s, rcent.rnk,
+                 list_sum(list_transform(range(1, 5),
+                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
+          FROM rsub JOIN rcent ON rsub.s = rcent.s),
+        rcode1 AS (
+          SELECT vec_id, s, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, rnk ASC) AS rn
+            FROM renc) WHERE rn = 1),
+        rcodes AS (SELECT vec_id, list(rnk ORDER BY s) AS cds FROM rcode1 GROUP BY vec_id),
+        qrsub AS (
+          SELECT q_id, s, qe[(s-1)*4+1:s*4] AS qv
+          FROM q, unnest(range(1, 17)) AS t(s)),
+        rlut0 AS (
+          SELECT qrsub.q_id, qrsub.s, rcent.rnk,
+                 list_sum(list_transform(range(1, 5), i -> qv[i] * cv[i])) AS dp
+          FROM qrsub JOIN rcent ON qrsub.s = rcent.s),
+        rlut1 AS (SELECT q_id, s, list(dp ORDER BY rnk) AS dps FROM rlut0 GROUP BY q_id, s),
+        rlut AS (SELECT q_id, list(dps ORDER BY s) AS l FROM rlut1 GROUP BY q_id)"""
+
   /** e16's oracle: the IVFPQ serve — the shared IVF probe selection
-    * ([[sqlIvfProbes]], e4/e14's text verbatim), ADC restricted to the
-    * probed cells' members via the shared PQ CTEs, then the shared
-    * shortlist → exact-re-rank tail. */
+    * ([[sqlIvfProbes]], e4/e14's text verbatim), RESIDUAL ADC restricted
+    * to the probed cells' members (the probed centroid's query dot —
+    * `qc.cos`, already computed by probe selection — added back per the
+    * by_residual reconstruction), then the shared shortlist →
+    * exact-re-rank tail. */
   private[graft] val sqlIvfPqTop5: String = s"""
         WITH ${sqlIvfProbes("SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0")},
-        $sqlPqCtes,
+        $sqlResidualPqCtes,
         ${sqlPqServe(s"""
           SELECT p.q_id, a.vec_id,
-                 list_sum(list_transform(range(1, 17), s -> l[s][cds[s]])) AS adc
+                 qc.cos + list_sum(list_transform(range(1, 17), s -> l[s][cds[s]])) AS adc
           FROM probes p
+          JOIN qc ON qc.q_id = p.q_id AND qc.cid = p.cid
           JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
-          JOIN codes ON codes.vec_id = a.vec_id
-          JOIN lut ON lut.q_id = p.q_id""")}"""
+          JOIN rcodes ON rcodes.vec_id = a.vec_id
+          JOIN rlut ON rlut.q_id = p.q_id""")}"""
 
   /** e18's oracle: the e14 probe chain with the metadata filter applied
     * to BOTH sides the way the served path does — label-0 queries, and
@@ -714,9 +769,10 @@ object Embeddings extends QueryGroup {
     "e5_pq_adc_topk" -> QueryDef(
       build = (s, d) => {
         // EVERY PQ definition (subspace slicer, codebook sample, encoder,
-        // query LUT, ADC fold) is IvfIndex's — one definition shared with
-        // the persisted IVFPQ side (e16), never a drifting copy; this
-        // oracle is the parity proof for both. sub feeds the codebook,
+        // query LUT, ADC fold) is IvfIndex's — the same machinery the
+        // persisted IVFPQ side (e16) runs, here over RAW subvectors
+        // (IndexPQ: no cell, so no residual; e16 feeds residualsOf
+        // through the identical functions). sub feeds the codebook,
         // the encoder, and the LUT — three consumers with differing
         // projections, which blocks ReusedExchange (the d4 prefix-table
         // lesson): materialize the normalize→explode→slice pipeline once
@@ -774,14 +830,18 @@ object Embeddings extends QueryGroup {
 
     // E16: IVFPQ serve from the PERSISTED index — the production vector-DB
     // read path (FAISS IndexIVFPQ.search): e14's probe selection against
-    // the pinned centroids, then e5's ADC over the probed cells' STORED
-    // codes (the index's ne-free compressed scan), a top-50 shortlist, and
-    // an exact re-rank from the stored full-precision vectors. ZERO corpus
-    // reads and zero training/encode work at query time — both the coarse
-    // quantizer (e14's win over e4) and the PQ encode (e5's dominant cost)
-    // are paid once at build. The whole chain is deterministic arithmetic,
-    // so unlike production IVFPQ it is FULLY oracle-checked; recall vs the
-    // exact-rescore e14 is additionally spec-gated (IvfIndexSpec), and the
+    // the pinned centroids, then ADC over the probed cells' STORED
+    // RESIDUAL codes (the index's ne-free compressed scan; by_residual —
+    // the codes quantize x − centroid(cid), and the probed centroid's
+    // query dot, already computed by probe selection, is added back), a
+    // top-50 shortlist, and an exact re-rank from the stored
+    // full-precision vectors. ZERO corpus reads and zero training/encode
+    // work at query time — both the coarse quantizer (e14's win over e4)
+    // and the PQ encode (e5's dominant cost) are paid once at build. The
+    // whole chain is deterministic arithmetic, so unlike production IVFPQ
+    // it is FULLY oracle-checked; recall vs the exact-rescore e14 is
+    // additionally spec-gated (IvfIndexSpec, where the residual encoding
+    // is measured against the raw encoding it replaced), and the
     // codes-only scan's ReadSchema is plan-pinned (PushdownSpec).
     "e16_ann_ivfpq_persisted" -> QueryDef(
       build = (s, d) => {

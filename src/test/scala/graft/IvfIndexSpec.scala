@@ -64,25 +64,28 @@ class IvfIndexSpec extends SparkSpec {
       "persisted-index probe must be bit-identical to the live IVF path")
   }
 
-  test("persisted PQ codebook and codes equal the live e5 encode") {
-    // the IVFPQ build side's contract: the stored codebook is the live
-    // codebookOf of the same corpus, and every stored code vector is the
-    // live encodeCodes result — so e16's ADC over persisted codes scores
-    // exactly what e5's live ADC would
+  test("persisted PQ codebook and codes equal a residual encode from the shared definitions") {
+    // the IVFPQ build side's contract (by_residual): the stored codebook
+    // is codebookOf over the RESIDUAL slices r = ne − ce(assigned cid) of
+    // the same 'cent:'-gated sample, and every stored code vector is the
+    // residual encodeCodes result — recomputed here independently from
+    // the shared definitions
     val dir = writeCorpus(1L to 300L)
     val root = IvfIndex.ensure(spark, dir)
     val vn = IvfIndex.normalized(
       graft.core.Tables.embeddings(spark, dir).transform(graft.core.Tables.spread))
-    val sub = IvfIndex.subspacesOf(vn)
-    val cb = IvfIndex.codebookOf(sub, vn)
+    val cents = IvfIndex.centroids(spark, root)
+    val rsub = IvfIndex.subspacesOf(
+      IvfIndex.residualsOf(vn, IvfIndex.assignCells(vn, cents), cents))
+    val cb = IvfIndex.codebookOf(rsub, vn, seed = "pq:")
     def cbMap(df: DataFrame): Map[(Int, Int), Seq[Double]] =
       df.select($"s", $"rnk", $"cv").collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
     assert(cbMap(IvfIndex.codebook(spark, root)) == cbMap(cb),
-      "persisted codebook must equal the live codebookOf")
+      "persisted codebook must equal codebookOf over residual slices")
     assert(codesOf(IvfIndex.cellCodes(spark, root))
-        == codesOf(IvfIndex.encodeCodes(sub, cb)),
-      "persisted codes must equal the live encode")
+        == codesOf(IvfIndex.encodeCodes(rsub, cb)),
+      "persisted codes must equal the residual encode")
   }
 
   test("e16 IVFPQ recall vs the exact-rescore e14 probe stays high") {
@@ -107,6 +110,71 @@ class IvfIndexSpec extends SparkSpec {
     val mean = overlaps.sum / overlaps.size
     info(f"mean top-5 overlap e16 vs e14: $mean%.3f over ${overlaps.size} queries")
     assert(mean >= 0.70, f"PQ shortlist lost too much recall: $mean%.3f")
+  }
+
+  test("residual ADC shortlist recall@10 beats or matches raw-code recall at the same depth") {
+    // the by_residual claim, MEASURED: at a fixed 16×k_cent code budget,
+    // quantizing x − centroid(cid) must shortlist true neighbors at
+    // least as well as quantizing raw subvectors — residuals carry less
+    // per-cell variance, so the same codes resolve finer. Ground truth =
+    // the exact top-10 over the probed cells (shared by both encodings:
+    // probe selection is identical); the residual shortlist is what the
+    // persisted index serves (probeCandidatesPq's pre-rerank survivors),
+    // the raw shortlist is recomputed live from the same shared
+    // definitions over raw slices.
+    val d = "/root/testdata/sf0.001"
+    val root = IvfIndex.ensure(spark, d)
+    val q = IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne")).localCheckpoint(true)
+    def toSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select($"q_id", $"vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val exact10 = toSets(IvfIndex.probeCandidates(spark, root, q)
+      .groupBy($"q_id")
+      .agg(graft.functions.BoundedTopK.topK(10)($"cos", $"vec_id").as("top"))
+      .select($"q_id", explode($"top.id").as("vec_id")))
+    def recall(short: Map[Long, Set[Long]]): Double = {
+      val per = exact10.toSeq.map { case (qid, want) =>
+        (short.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+      }
+      per.sum / per.size
+    }
+    // raw-code shortlist at the same depth, recomputed live (what the
+    // index stored before v5)
+    val vn = IvfIndex.normalized(
+      graft.core.Tables.embeddings(spark, d).transform(graft.core.Tables.spread))
+      .localCheckpoint(true)
+    val cents = IvfIndex.centroids(spark, root)
+    val assign = IvfIndex.assignCells(vn, cents)
+    val sub = IvfIndex.subspacesOf(vn).localCheckpoint(true)
+    val rawCb = IvfIndex.codebookOf(sub, vn).localCheckpoint(true)
+    val lut = IvfIndex.queryLut(
+      IvfIndex.subspacesOf(q.select($"q_id".as("vec_id"), $"q_ne".as("ne")))
+        .select($"vec_id".as("q_id"), $"s", $"sv".as("qv")),
+      rawCb)
+    def shortlist(depth: Int): (Map[Long, Set[Long]], Map[Long, Set[Long]]) = {
+      val raw = toSets(IvfIndex.probeSelect(q, cents, IvfIndex.NProbe)
+        .join(assign, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .join(IvfIndex.encodeCodes(sub, rawCb), "vec_id")
+        .join(broadcast(lut), "q_id")
+        .select($"q_id", $"vec_id",
+          IvfIndex.adcScore($"lut", $"codes").as("adc"))
+        .groupBy($"q_id")
+        .agg(graft.functions.BoundedTopK.topK(depth)($"adc", $"vec_id").as("top"))
+        .select($"q_id", explode($"top.id").as("vec_id")))
+      val res = toSets(
+        IvfIndex.probeCandidatesPq(spark, root, q, shortlist = depth))
+      (raw, res)
+    }
+    val (raw50, res50) = shortlist(IvfIndex.PqShortlist)
+    val (raw25, res25) = shortlist(IvfIndex.PqShortlist / 2)
+    info(f"recall@10 at depth ${IvfIndex.PqShortlist}: raw ${recall(raw50)}%.3f residual ${recall(res50)}%.3f")
+    info(f"recall@10 at depth ${IvfIndex.PqShortlist / 2}: raw ${recall(raw25)}%.3f residual ${recall(res25)}%.3f")
+    assert(recall(res50) >= recall(raw50) - 0.02,
+      f"residual codes must not lose shortlist recall vs raw: ${recall(res50)}%.3f vs ${recall(raw50)}%.3f")
+    assert(recall(res25) >= recall(raw25) - 0.02,
+      f"residual codes must not lose half-depth recall vs raw: ${recall(res25)}%.3f vs ${recall(raw25)}%.3f")
   }
 
   test("hot-cell salting: dormant on uniform lists; _salt widens the forced-shuffle probe join on a hot cell; result-identical") {
@@ -275,13 +343,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(assignmentsOf(IvfIndex.cells(spark, root)) == assignmentsOf(want),
       "append must equal from-scratch assignment against pinned centroids")
 
-    // PQ parity: appended vectors encode against the FROZEN codebook
-    // (FAISS IndexIVFPQ.add never re-trains) — the stored codes must
-    // equal encoding the whole corpus at once against that codebook
+    // PQ parity: appended vectors' RESIDUALS encode against the FROZEN
+    // codebook (FAISS IndexIVFPQ.add never re-trains) — the stored codes
+    // must equal encoding the whole corpus at once against that codebook
     val wantCodes = IvfIndex.encodeCodes(
-      IvfIndex.subspacesOf(full), IvfIndex.codebook(spark, root))
+      IvfIndex.subspacesOf(
+        IvfIndex.residualsOf(full, IvfIndex.assignCells(full, cents), cents)),
+      IvfIndex.codebook(spark, root))
     assert(codesOf(IvfIndex.cellCodes(spark, root)) == codesOf(wantCodes),
-      "append codes must equal a whole-corpus encode against the frozen codebook")
+      "append codes must equal a whole-corpus residual encode against the frozen codebook")
 
     // the index itself is versioned: the append advanced the cells table,
     // and time travel still reads the pre-append inverted lists
@@ -396,6 +466,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.filter(t => t._1 == s1 || t._1 == s2).toSet == want,
       "reassignment must equal the nearest-seed argmax")
 
+    // moved members' codes were RE-ENCODED against their new centroid
+    // (by_residual: the residual changed with the cell) — recomputed
+    // independently from the shared definitions and the frozen codebook
+    val movedAssign = IvfIndex.cells(spark, root)
+      .filter($"cid".isin(s1, s2)).select($"vec_id", $"cid")
+    val wantMovedCodes = IvfIndex.encodeCodes(
+      IvfIndex.subspacesOf(IvfIndex.residualsOf(
+        members, movedAssign, IvfIndex.centroids(spark, root))),
+      IvfIndex.codebook(spark, root))
+    assert(codesOf(IvfIndex.cellCodes(spark, root)
+        .filter($"vec_id".isin(parentMembers.toSeq: _*)))
+        == codesOf(wantMovedCodes),
+      "split must re-encode moved members' residual codes against the frozen codebook")
+
     // centroids/groups follow: fresh ids present, parent gone — so the
     // one-level AND two-level probe selection both see the split
     val cents = IvfIndex.centroids(spark, root).select($"cid")
@@ -440,6 +524,19 @@ class IvfIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after.filter(t => parentMembers.contains(t._2)).toSet == want,
       "re-homing must equal the nearest-remaining-centroid argmax")
+
+    // re-homed members' codes were RE-ENCODED against their landing
+    // centroid (split's by_residual rule)
+    val movedAssign = IvfIndex.cells(spark, root)
+      .filter($"vec_id".isin(parentMembers.toSeq: _*)).select($"vec_id", $"cid")
+    val wantMovedCodes = IvfIndex.encodeCodes(
+      IvfIndex.subspacesOf(IvfIndex.residualsOf(
+        members, movedAssign, IvfIndex.centroids(spark, root))),
+      IvfIndex.codebook(spark, root))
+    assert(codesOf(IvfIndex.cellCodes(spark, root)
+        .filter($"vec_id".isin(parentMembers.toSeq: _*)))
+        == codesOf(wantMovedCodes),
+      "merge must re-encode re-homed members' residual codes against the frozen codebook")
     assert(after.filterNot(t => parentMembers.contains(t._2)).toSet
         == before.filterNot(t => parentMembers.contains(t._2)).toSet,
       "vectors outside the merged cell must not move")
