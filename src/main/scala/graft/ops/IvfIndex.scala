@@ -71,8 +71,13 @@ object IvfIndex {
     *      raw subvectors (FAISS IndexIVFPQ `by_residual` semantics —
     *      residuals carry far less variance per cell, so the same 16×
     *      code budget buys a materially better ADC shortlist); the
-    *      query-side ADC adds the probed centroid's dot back. */
-  private val FormatVersion = 5
+    *      query-side ADC adds the probed centroid's dot back.
+    * v6: + visibility epoch `gen` on `cells` rows and `centroids` rows —
+    *      rows staged at gen+1 are invisible until ONE centroid-table
+    *      commit publishes gen+1, making merge (and the maintain sweep)
+    *      duplicate-free in every intermediate state, the same
+    *      atomic-flip guarantee split gets from fresh cell ids. */
+  private val FormatVersion = 6
 
   // ---------------------------------------------------------------- shared
   // index DEFINITIONS (also used by the live e4/t30 path via
@@ -396,7 +401,8 @@ object IvfIndex {
     val emb = Tables.embeddings(spark, corpusDir).transform(Tables.spread)
     val vn = normalized(emb).localCheckpoint(true)
     val cents = centroidsOf(vn).localCheckpoint(true)
-    new VersionedTable(spark, s"$root/centroids").write(cents, "ivf-build")
+    new VersionedTable(spark, s"$root/centroids")
+      .write(cents.withColumn("gen", lit(0L)), "ivf-build")
     // the coarse level is a pure function of the PINNED centroid set, so
     // it is an index artifact too — recomputing it per probe would re-pay
     // the k_cent × k_coarse assignment on every query batch, the exact
@@ -419,7 +425,8 @@ object IvfIndex {
       .join(vn, "vec_id")
       .join(encodeCodes(rsub, cb), "vec_id")
       .join(labelsOf(emb), "vec_id")
-      .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
+      .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
+        lit(0L).as("gen"))
       .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("label"))
     new VersionedTable(spark, s"$root/cells").write(cellRows, "ivf-build")
@@ -429,16 +436,47 @@ object IvfIndex {
     new VersionedTable(spark, s"$root/centroids").read()
       .select(col("cid"), col("ce"))
 
+  /** The PUBLISHED visibility epoch: max `gen` over the centroid head —
+    * the value ONE centroid-table commit advances to flip a staged
+    * restructuring (merge, maintain) live. Cached per (root, centroids
+    * version), and the scan is PINNED to the observed version, so the
+    * cache stays a pure function of its key under concurrent commits
+    * (the cellRowCounts race, fixed at birth here). Metadata-sized:
+    * the centroid table is ≤ 4×MaxCentroids rows by construction. */
+  private[graft] def publishedGen(spark: SparkSession, root: String): Long = {
+    val t = new VersionedTable(spark, s"$root/centroids")
+    val v = t.latestVersion.getOrElse(0L)
+    cellCountsLock.synchronized(genCache.get((root, v))) match {
+      case Some(g) => g
+      case None =>
+        val g = t.read(Some(v)).agg(max(col("gen"))).head().getLong(0)
+        cellCountsLock.synchronized {
+          if (genCache.size > 256) genCache.clear()
+          genCache.update((root, v), g)
+        }
+        g
+    }
+  }
+
+  private val genCache =
+    scala.collection.mutable.HashMap.empty[(String, Long), Long]
+
+  /** The LIVE inverted lists: head rows whose epoch is published. Rows
+    * staged above the published gen (a merge/maintain mid-flight, or
+    * crash debris) are invisible here — every probe, maintenance read,
+    * and membership query goes through this gate. */
   def cells(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/cells").read()
+      .filter(col("gen") <= publishedGen(spark, root))
       .select(col("cid"), col("vec_id"), col("label"), col("ne"))
 
   /** The inverted lists' COMPRESSED representation only — (cid, vec_id,
-    * codes). Parquet is columnar, so this scan never reads the `ne`
-    * vector bytes (plan-pinned in PushdownSpec): the 100 TB ADC pass
-    * touches 16 small ints per vector, not 64 doubles. */
+    * codes). Parquet is columnar, so this scan reads the 16 small code
+    * ints (plus the tiny gen epoch for the visibility gate) per vector,
+    * never the 64-double `ne` bytes (plan-pinned in PushdownSpec). */
   def cellCodes(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/cells").read()
+      .filter(col("gen") <= publishedGen(spark, root))
       .select(col("cid"), col("vec_id"), col("codes"))
 
   def codebook(spark: SparkSession, root: String): DataFrame =
@@ -549,7 +587,10 @@ object IvfIndex {
       .join(vn, "vec_id")
       .join(codes, "vec_id")
       .join(labelsOf(vecs), "vec_id")
-      .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
+      // appended rows are live immediately: they carry the PUBLISHED
+      // epoch (only restructurings stage at gen+1 behind a flip)
+      .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
+        lit(publishedGen(spark, root)).as("gen"))
       .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("label"))
     new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
@@ -633,10 +674,14 @@ object IvfIndex {
     // harmless, the two-level probe prunes through the centroids join;
     // (3) centroids REPLACE — the visibility switch; (4)-(5) retire the
     // parent's group row and stale cells rows (already invisible).
+    val g = publishedGen(spark, root)
     val cellsT = new VersionedTable(spark, s"$root/cells")
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
-        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
+        // the published epoch: these rows are invisible anyway (fresh
+        // cids, not yet in centroids) — split's flip is cid presence
+        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
+          lit(g).as("gen"))
         .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("label")),
       "ivf-split")
@@ -644,7 +689,8 @@ object IvfIndex {
     groupsT.append(assignGroups(newCents, coarseLevel(spark, root)), "ivf-split")
     val centsT = new VersionedTable(spark, s"$root/centroids")
     centsT.write(
-      centroids(spark, root).filter(col("cid") =!= cid).unionByName(newCents),
+      centroids(spark, root).filter(col("cid") =!= cid).unionByName(newCents)
+        .withColumn("gen", lit(g)),
       "ivf-split")
     groupsT.deleteWhere(s"cid = $cid")
     cellsT.deleteWhere(s"cid = $cid")
@@ -656,18 +702,23 @@ object IvfIndex {
     * members re-assign to the NEAREST of the remaining centroids by the
     * shared argmax — the same rule that placed every other vector, so
     * the post-merge index is exactly "the same quantizer minus one
-    * centroid". Commit order mirrors [[split]]'s staged protocol: the
-    * re-homed rows land first, ONE atomic centroid-set replace retires
-    * the parent from probe selection, then cleanup deletes. One honest
-    * asymmetry vs split: the re-homed rows land in LIVE cells, so a
-    * concurrent prober inside the pre-replace window that probes both
-    * the parent and a landing cell can transiently see a candidate
-    * TWICE (never lose one — split's windows are loss- and
-    * duplicate-free; a live deployment that can't tolerate transient
-    * duplicates runs merges in a [[deriveTwin]], as e20 does). Every
-    * data commit is O(cell) + O(metadata) — never a rewrite. Same
-    * deletion-vector-head constraint as [[split]]: compact() before a
-    * further append. Returns the member count moved. */
+    * centroid". Commit order mirrors [[split]]'s staged protocol, with
+    * the visibility EPOCH standing in for split's fresh cell ids: the
+    * re-homed rows land in LIVE cells but STAGED at gen+1 (invisible —
+    * [[cells]] gates on the published epoch), then ONE atomic
+    * centroid-set replace both retires the parent from probe selection
+    * AND publishes gen+1 — so every intermediate state serves either
+    * the exact pre-merge or exact post-merge result: a concurrent
+    * prober never loses a candidate and never sees a duplicate
+    * (loss- AND duplicate-free, split's guarantee; IvfIndexSpec replays
+    * every window state). Cleanup deletes retire the parent's
+    * already-unreachable rows. Every data commit is O(cell) +
+    * O(metadata) — never a rewrite. Same deletion-vector-head
+    * constraint as [[split]]: compact() before a further append. A
+    * crash mid-sequence leaves only invisible gen+1 debris, and the
+    * NEXT restructuring's entry guard retires it before staging its own
+    * rows (a flip must never publish another sequence's orphans).
+    * Returns the member count moved. */
   def merge(spark: SparkSession, root: String, cid: Long): Long = {
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
@@ -685,14 +736,34 @@ object IvfIndex {
       subspacesOf(residualsOf(members.select(col("vec_id"), col("ne")),
         reassigned, remaining)),
       codebook(spark, root))
+    val g = publishedGen(spark, root)
     val cellsT = new VersionedTable(spark, s"$root/cells")
+    // crash-debris entry guard: rows staged above the published epoch by
+    // an INTERRUPTED restructuring must be retired before this sequence
+    // stages its own — the flip below would otherwise publish another
+    // sequence's orphans. Steady state this is one stats-pruned probe
+    // (no file holds gen > g); the delete+compact runs only on the
+    // recovery path.
+    if (!cellsT.read().filter(col("gen") > g).isEmpty) {
+      cellsT.deleteWhere(s"gen > $g")
+      cellsT.compact()
+    }
+    // (1) stage the re-homed rows at gen+1 — in LIVE cells but invisible
+    // until the flip (the cells getter gates on the published epoch)
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
-        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"))
+        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
+          lit(g + 1).as("gen"))
         .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("label")),
       "ivf-merge")
-    new VersionedTable(spark, s"$root/centroids").write(remaining, "ivf-merge")
+    // (2) THE FLIP: one atomic centroid-set commit retires the parent
+    // from probe selection AND publishes gen+1 — pre-merge and
+    // post-merge are the only observable states
+    new VersionedTable(spark, s"$root/centroids")
+      .write(remaining.withColumn("gen", lit(g + 1)), "ivf-merge")
+    // (3) cleanup: the parent's rows are already unreachable (its cid
+    // left the centroid set) — O(metadata) logical deletes
     new VersionedTable(spark, s"$root/groups").deleteWhere(s"cid = $cid")
     cellsT.deleteWhere(s"cid = $cid")
     members.count()

@@ -496,6 +496,88 @@ class IvfIndexSpec extends SparkSpec {
       "time travel must audit the pre-split index")
   }
 
+  test("merge is loss- AND duplicate-free in every intermediate window state") {
+    // the round-12 asymmetry, deleted: re-homed rows used to land LIVE
+    // before the parent retired, so a prober in the window could see a
+    // candidate twice. Now they stage at gen+1 and ONE centroid commit
+    // (parent out, gen+1 published) flips — replay every (cells version,
+    // centroids version) combination a prober could observe and assert
+    // each serves exactly the pre- or post-merge member set, never a
+    // duplicate, never a loss.
+    val root = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val centsT = new VersionedTable(spark, s"$root/centroids")
+    val small = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (c, n) => (n, c) }.head._1
+    val v0 = cellsT.versions.max
+    val c0 = centsT.versions.max
+
+    IvfIndex.merge(spark, root, small)
+    assert(cellsT.versions.max == v0 + 2 && centsT.versions.max == c0 + 1,
+      "merge must be exactly stage + flip + cleanup on a debris-free index")
+
+    // what a prober at (cells vX, centroids cY) serves: head rows at or
+    // below cY's published gen, restricted to cY's probeable cids —
+    // exactly the gate cells()/probeSelect compose
+    def visible(vx: Long, cy: Long): Seq[Long] = {
+      val cents = centsT.read(Some(cy))
+      val g = cents.agg(max($"gen")).head().getLong(0)
+      val probeable = cents.select($"cid").collect().map(_.getLong(0)).toSet
+      cellsT.read(Some(vx)).filter($"gen" <= g)
+        .select($"cid", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(t => probeable(t._1)).map(_._2).toSeq
+    }
+    val pre = visible(v0, c0)
+    val post = visible(v0 + 2, c0 + 1)
+    assert(pre.toSet == post.toSet, "merge must preserve the member set")
+    // commit order: cells advances before the flip, cleanup after — the
+    // windows a prober can land in
+    for ((vx, cy, want, tag) <- Seq(
+        (v0, c0, pre, "pre"),
+        (v0 + 1, c0, pre, "staged-not-flipped"),
+        (v0 + 1, c0 + 1, post, "flipped-not-cleaned"),
+        (v0 + 2, c0 + 1, post, "cleaned"))) {
+      val vis = visible(vx, cy)
+      assert(vis.distinct.size == vis.size,
+        s"$tag window must never serve a candidate twice")
+      assert(vis.toSet == want.toSet,
+        s"$tag window must serve exactly the ${if (want eq pre) "pre" else "post"}-merge member set")
+    }
+  }
+
+  test("a flip never publishes another sequence's crash debris") {
+    // orphaned gen+1 rows from an interrupted restructuring must be
+    // retired by the next merge's entry guard, not silently published by
+    // its flip
+    val root = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val g = IvfIndex.publishedGen(spark, root)
+    // plant debris: a duplicate of an existing live row, staged at gen+1
+    // (what a crashed merge leaves behind)
+    val debris = cellsT.read().limit(1)
+      .withColumn("gen", lit(g + 1))
+      .withColumn("vec_id", $"vec_id") // schema order preserved
+    cellsT.append(debris, "ivf-merge")
+    val planted = cellsT.read().filter($"gen" > g).count()
+    assert(planted == 1, "debris must be staged invisible")
+
+    val small = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.length).toSeq
+      .sortBy { case (c, n) => (n, c) }.head._1
+    IvfIndex.merge(spark, root, small)
+
+    // post-flip: the published epoch advanced, but the planted duplicate
+    // must NOT have ridden it live — no vec_id appears twice
+    val vis = IvfIndex.cells(spark, root).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vis.distinct.size == vis.size,
+      "the entry guard must retire crash debris before the flip publishes gen+1")
+  }
+
   test("cell merge: members re-assign to nearest remaining centroids, parent retired, history audits it") {
     val root = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
     val before = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
