@@ -76,8 +76,13 @@ object IvfIndex {
     *      rows staged at gen+1 are invisible until ONE centroid-table
     *      commit publishes gen+1, making merge (and the maintain sweep)
     *      duplicate-free in every intermediate state, the same
-    *      atomic-flip guarantee split gets from fresh cell ids. */
-  private val FormatVersion = 6
+    *      atomic-flip guarantee split gets from fresh cell ids.
+    * v7: + `cellstats` table (cid, nrows, cells_v) — per-cell LIVE row
+    *      counts maintained by every lifecycle commit as O(change)
+    *      deltas, so hot-cell detection and the maintain() policy read
+    *      a metadata-sized artifact instead of re-scanning the inverted
+    *      lists per index version. */
+  private val FormatVersion = 7
 
   // ---------------------------------------------------------------- shared
   // index DEFINITIONS (also used by the live e4/t30 path via
@@ -430,6 +435,12 @@ object IvfIndex {
       .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("label"))
     new VersionedTable(spark, s"$root/cells").write(cellRows, "ivf-build")
+    // stats from the checkpointed assignment — one tiny keyed count, not
+    // a re-read of the just-written table
+    writeCellStats(spark, root,
+      assign.groupBy(col("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "ivf-build")
   }
 
   def centroids(spark: SparkSession, root: String): DataFrame =
@@ -483,6 +494,50 @@ object IvfIndex {
     new VersionedTable(spark, s"$root/codebook").read()
       .select(col("s"), col("rnk"), col("cv"))
 
+  // ------------------------------------------------------ cell statistics
+  // (the per-cell live-row-count ARTIFACT: every lifecycle commit
+  // maintains it as an O(change) delta, so hot-cell detection and the
+  // maintain() policy read ≤4×MaxCentroids rows instead of re-scanning
+  // the inverted lists per index version — the persisted form of what
+  // was a session-local cache through v6)
+
+  /** Replace the stats artifact with `counts`, stamped with the CURRENT
+    * cells head version — the reader trusts the artifact only when that
+    * stamp still matches, so a mid-sequence or crashed writer can never
+    * serve stale counts as fresh. Metadata-sized by construction. */
+  private def writeCellStats(spark: SparkSession, root: String,
+      counts: Map[Long, Long], operation: String): Unit = {
+    val cellsV = new VersionedTable(spark, s"$root/cells")
+      .latestVersion.getOrElse(0L)
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(counts.toSeq.sortBy(_._1).map {
+        case (c, n) => org.apache.spark.sql.Row(c, n, cellsV)
+      }: _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nrows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cells_v",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    new VersionedTable(spark, s"$root/cellstats")
+      .write(spark.createDataFrame(rows, schema), operation)
+  }
+
+  /** The stats artifact IF it describes cells version `cellsV` — None
+    * when absent (legacy root) or stale (observed mid-sequence, or a
+    * writer crashed before its stats commit): callers fall back to a
+    * version-pinned recount. */
+  private def readCellStats(spark: SparkSession, root: String,
+      cellsV: Long): Option[Map[Long, Long]] = {
+    val t = new VersionedTable(spark, s"$root/cellstats")
+    if (t.latestVersion.isEmpty) return None
+    val rows = t.read().collect()
+    if (rows.nonEmpty && rows.forall(_.getLong(2) == cellsV))
+      Some(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    else None
+  }
+
   def coarseLevel(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/coarse").read()
       .select(col("gid"), col("ge"))
@@ -503,8 +558,21 @@ object IvfIndex {
     * anti-predicates); time travel still audits pre-erasure versions
     * until a `compact()` materializes the deletes physically — run it to
     * hard-delete (IvfIndexSpec proves both layers). */
-  def delete(spark: SparkSession, root: String, condition: String): Long =
-    new VersionedTable(spark, s"$root/cells").deleteWhere(condition)
+  def delete(spark: SparkSession, root: String, condition: String): Long = {
+    // stats delta BEFORE the commit: per-cell counts of the LIVE rows
+    // the predicate erases (one predicate-pruned scan — the delete's own
+    // counting scan pays the same; `condition` ranges over the getter's
+    // columns: cid, vec_id, label, ne)
+    val erased = cells(spark, root).filter(expr(condition))
+      .groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prior = cellRowCounts(spark, root)
+    val n = new VersionedTable(spark, s"$root/cells").deleteWhere(condition)
+    writeCellStats(spark, root,
+      prior.map { case (c, m) => c -> (m - erased.getOrElse(c, 0L)) },
+      "ivf-delete")
+    n
+  }
 
   /** A CACHED erased twin of the corpus index: [[deriveTwin]] with one
     * [[delete]] committed — so a repeatable query (e17, st17) probes a
@@ -593,7 +661,16 @@ object IvfIndex {
         lit(publishedGen(spark, root)).as("gen"))
       .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("label"))
-    new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
+    val prior = cellRowCounts(spark, root)
+    val added = assign.groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
+    // stats delta from the checkpointed batch assignment — O(batch)
+    writeCellStats(spark, root,
+      (prior.keySet ++ added.keySet).iterator.map(c =>
+        c -> (prior.getOrElse(c, 0L) + added.getOrElse(c, 0L))).toMap,
+      "ivf-append")
+    v
   }
 
   /** Split one inverted list in place — the INDEX-SIDE skew remedy
@@ -635,6 +712,7 @@ object IvfIndex {
       "split would grow the centroid set past 4×MaxCentroids — the " +
         "metadata-sized probe-collect bound; merge under-occupied cells " +
         "or rebuild with a larger quantizer instead")
+    val prior = cellRowCounts(spark, root) // stats delta base, pre-commit
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
       .localCheckpoint(true) // feeds seed pick, reassign, and the cells append
@@ -694,6 +772,10 @@ object IvfIndex {
       "ivf-split")
     groupsT.deleteWhere(s"cid = $cid")
     cellsT.deleteWhere(s"cid = $cid")
+    writeCellStats(spark, root,
+      (prior - cid) ++ reassigned.groupBy(col("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "ivf-split")
     (seeds(0), seeds(1))
   }
 
@@ -720,6 +802,7 @@ object IvfIndex {
     * rows (a flip must never publish another sequence's orphans).
     * Returns the member count moved. */
   def merge(spark: SparkSession, root: String, cid: Long): Long = {
+    val prior = cellRowCounts(spark, root) // stats delta base, pre-commit
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
       .localCheckpoint(true) // feeds the reassign and the cells append
@@ -766,6 +849,15 @@ object IvfIndex {
     // left the centroid set) — O(metadata) logical deletes
     new VersionedTable(spark, s"$root/groups").deleteWhere(s"cid = $cid")
     cellsT.deleteWhere(s"cid = $cid")
+    val landed = reassigned.groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = prior - cid
+    // key union, not a map over base: a landing cell that had ZERO live
+    // rows (possible after erasure) has no stats entry to increment
+    writeCellStats(spark, root,
+      (base.keySet ++ landed.keySet).iterator.map(c =>
+        c -> (base.getOrElse(c, 0L) + landed.getOrElse(c, 0L))).toMap,
+      "ivf-merge")
     members.count()
   }
 
@@ -840,16 +932,15 @@ object IvfIndex {
     cids
   }
 
-  /** Per-cell stored-row counts for one committed version of an index's
-    * inverted lists, cached per (root, cells-version) — the counts are a
-    * pure function of the committed version (appends and logical deletes
-    * both bump it), so each index version pays ONE cid-column scan per
-    * session and every subsequent probe's hot-cell detection is a true
-    * driver-side metadata lookup (st17 probes per micro-batch — without
-    * the cache it would re-scan per batch). At 100 TB the same map would
-    * be persisted as a build/append artifact next to the centroids;
-    * the cache is the session-local form of that artifact. Bounded: ≤
-    * MaxCentroids entries per version, capped version count. */
+  /** Per-cell LIVE row counts for one committed version of an index's
+    * inverted lists. Primary source is the persisted `cellstats`
+    * ARTIFACT (maintained by every lifecycle commit as an O(change)
+    * delta — the 100 TB form); the fallback for a mid-sequence or
+    * legacy head is one recount PINNED to the observed version, so the
+    * session cache stays a pure function of its (root, version) key
+    * even when a concurrent commit lands between the version read and
+    * the scan. Bounded: ≤ 4×MaxCentroids entries per version, capped
+    * version count. */
   private val cellCountsCache =
     scala.collection.mutable.HashMap.empty[(String, Long), Map[Long, Long]]
   // the cache gets its OWN tiny lock: the IvfIndex object monitor is held
@@ -860,12 +951,17 @@ object IvfIndex {
   private val cellCountsLock = new Object
 
   private def cellRowCounts(spark: SparkSession, root: String): Map[Long, Long] = {
-    val v = new VersionedTable(spark, s"$root/cells").latestVersion.getOrElse(0L)
+    val t = new VersionedTable(spark, s"$root/cells")
+    val v = t.latestVersion.getOrElse(0L)
     cellCountsLock.synchronized(cellCountsCache.get((root, v))) match {
       case Some(m) => m
       case None =>
-        val m = cells(spark, root).groupBy(col("cid")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val m = readCellStats(spark, root, v).getOrElse {
+          t.read(Some(v))
+            .filter(col("gen") <= publishedGen(spark, root))
+            .groupBy(col("cid")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
         cellCountsLock.synchronized {
           if (cellCountsCache.size > 64) cellCountsCache.clear()
           cellCountsCache.update((root, v), m)

@@ -496,6 +496,45 @@ class IvfIndexSpec extends SparkSpec {
       "time travel must audit the pre-split index")
   }
 
+  test("cellstats artifact matches a recount after every lifecycle transition") {
+    // the persisted per-cell load stats: every lifecycle commit maintains
+    // them as an O(change) delta, stamped with the cells head version —
+    // hot detection and the maintain policy read THIS instead of
+    // re-scanning the lists per version. Contract: after each transition
+    // the artifact equals an independent recount of the LIVE rows.
+    val dir = writeCorpus(1L to 300L)
+    val root = IvfIndex.ensure(spark, dir)
+    def recount(): Map[Long, Long] =
+      IvfIndex.cells(spark, root).groupBy($"cid").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def check(tag: String): Unit = {
+      val rows = new VersionedTable(spark, s"$root/cellstats").read().collect()
+      val head = new VersionedTable(spark, s"$root/cells").versions.max
+      assert(rows.forall(_.getLong(2) == head),
+        s"$tag: stats must be stamped with the cells head version")
+      val a = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val r = recount()
+      val keys = a.keySet ++ r.keySet
+      assert(keys.forall(c => a.getOrElse(c, 0L) == r.getOrElse(c, 0L)),
+        s"$tag: stats must match a recount\n  artifact: $a\n  recount:  $r")
+    }
+    check("build")
+    IvfIndex.append(spark, root,
+      (501L to 530L).map(i => (i, vec(i), (i % 3).toInt))
+        .toDF("vec_id", "embedding", "label"))
+    check("append")
+    IvfIndex.delete(spark, root, "vec_id % 11 = 5")
+    check("delete")
+    new VersionedTable(spark, s"$root/cells").compact()
+    val heavy = recount().toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+    IvfIndex.split(spark, root, heavy)
+    check("split")
+    new VersionedTable(spark, s"$root/cells").compact()
+    val small = recount().toSeq.sortBy { case (c, n) => (n, c) }.head._1
+    IvfIndex.merge(spark, root, small)
+    check("merge")
+  }
+
   test("merge is loss- AND duplicate-free in every intermediate window state") {
     // the round-12 asymmetry, deleted: re-homed rows used to land LIVE
     // before the parent retired, so a prober in the window could see a
