@@ -866,9 +866,11 @@ object IvfIndex {
     * contract as `Embeddings.ivfCandidates` but with ZERO corpus reads
     * and zero assignment work; cost follows the probed cells only.
     *
-    * The probed-cell set is collected driver-side to push `cid IN (...)`
-    * into the cells scan (row-group skipping): bounded by construction at
-    * MaxCentroids = 256 entries — driver metadata, not data. */
+    * While the probed-cell set is metadata-sized (≤ [[InPruneMaxCells]])
+    * it is collected driver-side to push `cid IN (...)` into the cells
+    * scan (row-group skipping); past that bound the tail routes through
+    * the broadcast left-semi prune ([[joinProbesCellsManyCell]]) — the
+    * many-cell regime, hash-identical by spec. */
   def probeCandidates(spark: SparkSession, root: String, q: DataFrame,
       nProbe: Int = NProbe, candWhere: Option[String] = None): DataFrame =
     rescoreCells(spark, root,
@@ -881,12 +883,13 @@ object IvfIndex {
     * cell count outgrows a per-query scoring pass. Honest scope note:
     * under this engine's MaxCentroids=256 cap the cell list never
     * reaches the regime where the coarse level pays (e15 benches within
-    * noise of e14); lifting the cap toward the ~10⁶ cells a 100 TB
-    * index wants also means swapping rescoreCells' collected IN-prune
-    * for a semi-join prune (flagged there) — the two-level SELECTION
-    * this function implements is the part that survives unchanged. Same
-    * exact rescore, same determinism (every argmax ties to the lowest
-    * id), fully oracle-checked (e15). */
+    * noise of e14 at 16 cells; on a hand-built 4096-cell index the
+    * two-level selection is measured faster — IvfIndexSpec's many-cell
+    * test, numbers in SCALE.md). Past [[InPruneMaxCells]] probed cells
+    * the shared tail swaps the collected IN-prune for the broadcast
+    * left-semi prune automatically. Same exact rescore, same
+    * determinism (every argmax ties to the lowest id), fully
+    * oracle-checked (e15). */
   def probeCandidatesTwoLevel(spark: SparkSession, root: String, q: DataFrame,
       nCoarse: Int = NCoarseProbe, nProbe: Int = NProbe): DataFrame = {
     // every index artifact is READ, never recomputed: coarse vectors and
@@ -913,24 +916,61 @@ object IvfIndex {
     rescoreCells(spark, root, probes, q)
   }
 
-  /** Driver-side probed-cell id list WITH per-cell probe multiplicity:
-    * the ids push `cid IN (...)` into an index scan (parquet row-group
-    * skipping), the multiplicities feed hot-cell detection (a cell's
-    * reducer load is probes×rows, not rows alone). Bounded by
-    * construction: the probed set ⊆ the centroid set, whose
-    * hash-threshold admission is binomial AROUND min(√N, MaxCentroids) —
-    * allow the overshoot (a hard == MaxCentroids bound would flake at
-    * the cap). Metadata, not data. */
-  private def probedCidCounts(probes: DataFrame): Seq[(Long, Long)] = {
+  /** Ceiling on the driver-collected probed-cell list (the `cid IN`
+    * prune): 4× the centroid-sample cap — the hash-threshold admission
+    * is binomial AROUND min(√N, MaxCentroids), so allow the overshoot.
+    * Past it the probe tail routes through the LEFT-SEMI prune instead
+    * ([[joinProbesCellsManyCell]]). A mutable field ONLY as a test
+    * seam: the regime-parity spec pins hash equality by running the
+    * same probe under both regimes. */
+  @volatile private[graft] var InPruneMaxCells: Int =
+    4 * Embeddings.MaxCentroids.toInt
+
+  /** Driver-side probed-cell id list WITH per-cell probe multiplicity —
+    * when it is metadata-sized: the ids push `cid IN (...)` into an
+    * index scan (parquet row-group skipping), the multiplicities feed
+    * hot-cell detection (a cell's reducer load is probes×rows, not rows
+    * alone). The collect itself is bounded BEFORE it happens
+    * (limit(cap+1)); None past the cap routes the caller to the
+    * many-cell regime. */
+  private def probedCidCounts(probes: DataFrame): Option[Seq[(Long, Long)]] = {
     val cids = probes.groupBy(col("cid")).count()
+      .limit(InPruneMaxCells + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    require(cids.length <= 4 * Embeddings.MaxCentroids,
-      s"probed cell set ${cids.length} far exceeds MaxCentroids — " +
-        "the driver-side prune list must stay metadata-sized " +
-        "(at a cell count past the cap, swap the collected IN list " +
-        "for a left-semi join on the probes frame)")
-    cids
+    if (cids.length > InPruneMaxCells) None else Some(cids)
   }
+
+  /** The probes ⋈ lists join PAST the driver-side IN bound — the regime
+    * a ≥10³-cell index (e15's two-level territory) serves from: prune
+    * with a broadcast LEFT-SEMI of the distinct probed cids against the
+    * lists scan (≤ |Q|·nProbe ids — far smaller than the lists, and
+    * never collected to the driver), then the plain equi-join.
+    * Row-group skipping is traded away (no pushed IN list), but every
+    * non-probed cell's rows die at the semi join before any exchange.
+    * Driver-side hot-cell salting is skipped here deliberately: in this
+    * regime per-cell loads SHRINK as the cell count grows (N/k_cent
+    * falls), and the shuffled join's residual skew is AQE skew-join
+    * territory — the detection arithmetic would cost a collect this
+    * path exists to avoid. */
+  private def joinProbesCellsManyCell(probes: DataFrame,
+      lists: DataFrame): DataFrame = {
+    val pruned = lists.join(
+      broadcast(probes.select(col("cid")).distinct()), Seq("cid"), "left_semi")
+    probes.join(pruned, "cid")
+  }
+
+  /** Regime router for every probe tail: IN-prune + hot-cell salting
+    * while the probed set is metadata-sized ([[probedCidCounts]] =
+    * Some), LEFT-SEMI prune past it (None). */
+  private def probeJoin(spark: SparkSession, root: String,
+      probes: DataFrame, lists: DataFrame,
+      counts: Option[Seq[(Long, Long)]]): DataFrame =
+    counts match {
+      case Some(cs) =>
+        joinProbesCells(spark, root, probes, cs,
+          lists.filter(col("cid").isin(cs.map(_._1): _*)))
+      case None => joinProbesCellsManyCell(probes, lists)
+    }
 
   /** Per-cell LIVE row counts for one committed version of an index's
     * inverted lists. Primary source is the persisted `cellstats`
@@ -1052,12 +1092,9 @@ object IvfIndex {
       candWhere: Option[String] = None): DataFrame = {
     val probes = probesRaw
       .localCheckpoint(true) // consumed by the cid collect AND the join
-    val counts = probedCidCounts(probes)
-    val cids = counts.map(_._1)
-    val pruned = candWhere.foldLeft(
-      cells(spark, root).filter(col("cid").isin(cids: _*)))(
+    val lists = candWhere.foldLeft(cells(spark, root))(
       (c, w) => c.filter(expr(w)))
-    joinProbesCells(spark, root, probes, counts, pruned)
+    probeJoin(spark, root, probes, lists, probedCidCounts(probes))
       .filter(col("vec_id") =!= col("q_id"))
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -1092,12 +1129,18 @@ object IvfIndex {
     val probes = probeSelectScored(q, centroids(spark, root), nProbe)
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val counts = probedCidCounts(probes)
-    val cids = counts.map(_._1)
+    // the probed-cell prune, regime-matched, applied to BOTH index scans
+    // (the ADC codes pass and the full-precision re-rank): pushed IN
+    // while metadata-sized, broadcast left-semi past it
+    def prunedByCid(df: DataFrame): DataFrame = counts match {
+      case Some(cs) => df.filter(col("cid").isin(cs.map(_._1): _*))
+      case None => df.join(
+        broadcast(probes.select(col("cid")).distinct()), Seq("cid"), "left_semi")
+    }
     val qsub = subspacesOf(q.select(col("q_id").as("vec_id"), col("q_ne").as("ne")))
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
     val lut = queryLut(qsub, codebook(spark, root))
-    val short = joinProbesCells(spark, root, probes, counts,
-        cellCodes(spark, root).filter(col("cid").isin(cids: _*)))
+    val short = probeJoin(spark, root, probes, cellCodes(spark, root), counts)
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -1106,9 +1149,9 @@ object IvfIndex {
       .agg(graft.functions.BoundedTopK.topK(shortlist)(col("adc"), col("vec_id")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
     // the shortlist's vectors all come from probed cells, so the
-    // full-precision scan gets the same pushed cid prune as the ADC scan
+    // full-precision scan gets the same cell prune as the ADC scan
     broadcast(short)
-      .join(cells(spark, root).filter(col("cid").isin(cids: _*))
+      .join(prunedByCid(cells(spark, root))
         .select(col("vec_id"), col("ne")), "vec_id")
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),
