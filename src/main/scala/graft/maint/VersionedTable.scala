@@ -120,6 +120,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Long] = versions.maxOption
 
+  /** Whether the head carries logical-delete predicates (the
+    * deletion-vector form) — [[append]] refuses such a head until
+    * [[compact]] materializes the deletes; maintenance loops probe this
+    * to pay the compact only when it is actually owed. */
+  def headHasDeletes: Boolean =
+    latestVersion.exists(v =>
+      commits.find(_.version == v).exists(_.deletePredicates.nonEmpty))
+
   /** Commit a new version; returns its number. `commitTs` is an optional
     * injected commit timestamp (`yyyy-MM-dd HH:mm:ss`) recorded in the
     * manifest and resolvable via [[readAsOf]] — deterministic pipelines

@@ -642,7 +642,25 @@ object IvfIndex {
     * assigning the whole corpus at once (IvfIndexSpec's rebuild-parity
     * gate). Feed the corpus table's change-feed inserts here for the
     * d14/st14 admission shape applied to the index. */
-  def append(spark: SparkSession, root: String, vecs: DataFrame): Long = {
+  /** [[append]] keyed on a batch id — foreachBatch RETRY safety:
+    * Structured Streaming may re-invoke a batch after a failure, and a
+    * blind re-append would double every row of that batch in the
+    * inverted lists. The commit records `ivf-append:<batchKey>`; a
+    * history hit skips the work entirely — the previous invocation's
+    * commit IS this batch's effect (st18's production-loop contract;
+    * replay spec in IvfIndexSpec). */
+  def appendIdempotent(spark: SparkSession, root: String, vecs: DataFrame,
+      batchKey: String): Long = {
+    val op = s"ivf-append:$batchKey"
+    val t = new VersionedTable(spark, s"$root/cells")
+    val done = t.versions.nonEmpty &&
+      t.history().filter(col("operation") === op).limit(1).count() > 0
+    if (done) t.latestVersion.get
+    else append(spark, root, vecs, op)
+  }
+
+  def append(spark: SparkSession, root: String, vecs: DataFrame,
+      operation: String = "ivf-append"): Long = {
     val vn = normalized(vecs).localCheckpoint(true)
     val cents = centroids(spark, root)
     val assign = assignCells(vn, cents).localCheckpoint(true)
@@ -664,12 +682,12 @@ object IvfIndex {
     val prior = cellRowCounts(spark, root)
     val added = assign.groupBy(col("cid")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val v = new VersionedTable(spark, s"$root/cells").append(newRows, "ivf-append")
+    val v = new VersionedTable(spark, s"$root/cells").append(newRows, operation)
     // stats delta from the checkpointed batch assignment — O(batch)
     writeCellStats(spark, root,
       (prior.keySet ++ added.keySet).iterator.map(c =>
         c -> (prior.getOrElse(c, 0L) + added.getOrElse(c, 0L))).toMap,
-      "ivf-append")
+      operation)
     v
   }
 
@@ -859,6 +877,168 @@ object IvfIndex {
         c -> (base.getOrElse(c, 0L) + landed.getOrElse(c, 0L))).toMap,
       "ivf-merge")
     members.count()
+  }
+
+  /** Default maintenance occupancy band, as integer rationals: split a
+    * cell above (hiNum/hiDen)×T, merge below (loNum/loDen)×T, where
+    * T = ⌈liveRows / centroidCount⌉ — the SPFresh-flavored policy bands
+    * (4× / ¼×). Integer rationals, not doubles: the detection predicate
+    * `cnt·hiDen > T·hiNum` is exact and mirrors verbatim into the
+    * DuckDB oracle. */
+  val MaintainHiNum = 4
+  val MaintainHiDen = 1
+  val MaintainLoNum = 1
+  val MaintainLoDen = 4
+
+  /** ONE automatic maintenance sweep — the policy pass over the manual
+    * [[split]]/[[merge]] primitives: detect every cell above the hi
+    * band (split it between its two 'split:'-hash-minimal member seeds)
+    * and every cell below the lo band (re-home its members to the
+    * nearest surviving centroid — the post-split target set, so a
+    * merged member may land in a cell this same sweep just minted),
+    * then commit the WHOLE sweep as one staged sequence with a single
+    * atomic flip: moved rows stage at gen+1, seed cells are additionally
+    * unreachable by fresh cid, and ONE centroid-table commit (heavies
+    * and smalls out, seeds in, gen+1 published) makes the entire sweep
+    * visible at once. A live prober observes exactly the pre-sweep or
+    * post-sweep index — never a half-maintained one. Detection reads
+    * the [[readCellStats]] artifact (metadata, no scan); every data
+    * commit is O(moved cells); moved members' residual codes re-encode
+    * against the frozen codebook (the split/merge rule).
+    *
+    * Returns (cells split, cells merged) — (0, 0) means the index is
+    * within band and NOTHING was committed: a converged index makes
+    * re-running maintain a no-op (idempotence, spec-pinned). Callers
+    * loop sweeps to convergence (each sweep's cleanup deletes owe a
+    * compact before the next sweep's appends — the entry guard pays it
+    * only when deletes are actually pending; at 100 TB that compact
+    * touches only the retired cells' partitions). Exact duplicates are
+    * the one mass no quantizer can spread — they tie to one seed
+    * forever; dedup them (d1) before indexing, don't loop maintain. */
+  def maintain(spark: SparkSession, root: String,
+      hiNum: Int = MaintainHiNum, hiDen: Int = MaintainHiDen,
+      loNum: Int = MaintainLoNum, loDen: Int = MaintainLoDen): (Int, Int) = {
+    require(hiNum > 0 && hiDen > 0 && loDen > 0 && loNum >= 0,
+      "maintain bands must be positive rationals (loNum 0 disables merges)")
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    // sweep entry: materialize pending cleanup deletes on BOTH appended
+    // tables (this sweep appends; a deletion-vector head refuses
+    // appends), then retire any crash debris staged above the published
+    // epoch — the flip below must never publish another sequence's
+    // orphans
+    if (cellsT.headHasDeletes) cellsT.compact()
+    if (groupsT.headHasDeletes) groupsT.compact()
+    val g = publishedGen(spark, root)
+    if (!cellsT.read().filter(col("gen") > g).isEmpty) {
+      cellsT.deleteWhere(s"gen > $g")
+      cellsT.compact()
+    }
+    val prior = cellRowCounts(spark, root)
+    val centIds = centroids(spark, root).select(col("cid"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val k = centIds.length.toLong
+    val n = prior.values.sum
+    require(k > 0 && n > 0, s"maintain on an empty index at $root")
+    val t = (n + k - 1) / k
+    val heavy = centIds.filter { c =>
+      val cnt = prior.getOrElse(c, 0L)
+      cnt * hiDen > t * hiNum && cnt >= 3
+    }.toSet
+    val small = centIds.filter { c =>
+      prior.getOrElse(c, 0L) * loDen < t * loNum && !heavy(c)
+    }.toSet
+    if (heavy.isEmpty && small.isEmpty) return (0, 0)
+    val kAfter = k + heavy.size - small.size
+    require(kAfter >= 1,
+      s"maintain would retire every centroid of $root — widen the lo band")
+    require(kAfter <= 4 * Embeddings.MaxCentroids,
+      "maintain would grow the centroid set past 4×MaxCentroids — " +
+        "rebuild with a larger quantizer instead")
+
+    // ---- detection done; build the moved-row frames (all O(moved))
+    val heavyMembers = cells(spark, root)
+      .filter(col("cid").isin(heavy.toSeq: _*))
+      .select(col("cid").as("parent"), col("vec_id"), col("label"), col("ne"))
+      .localCheckpoint(true) // seeds, per-parent argmax, and the append
+    // two 'split:'-hash-minimal non-parent members per heavy cell —
+    // e19's seed rule batched with a per-parent window
+    val seedRows = heavyMembers
+      .filter(col("vec_id") =!= col("parent"))
+      .withColumn("h", graft.functions.TextFunctions.portableHash(
+        col("vec_id").cast("string"), "split:"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("parent")).orderBy(col("h").asc, col("vec_id").asc)))
+      .filter(col("rk") <= 2)
+      .select(col("parent"), col("vec_id"), col("ne"))
+      .localCheckpoint(true)
+    val seedsByParent = seedRows.select(col("parent"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    require(heavy.forall(c => seedsByParent.get(c).exists(_.size == 2)),
+      s"every heavy cell needs 2 non-parent member seeds; got $seedsByParent for $heavy")
+    // per-parent nearest-seed argmax: each member scores ONLY its own
+    // cell's two seeds (the seeds frame is metadata-sized — broadcast)
+    val resplit = heavyMembers
+      .join(broadcast(seedRows.select(col("parent"),
+        col("vec_id").as("_cand"), col("ne").as("_cv"))), "parent")
+      .select(col("vec_id"),
+        struct(
+          call_function("vec_dot", col("ne"), col("_cv")).as("cos"),
+          (-col("_cand")).as("negc")).as("sc"))
+      .groupBy(col("vec_id")).agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cid"))
+      .localCheckpoint(true)
+    val newCents = seedRows
+      .select(col("vec_id").as("cid"), col("ne").as("ce"))
+      .localCheckpoint(true)
+    val survivors = centroids(spark, root)
+      .filter(!col("cid").isin((heavy ++ small).toSeq: _*))
+    val targetCents = survivors.unionByName(newCents)
+      .localCheckpoint(true) // merge argmax, residual re-encode, the flip
+    val smallMembers = cells(spark, root)
+      .filter(col("cid").isin(small.toSeq: _*))
+      .select(col("vec_id"), col("label"), col("ne"))
+      .localCheckpoint(true)
+    val remerge = assignCells(
+      smallMembers.select(col("vec_id"), col("ne")), targetCents)
+      .localCheckpoint(true)
+    val movedAssign = resplit.unionByName(remerge)
+    val movedMembers = heavyMembers.select(col("vec_id"), col("label"), col("ne"))
+      .unionByName(smallMembers)
+    // moved members' residuals changed with their centroid — re-encode
+    // against the frozen codebook (the split/merge rule, batched)
+    val movedCodes = encodeCodes(
+      subspacesOf(residualsOf(movedMembers.select(col("vec_id"), col("ne")),
+        movedAssign, targetCents)),
+      codebook(spark, root))
+
+    // ---- the staged commit sequence (split's protocol, one flip for
+    // the whole sweep): (1) moved rows at gen+1 — seed cells also
+    // unreachable by fresh cid; (2) seed group rows — unreachable, their
+    // cids are not in centroids yet; (3) THE FLIP; (4) cleanup deletes;
+    // (5) the stats artifact
+    cellsT.append(
+      movedAssign.join(movedMembers, "vec_id").join(movedCodes, "vec_id")
+        .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
+          lit(g + 1).as("gen"))
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid"), col("label")),
+      "ivf-maintain")
+    groupsT.append(assignGroups(newCents, coarseLevel(spark, root)), "ivf-maintain")
+    new VersionedTable(spark, s"$root/centroids")
+      .write(targetCents.withColumn("gen", lit(g + 1)), "ivf-maintain")
+    val retired = (heavy ++ small).toSeq.sorted.mkString(", ")
+    groupsT.deleteWhere(s"cid IN ($retired)")
+    cellsT.deleteWhere(s"cid IN ($retired)")
+    val movedCounts = movedAssign.groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = prior -- heavy -- small
+    writeCellStats(spark, root,
+      (base.keySet ++ movedCounts.keySet).iterator.map(c =>
+        c -> (base.getOrElse(c, 0L) + movedCounts.getOrElse(c, 0L))).toMap,
+      "ivf-maintain")
+    (heavy.size, small.size)
   }
 
   /** Probe the persisted index: exact cosines over the probed cells'

@@ -495,6 +495,111 @@ object Embeddings extends QueryGroup {
           JOIN n ON n.vec_id = a.vec_id)
         $sqlScoredTop5Tail"""
 
+  /** e21's maintenance bands: TIGHT (split above 1.25×T, merge below
+    * 0.6×T) so the sweep actually exercises splits AND merges on the
+    * shipped test corpora — their cell-occupancy spread sits well inside
+    * the production 4×/¼× default band, which would no-op here. The
+    * policy code is band-agnostic; the constants are shared verbatim by
+    * the Spark call and the oracle text. */
+  private val E21HiNum = 5
+  private val E21HiDen = 4
+  private val E21LoNum = 3
+  private val E21LoDen = 5
+
+  /** One maintenance ROUND of the e21 oracle, generically: from the
+    * previous round's centroid set `cPrev(cid, ce)` and assignment
+    * `aPrev(vec_id, cid)`, detect heavies (cnt·hiDen > T·hiNum, ≥3
+    * members) and smalls (cnt·loDen < T·loNum, zero-member cells
+    * included via the LEFT JOIN), split heavies between their two
+    * 'split:'-hash-minimal non-parent member seeds (per-cell window —
+    * e19's rule batched), re-home small cells' members to the nearest
+    * post-split centroid, and emit `c_m$i` / `a_m$i`. Every argmax ties
+    * to the lowest id; T = ⌈n/k⌉ in exact integer arithmetic — all of
+    * it mirrors IvfIndex.maintain verbatim. An in-band round degrades
+    * to the identity (empty heavy/small sets). */
+  private def sqlMaintainRound(i: Int, cPrev: String, aPrev: String,
+      hiNum: Int, hiDen: Int, loNum: Int, loDen: Int): String = s"""cnt$i AS (
+          SELECT cid, count(*) AS cnt FROM $aPrev GROUP BY cid),
+        bd$i AS (
+          SELECT CAST(((SELECT count(*) FROM $aPrev) + (SELECT count(*) FROM $cPrev) - 1)
+                      // (SELECT count(*) FROM $cPrev) AS BIGINT) AS t),
+        hv$i AS (
+          SELECT cid FROM cnt$i, bd$i
+          WHERE cnt * $hiDen > t * $hiNum AND cnt >= 3),
+        sm$i AS (
+          SELECT c.cid FROM $cPrev c
+          LEFT JOIN cnt$i ct ON ct.cid = c.cid
+          CROSS JOIN bd$i
+          WHERE coalesce(ct.cnt, 0) * $loDen < t * $loNum
+            AND c.cid NOT IN (SELECT cid FROM hv$i)),
+        sd$i AS (
+          SELECT parent, vec_id, ne FROM (
+            SELECT a.cid AS parent, a.vec_id, n.ne,
+                   row_number() OVER (PARTITION BY a.cid ORDER BY
+                     CAST(concat('0x', substr(md5(concat('split:', CAST(a.vec_id AS VARCHAR))),1,15)) AS BIGINT) ASC,
+                     a.vec_id ASC) AS rk
+            FROM $aPrev a JOIN hv$i h ON a.cid = h.cid
+            JOIN n ON n.vec_id = a.vec_id
+            WHERE a.vec_id <> a.cid)
+          WHERE rk <= 2),
+        c_m$i AS (
+          SELECT cid, ce FROM $cPrev
+          WHERE cid NOT IN (SELECT cid FROM hv$i)
+            AND cid NOT IN (SELECT cid FROM sm$i)
+          UNION ALL SELECT vec_id AS cid, ne AS ce FROM sd$i),
+        rs0$i AS (
+          SELECT a.vec_id, s.vec_id AS cid,
+                 list_sum(list_transform(range(1, len(n.ne)+1), x -> n.ne[x] * s.ne[x])) AS cos
+          FROM $aPrev a JOIN hv$i h ON a.cid = h.cid
+          JOIN n ON n.vec_id = a.vec_id
+          JOIN sd$i s ON s.parent = a.cid),
+        rs$i AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM rs0$i) WHERE rnk = 1),
+        rm0$i AS (
+          SELECT a.vec_id, c2.cid,
+                 list_sum(list_transform(range(1, len(n.ne)+1), x -> n.ne[x] * c2.ce[x])) AS cos
+          FROM $aPrev a JOIN sm$i smm ON a.cid = smm.cid
+          JOIN n ON n.vec_id = a.vec_id
+          CROSS JOIN c_m$i c2),
+        rm$i AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM rm0$i) WHERE rnk = 1),
+        a_m$i AS (
+          SELECT vec_id, cid FROM $aPrev
+          WHERE cid NOT IN (SELECT cid FROM hv$i)
+            AND cid NOT IN (SELECT cid FROM sm$i)
+          UNION ALL SELECT vec_id, cid FROM rs$i
+          UNION ALL SELECT vec_id, cid FROM rm$i)"""
+
+  /** e21's oracle: the e14 probe chain over a TWICE-MAINTAINED index —
+    * two generic policy rounds unrolled from the shared index CTEs,
+    * then probe selection against the final centroid set and the exact
+    * rescore over the final assignment. */
+  private[graft] val sqlIvfMaintainTop5: String = s"""
+        WITH $sqlIvfIndexCtes,
+        ${sqlMaintainRound(1, "c", "assign", E21HiNum, E21HiDen, E21LoNum, E21LoDen)},
+        ${sqlMaintainRound(2, "c_m1", "a_m1", E21HiNum, E21HiDen, E21LoNum, E21LoDen)},
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
+        qcf AS (
+          SELECT q.q_id, c2.cid,
+                 list_sum(list_transform(range(1, len(qe)+1), x -> qe[x] * ce[x])) AS cos
+          FROM q CROSS JOIN c_m2 c2),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qcf) WHERE rnk <= ${graft.ops.IvfIndex.NProbe}),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), x -> q.qe[x] * n.ne[x])) AS cos
+          FROM probes p
+          JOIN a_m2 a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        $sqlScoredTop5Tail"""
+
   /** e17's erasure predicate — the GDPR request applied to the index. */
   private[graft] val sqlErasedPred = "vec_id % 7 = 3"
 
@@ -987,6 +1092,39 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(sqlIvfMergeTop5)),
+
+    // E21: AUTOMATIC index maintenance — the policy pass over e19/e20's
+    // manual primitives (SPFresh's background maintainer): each sweep
+    // detects every cell outside an occupancy band from the persisted
+    // cellstats artifact (no scan), splits the heavies between their
+    // hash-minimal member seeds, re-homes the smalls' members to the
+    // nearest surviving centroid, and commits the WHOLE sweep behind one
+    // atomic centroid flip (staged gen+1 rows + fresh seed cids — a live
+    // prober sees exactly the pre- or post-sweep index). Two sweeps run
+    // here (bands tightened to exercise both actions on this corpus —
+    // see E21HiNum), matching the oracle's two generically-unrolled
+    // policy rounds; a converged sweep commits NOTHING, which is the
+    // idempotence IvfIndexSpec pins alongside convergence on a planted
+    // hot-cell corpus. Served from a cached derived twin like e17/e19.
+    "e21_ann_index_maintain" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.deriveTwin(s, d, "maintain-2sweep") { tmp =>
+          graft.ops.IvfIndex.maintain(s, tmp, E21HiNum, E21HiDen, E21LoNum, E21LoDen)
+          graft.ops.IvfIndex.maintain(s, tmp, E21HiNum, E21HiDen, E21LoNum, E21LoDen)
+        }
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfMaintainTop5)),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a
     // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,

@@ -637,10 +637,15 @@ object Streaming extends QueryGroup {
           // (VersionedTable.append guards exactly this — appends onto
           // deletion-vector heads are refused until compact())
           new graft.maint.VersionedTable(s, s"$tmp/cells").compact()
-          Streams.runBatchwise(
+          // appends KEY on the micro-batch id: a foreachBatch retry
+          // re-invokes the same id, and a blind append would double the
+          // batch — the history-checked idempotent form makes the
+          // replay a no-op (the exactly-once discipline st6 applies to
+          // MERGE, here applied to index maintenance)
+          Streams.runBatchwiseWithId(
             Streams.tableStream(s, d, "embeddings").filter(expr(StreamInPred))) {
-            batch =>
-              graft.ops.IvfIndex.append(s, tmp, batch)
+            (batch, bid) =>
+              graft.ops.IvfIndex.appendIdempotent(s, tmp, batch, bid.toString)
               batch.select(col("vec_id"))
           }
         }

@@ -107,14 +107,23 @@ object Streams {
     * construction.
     */
   def runBatchwise(df: DataFrame, outputMode: String = "append")(
-      body: DataFrame => DataFrame): DataFrame = {
+      body: DataFrame => DataFrame): DataFrame =
+    runBatchwiseWithId(df, outputMode)((batch, _) => body(batch))
+
+  /** [[runBatchwise]] with the micro-batch id exposed to the body — for
+    * sinks that key IDEMPOTENT commits on it (the foreachBatch
+    * exactly-once discipline: the engine may re-invoke a batch id after
+    * a failure, and the sink must make the replay a no-op — st18's
+    * index appends do, via IvfIndex.appendIdempotent). */
+  def runBatchwiseWithId(df: DataFrame, outputMode: String = "append")(
+      body: (DataFrame, Long) => DataFrame): DataFrame = {
     val out = scratchDir("graft_bw_").toString + "/out"
     val q = df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", scratchDir("graft_ck_").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        body(batch).write.mode("append").parquet(out)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        body(batch, bid).write.mode("append").parquet(out)
       }
       .start()
     q.awaitTermination()
@@ -125,7 +134,7 @@ object Streams {
     if (!Files.exists(java.nio.file.Paths.get(out))) {
       val s = df.sparkSession
       body(s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema))
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema), 0L)
     } else df.sparkSession.read.parquet(out)
   }
 

@@ -454,6 +454,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(ct.read(None).count() == baseIds.size + newIds.size)
   }
 
+  test("appendIdempotent: a replayed batch id commits once") {
+    // the foreachBatch retry contract: the engine may re-invoke a batch
+    // id after a failure — the keyed append must make the replay a
+    // strict no-op (no new version, no new rows), while a FRESH id
+    // appends normally
+    val root = IvfIndex.ensure(spark, writeCorpus(1L to 200L))
+    def batchOf(ids: Seq[Long]) = ids.map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val v1 = IvfIndex.appendIdempotent(spark, root, batchOf(501L to 520L), "b7")
+    val n1 = IvfIndex.cells(spark, root).count()
+    assert(IvfIndex.appendIdempotent(spark, root, batchOf(501L to 520L), "b7") == v1,
+      "a replayed batch key must return the existing commit, not re-append")
+    assert(IvfIndex.cells(spark, root).count() == n1,
+      "a replayed batch must not change the index")
+    val v2 = IvfIndex.appendIdempotent(spark, root, batchOf(521L to 530L), "b8")
+    assert(v2 > v1 && IvfIndex.cells(spark, root).count() == n1 + 10,
+      "a fresh batch key must append normally")
+  }
+
   test("filtered probe: label rides the index; the predicate pre-filters, never displaces matching neighbors") {
     val dir = writeCorpus(1L to 300L)
     val root = IvfIndex.ensure(spark, dir)
@@ -586,6 +605,76 @@ class IvfIndexSpec extends SparkSpec {
     assert(cellsT.read(Some(v0)).filter($"cid" === heavy).count()
         == parentMembers.size,
       "time travel must audit the pre-split index")
+  }
+
+  test("maintain converges on a separable hot cell and is idempotent once in band") {
+    // planted hot cell: 300 of 400 vectors cluster tightly around one
+    // base direction with per-id perturbations — SEPARABLE, unlike the
+    // exact duplicates no quantizer can spread (maintain's doc note;
+    // dedup is d1's job). Sampled ('cent:') ids keep their diverse
+    // vectors so the cluster lands on whichever existing centroids are
+    // nearest instead of minting near-parallel ones (the ScaleGen
+    // hot-twin rule).
+    val ids = 1L to 400L
+    import spark.implicits._
+    val emb0 = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val sampled = graft.queries.Embeddings.sqrtSample(emb0, emb0)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val base = vec(7L)
+    val dir = Files.createTempDirectory("graft_ivf_maint_").toString
+    ids.map { i =>
+      val v =
+        if (i <= 300 && !sampled(i))
+          base.zip(vec(i)).map { case (b, p) => b + 0.02f * p }
+        else vec(i)
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val root = IvfIndex.ensure(spark, dir)
+
+    def sizes(): Map[Long, Long] = IvfIndex.cells(spark, root)
+      .groupBy($"cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def kCents(): Long = IvfIndex.centroids(spark, root).count()
+    def band(): Long = {
+      val t = (400L + kCents() - 1) / kCents()
+      t * IvfIndex.MaintainHiNum / IvfIndex.MaintainHiDen
+    }
+    val before = IvfIndex.cells(spark, root).select($"vec_id", $"label")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sizes().values.max > band(),
+      s"the planted cluster must produce an out-of-band cell: ${sizes().values.max} vs ${band()}")
+
+    // loop sweeps to convergence (merges disabled, loNum = 0: the
+    // convergence claim is the hi band; the lo side is exercised by
+    // e21's oracle and the cellstats lifecycle spec)
+    var rounds = 0
+    var acted = true
+    while (acted && rounds < 10) {
+      val (s, m) = IvfIndex.maintain(spark, root,
+        IvfIndex.MaintainHiNum, IvfIndex.MaintainHiDen, 0, 1)
+      acted = s + m > 0
+      if (acted) rounds += 1
+    }
+    val fin = sizes()
+    assert(fin.values.max <= band(),
+      s"maintain must converge to no cell above band: max ${fin.values.max} vs ${band()} after $rounds sweeps")
+    info(s"converged in $rounds sweeps: max cell ${fin.values.max}, band ${band()}, k ${kCents()}")
+
+    // membership preserved, no duplicates, labels intact
+    val afterRows = IvfIndex.cells(spark, root).select($"vec_id", $"label")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(afterRows.distinct.size == afterRows.size,
+      "maintain must never duplicate a member")
+    assert(afterRows.toSet == before, "maintain must preserve the member set")
+
+    // idempotence: a converged index makes the sweep a strict no-op
+    val cellsV = new VersionedTable(spark, s"$root/cells").versions.max
+    assert(IvfIndex.maintain(spark, root,
+      IvfIndex.MaintainHiNum, IvfIndex.MaintainHiDen, 0, 1) == (0, 0),
+      "re-running maintain on a converged index must report zero actions")
+    assert(new VersionedTable(spark, s"$root/cells").versions.max == cellsV,
+      "a zero-action sweep must commit nothing")
   }
 
   test("cellstats artifact matches a recount after every lifecycle transition") {
