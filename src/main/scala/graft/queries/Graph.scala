@@ -69,6 +69,12 @@ object Graph extends QueryGroup {
     * at map construction — a later declaration reads 0). */
   private[graft] val ScoutCap = 64
 
+  /** gr5's edge-support floor: co-purchased in ≥ this many distinct
+    * orders — at 2 it already deletes the one-off co-occurrence tail
+    * that dominates basket data (before `defs`, like every
+    * oracle-interpolated constant). */
+  private[graft] val MinSupport = 2
+
   val defs: Map[String, QueryDef] = Map(
 
     // GR1: supplier purchase-graph centrality — PageRank (3 damped
@@ -285,21 +291,47 @@ object Graph extends QueryGroup {
     "gr4r_link_scout" -> QueryDef(
       build = (s, d) => linkPrediction(s, d, ScoutCap),
       bench = true,
-      oracle = Some(sqlLinkPrediction(ScoutCap)))
+      oracle = Some(sqlLinkPrediction(ScoutCap))),
+
+    // GR5: gr4's PRODUCTION variant — the support-thresholded edge set
+    // (SCALE.md's documented posture for the full-graph regime, now
+    // code): an edge exists only when two parts were co-purchased in at
+    // least [[MinSupport]] DISTINCT orders, which deletes the one-off
+    // co-occurrence noise a recommender shouldn't chase AND thins
+    // degree before any wedge forms — measured 1.2M → 3.6k edges at
+    // sf0.1 (≈335×), collapsing the Σ C(deg,2) wedge volume that makes
+    // the unthresholded gr4 un-benchable (43.8 s). Same RA pipeline
+    // downstream (full WedgeCap — the threshold IS the degree control
+    // here), threshold mirrored in the oracle's HAVING, and benched as
+    // the full-pipeline tripwire gr4r approximates by degree capping.
+    "gr5_link_prediction_supported" -> QueryDef(
+      build = (s, d) => linkPrediction(s, d, WedgeCap, MinSupport),
+      bench = true,
+      oracle = Some(sqlLinkPrediction(WedgeCap, MinSupport)))
   )
 
   /** The gr4 Resource-Allocation link-prediction pipeline with the wedge
-    * cap as a parameter — ONE definition for gr4 (cap = [[WedgeCap]])
-    * and the benched gr4r scout (cap = [[ScoutCap]]). */
+    * cap and the edge-support floor as parameters — ONE definition for
+    * gr4 (cap = [[WedgeCap]]), the benched gr4r scout (cap =
+    * [[ScoutCap]]), and gr5 (support ≥ [[MinSupport]]). At support 1
+    * the edge set stays the DISTINCT pair form (gr4/gr4r's original
+    * plan, byte-identical oracles); above 1 the pair former counts
+    * distinct co-purchasing orders and keeps only edges at the floor. */
   private[graft] def linkPrediction(s: org.apache.spark.sql.SparkSession,
-      d: String, cap: Int): org.apache.spark.sql.DataFrame = {
+      d: String, cap: Int,
+      minSupport: Int = 1): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val po = basketItems(s, d)
-        val e = po
+        val pairs = po
           .join(po.select(col("ok"), col("p").as("p2")), "ok")
           .filter(col("p") < col("p2"))
-          .select(col("p").as("a"), col("p2").as("b"))
-          .distinct()
+        val e = (if (minSupport <= 1)
+            pairs.select(col("p").as("a"), col("p2").as("b")).distinct()
+          else
+            pairs.groupBy(col("p").as("a"), col("p2").as("b"))
+              .agg(count(lit(1)).as("co"))
+              .filter(col("co") >= minSupport)
+              .select(col("a"), col("b")))
           // consumed by the undirected expansion AND the closing
           // anti-join — checkpoint once (the d4/e5 ReusedExchange lesson)
           .localCheckpoint(true)
@@ -342,13 +374,19 @@ object Graph extends QueryGroup {
             col("common_nbrs"), col("rn").cast("long").as("rn"))
   }
 
-  /** DuckDB twin of [[linkPrediction]], cap interpolated — the one
-    * oracle text gr4 and gr4r share. */
-  private def sqlLinkPrediction(cap: Int): String = s"""
+  /** DuckDB twin of [[linkPrediction]], cap and support floor
+    * interpolated — the one oracle text gr4, gr4r, and gr5 share (at
+    * support 1 the edge CTE keeps gr4's original DISTINCT text). */
+  private def sqlLinkPrediction(cap: Int, minSupport: Int = 1): String = s"""
         WITH $sqlPoCte,
-        e AS (
+        e AS (${
+    if (minSupport <= 1) """
           SELECT DISTINCT x.p AS a, y.p AS b
-          FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p),
+          FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p"""
+    else s"""
+          SELECT x.p AS a, y.p AS b
+          FROM po x JOIN po y ON x.ok = y.ok AND x.p < y.p
+          GROUP BY 1, 2 HAVING count(*) >= $minSupport"""}),
         und AS (
           SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
         deg AS (

@@ -631,19 +631,24 @@ object SqlAnalytics extends QueryGroup {
         ORDER BY s_name""")),
 
     // SQL14: the important-stock-identification shape (TPC-H Q11) — a
-    // grouped aggregate filtered against SCALAR subqueries over the SAME
+    // grouped aggregate filtered against a SCALAR subquery over the SAME
     // aggregation (suppliers whose regional revenue exceeds 1.02× the
     // mean supplier's share). The threshold is relative, so the query is
     // meaningful at every scale factor (Q11's literal fraction silently
     // empties as the supplier count grows — the classic Q11 trap).
-    // Catalyst must plan the threshold as one-row scalar subqueries
+    // Catalyst must plan the threshold as a one-row scalar subquery
     // computed ONCE (never per group, never a cartesian), with the CTE
-    // aggregate map-side combined and the nation filter pushed; all
-    // threshold arithmetic is in integer scale-4 units — the product
+    // aggregate map-side combined and the nation filter pushed. The
+    // per-supplier aggregate is in integer scale-4 units — the product
     // DECIMAL(18,2)×DECIMAL(3,2) has scale 4, so ×10000 is exactly
     // integral in both engines; a ×100 cents cast would ROUND the last
     // two digits and Spark/DuckDB disagree on the x.xx5 grid (measured:
-    // a few-cent drift per supplier at sf0.01).
+    // a few-cent drift per supplier at sf0.01). The threshold COMPARISON
+    // runs in DOUBLE (rev > 1.02 × avg): both sides are the same IEEE
+    // ops in both engines, and unlike the earlier
+    // rev·count·100 > 102·sum form nothing can overflow BIGINT at large
+    // scale factors — where non-ANSI Spark would wrap silently while
+    // DuckDB promotes to HUGEINT.
     "sql14_top_supplier_share" -> QueryDef(
       build = (s, d) => {
         register(s, d)
@@ -663,8 +668,8 @@ object SqlAnalytics extends QueryGroup {
             GROUP BY l_suppkey)
           SELECT l_suppkey, CAST(rev_units AS DOUBLE) / 10000.0 AS total_value
           FROM ss
-          WHERE rev_units * (SELECT count(*) FROM ss) * 100
-              > 102 * (SELECT sum(rev_units) FROM ss)
+          WHERE CAST(rev_units AS DOUBLE)
+              > 1.02 * (SELECT CAST(sum(rev_units) AS DOUBLE) / count(*) FROM ss)
           ORDER BY rev_units DESC, l_suppkey""")
       },
       oracle = Some("""
@@ -680,8 +685,8 @@ object SqlAnalytics extends QueryGroup {
           GROUP BY l_suppkey)
         SELECT l_suppkey, CAST(rev_units AS DOUBLE) / 10000.0 AS total_value
         FROM ss
-        WHERE rev_units * (SELECT count(*) FROM ss) * 100
-            > 102 * (SELECT sum(rev_units) FROM ss)
+        WHERE CAST(rev_units AS DOUBLE)
+            > 1.02 * (SELECT CAST(sum(rev_units) AS DOUBLE) / count(*) FROM ss)
         ORDER BY rev_units DESC, l_suppkey"""))
   )
 }
