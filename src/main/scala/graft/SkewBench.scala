@@ -51,6 +51,89 @@ object SkewBench {
   }
 }
 
+/** `graft.SkewProbe <uniformDir> <skewedDir>` — the maintenance
+  * measurements SCALE.md cites (round 13): per corpus, time (min-of-3,
+  * one session — the uniform/skewed RATIO is the metric) the e14-style
+  * exact probe and the e18-style filtered probe against (a) the base
+  * persisted index and (b) a post-maintain twin (DEFAULT bands, sweeps
+  * looped to convergence), and report the maintained index's cell
+  * spread — the evidence for "maintain() repairs the hot-cell probe
+  * penalty" and for whether e18's residual filtered-probe penalty
+  * survives the split remedy. */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    import graft.ops.IvfIndex
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // same forced-shuffle switch as SkewBench: the reducer-skew regime
+    // the maintenance remedies exist for
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // one untimed pass over BOTH corpora first: builds/derives the
+    // indexes and pays JIT warmup, so the first-timed corpus isn't
+    // penalized (the ratio is the metric — order effects would fake it)
+    def measure(dir: String, timed: Boolean): String = {
+      val base = IvfIndex.ensure(spark, dir)
+      var sweeps = 0
+      val maint = IvfIndex.deriveTwin(spark, dir, "maintained") { tmp =>
+        var acted = true
+        while (acted && sweeps < 10) {
+          val (s, m) = IvfIndex.maintain(spark, tmp)
+          acted = s + m > 0
+          if (acted) sweeps += 1
+        }
+      }
+      def q(root: String, filtered: Boolean) = {
+        val all = IvfIndex.cells(spark, root).filter(col("vec_id") % 10 === 0)
+        (if (filtered) all.filter(col("label") === 0) else all)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+      }
+      // e14's served tail (per-query top-5), not a raw candidate count —
+      // what a probe actually returns, and far less dominated by result
+      // materialization noise
+      def serve(root: String, filtered: Boolean): Long =
+        IvfIndex.probeCandidates(spark, root, q(root, filtered),
+            candWhere = if (filtered) Some("label = 1") else None)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .count()
+      def spread(root: String): (Int, Long, Double) = {
+        val sizes = IvfIndex.cells(spark, root).groupBy(col("cid")).count()
+          .select(col("count")).collect().map(_.getLong(0))
+        val mean = sizes.sum.toDouble / sizes.length
+        (sizes.length, sizes.max, sizes.max / mean)
+      }
+      // INTERLEAVED min-of-3: each round times all four targets in turn,
+      // so a within-session ramp hits every target equally instead of
+      // inflating whichever ran last
+      val targets = Seq(
+        "probe_base" -> (() => serve(base, filtered = false)),
+        "probe_maint" -> (() => serve(maint, filtered = false)),
+        "filtered_base" -> (() => serve(base, filtered = true)),
+        "filtered_maint" -> (() => serve(maint, filtered = true)))
+      val best = scala.collection.mutable.Map.empty[String, Double]
+      for (_ <- 1 to (if (timed) 3 else 1); (name, thunk) <- targets) {
+        System.gc()
+        val t0 = System.nanoTime(); thunk(); val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      }
+      val (probeBase, probeMaint) = (best("probe_base"), best("probe_maint"))
+      val (filtBase, filtMaint) = (best("filtered_base"), best("filtered_maint"))
+      val (kB, maxB, mB) = spread(base)
+      val (kM, maxM, mM) = spread(maint)
+      f""""$dir":{"sweeps":$sweeps,"cells_base":$kB,"max_base":$maxB,"max_over_mean_base":$mB%.1f,""" +
+        f""""cells_maint":$kM,"max_maint":$maxM,"max_over_mean_maint":$mM%.1f,""" +
+        f""""probe_base":$probeBase%.3f,"probe_maint":$probeMaint%.3f,""" +
+        f""""filtered_base":$filtBase%.3f,"filtered_maint":$filtMaint%.3f}"""
+    }
+    args.toSeq.foreach(measure(_, timed = false)) // warm pass
+    val out = args.toSeq.map(measure(_, timed = true))
+    println(out.mkString("{\"skewprobe\":{", ",", "}}"))
+    spark.stop()
+  }
+}
+
 /** `graft.SkewReport <dir>` — reports whether a corpus actually crosses
   * the engine's own skew thresholds: the evidence that the salted/capped
   * paths ENGAGE on it rather than stay dormant (PushdownSpec pins them
