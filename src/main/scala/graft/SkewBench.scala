@@ -71,18 +71,25 @@ object SkewProbe {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // one untimed pass over BOTH corpora first: builds/derives the
     // indexes and pays JIT warmup, so the first-timed corpus isn't
-    // penalized (the ratio is the metric — order effects would fake it)
+    // penalized (the ratio is the metric — order effects would fake it).
+    // Sweep counts are recorded when the twin body actually RUNS (the
+    // warm pass) and survive into the timed report, which hits the cache.
+    val sweepsByDir = scala.collection.mutable.Map.empty[String, Int]
     def measure(dir: String, timed: Boolean): String = {
       val base = IvfIndex.ensure(spark, dir)
-      var sweeps = 0
-      val maint = IvfIndex.deriveTwin(spark, dir, "maintained") { tmp =>
+      val maint = IvfIndex.deriveTwin(spark, dir,
+        s"maintained-${IvfIndex.MaintainHiNum}-${IvfIndex.MaintainHiDen}-" +
+          s"${IvfIndex.MaintainLoNum}-${IvfIndex.MaintainLoDen}") { tmp =>
         var acted = true
+        var sweeps = 0
         while (acted && sweeps < 10) {
           val (s, m) = IvfIndex.maintain(spark, tmp)
           acted = s + m > 0
           if (acted) sweeps += 1
         }
+        sweepsByDir(dir) = sweeps
       }
+      val sweeps = sweepsByDir.getOrElse(dir, -1) // -1: cached twin, body never ran this session
       def q(root: String, filtered: Boolean) = {
         val all = IvfIndex.cells(spark, root).filter(col("vec_id") % 10 === 0)
         (if (filtered) all.filter(col("label") === 0) else all)

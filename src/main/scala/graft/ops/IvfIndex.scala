@@ -538,6 +538,72 @@ object IvfIndex {
     else None
   }
 
+  /** Run `body` (a compact, a debris purge — anything that bumps the
+    * cells version WITHOUT changing its visible live rows) and carry
+    * the stats artifact across it: re-stamp the same counts at the new
+    * head, so detection stays O(metadata) instead of paying a recount
+    * per maintenance sweep. No-op when the artifact was already stale
+    * going in. */
+  private def withStatsCarried(spark: SparkSession, root: String)(
+      body: => Unit): Unit = {
+    val t = new VersionedTable(spark, s"$root/cells")
+    val keep = readCellStats(spark, root, t.latestVersion.getOrElse(0L))
+    body
+    keep.foreach(m => writeCellStats(spark, root, m, "ivf-stats-restamp"))
+  }
+
+  // ------------------------------------------------- restructuring WAL
+  // (split/merge/maintain stage rows that only a later commit makes
+  // reachable; a crash mid-sequence must not let a deterministic RETRY —
+  // which re-mints the SAME seed cids — publish both copies)
+
+  private def inflightMarker(root: String) =
+    Paths.get(root, "cells", "_restructure_inflight")
+
+  /** Begin a restructuring sequence: set the in-flight marker. The
+    * marker is the WAL "begin" record — its presence at the NEXT
+    * sequence's entry means a predecessor crashed mid-sequence and
+    * [[retireDebris]] must sweep before anything stages. */
+  private[graft] def beginRestructure(root: String): Unit = {
+    Files.createDirectories(inflightMarker(root).getParent)
+    try Files.createFile(inflightMarker(root))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  private[graft] def endRestructure(root: String): Unit =
+    Files.deleteIfExists(inflightMarker(root))
+
+  /** Retire everything a CRASHED restructuring sequence staged: cells
+    * rows above the published epoch (merge/maintain staging), cells
+    * rows under cids the centroid set does not know (split/maintain
+    * seed staging — all invisible, but a deterministic retry re-mints
+    * the same seed cids and its flip would publish BOTH copies), and
+    * groups rows for unknown cids (same retry-duplication hazard for
+    * the two-level probe). Runs only when the in-flight marker says a
+    * predecessor crashed — steady state costs a single Files.exists.
+    * Debris is invisible by definition, so the visible-row stats carry
+    * across the purge unchanged. */
+  private def retireDebris(spark: SparkSession, root: String): Unit = {
+    if (!Files.exists(inflightMarker(root))) return
+    val g = publishedGen(spark, root)
+    val known = centroids(spark, root).select(col("cid"))
+      .collect().map(_.getLong(0)).sorted.mkString(", ") // metadata-sized
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val cellsDebris = s"gen > $g OR cid NOT IN ($known)"
+    if (!cellsT.read().filter(expr(cellsDebris)).isEmpty)
+      withStatsCarried(spark, root) {
+        cellsT.deleteWhere(cellsDebris)
+        cellsT.compact()
+      }
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    val groupsDebris = s"cid NOT IN ($known)"
+    if (!groupsT.read().filter(expr(groupsDebris)).isEmpty) {
+      groupsT.deleteWhere(groupsDebris)
+      groupsT.compact()
+    }
+    endRestructure(root)
+  }
+
   def coarseLevel(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/coarse").read()
       .select(col("gid"), col("ge"))
@@ -730,6 +796,15 @@ object IvfIndex {
       "split would grow the centroid set past 4×MaxCentroids — the " +
         "metadata-sized probe-collect bound; merge under-occupied cells " +
         "or rebuild with a larger quantizer instead")
+    // entry guard (merge's rule): a crashed predecessor's staged rows
+    // must be retired first — a deterministic retry re-mints the SAME
+    // seed cids, and this split's flip would publish both copies. Then
+    // make the heads append-ready across a pending cleanup delete.
+    retireDebris(spark, root)
+    val cellsHead = new VersionedTable(spark, s"$root/cells")
+    if (cellsHead.headHasDeletes) withStatsCarried(spark, root)(cellsHead.compact())
+    val groupsHead = new VersionedTable(spark, s"$root/groups")
+    if (groupsHead.headHasDeletes) groupsHead.compact()
     val prior = cellRowCounts(spark, root) // stats delta base, pre-commit
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
@@ -772,6 +847,7 @@ object IvfIndex {
     // parent's group row and stale cells rows (already invisible).
     val g = publishedGen(spark, root)
     val cellsT = new VersionedTable(spark, s"$root/cells")
+    beginRestructure(root)
     cellsT.append(
       reassigned.join(members, "vec_id").join(codes, "vec_id")
         // the published epoch: these rows are invisible anyway (fresh
@@ -794,6 +870,7 @@ object IvfIndex {
       (prior - cid) ++ reassigned.groupBy(col("cid")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
       "ivf-split")
+    endRestructure(root)
     (seeds(0), seeds(1))
   }
 
@@ -820,6 +897,18 @@ object IvfIndex {
     * rows (a flip must never publish another sequence's orphans).
     * Returns the member count moved. */
   def merge(spark: SparkSession, root: String, cid: Long): Long = {
+    // crash-debris entry guard FIRST — before ANY state read (marker-
+    // gated; steady state one Files.exists): an INTERRUPTED
+    // restructuring's staged rows must be retired before this sequence
+    // reads members or stages its own, or a phantom row rides the
+    // checkpointed member frames into a legitimate staged commit and the
+    // flip publishes it (the recover-before-read WAL rule — the spec's
+    // planted-debris scenario caught exactly this). Then make the heads
+    // append-ready (a previous sequence's cleanup deletes owe a compact;
+    // the stats carry across it — visible rows don't change).
+    retireDebris(spark, root)
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    if (cellsT.headHasDeletes) withStatsCarried(spark, root)(cellsT.compact())
     val prior = cellRowCounts(spark, root) // stats delta base, pre-commit
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
@@ -838,17 +927,7 @@ object IvfIndex {
         reassigned, remaining)),
       codebook(spark, root))
     val g = publishedGen(spark, root)
-    val cellsT = new VersionedTable(spark, s"$root/cells")
-    // crash-debris entry guard: rows staged above the published epoch by
-    // an INTERRUPTED restructuring must be retired before this sequence
-    // stages its own — the flip below would otherwise publish another
-    // sequence's orphans. Steady state this is one stats-pruned probe
-    // (no file holds gen > g); the delete+compact runs only on the
-    // recovery path.
-    if (!cellsT.read().filter(col("gen") > g).isEmpty) {
-      cellsT.deleteWhere(s"gen > $g")
-      cellsT.compact()
-    }
+    beginRestructure(root)
     // (1) stage the re-homed rows at gen+1 — in LIVE cells but invisible
     // until the flip (the cells getter gates on the published epoch)
     cellsT.append(
@@ -876,6 +955,7 @@ object IvfIndex {
       (base.keySet ++ landed.keySet).iterator.map(c =>
         c -> (base.getOrElse(c, 0L) + landed.getOrElse(c, 0L))).toMap,
       "ivf-merge")
+    endRestructure(root)
     members.count()
   }
 
@@ -922,18 +1002,17 @@ object IvfIndex {
       "maintain bands must be positive rationals (loNum 0 disables merges)")
     val cellsT = new VersionedTable(spark, s"$root/cells")
     val groupsT = new VersionedTable(spark, s"$root/groups")
-    // sweep entry: materialize pending cleanup deletes on BOTH appended
-    // tables (this sweep appends; a deletion-vector head refuses
-    // appends), then retire any crash debris staged above the published
-    // epoch — the flip below must never publish another sequence's
-    // orphans
-    if (cellsT.headHasDeletes) cellsT.compact()
+    // sweep entry: retire a crashed predecessor's staged debris
+    // (marker-gated — the flip below must never publish another
+    // sequence's orphans), then materialize pending cleanup deletes on
+    // BOTH appended tables (this sweep appends; a deletion-vector head
+    // refuses appends). The stats artifact CARRIES across the compact —
+    // visible rows don't change — so every converging sweep's detection
+    // stays O(metadata) instead of paying a recount per sweep.
+    retireDebris(spark, root)
+    if (cellsT.headHasDeletes) withStatsCarried(spark, root)(cellsT.compact())
     if (groupsT.headHasDeletes) groupsT.compact()
     val g = publishedGen(spark, root)
-    if (!cellsT.read().filter(col("gen") > g).isEmpty) {
-      cellsT.deleteWhere(s"gen > $g")
-      cellsT.compact()
-    }
     val prior = cellRowCounts(spark, root)
     val centIds = centroids(spark, root).select(col("cid"))
       .collect().map(_.getLong(0)).toSeq.sorted
@@ -1018,6 +1097,7 @@ object IvfIndex {
     // unreachable by fresh cid; (2) seed group rows — unreachable, their
     // cids are not in centroids yet; (3) THE FLIP; (4) cleanup deletes;
     // (5) the stats artifact
+    beginRestructure(root)
     cellsT.append(
       movedAssign.join(movedMembers, "vec_id").join(movedCodes, "vec_id")
         .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
@@ -1038,6 +1118,7 @@ object IvfIndex {
       (base.keySet ++ movedCounts.keySet).iterator.map(c =>
         c -> (base.getOrElse(c, 0L) + movedCounts.getOrElse(c, 0L))).toMap,
       "ivf-maintain")
+    endRestructure(root)
     (heavy.size, small.size)
   }
 
@@ -1120,36 +1201,43 @@ object IvfIndex {
     if (cids.length > InPruneMaxCells) None else Some(cids)
   }
 
-  /** The probes ⋈ lists join PAST the driver-side IN bound — the regime
-    * a ≥10³-cell index (e15's two-level territory) serves from: prune
-    * with a broadcast LEFT-SEMI of the distinct probed cids against the
-    * lists scan (≤ |Q|·nProbe ids — far smaller than the lists, and
-    * never collected to the driver), then the plain equi-join.
-    * Row-group skipping is traded away (no pushed IN list), but every
-    * non-probed cell's rows die at the semi join before any exchange.
-    * Driver-side hot-cell salting is skipped here deliberately: in this
-    * regime per-cell loads SHRINK as the cell count grows (N/k_cent
-    * falls), and the shuffled join's residual skew is AQE skew-join
-    * territory — the detection arithmetic would cost a collect this
-    * path exists to avoid. */
-  private def joinProbesCellsManyCell(probes: DataFrame,
-      lists: DataFrame): DataFrame = {
-    val pruned = lists.join(
-      broadcast(probes.select(col("cid")).distinct()), Seq("cid"), "left_semi")
-    probes.join(pruned, "cid")
-  }
+  /** THE probed-cell prune, regime-matched — the one definition every
+    * probe tail and every pruned index scan applies (a drifting copy
+    * here would silently split the "hash-identical regimes" spec):
+    * pushed `cid IN (...)` while the probed set is metadata-sized; past
+    * the bound, a broadcast LEFT-SEMI of the distinct probed cids
+    * (≤ |Q|·nProbe ids — far smaller than the lists, never collected to
+    * the driver). Row-group skipping is traded away in the many-cell
+    * regime, but every non-probed cell's rows die at the semi join
+    * before any exchange. Returns a FUNCTION so one probe invocation's
+    * prune applies to several scans (the PQ serve prunes its codes scan
+    * AND its re-rank scan) sharing ONE distinct-cids frame. */
+  private def cidPruner(probes: DataFrame,
+      counts: Option[Seq[(Long, Long)]]): DataFrame => DataFrame =
+    counts match {
+      case Some(cs) =>
+        val cids = cs.map(_._1)
+        df => df.filter(col("cid").isin(cids: _*))
+      case None =>
+        val probeCids = probes.select(col("cid")).distinct()
+        df => df.join(broadcast(probeCids), Seq("cid"), "left_semi")
+    }
 
   /** Regime router for every probe tail: IN-prune + hot-cell salting
     * while the probed set is metadata-sized ([[probedCidCounts]] =
-    * Some), LEFT-SEMI prune past it (None). */
+    * Some), LEFT-SEMI prune + plain equi-join past it (None).
+    * Driver-side hot-cell salting is skipped in the many-cell regime
+    * deliberately: per-cell loads SHRINK as the cell count grows
+    * (N/k_cent falls), and the shuffled join's residual skew is AQE
+    * skew-join territory — the detection arithmetic would cost a
+    * collect this regime exists to avoid. */
   private def probeJoin(spark: SparkSession, root: String,
       probes: DataFrame, lists: DataFrame,
-      counts: Option[Seq[(Long, Long)]]): DataFrame =
+      counts: Option[Seq[(Long, Long)]],
+      prune: DataFrame => DataFrame): DataFrame =
     counts match {
-      case Some(cs) =>
-        joinProbesCells(spark, root, probes, cs,
-          lists.filter(col("cid").isin(cs.map(_._1): _*)))
-      case None => joinProbesCellsManyCell(probes, lists)
+      case Some(cs) => joinProbesCells(spark, root, probes, cs, prune(lists))
+      case None => probes.join(prune(lists), "cid")
     }
 
   /** Per-cell LIVE row counts for one committed version of an index's
@@ -1274,7 +1362,8 @@ object IvfIndex {
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val lists = candWhere.foldLeft(cells(spark, root))(
       (c, w) => c.filter(expr(w)))
-    probeJoin(spark, root, probes, lists, probedCidCounts(probes))
+    val counts = probedCidCounts(probes)
+    probeJoin(spark, root, probes, lists, counts, cidPruner(probes, counts))
       .filter(col("vec_id") =!= col("q_id"))
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -1309,18 +1398,13 @@ object IvfIndex {
     val probes = probeSelectScored(q, centroids(spark, root), nProbe)
       .localCheckpoint(true) // consumed by the cid collect AND the join
     val counts = probedCidCounts(probes)
-    // the probed-cell prune, regime-matched, applied to BOTH index scans
-    // (the ADC codes pass and the full-precision re-rank): pushed IN
-    // while metadata-sized, broadcast left-semi past it
-    def prunedByCid(df: DataFrame): DataFrame = counts match {
-      case Some(cs) => df.filter(col("cid").isin(cs.map(_._1): _*))
-      case None => df.join(
-        broadcast(probes.select(col("cid")).distinct()), Seq("cid"), "left_semi")
-    }
+    // ONE regime-matched prune shared by both index scans (the ADC
+    // codes pass and the full-precision re-rank)
+    val prune = cidPruner(probes, counts)
     val qsub = subspacesOf(q.select(col("q_id").as("vec_id"), col("q_ne").as("ne")))
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
     val lut = queryLut(qsub, codebook(spark, root))
-    val short = probeJoin(spark, root, probes, cellCodes(spark, root), counts)
+    val short = probeJoin(spark, root, probes, cellCodes(spark, root), counts, prune)
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -1331,7 +1415,7 @@ object IvfIndex {
     // the shortlist's vectors all come from probed cells, so the
     // full-precision scan gets the same cell prune as the ADC scan
     broadcast(short)
-      .join(prunedByCid(cells(spark, root))
+      .join(prune(cells(spark, root))
         .select(col("vec_id"), col("ne")), "vec_id")
       .join(q, "q_id")
       .select(col("q_id"), col("vec_id"),

@@ -1108,7 +1108,10 @@ object Embeddings extends QueryGroup {
     // hot-cell corpus. Served from a cached derived twin like e17/e19.
     "e21_ann_index_maintain" -> QueryDef(
       build = (s, d) => {
-        val root = graft.ops.IvfIndex.deriveTwin(s, d, "maintain-2sweep") { tmp =>
+        // the band constants are INPUTS of the twin body — key them
+        // (deriveTwin's contract: a cache hit skips the body entirely)
+        val root = graft.ops.IvfIndex.deriveTwin(s, d,
+          s"maintain-2sweep-$E21HiNum-$E21HiDen-$E21LoNum-$E21LoDen") { tmp =>
           graft.ops.IvfIndex.maintain(s, tmp, E21HiNum, E21HiDen, E21LoNum, E21LoDen)
           graft.ops.IvfIndex.maintain(s, tmp, E21HiNum, E21HiDen, E21LoNum, E21LoDen)
         }

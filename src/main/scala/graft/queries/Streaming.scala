@@ -637,15 +637,17 @@ object Streaming extends QueryGroup {
           // (VersionedTable.append guards exactly this — appends onto
           // deletion-vector heads are refused until compact())
           new graft.maint.VersionedTable(s, s"$tmp/cells").compact()
-          // appends KEY on the micro-batch id: a foreachBatch retry
-          // re-invokes the same id, and a blind append would double the
-          // batch — the history-checked idempotent form makes the
-          // replay a no-op (the exactly-once discipline st6 applies to
-          // MERGE, here applied to index maintenance)
+          // appends KEY on the (checkpoint, micro-batch) commit key: a
+          // foreachBatch retry re-invokes the same key, and a blind
+          // append would double the batch — the history-checked
+          // idempotent form makes the replay a no-op (the exactly-once
+          // discipline st6 applies to MERGE, here applied to index
+          // maintenance); a FRESH ingest run gets fresh keys, so its
+          // batches are never mistaken for a replay
           Streams.runBatchwiseWithId(
             Streams.tableStream(s, d, "embeddings").filter(expr(StreamInPred))) {
-            (batch, bid) =>
-              graft.ops.IvfIndex.appendIdempotent(s, tmp, batch, bid.toString)
+            (batch, key) =>
+              graft.ops.IvfIndex.appendIdempotent(s, tmp, batch, key)
               batch.select(col("vec_id"))
           }
         }

@@ -110,20 +110,27 @@ object Streams {
       body: DataFrame => DataFrame): DataFrame =
     runBatchwiseWithId(df, outputMode)((batch, _) => body(batch))
 
-  /** [[runBatchwise]] with the micro-batch id exposed to the body — for
-    * sinks that key IDEMPOTENT commits on it (the foreachBatch
-    * exactly-once discipline: the engine may re-invoke a batch id after
-    * a failure, and the sink must make the replay a no-op — st18's
-    * index appends do, via IvfIndex.appendIdempotent). */
+  /** [[runBatchwise]] with a per-batch COMMIT KEY exposed to the body —
+    * for sinks keying IDEMPOTENT commits (the foreachBatch exactly-once
+    * discipline: the engine may re-invoke a batch id after a failure,
+    * and the sink must make the replay a no-op — st18's index appends
+    * do, via IvfIndex.appendIdempotent). The key is the CHECKPOINT's
+    * identity plus the micro-batch id, not the bare id: batch ids
+    * restart at 0 for every fresh checkpoint, so a bare-id key would
+    * make a second ingest run silently skip all of its batches as
+    * "already committed", while a genuine retry (same checkpoint, same
+    * id) still deduplicates. */
   def runBatchwiseWithId(df: DataFrame, outputMode: String = "append")(
-      body: (DataFrame, Long) => DataFrame): DataFrame = {
+      body: (DataFrame, String) => DataFrame): DataFrame = {
     val out = scratchDir("graft_bw_").toString + "/out"
+    val ck = scratchDir("graft_ck_")
+    val runKey = ck.getFileName.toString.stripPrefix("graft_ck_")
     val q = df.writeStream
       .outputMode(outputMode)
-      .option("checkpointLocation", scratchDir("graft_ck_").toString)
+      .option("checkpointLocation", ck.toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        body(batch, bid).write.mode("append").parquet(out)
+        body(batch, s"$runKey:$bid").write.mode("append").parquet(out)
       }
       .start()
     q.awaitTermination()
@@ -134,7 +141,8 @@ object Streams {
     if (!Files.exists(java.nio.file.Paths.get(out))) {
       val s = df.sparkSession
       body(s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema), 0L)
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema),
+        s"$runKey:empty")
     } else df.sparkSession.read.parquet(out)
   }
 

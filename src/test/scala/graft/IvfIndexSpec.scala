@@ -769,33 +769,51 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("a flip never publishes another sequence's crash debris") {
-    // orphaned gen+1 rows from an interrupted restructuring must be
-    // retired by the next merge's entry guard, not silently published by
-    // its flip
+    // simulate a crash mid-sequence exactly as a real one happens: the
+    // in-flight marker is set (the WAL 'begin') and staged rows of
+    // EVERY debris class are on the heads — a gen+1 copy of a live row
+    // (merge/maintain staging), a fresh-cid copy (split/maintain seed
+    // staging, the class a deterministic same-seed retry would
+    // duplicate), and an orphan groups row. The next restructuring's
+    // entry guard must retire all three before its flip.
     val root = IvfIndex.ensure(spark, writeCorpus(1L to 300L))
     val cellsT = new VersionedTable(spark, s"$root/cells")
+    val groupsT = new VersionedTable(spark, s"$root/groups")
     val g = IvfIndex.publishedGen(spark, root)
-    // plant debris: a duplicate of an existing live row, staged at gen+1
-    // (what a crashed merge leaves behind)
-    val debris = cellsT.read().limit(1)
-      .withColumn("gen", lit(g + 1))
-      .withColumn("vec_id", $"vec_id") // schema order preserved
-    cellsT.append(debris, "ivf-merge")
-    val planted = cellsT.read().filter($"gen" > g).count()
-    assert(planted == 1, "debris must be staged invisible")
+    IvfIndex.beginRestructure(root)
+    val phantomCid = 999999L
+    cellsT.append(cellsT.read().limit(1)
+      .withColumn("gen", lit(g + 1)), "ivf-merge")
+    cellsT.append(cellsT.read().limit(1)
+      .withColumn("cid", lit(phantomCid)), "ivf-split")
+    groupsT.append(groupsT.read().limit(1)
+      .withColumn("cid", lit(phantomCid)), "ivf-split")
+    assert(cellsT.read().filter($"gen" > g || $"cid" === phantomCid).count() == 2,
+      "debris must be staged invisible")
 
+    // merge a REAL small cell (excluding the planted phantom, which the
+    // guard is about to retire — picking IT would merge nothing)
     val small = IvfIndex.cells(spark, root).select($"cid", $"vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 != phantomCid)
       .groupBy(_._1).view.mapValues(_.length).toSeq
       .sortBy { case (c, n) => (n, c) }.head._1
     IvfIndex.merge(spark, root, small)
 
-    // post-flip: the published epoch advanced, but the planted duplicate
-    // must NOT have ridden it live — no vec_id appears twice
+    // post-flip: the published epoch advanced, but no planted duplicate
+    // rode it live, the phantom cell is gone everywhere, and the marker
+    // was consumed
     val vis = IvfIndex.cells(spark, root).select($"vec_id")
       .collect().map(_.getLong(0)).toSeq
     assert(vis.distinct.size == vis.size,
       "the entry guard must retire crash debris before the flip publishes gen+1")
+    assert(cellsT.read().filter($"cid" === phantomCid).count() == 0,
+      "fresh-cid cells debris must be physically retired")
+    assert(groupsT.read().filter($"cid" === phantomCid).count() == 0,
+      "orphan groups debris must be physically retired")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "cells", "_restructure_inflight")),
+      "a completed sequence must consume the in-flight marker")
   }
 
   test("cell merge: members re-assign to nearest remaining centroids, parent retired, history audits it") {

@@ -119,6 +119,12 @@ def type_gate(name, duck_types, arrow_types):
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # heavy oracles (e21's two maintenance rounds over a 10x corpus) can
+    # exceed DuckDB's conservative default memory budget and spill tens of
+    # GB; give it the box's RAM and keep any residual spill out of the
+    # repo cwd (default temp dir is ./.tmp)
+    con.sql("SET memory_limit='96GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata tables are single files; ScaleGen corpora are
         # Spark-written DIRECTORIES of part files — glob those
