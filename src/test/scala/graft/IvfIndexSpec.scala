@@ -677,6 +677,66 @@ class IvfIndexSpec extends SparkSpec {
       "a zero-action sweep must commit nothing")
   }
 
+  test("maintain invariants hold after EVERY sweep on varied corpora: membership, no duplicates, reachability, stats parity") {
+    // property-style: three corpus shapes (uniform, half-clustered,
+    // two-cluster) — after every single sweep, not just at convergence,
+    // the index must serve exactly the original member set (no loss, no
+    // duplicate), every stored row must sit in a probeable cell, and
+    // the stats artifact must match a recount. Convergence + strict
+    // idempotence are asserted at the end of each loop.
+    import spark.implicits._
+    val shapes: Seq[(String, Long => Seq[Float])] = Seq(
+      ("uniform", i => vec(i)),
+      ("half-clustered", i =>
+        if (i % 2 == 0) vec(7L).zip(vec(i)).map { case (b, p) => b + 0.05f * p }
+        else vec(i)),
+      ("two-cluster", i =>
+        if (i % 3 == 0) vec(11L).zip(vec(i)).map { case (b, p) => b + 0.03f * p }
+        else if (i % 3 == 1) vec(13L).zip(vec(i)).map { case (b, p) => b + 0.03f * p }
+        else vec(i)))
+    for ((tag, gen) <- shapes) {
+      val ids = 1L to 360L
+      val dir = Files.createTempDirectory(s"graft_ivf_prop_").toString
+      ids.map(i => (i, gen(i), (i % 3).toInt))
+        .toDF("vec_id", "embedding", "label").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val root = IvfIndex.ensure(spark, dir)
+      val want = ids.map(i => (i, (i % 3).toInt)).toSet
+      def invariants(sweep: Int): Unit = {
+        val rows = IvfIndex.cells(spark, root).select($"cid", $"vec_id", $"label")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        assert(rows.map(_._2).distinct.size == rows.size,
+          s"$tag sweep $sweep: duplicate member served")
+        assert(rows.map(t => (t._2, t._3)).toSet == want,
+          s"$tag sweep $sweep: member set changed")
+        val cents = IvfIndex.centroids(spark, root).select($"cid")
+          .collect().map(_.getLong(0)).toSet
+        assert(rows.forall(t => cents(t._1)),
+          s"$tag sweep $sweep: a stored row sits in an unprobeable cell")
+        val stats = new VersionedTable(spark, s"$root/cellstats").read()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val counted = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val keys = stats.keySet ++ counted.keySet
+        assert(keys.forall(c => stats.getOrElse(c, 0L) == counted.getOrElse(c, 0L)),
+          s"$tag sweep $sweep: stats artifact diverged from a recount")
+      }
+      invariants(0)
+      var sweeps = 0
+      var acted = true
+      while (acted && sweeps < 12) {
+        val (s, m) = IvfIndex.maintain(spark, root)
+        acted = s + m > 0
+        if (acted) { sweeps += 1; invariants(sweeps) }
+      }
+      assert(!acted, s"$tag: maintain must converge within 12 sweeps")
+      val v = new VersionedTable(spark, s"$root/cells").versions.max
+      assert(IvfIndex.maintain(spark, root) == (0, 0)
+          && new VersionedTable(spark, s"$root/cells").versions.max == v,
+        s"$tag: a converged index must make the sweep a strict no-op")
+      info(s"$tag: converged in $sweeps sweeps")
+    }
+  }
+
   test("cellstats artifact matches a recount after every lifecycle transition") {
     // the persisted per-cell load stats: every lifecycle commit maintains
     // them as an O(change) delta, stamped with the cells head version —
