@@ -50,4 +50,34 @@ object SparkEntry {
   /** Headline queries timed by Bench at sf0.1. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.collect { case (name, qd) if qd.bench => name -> qd.build }
+
+  /** The FROZEN headline subset (round 14): cross-round performance
+    * comparisons use ONLY this set, measured FIRST in every bench
+    * session in this exact order. The full bench set keeps growing with
+    * coverage (22 → 42 queries over rounds 6–13), which made full-suite
+    * totals conflate suite growth with engine cost (48.4 → 65.6 s while
+    * per-query code got faster) — the fix is a fixed basket, like any
+    * price index. One entry per family: aggregation, wide join, window,
+    * SQL-door TPC-H, exact/LSH/PPJoin/SemDeDup dedup, live + persisted +
+    * PQ ANN, MMR re-rank, chunk dedup, hybrid retrieval, graph,
+    * streaming state. DO NOT add, remove, or reorder entries — a new
+    * flagship operator earns a new basket only alongside a documented
+    * re-base of every cross-round series in SCALE.md. */
+  val headlineQueries: Seq[String] = Seq(
+    "a1_customer_order_profile",
+    "a4_multidim_revenue",
+    "j1_customer_360",
+    "w8_rank_top_parts",
+    "sql4_local_supplier_volume",
+    "d3_lsh_candidate_pairs",
+    "d4_jaccard_pairs",
+    "d8_semdedup",
+    "e1_cosine_topk",
+    "e13_mmr_rerank",
+    "e14_ann_ivf_persisted",
+    "e16_ann_ivfpq_persisted",
+    "t12_chunk_dedup",
+    "t30_hybrid_ann_rrf",
+    "gr2_copurchase_triangles",
+    "st9_stateful_sessionize")
 }

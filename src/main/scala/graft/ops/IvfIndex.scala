@@ -586,8 +586,14 @@ object IvfIndex {
   private def retireDebris(spark: SparkSession, root: String): Unit = {
     if (!Files.exists(inflightMarker(root))) return
     val g = publishedGen(spark, root)
-    val known = centroids(spark, root).select(col("cid"))
-      .collect().map(_.getLong(0)).sorted.mkString(", ") // metadata-sized
+    val knownIds = centroids(spark, root).select(col("cid"))
+      .collect().map(_.getLong(0)).sorted // metadata-sized
+    // a built index always has centroids; an empty list would interpolate
+    // to `cid NOT IN ()` — a parse error, not a clean contract failure
+    require(knownIds.nonEmpty,
+      s"retireDebris($root): centroid table is empty — debris retirement " +
+        "only runs against a built index (mirrors maintain()'s invariant)")
+    val known = knownIds.mkString(", ")
     val cellsT = new VersionedTable(spark, s"$root/cells")
     val cellsDebris = s"gen > $g OR cid NOT IN ($known)"
     if (!cellsT.read().filter(expr(cellsDebris)).isEmpty)
@@ -623,7 +629,18 @@ object IvfIndex {
     * the head never see erased rows (read() applies the stored
     * anti-predicates); time travel still audits pre-erasure versions
     * until a `compact()` materializes the deletes physically — run it to
-    * hard-delete (IvfIndexSpec proves both layers). */
+    * hard-delete (IvfIndexSpec proves both layers).
+    *
+    * Contract: `condition` must be DETERMINISTIC and the caller must be
+    * the index's single writer for the duration of the call. The stats
+    * delta is counted by a pre-commit scan of the live view and the
+    * artifact is stamped with the post-delete head version — a
+    * non-deterministic predicate, or a concurrent commit landing between
+    * the counting scan and deleteWhere, would record counts that
+    * disagree with the rows actually removed, and the matching version
+    * stamp means the recount fallback never catches it. Single-writer is
+    * the index's global restructuring discipline (same as maintain()),
+    * so this costs nothing new; it is load-bearing HERE specifically. */
   def delete(spark: SparkSession, root: String, condition: String): Long = {
     // stats delta BEFORE the commit: per-cell counts of the LIVE rows
     // the predicate erases (one predicate-pruned scan — the delete's own

@@ -1683,11 +1683,19 @@ object Embeddings extends QueryGroup {
     // Scale: the corpus appears ONLY as two streams — the e1-shaped
     // scoring pass (broadcast queries, map-side BoundedTopK) and one
     // enrich pass probing the broadcast |Q|·20 shortlist (never a
-    // corpus shuffle or corpus broadcast); every greedy round runs on
-    // |Q|·20 rows — workload-sized, not corpus-sized — with the
-    // enriched shortlist, the |Q|·20·19 sim table (each symmetric sim
-    // computed once on a < b, mirrored), and each round's picks
-    // checkpointed once (they are probed repeatedly across rounds).
+    // corpus shuffle or corpus broadcast). The greedy rounds then run
+    // INSIDE one row-local higher-order expression over the per-query
+    // collected shortlist (a 20-element array, ~10 KB/row): all five
+    // picks, including the pairwise max-sim terms, are computed in a
+    // single distributed pass with zero extra jobs. This replaced the
+    // round-9..13 shape (per-round DataFrame join + window + eager
+    // localCheckpoint = ~20 sequential ~80 ms scheduler rounds, 5.6 s
+    // at sf0.1 dominated by job launch, and a checkpointed |Q|·20·19
+    // sim table that was pure overhead). Sims are computed lazily per
+    // round — greedy MMR only ever needs sim(candidate, picked), ≤
+    // 20·(1+2+3+4) dots per query vs the 190 the materialized table
+    // paid — and the per-query state is O(k·dim), so the operator
+    // scales with the WORKLOAD (|Q|) while the corpus cost stays e1's.
     "e13_mmr_rerank" -> QueryDef(
       build = (s, d) => {
         val vn = Tables.embeddings(s, d)
@@ -1712,54 +1720,52 @@ object Embeddings extends QueryGroup {
             floor(col("c.score") * 1000000).cast("long").as("rel"))
         // ONE corpus pass enriches the |Q|·20 shortlist with its vectors:
         // the corpus streams against the broadcast shortlist probe (never
-        // a corpus shuffle or corpus broadcast), and the checkpointed
-        // result is workload-sized — everything downstream is |Q|·20.
+        // a corpus shuffle or corpus broadcast) — everything downstream
+        // is |Q|·20, collected to one ~10 KB array row per query.
         val shortV = vn.select(col("vec_id"), col("ne"))
           .join(broadcast(short), "vec_id")
-          .localCheckpoint(true) // pair self-join ×2 + every greedy round
-        // each symmetric sim computed ONCE on a < b, then mirrored —
-        // vec_dot's sequential fold gives the identical double either
-        // way. The CHECKPOINT sits on `half`, before the mirror union:
-        // Spark does no cross-branch CSE, so unioning two projections of
-        // the un-materialized subplan would re-run the self-join and
-        // every vec_dot kernel once per branch (the claimed halving
-        // would be physical fiction); the union of two projections of
-        // the materialized RDD is free per greedy-round consumer.
-        val half = shortV.select(col("q_id"), col("vec_id").as("a"), col("ne").as("nea"))
-          .join(shortV.select(col("q_id"), col("vec_id").as("b"), col("ne").as("neb")), "q_id")
-          .filter(col("a") < col("b"))
-          .select(col("q_id"), col("a"), col("b"),
-            floor(call_function("vec_dot", col("nea"), col("neb")) * 1000000)
-              .cast("long").as("sim"))
-          .localCheckpoint(true)
-        val pairs = half.unionByName(
-          half.select(col("q_id"), col("b").as("a"), col("a").as("b"), col("sim")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))
-        val cands = shortV.select(col("q_id"), col("vec_id"), col("rel"))
-        var picks = cands
-          .withColumn("mmr", lit(70L) * col("rel"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("q_id"), col("vec_id"), lit(1L).as("pick_rank"), col("mmr"))
-        for (t <- 2 to 5) {
-          val ms = pairs
-            .join(picks.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
-            .groupBy(col("q_id"), col("a"))
-            .agg(max(col("sim")).as("msim"))
-            .select(col("q_id"), col("a").as("vec_id"), col("msim"))
-          val scored = cands
-            .join(picks.select(col("q_id"), col("vec_id")),
-              Seq("q_id", "vec_id"), "left_anti")
-            .join(ms, Seq("q_id", "vec_id"))
-            .withColumn("mmr", lit(70L) * col("rel") - lit(30L) * col("msim"))
-          picks = picks.unionByName(
-            scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-              .select(col("q_id"), col("vec_id"),
-                lit(t.toLong).as("pick_rank"), col("mmr")))
-            .localCheckpoint(true)
-        }
-        picks
+        val grouped = shortV.groupBy(col("q_id"))
+          .agg(collect_list(struct(col("vec_id"), col("rel"), col("ne"))).as("cs"))
+        // All five greedy rounds as one row-local expression. Exactness
+        // contract with the oracle: sims are vec_dot (sequential fold ≡
+        // DuckDB list_sum) floor-scaled to micro-cos BIGINTs, mmr is pure
+        // integer arithmetic (70·rel − 30·max_sim), and the argmax folds
+        // left-to-right with the total (mmr DESC, vec_id ASC) order — the
+        // same pick the old per-round row_number window produced. A round
+        // with no remaining candidates contributes NULL, filtered before
+        // append, and later rounds keep their own rank t (the old loop's
+        // literal-t semantics). max-sim starts at Long.MinValue: for t≥2
+        // the picked set is non-empty, so greatest() always sees ≥1 real
+        // sim before the candidate's mmr forms.
+        val pickT = "STRUCT<vec_id: BIGINT, pick_rank: BIGINT, mmr: BIGINT, ne: ARRAY<DOUBLE>>"
+        def argmax(xs: String) = s"""
+          aggregate($xs, CAST(NULL AS $pickT),
+            (b, s) -> CASE WHEN b IS NULL OR s.mmr > b.mmr
+                            OR (s.mmr = b.mmr AND s.vec_id < b.vec_id)
+                       THEN s ELSE b END)"""
+        val round1 = argmax(s"""
+          transform(cs, c -> named_struct(
+            'vec_id', c.vec_id, 'pick_rank', CAST(1 AS BIGINT),
+            'mmr', 70 * c.rel, 'ne', c.ne))""")
+        val roundT = argmax(s"""
+          transform(
+            filter(cs, c -> NOT exists(acc, p -> p.vec_id = c.vec_id)),
+            c -> named_struct(
+              'vec_id', c.vec_id, 'pick_rank', CAST(t AS BIGINT),
+              'mmr', 70 * c.rel - 30 * aggregate(acc,
+                CAST(-9223372036854775808 AS BIGINT),
+                (m, p) -> greatest(m,
+                  CAST(floor(vec_dot(c.ne, p.ne) * 1000000) AS BIGINT))),
+              'ne', c.ne))""")
+        grouped
+          .withColumn("picks", expr(s"""
+            aggregate(sequence(2, 5),
+              filter(array($round1), x -> x IS NOT NULL),
+              (acc, t) -> concat(acc,
+                filter(array($roundT), x -> x IS NOT NULL)))"""))
+          .select(col("q_id"), explode(col("picks")).as("p"))
+          .select(col("q_id"), col("p.vec_id").as("vec_id"),
+            col("p.pick_rank").as("pick_rank"), col("p.mmr").as("mmr"))
       },
       // benched since round 9: the MMR round machinery (checkpoint-cut
       // greedy rounds) had no regression tripwire — its measured-flat

@@ -645,10 +645,13 @@ object SqlAnalytics extends QueryGroup {
     // two digits and Spark/DuckDB disagree on the x.xx5 grid (measured:
     // a few-cent drift per supplier at sf0.01). The threshold COMPARISON
     // runs in DOUBLE (rev > 1.02 × avg): both sides are the same IEEE
-    // ops in both engines, and unlike the earlier
-    // rev·count·100 > 102·sum form nothing can overflow BIGINT at large
-    // scale factors — where non-ANSI Spark would wrap silently while
-    // DuckDB promotes to HUGEINT.
+    // ops in both engines. Unlike the earlier rev·count·100 > 102·sum
+    // form there is no per-row amplification, which pushes BIGINT
+    // overflow out by ~4 orders of magnitude — but sum(rev_units) in the
+    // scalar subquery is still a BIGINT aggregate, so at extreme scale
+    // factors (nation-subset revenue crossing 2^63 around sf≈4e5)
+    // non-ANSI Spark would wrap silently while DuckDB promotes to
+    // HUGEINT. Deferred, not eliminated.
     "sql14_top_supplier_share" -> QueryDef(
       build = (s, d) => {
         register(s, d)

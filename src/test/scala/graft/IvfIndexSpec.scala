@@ -67,9 +67,11 @@ class IvfIndexSpec extends SparkSpec {
   test("persisted PQ codebook and codes equal a residual encode from the shared definitions") {
     // the IVFPQ build side's contract (by_residual): the stored codebook
     // is codebookOf over the RESIDUAL slices r = ne − ce(assigned cid) of
-    // the same 'cent:'-gated sample, and every stored code vector is the
-    // residual encodeCodes result — recomputed here independently from
-    // the shared definitions
+    // the 'pq:'-gated sample (NOT the 'cent:' sample — those vectors ARE
+    // the centroids, so their residuals are identically zero; the v5
+    // seed split exists precisely to avoid that), and every stored code
+    // vector is the residual encodeCodes result — recomputed here
+    // independently from the shared definitions
     val dir = writeCorpus(1L to 300L)
     val root = IvfIndex.ensure(spark, dir)
     val vn = IvfIndex.normalized(

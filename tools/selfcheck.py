@@ -121,9 +121,20 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     # heavy oracles (e21's two maintenance rounds over a 10x corpus) can
     # exceed DuckDB's conservative default memory budget and spill tens of
-    # GB; give it the box's RAM and keep any residual spill out of the
-    # repo cwd (default temp dir is ./.tmp)
-    con.sql("SET memory_limit='96GB'")
+    # GB; give it most of the box's RAM and keep any residual spill out of
+    # the repo cwd (default temp dir is ./.tmp). The limit is derived from
+    # PHYSICAL RAM (75%, matching DuckDB's own 80%-of-RAM posture) rather
+    # than hardcoded, so a smaller box spills under its own budget instead
+    # of OOM-killing; GRAFT_DUCKDB_MEM overrides for manual runs.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not mem:
+        try:
+            ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+            mem = f"{max(4, int(ram_gb * 0.75))}GB"
+        except (ValueError, OSError):
+            mem = None  # let DuckDB pick its RAM-aware default
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata tables are single files; ScaleGen corpora are
