@@ -82,7 +82,7 @@ object IvfIndex {
     *      deltas, so hot-cell detection and the maintain() policy read
     *      a metadata-sized artifact instead of re-scanning the inverted
     *      lists per index version. */
-  private val FormatVersion = 7
+  private val FormatVersion = 8
 
   // ---------------------------------------------------------------- shared
   // index DEFINITIONS (also used by the live e4/t30 path via
@@ -156,12 +156,21 @@ object IvfIndex {
       .select(col("cid").as("gid"), col("ce").as("ge"))
 
   /** Nearest coarse group per centroid — [[assignCells]]'s argmax one
-    * level up (ties to the lowest gid). Output (cid, gid). */
+    * level up (ties to the lowest gid). Output (cid, gid, ge): the group
+    * VECTOR rides on every membership row since format v8, so the whole
+    * two-level state (membership + group vectors) lives in ONE table and
+    * every group restructuring is a single atomic commit — the
+    * torn-two-table-write class (groups pointing at gids a separate
+    * coarse table doesn't serve yet, or vice versa) cannot exist. The
+    * duplication cost is nil: ≤ 4×MaxCentroids rows of one 64-double
+    * array each. */
   private[graft] def assignGroups(cents: DataFrame, coarse: DataFrame): DataFrame =
     nearestCandidate(
       cents.select(col("cid").as("_id"), col("ce").as("_v")),
       coarse.select(col("gid").as("_cand"), col("ge").as("_cv")))
       .select(col("_id").as("cid"), col("_cand").as("gid"))
+      .join(broadcast(coarse.select(col("gid"), col("ge"))), "gid")
+      .select(col("cid"), col("gid"), col("ge"))
 
   /** Each query's nProbe nearest centroids (NaN-screened — NaN would top
     * Double.compare). Input q(q_id, q_ne); output (q_id, cid). */
@@ -408,14 +417,15 @@ object IvfIndex {
     val cents = centroidsOf(vn).localCheckpoint(true)
     new VersionedTable(spark, s"$root/centroids")
       .write(cents.withColumn("gen", lit(0L)), "ivf-build")
-    // the coarse level is a pure function of the PINNED centroid set, so
-    // it is an index artifact too — recomputing it per probe would re-pay
-    // the k_cent × k_coarse assignment on every query batch, the exact
-    // amortization failure this index exists to remove
-    val coarse = coarseOf(cents).localCheckpoint(true)
-    new VersionedTable(spark, s"$root/coarse").write(coarse, "ivf-build")
+    // the two-level state is an index artifact too — recomputing it per
+    // probe would re-pay the k_cent × k_coarse assignment on every query
+    // batch, the exact amortization failure this index exists to remove.
+    // Since format v8 membership and group vectors live in ONE table
+    // (see assignGroups): build seeds the group set from the pinned
+    // centroid sample, and maintainGroups may later re-partition it —
+    // the group level is MAINTAINED state, not a frozen sample.
     new VersionedTable(spark, s"$root/groups")
-      .write(assignGroups(cents, coarse), "ivf-build")
+      .write(assignGroups(cents, coarseOf(cents)), "ivf-build")
     // PQ side: codebook pinned at build exactly like the centroids —
     // appends ENCODE against it and never re-train, so persisted codes
     // are provably identical to encoding the whole corpus at once. The
@@ -610,9 +620,13 @@ object IvfIndex {
     endRestructure(root)
   }
 
+  /** The live group vectors, derived from the unified groups table (one
+    * row per DISTINCT gid — all of a gid's rows carry the identical ge
+    * by construction). A group whose last member centroid retired
+    * disappears here automatically: no dangling probe slots. */
   def coarseLevel(spark: SparkSession, root: String): DataFrame =
-    new VersionedTable(spark, s"$root/coarse").read()
-      .select(col("gid"), col("ge"))
+    new VersionedTable(spark, s"$root/groups").read()
+      .select(col("gid"), col("ge")).distinct()
 
   def groups(spark: SparkSession, root: String): DataFrame =
     new VersionedTable(spark, s"$root/groups").read()
@@ -1044,7 +1058,14 @@ object IvfIndex {
     val small = centIds.filter { c =>
       prior.getOrElse(c, 0L) * loDen < t * loNum && !heavy(c)
     }.toSet
-    if (heavy.isEmpty && small.isEmpty) return (0, 0)
+    if (heavy.isEmpty && small.isEmpty) {
+      // cells are in band, but a PREVIOUS sweep's centroid churn may have
+      // left the group level lopsided — settle it before reporting
+      // convergence, so "maintain returned (0,0)" means the WHOLE index
+      // (both levels) is in band and nothing further will ever commit
+      maintainGroups(spark, root)
+      return (0, 0)
+    }
     val kAfter = k + heavy.size - small.size
     require(kAfter >= 1,
       s"maintain would retire every centroid of $root — widen the lo band")
@@ -1136,7 +1157,124 @@ object IvfIndex {
         c -> (base.getOrElse(c, 0L) + movedCounts.getOrElse(c, 0L))).toMap,
       "ivf-maintain")
     endRestructure(root)
+    // group-level upkeep LAST, outside the marker: each of its rounds is
+    // one atomic single-table commit, so a crash between rounds leaves a
+    // consistent (merely less-balanced) index — no debris to retire
+    maintainGroups(spark, root)
     (heavy.size, small.size)
+  }
+
+  /** Occupancy band for the GROUP level, as an integer rational like the
+    * cell bands: split a coarse group whose member-CENTROID count exceeds
+    * (GroupHiNum/GroupHiDen) × the STRUCTURAL target occupancy
+    * ⌈k / min(⌈√k⌉, MaxCoarse)⌉ — i.e. ~√k members per group, the shape
+    * [[coarseOf]] seeds at build. The reference point is deliberately
+    * NOT the current mean ⌈k/nGroups⌉: a level that drifted to 3
+    * uniformly-loaded giant groups under a grown centroid set is
+    * "balanced" by a relative band yet serves nearly flat-probe cost —
+    * the structural target catches both relative skew AND count drift.
+    * Tighter than the cell band's 4× (2×): a group hoarding centroids
+    * re-flattens the probe's second stage long before it hurts
+    * storage. */
+  val GroupHiNum = 2
+  val GroupHiDen = 1
+
+  /** Re-balance the COARSE level after cell maintenance moved the
+    * centroid population under it. [[maintain]]'s sweeps assign every
+    * new centroid to its nearest EXISTING group ([[assignGroups]] against
+    * the live group set) and never split a group — so a hot region's
+    * splits concentrate new centroids into whichever groups their
+    * parents occupied, the per-group member count grows unbounded there,
+    * and the two-level probe's second stage (score the probed groups'
+    * member centroids) decays back toward flat selection. This is the
+    * counterpart sweep one level up: detect every group above the
+    * [[GroupHiNum]] occupancy band and split it K-WAY in one round —
+    * K = ⌈occupancy / target⌉ 'gsplit:'-hash-minimal member centroids
+    * become the seeds (the cell-split seed rule one level up, widened:
+    * a 2-way split of a G-member group needs up to O(G) rounds when
+    * nearest-of-two assignment comes out lopsided, each round a full
+    * table commit — K-way lands within band in one or two rounds and
+    * bounds the manifest churn). Members whose cid is itself a live
+    * gid are seed-INELIGIBLE — a seed's cid becomes the new gid, and a
+    * gid collision would weld two groups together. ONLY the split
+    * group's members re-assign, to their nearest seed (by cosine, ties
+    * to the lower gid — O(group), never a global re-clustering), and
+    * each round commits the complete new state as ONE atomic write of
+    * the unified groups table (format v8) — a live two-level probe
+    * observes exactly the pre-round or post-round group set. Rounds
+    * repeat until no group is over band; each split strictly lowers
+    * the split group's occupancy — every seed captures at least itself
+    * because ce is UNIT-NORM everywhere in this index (the normalized
+    * gate), making self-dot the maximum — so the loop terminates — with a no-progress check for
+    * the degenerate corner ([[maintain]]'s duplicate-vector
+    * disclaimer: identical centroids can tie every member to one seed)
+    * and a round cap as the final backstop (best-effort exit; the next
+    * maintain call resumes where this one stopped). Returns total
+    * groups split. */
+  def maintainGroups(spark: SparkSession, root: String): Int = {
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    var total = 0
+    var rounds = 0
+    var prevOcc: Map[Long, Long] = null
+    while (true) {
+      rounds += 1
+      if (rounds > 32) return total // backstop; next maintain call resumes
+      val memb = groupsT.read().select(col("cid"), col("gid"), col("ge"))
+      val occ = memb.groupBy(col("gid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ groups
+      if (occ == prevOcc) return total // duplicate-vector stall — exit loud-free
+      prevOcc = occ
+      val k = occ.values.sum
+      if (occ.isEmpty) return total
+      // structural target: ~√k members per group (coarseOf's build shape)
+      val targetG = math.min(math.ceil(math.sqrt(k.toDouble)).toLong, MaxCoarse)
+      val target = (k + targetG - 1) / targetG
+      val gidSet = occ.keySet
+      val over = occ.collect {
+        case (g, c) if c * GroupHiDen > target * GroupHiNum => g
+      }.toSeq.sorted
+      if (over.isEmpty) return total
+      val membC = memb.filter(col("gid").isin(over: _*))
+        .join(centroids(spark, root), "cid") // + ce for the seed argmax
+        .localCheckpoint(true) // feeds seeds, reassign, and the write
+      // K-way seed budget per over-band group: enough seeds that one
+      // round's fragments land AT the target, not merely under 2× it
+      val wantDf = spark.createDataFrame(
+          over.map(g => (g, math.max(2L, (occ(g) + target - 1) / target))))
+        .toDF("gid", "want")
+      val seeds = membC
+        .filter(!col("cid").isin(gidSet.toSeq: _*))
+        .withColumn("h", graft.functions.TextFunctions.portableHash(
+          col("cid").cast("string"), "gsplit:"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("gid")).orderBy(col("h").asc, col("cid").asc)))
+        .join(broadcast(wantDf), "gid")
+        .filter(col("rk") <= col("want"))
+        .select(col("gid").as("parent"), col("cid").as("sgid"), col("ce").as("sge"))
+        .localCheckpoint(true)
+      val splittable = seeds.groupBy(col("parent")).count()
+        .collect().collect { case r if r.getLong(1) >= 2L => r.getLong(0) }
+        .toSeq.sorted // groups lacking 2 eligible seeds skip this round
+      if (splittable.isEmpty) return total
+      val seedsS = seeds.filter(col("parent").isin(splittable: _*))
+      val reassigned = membC.filter(col("gid").isin(splittable: _*))
+        .join(broadcast(seedsS.select(col("parent"), col("sgid"), col("sge"))),
+          col("gid") === col("parent"))
+        .select(col("cid"),
+          struct(
+            call_function("vec_dot", col("ce"), col("sge")).as("cos"),
+            (-col("sgid")).as("negg")).as("sc"))
+        .groupBy(col("cid")).agg(max(col("sc")).as("best"))
+        .select(col("cid"), (-col("best.negg")).as("gid"))
+        .join(broadcast(seedsS.select(col("sgid").as("gid"), col("sge").as("ge"))),
+          "gid")
+        .select(col("cid"), col("gid"), col("ge"))
+      groupsT.write(
+        memb.filter(!col("gid").isin(splittable: _*)).unionByName(reassigned),
+        "ivf-maintain-groups")
+      total += splittable.size
+    }
+    total
   }
 
   /** Probe the persisted index: exact cosines over the probed cells'
@@ -1170,11 +1308,18 @@ object IvfIndex {
     * oracle-checked (e15). */
   def probeCandidatesTwoLevel(spark: SparkSession, root: String, q: DataFrame,
       nCoarse: Int = NCoarseProbe, nProbe: Int = NProbe): DataFrame = {
-    // every index artifact is READ, never recomputed: coarse vectors and
-    // the centroid→group map are persisted at build time (they are pure
-    // functions of the pinned centroid set), so a probe pays only its
-    // own query-side work
-    val qg = q.crossJoin(broadcast(coarseLevel(spark, root)))
+    // every index artifact is READ, never recomputed: group vectors and
+    // the centroid→group map are persisted (maintained state since v8),
+    // so a probe pays only its own query-side work. BOTH stages read ONE
+    // pinned version of the unified groups table: a concurrent
+    // maintainGroups commit between two unpinned reads could serve a
+    // group set and a membership map from different generations, and the
+    // inner join below would silently drop the disagreeing members.
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    val snapV = groupsT.latestVersion
+    val snap = groupsT.read(versionAsOf = snapV)
+    val qg = q.crossJoin(broadcast(
+        snap.select(col("gid"), col("ge")).distinct()))
       .select(col("q_id"),
         call_function("vec_dot", col("q_ne"), col("ge")).as("cos"), col("gid"))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
@@ -1182,7 +1327,7 @@ object IvfIndex {
       .agg(graft.functions.BoundedTopK.topK(nCoarse)(col("cos"), col("gid")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("gid"))
     val probes = qg
-      .join(groups(spark, root), "gid")
+      .join(snap.select(col("cid"), col("gid")), "gid")
       .join(centroids(spark, root), "cid")
       .join(q, "q_id")
       .select(col("q_id"),

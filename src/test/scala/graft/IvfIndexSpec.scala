@@ -280,10 +280,9 @@ class IvfIndexSpec extends SparkSpec {
     new VersionedTable(spark, s"$root/centroids")
       .write(cents.withColumn("gen", lit(0L)), "spec-build")
     new VersionedTable(spark, s"$root/cells").write(cellRows, "spec-build")
-    val coarse = IvfIndex.coarseOf(cents).localCheckpoint(true)
-    new VersionedTable(spark, s"$root/coarse").write(coarse, "spec-build")
     new VersionedTable(spark, s"$root/groups")
-      .write(IvfIndex.assignGroups(cents, coarse), "spec-build")
+      .write(IvfIndex.assignGroups(cents, IvfIndex.coarseOf(cents)),
+        "spec-build")
 
     // enough queries that the distinct probed-cell set exceeds the IN
     // bound NATURALLY (measured ~4.5 fresh cells per query here)
@@ -316,6 +315,53 @@ class IvfIndexSpec extends SparkSpec {
     val flat = time(IvfIndex.probeCandidates(spark, root, q).count())
     val two = time(IvfIndex.probeCandidatesTwoLevel(spark, root, q).count())
     info(f"4096-cell probe: flat $flat%.2f s, two-level $two%.2f s")
+
+    // DECAY MODE, then repair: force the group level into 3 giant
+    // uniformly-loaded groups — the end state of unbounded "assign new
+    // centroids to existing groups" concentration, where two-level
+    // selection pays nearly flat cost. maintainGroups must restore the
+    // √k structure (4096 cells → 64-member target, band ≤128), keep
+    // every centroid reachable through exactly one group, and the
+    // two-level probe must STILL win over flat selection afterwards.
+    val ge3 = cents.filter($"cid" <= 3).select($"cid".as("g3"), $"ce".as("ge"))
+    val skewed = cents
+      .select($"cid", (pmod($"cid", lit(3L)) + 1L).as("gid"))
+      .join(broadcast(ge3), $"gid" === $"g3")
+      .select($"cid", $"gid", $"ge")
+    new VersionedTable(spark, s"$root/groups").write(skewed, "spec-skew")
+    // stage-2 scoring volume — the deterministic cost driver the group
+    // level exists to bound (wall-clock at this corpus size is JVM-noise
+    // bound; the candidate-centroid count is not): how many (query,
+    // member-centroid) dots the two-level selection pays after routing
+    def stage2Pairs(): Long = {
+      val snap = new VersionedTable(spark, s"$root/groups").read()
+      val qg = q.crossJoin(broadcast(snap.select($"gid", $"ge").distinct()))
+        .select($"q_id",
+          call_function("vec_dot", $"q_ne", $"ge").as("cos"), $"gid")
+        .filter($"cos".isNotNull && !isnan($"cos"))
+        .groupBy($"q_id")
+        .agg(graft.functions.BoundedTopK.topK(IvfIndex.NCoarseProbe)(
+          $"cos", $"gid").as("top"))
+        .select($"q_id", explode($"top.id").as("gid"))
+      qg.join(snap.select($"cid", $"gid"), "gid").count()
+    }
+    val pairsDecayed = stage2Pairs()
+    val splits = IvfIndex.maintainGroups(spark, root)
+    assert(splits > 0, "3 giant groups at 4096 cells must trigger splits")
+    val g = new VersionedTable(spark, s"$root/groups").read()
+      .select($"cid", $"gid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.map(_._1).toSet.size == 4096 && g.length == 4096,
+      "every centroid must stay reachable through exactly one group")
+    val occ = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(occ.values.max <= 128L, // 2 × (4096 / min(√4096, MaxCoarse))
+      s"post-repair occupancy must be within the structural band: max ${occ.values.max}")
+    val pairsRepaired = stage2Pairs()
+    val twoM = time(IvfIndex.probeCandidatesTwoLevel(spark, root, q).count())
+    info(f"post-repair 4096-cell probe: flat $flat%.2f s, two-level $twoM%.2f s, "
+      + s"${occ.size} groups, stage-2 dots $pairsDecayed -> $pairsRepaired")
+    assert(pairsRepaired * 4 < pairsDecayed,
+      s"group repair must collapse the two-level scoring volume: "
+        + s"$pairsRepaired vs decayed $pairsDecayed")
   }
 
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
@@ -672,11 +718,100 @@ class IvfIndexSpec extends SparkSpec {
 
     // idempotence: a converged index makes the sweep a strict no-op
     val cellsV = new VersionedTable(spark, s"$root/cells").versions.max
+    val groupsV = new VersionedTable(spark, s"$root/groups").versions.max
     assert(IvfIndex.maintain(spark, root,
       IvfIndex.MaintainHiNum, IvfIndex.MaintainHiDen, 0, 1) == (0, 0),
       "re-running maintain on a converged index must report zero actions")
     assert(new VersionedTable(spark, s"$root/cells").versions.max == cellsV,
       "a zero-action sweep must commit nothing")
+    assert(new VersionedTable(spark, s"$root/groups").versions.max == groupsV,
+      "a zero-action sweep must leave the group level uncommitted too")
+
+    // the GROUP level after heavy cell maintenance: every live centroid
+    // sits in exactly one group, all rows of a gid carry the identical
+    // group vector, and no group is above the occupancy band (maintain
+    // runs maintainGroups to convergence at every sweep's tail)
+    val gRows = new VersionedTable(spark, s"$root/groups").read()
+      .select($"cid", $"gid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val liveCids = IvfIndex.centroids(spark, root).select($"cid")
+      .collect().map(_.getLong(0)).toSet
+    assert(gRows.map(_._1).toSet == liveCids && gRows.length == liveCids.size,
+      "every live centroid must appear in exactly one group after maintenance")
+    val occ = gRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val kG = occ.values.sum
+    val tG = math.min(math.ceil(math.sqrt(kG.toDouble)).toLong, IvfIndex.MaxCoarse)
+    val targetOcc = (kG + tG - 1) / tG
+    assert(occ.values.max * IvfIndex.GroupHiDen <= targetOcc * IvfIndex.GroupHiNum,
+      s"no group may stay above the structural occupancy band: occ=$occ target=$targetOcc")
+    assert(IvfIndex.coarseLevel(spark, root).count() == occ.size.toLong,
+      "coarseLevel must serve exactly the live distinct groups")
+  }
+
+  test("maintainGroups splits an over-occupied coarse group atomically and converges") {
+    // hand-built two-level state (the many-cell spec's trick): 64
+    // centroids, 5 groups, one hoarding 44 members — the exact shape
+    // cell maintenance produces when a hot region keeps minting
+    // centroids into its parents' groups. maintainGroups must bring the
+    // max group under the band in one call, preserve the centroid
+    // membership exactly, keep each gid's group vector consistent, and
+    // commit ONE atomic groups-table version per internal round — a
+    // live two-level probe never observes a half-split level.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ivf_groups_").toString
+    // UNIT-NORM vectors, like every real ce (the normalized gate):
+    // self-dot = 1 = max, so a seed always captures itself — raw vectors
+    // would let a bigger neighbor outscore a seed's own vector and
+    // degenerate the split
+    def unit(seed: Long): Seq[Double] = {
+      val raw = vec(seed).map(_.toDouble)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val cents = (1L to 64L).map(i => (i, unit(i)))
+      .toDF("cid", "ce").localCheckpoint(true)
+    new VersionedTable(spark, s"$root/centroids")
+      .write(cents.withColumn("gen", lit(0L)), "spec-build")
+    val geOf = (1L to 5L).map(g => g -> unit(g)).toMap
+    val memb = (1L to 64L).map { i =>
+      val gid = if (i <= 44) 1L else 2L + (i % 4L)
+      (i, gid, geOf(gid))
+    }.toDF("cid", "gid", "ge")
+    new VersionedTable(spark, s"$root/groups").write(memb, "spec-build")
+
+    val v0 = new VersionedTable(spark, s"$root/groups").versions.max
+    val splits = IvfIndex.maintainGroups(spark, root)
+    assert(splits >= 1, "the 44-member group must be detected and split")
+    val v1 = new VersionedTable(spark, s"$root/groups").versions.max
+    // one atomic commit per internal round — never a partial delete +
+    // append pair (each round rewrites the COMPLETE state in one write)
+    assert(v1 - v0 >= 1,
+      "group maintenance must commit at least one version")
+
+    val after = new VersionedTable(spark, s"$root/groups").read()
+      .select($"cid", $"gid", $"ge")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(after.map(_._1).toSet == (1L to 64L).toSet
+        && after.length == 64,
+      "membership must be preserved exactly — every centroid once")
+    // per-gid vector consistency
+    after.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.size == 1,
+        s"group $g must carry ONE group vector on all its rows")
+    }
+    // structural target at k=64: √64 = 8 groups of 8 — band is >16
+    val occ = after.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(occ.values.max <= 16L,
+      s"post-maintenance occupancy must be within the structural band: $occ")
+    assert(occ.size > 5, "a split must have grown the group count")
+    // seed-derived gids never collide with surviving gids
+    assert(occ.keySet.size == occ.size, "gid collision")
+
+    // idempotence: a balanced level re-runs as a strict no-op
+    val vStable = new VersionedTable(spark, s"$root/groups").versions.max
+    assert(IvfIndex.maintainGroups(spark, root) == 0,
+      "a balanced group level must report zero splits")
+    assert(new VersionedTable(spark, s"$root/groups").versions.max == vStable,
+      "a zero-split call must commit nothing")
   }
 
   test("maintain invariants hold after EVERY sweep on varied corpora: membership, no duplicates, reachability, stats parity") {
