@@ -758,6 +758,15 @@ object IvfIndex {
 
   def append(spark: SparkSession, root: String, vecs: DataFrame,
       operation: String = "ivf-append"): Long = {
+    // a PRECEDING restructuring's cleanup deletes may still sit on the
+    // head as deletion vectors, and the table refuses appends onto such
+    // a head — pay the pending compact here (stats carry: visible rows
+    // don't change), exactly the split/merge/maintain entry rule. This
+    // is what lets a streaming ingest loop interleave freely with
+    // maintenance sweeps (st19's composition) instead of crashing on
+    // the first append after a sweep.
+    val headT = new VersionedTable(spark, s"$root/cells")
+    if (headT.headHasDeletes) withStatsCarried(spark, root)(headT.compact())
     val vn = normalized(vecs).localCheckpoint(true)
     val cents = centroids(spark, root)
     val assign = assignCells(vn, cents).localCheckpoint(true)
@@ -1276,6 +1285,26 @@ object IvfIndex {
     }
     total
   }
+
+  /** Retention policy for the WHOLE index root — the M4 retention
+    * machinery applied to the serving artifact (the reference's
+    * compliance-retention window, compliance_policies.py:93-114, pointed
+    * at the index instead of a gold table). Every maintain sweep commits
+    * fresh versions of cells/centroids/groups/cellstats; at production
+    * cadence (a sweep per ingest batch) the per-table manifests and
+    * version dirs grow per sweep and the artifact's footprint becomes
+    * O(history), not O(data). One policy call bounds it: keep the last
+    * `keepLast` versions of EVERY index table — time travel to any KEPT
+    * version still audits the pre-maintenance index (spec'd), and only
+    * version dirs outside the window are physically dropped (safe
+    * unconditionally: each version dir is self-contained — appends
+    * hard-link carried files forward, so no kept version references a
+    * dropped dir). Returns the dropped versions per table. */
+  def vacuumIndex(spark: SparkSession, root: String,
+      keepLast: Int = 3): Map[String, Seq[Long]] =
+    Seq("cells", "centroids", "groups", "codebook", "cellstats")
+      .map(t => t -> new VersionedTable(spark, s"$root/$t").vacuum(keepLast))
+      .toMap
 
   /** Probe the persisted index: exact cosines over the probed cells'
     * vectors, query itself excluded — (q_id, vec_id, cos), the same

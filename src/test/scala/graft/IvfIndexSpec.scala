@@ -874,6 +874,135 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("st19: streamed appends interleave with maintain sweeps across micro-batch boundaries") {
+    // Production runs BOTH loops at once: a foreachBatch ingest
+    // appending micro-batches while the maintenance policy sweeps
+    // between them — the composition the gen-epoch flip and the
+    // entry-guard compacts exist for (st18 proves appends alone, e21
+    // proves maintenance alone; this drives them together). 4 stream
+    // files → 4 micro-batches; a TIGHT-band maintain (e21's 5/4, 3/5)
+    // runs after every batch's idempotent append, and each batch's
+    // body observes the post-sweep head. Contract: no member ever
+    // served twice in any batch window, the already-ingested set never
+    // loses a member, the final member set is exactly initial ∪
+    // streamed, maintenance really acted mid-stream (the flip count
+    // advanced), and the stats artifact still matches a recount.
+    val initIds = 1L to 240L
+    val dir = writeCorpus(initIds)
+    val root = IvfIndex.ensure(spark, dir)
+    val centsV0 = new VersionedTable(spark, s"$root/centroids").versions.max
+    // arrivals form a hot cluster (the maintain-convergence corpus
+    // rule) so the interleaved sweeps actually split cells mid-stream
+    val base = vec(7L)
+    val newIds = 241L to 440L
+    val srcDir = Files.createTempDirectory("graft_st19_src_").toString
+    newIds.map { i =>
+      (i, base.zip(vec(i)).map { case (b, p) => b + 0.02f * p }, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val observed = graft.streaming.Streams.runBatchwiseWithId(stream) {
+      (batch, key) =>
+        IvfIndex.appendIdempotent(spark, root, batch, key)
+        IvfIndex.maintain(spark, root, 5, 4, 3, 5)
+        IvfIndex.cells(spark, root)
+          .groupBy(col("vec_id")).count()
+          .select(col("vec_id"), col("count").as("n"), lit(key).as("bkey"))
+    }
+    val rows = observed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val windows = rows.groupBy(_._3)
+    assert(windows.size == 4, s"expected 4 micro-batch windows, got ${windows.keySet}")
+    windows.foreach { case (k, ws) =>
+      assert(ws.forall(_._2 == 1L),
+        s"batch $k: a member was served twice mid-composition")
+      val members = ws.map(_._1).toSet
+      assert(initIds.toSet.subsetOf(members),
+        s"batch $k: an already-ingested member disappeared")
+      assert(members.subsetOf(initIds.toSet ++ newIds),
+        s"batch $k: a phantom member appeared")
+    }
+    // the union of window sizes must strictly grow to the exact final set
+    val sizes = windows.values.map(_.length).toSeq.sorted
+    assert(sizes.distinct.size == 4 && sizes.max == 440,
+      s"batch windows must strictly accumulate to the full corpus: $sizes")
+    val finalSet = assignmentsOf(IvfIndex.cells(spark, root)).map(_._2)
+    assert(finalSet == (initIds.toSet ++ newIds),
+      "final member set must be exactly initial ∪ streamed")
+    assert(new VersionedTable(spark, s"$root/centroids").versions.max > centsV0,
+      "maintenance must have flipped at least one sweep mid-stream")
+    // stats artifact parity after the full composition
+    val stats = new VersionedTable(spark, s"$root/cellstats").read()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counted = IvfIndex.cells(spark, root).groupBy($"cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keys = stats.keySet ++ counted.keySet
+    assert(keys.forall(c => stats.getOrElse(c, 0L) == counted.getOrElse(c, 0L)),
+      "stats artifact diverged from a recount after the composition")
+  }
+
+  test("vacuumIndex bounds the maintenance history; time travel works inside the window, serve is unchanged") {
+    // maintenance churns versions on every index table — the retention
+    // policy must bound that history WITHOUT touching the head: probes
+    // identical before/after, audit-by-time-travel intact for kept
+    // versions, and a dropped version fails loudly instead of serving
+    // stale files.
+    import spark.implicits._
+    val ids = 1L to 400L
+    val base = vec(7L)
+    val sampled = graft.queries.Embeddings.sqrtSample(
+      ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val dir = Files.createTempDirectory("graft_ivf_vac_").toString
+    ids.map { i =>
+      val v = if (i <= 300 && !sampled(i))
+        base.zip(vec(i)).map { case (b, p) => b + 0.02f * p } else vec(i)
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val root = IvfIndex.ensure(spark, dir)
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val vPre = cellsT.versions.max
+    val preSnap = assignmentsOf(IvfIndex.cells(spark, root))
+    var acted = true
+    var sweeps = 0
+    while (acted && sweeps < 10) {
+      val (s, m) = IvfIndex.maintain(spark, root,
+        IvfIndex.MaintainHiNum, IvfIndex.MaintainHiDen, 0, 1)
+      acted = s + m > 0; if (acted) sweeps += 1
+    }
+    assert(sweeps >= 1, "the planted cluster must force at least one sweep")
+    assert(cellsT.versions.max > vPre, "sweeps must have committed versions")
+
+    val q = IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne")).localCheckpoint(true)
+    def serve(): Set[(Long, Long)] =
+      IvfIndex.probeCandidates(spark, root, q).select($"q_id", $"vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = serve()
+
+    // retention wide enough to keep vPre: time travel must still audit
+    // the pre-maintenance assignment bit-for-bit
+    val keepAll = (cellsT.versions.max - vPre + 1).toInt + 1
+    IvfIndex.vacuumIndex(spark, root, keepLast = keepAll)
+    assert(assignmentsOf(cellsT.read(versionAsOf = Some(vPre))
+        .filter($"gen" <= 0L).select($"cid", $"vec_id", $"ne")) == preSnap,
+      "time travel inside the retention window must audit the pre-maintenance index")
+
+    // tight retention: history physically dropped, serve unchanged,
+    // dropped version fails loudly
+    val dropped = IvfIndex.vacuumIndex(spark, root, keepLast = 1)
+    assert(dropped("cells").nonEmpty && dropped("centroids").nonEmpty,
+      s"tight retention must drop maintenance history: $dropped")
+    assert(serve() == before, "retention must never change what the head serves")
+    val err = intercept[Exception](cellsT.read(versionAsOf = Some(vPre)).count())
+    assert(err.getMessage.toLowerCase.contains("vacuum"),
+      s"a dropped version must fail loudly, got: ${err.getMessage}")
+  }
+
   test("cellstats artifact matches a recount after every lifecycle transition") {
     // the persisted per-cell load stats: every lifecycle commit maintains
     // them as an O(change) delta, stamped with the cells head version —
