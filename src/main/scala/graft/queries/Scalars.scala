@@ -206,6 +206,47 @@ object Scalars extends QueryGroup {
                CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket
         FROM events""")),
 
+    // §1.2 MapType — the last Spark complex type this engine left
+    // unexercised: each user's per-event-type counts built as a real
+    // in-plan MAP (map_from_entries over the sorted entry list — sorted
+    // so the map's physical entry order is deterministic even though
+    // lookups don't depend on it), then consumed with the map API
+    // (element_at lookups with null-absent semantics, map_contains_key,
+    // cardinality). The OUTPUT is plain columns: maps never cross the
+    // oracle boundary (engines disagree on map serialization order), so
+    // DuckDB mirrors the semantics with FILTER aggregates — the point
+    // is the map operators run inside the Spark plan, oracle-checked
+    // through their lookups.
+    //
+    // Scale: one keyed aggregation (user_id, event_type) with map-side
+    // combine, then a per-user map of ≤ |event types| entries — bounded
+    // fan-in, workload-sized maps, no shuffle beyond the two groupBys
+    // that share the user_id partitioning.
+    "s8_event_type_map" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("m"))
+          .select(
+            col("user_id"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+            col("m.error").isNotNull.as("had_error"),
+            map_contains_key(col("m"), "signup").as("signed_up"),
+            cardinality(col("m")).cast("long").as("n_types")),
+      oracle = Some("""
+        SELECT user_id,
+               CAST(coalesce(count(*) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS n_click,
+               CAST(coalesce(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'error') > 0 AS had_error,
+               count(*) FILTER (WHERE event_type = 'signup') > 0 AS signed_up,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id""")),
+
     // F2: masking functions applied as a governed view projection.
     "s6_masking_funcs" -> QueryDef(
       build = (s, d) =>
