@@ -1026,9 +1026,14 @@ object IvfIndex {
     * commit is O(moved cells); moved members' residual codes re-encode
     * against the frozen codebook (the split/merge rule).
     *
-    * Returns (cells split, cells merged) — (0, 0) means the index is
-    * within band and NOTHING was committed: a converged index makes
-    * re-running maintain a no-op (idempotence, spec-pinned). Callers
+    * Returns (cells split, cells merged), counting the CELL level only —
+    * every call (including a (0,0) one) additionally runs
+    * [[maintainGroups]] to convergence at its tail, so a (0,0) return
+    * means the cell level was already in band but the group level may
+    * have committed its own rebalance during THIS call. The idempotence
+    * contract is therefore one call deep: after any maintain() returns
+    * (0,0), the NEXT call commits nothing at either level (both bands
+    * verified clean; spec-pinned via version stability). Callers
     * loop sweeps to convergence (each sweep's cleanup deletes owe a
     * compact before the next sweep's appends — the entry guard pays it
     * only when deletes are actually pending; at 100 TB that compact
@@ -1224,15 +1229,21 @@ object IvfIndex {
     val groupsT = new VersionedTable(spark, s"$root/groups")
     var total = 0
     var rounds = 0
-    var prevOcc: Map[Long, Long] = null
+    var prevOcc: Seq[Long] = null
     while (true) {
       rounds += 1
       if (rounds > 32) return total // backstop; next maintain call resumes
       val memb = groupsT.read().select(col("cid"), col("gid"), col("ge"))
       val occ = memb.groupBy(col("gid")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ groups
-      if (occ == prevOcc) return total // duplicate-vector stall — exit loud-free
-      prevOcc = occ
+      // duplicate-vector stall guard on the occupancy VALUE multiset,
+      // not the map: a degenerate split (identical centroid vectors tie
+      // every member to one seed) merely RENAMES the group — same
+      // occupancies under a fresh gid, so a map comparison never fires
+      // and the rename would loop to the round cap, committing each time
+      val occVals = occ.values.toSeq.sorted
+      if (prevOcc != null && occVals == prevOcc) return total
+      prevOcc = occVals
       val k = occ.values.sum
       if (occ.isEmpty) return total
       // structural target: ~√k members per group (coarseOf's build shape)
@@ -1339,14 +1350,43 @@ object IvfIndex {
       nCoarse: Int = NCoarseProbe, nProbe: Int = NProbe): DataFrame = {
     // every index artifact is READ, never recomputed: group vectors and
     // the centroid→group map are persisted (maintained state since v8),
-    // so a probe pays only its own query-side work. BOTH stages read ONE
-    // pinned version of the unified groups table: a concurrent
-    // maintainGroups commit between two unpinned reads could serve a
-    // group set and a membership map from different generations, and the
-    // inner join below would silently drop the disagreeing members.
+    // so a probe pays only its own query-side work. BOTH of this probe's
+    // metadata tables are PINNED to explicit versions, and the pair is
+    // validated COVERING before use: cross-table transactions don't
+    // exist here (split's commit-order comment), so a concurrent
+    // maintain flip between the two reads can produce a (groups,
+    // centroids) pair from different windows — e.g. groups at a
+    // pre-sweep version with centroids post-flip, where a retired cid's
+    // members are unreachable through EITHER side of the inner joins
+    // below (its groups rows prune against the new centroid set, the
+    // seed cids have no groups rows yet) and candidates silently
+    // vanish. The covering invariant "every live centroid has a groups
+    // row" holds in every STEADY state (build/append/sweep-complete,
+    // and every crash-debris state — debris only ADDS groups rows), so
+    // a violation means the pair straddles an in-flight flip: re-read.
+    // Both tables are metadata-sized (≤ 4×MaxCentroids rows), so the
+    // validation is two tiny collects; steady state passes first try.
     val groupsT = new VersionedTable(spark, s"$root/groups")
-    val snapV = groupsT.latestVersion
-    val snap = groupsT.read(versionAsOf = snapV)
+    val centsT = new VersionedTable(spark, s"$root/centroids")
+    var attempt = 0
+    var snap: DataFrame = null
+    var cents: DataFrame = null
+    var covering = false
+    while (!covering) {
+      attempt += 1
+      require(attempt <= 8,
+        s"two-level probe of $root cannot obtain a covering (centroids, " +
+          "groups) pair after 8 attempts — a restructuring storm, or a " +
+          "centroid with no group row (index invariant broken)")
+      cents = centsT.read(versionAsOf = centsT.latestVersion)
+        .select(col("cid"), col("ce"))
+      snap = groupsT.read(versionAsOf = groupsT.latestVersion)
+      val gCids = snap.select(col("cid"))
+        .collect().map(_.getLong(0)).toSet // metadata-sized
+      val cCids = cents.select(col("cid"))
+        .collect().map(_.getLong(0)).toSet // metadata-sized
+      covering = cCids.subsetOf(gCids)
+    }
     val qg = q.crossJoin(broadcast(
         snap.select(col("gid"), col("ge")).distinct()))
       .select(col("q_id"),
@@ -1357,7 +1397,7 @@ object IvfIndex {
       .select(col("q_id"), explode(col("top.id")).as("gid"))
     val probes = qg
       .join(snap.select(col("cid"), col("gid")), "gid")
-      .join(centroids(spark, root), "cid")
+      .join(cents, "cid")
       .join(q, "q_id")
       .select(col("q_id"),
         call_function("vec_dot", col("q_ne"), col("ce")).as("cos"), col("cid"))

@@ -803,8 +803,14 @@ class IvfIndexSpec extends SparkSpec {
     assert(occ.values.max <= 16L,
       s"post-maintenance occupancy must be within the structural band: $occ")
     assert(occ.size > 5, "a split must have grown the group count")
-    // seed-derived gids never collide with surviving gids
-    assert(occ.keySet.size == occ.size, "gid collision")
+    // seed-derived gids never collide with surviving original gids: the
+    // dissolved parent (1) is gone, originals 2..5 survive untouched,
+    // and every minted gid is a member cid OUTSIDE the original gid set
+    assert(!occ.keySet.contains(1L), "the split parent group must dissolve")
+    assert(Set(2L, 3L, 4L, 5L).subsetOf(occ.keySet),
+      "untouched groups must survive the rebalance")
+    assert((occ.keySet -- Set(2L, 3L, 4L, 5L)).forall(_ >= 6L),
+      s"minted gids must come from seed-eligible member cids: ${occ.keySet}")
 
     // idempotence: a balanced level re-runs as a strict no-op
     val vStable = new VersionedTable(spark, s"$root/groups").versions.max

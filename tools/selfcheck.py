@@ -130,7 +130,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     if not mem:
         try:
             ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
-            mem = f"{max(4, int(ram_gb * 0.75))}GB"
+            # no floor: on a tiny box 75% could round to 0..3GB, and
+            # flooring it back UP past physical RAM would re-create the
+            # OOM-kill — below 4GB usable, DuckDB's own default is safer
+            mem = f"{int(ram_gb * 0.75)}GB" if ram_gb * 0.75 >= 4 else None
         except (ValueError, OSError):
             mem = None  # let DuckDB pick its RAM-aware default
     if mem:
