@@ -554,6 +554,17 @@ object IvfIndex {
     * head, so detection stays O(metadata) instead of paying a recount
     * per maintenance sweep. No-op when the artifact was already stale
     * going in. */
+  /** Make the cells head APPEND-READY: a preceding sequence's cleanup
+    * deletes owe a compact before any further append (the table refuses
+    * appends onto deletion-vector heads), and the stats artifact carries
+    * across it — visible rows don't change. The shared entry rule of
+    * append/split/merge/maintain. */
+  private def readyCellsHead(spark: SparkSession, root: String): VersionedTable = {
+    val t = new VersionedTable(spark, s"$root/cells")
+    if (t.headHasDeletes) withStatsCarried(spark, root)(t.compact())
+    t
+  }
+
   private def withStatsCarried(spark: SparkSession, root: String)(
       body: => Unit): Unit = {
     val t = new VersionedTable(spark, s"$root/cells")
@@ -758,15 +769,11 @@ object IvfIndex {
 
   def append(spark: SparkSession, root: String, vecs: DataFrame,
       operation: String = "ivf-append"): Long = {
-    // a PRECEDING restructuring's cleanup deletes may still sit on the
-    // head as deletion vectors, and the table refuses appends onto such
-    // a head — pay the pending compact here (stats carry: visible rows
-    // don't change), exactly the split/merge/maintain entry rule. This
-    // is what lets a streaming ingest loop interleave freely with
-    // maintenance sweeps (st19's composition) instead of crashing on
-    // the first append after a sweep.
-    val headT = new VersionedTable(spark, s"$root/cells")
-    if (headT.headHasDeletes) withStatsCarried(spark, root)(headT.compact())
+    // pay any pending cleanup-delete compact up front (the shared entry
+    // rule) — this is what lets a streaming ingest loop interleave
+    // freely with maintenance sweeps (st19's composition) instead of
+    // crashing on the first append after a sweep
+    readyCellsHead(spark, root)
     val vn = normalized(vecs).localCheckpoint(true)
     val cents = centroids(spark, root)
     val assign = assignCells(vn, cents).localCheckpoint(true)
@@ -841,8 +848,7 @@ object IvfIndex {
     // seed cids, and this split's flip would publish both copies. Then
     // make the heads append-ready across a pending cleanup delete.
     retireDebris(spark, root)
-    val cellsHead = new VersionedTable(spark, s"$root/cells")
-    if (cellsHead.headHasDeletes) withStatsCarried(spark, root)(cellsHead.compact())
+    readyCellsHead(spark, root)
     val groupsHead = new VersionedTable(spark, s"$root/groups")
     if (groupsHead.headHasDeletes) groupsHead.compact()
     val prior = cellRowCounts(spark, root) // stats delta base, pre-commit
@@ -947,8 +953,7 @@ object IvfIndex {
     // append-ready (a previous sequence's cleanup deletes owe a compact;
     // the stats carry across it — visible rows don't change).
     retireDebris(spark, root)
-    val cellsT = new VersionedTable(spark, s"$root/cells")
-    if (cellsT.headHasDeletes) withStatsCarried(spark, root)(cellsT.compact())
+    val cellsT = readyCellsHead(spark, root)
     val prior = cellRowCounts(spark, root) // stats delta base, pre-commit
     val members = cells(spark, root).filter(col("cid") === cid)
       .select(col("vec_id"), col("label"), col("ne"))
@@ -1055,7 +1060,7 @@ object IvfIndex {
     // visible rows don't change — so every converging sweep's detection
     // stays O(metadata) instead of paying a recount per sweep.
     retireDebris(spark, root)
-    if (cellsT.headHasDeletes) withStatsCarried(spark, root)(cellsT.compact())
+    readyCellsHead(spark, root)
     if (groupsT.headHasDeletes) groupsT.compact()
     val g = publishedGen(spark, root)
     val prior = cellRowCounts(spark, root)
@@ -1236,6 +1241,7 @@ object IvfIndex {
       val memb = groupsT.read().select(col("cid"), col("gid"), col("ge"))
       val occ = memb.groupBy(col("gid")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ groups
+      if (occ.isEmpty) return total
       // duplicate-vector stall guard on the occupancy VALUE multiset,
       // not the map: a degenerate split (identical centroid vectors tie
       // every member to one seed) merely RENAMES the group — same
@@ -1245,7 +1251,6 @@ object IvfIndex {
       if (prevOcc != null && occVals == prevOcc) return total
       prevOcc = occVals
       val k = occ.values.sum
-      if (occ.isEmpty) return total
       // structural target: ~√k members per group (coarseOf's build shape)
       val targetG = math.min(math.ceil(math.sqrt(k.toDouble)).toLong, MaxCoarse)
       val target = (k + targetG - 1) / targetG
