@@ -129,8 +129,21 @@ object SkewProbe {
       val (filtBase, filtMaint) = (best("filtered_base"), best("filtered_maint"))
       val (kB, maxB, mB) = spread(base)
       val (kM, maxM, mM) = spread(maint)
+      // GROUP-level occupancy (round 14): maintain() now rebalances the
+      // coarse level too — report the maintained index's group count and
+      // worst occupancy so the √k-structure claim is measured on the
+      // twin, not just the hand-built spec corpus
+      def groupSpread(root: String): (Int, Long) = {
+        val occ = IvfIndex.groups(spark, root).groupBy(col("gid")).count()
+          .select(col("count")).collect().map(_.getLong(0))
+        (occ.length, if (occ.isEmpty) 0L else occ.max)
+      }
+      val (ngB, mgB) = groupSpread(base)
+      val (ngM, mgM) = groupSpread(maint)
       f""""$dir":{"sweeps":$sweeps,"cells_base":$kB,"max_base":$maxB,"max_over_mean_base":$mB%.1f,""" +
         f""""cells_maint":$kM,"max_maint":$maxM,"max_over_mean_maint":$mM%.1f,""" +
+        f""""groups_base":$ngB,"max_group_base":$mgB,""" +
+        f""""groups_maint":$ngM,"max_group_maint":$mgM,""" +
         f""""probe_base":$probeBase%.3f,"probe_maint":$probeMaint%.3f,""" +
         f""""filtered_base":$filtBase%.3f,"filtered_maint":$filtMaint%.3f}"""
     }
