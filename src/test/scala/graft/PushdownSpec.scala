@@ -258,6 +258,24 @@ class PushdownSpec extends SparkSpec {
       s"e14's scan must read the persisted index:\n$p")
   }
 
+  test("e13 runs all greedy MMR rounds in ONE plan: two corpus streams + pushed q-scan, no checkpoint remnants") {
+    // the round-14 fuse's tripwire (replacing the old checkpoint-placement
+    // guard): the five greedy rounds live inside a row-local expression,
+    // so the physical plan must show exactly the THREE parquet scans the
+    // design pays — the two corpus-sized streams (e1-shaped scoring pass,
+    // shortlist enrich) plus the deliberately-unmaterialized query-side
+    // re-scan (filter-pushed and tiny; e1/e12's documented posture) —
+    // and NO materialized-RDD scans: a reappearing ExistingRDD means
+    // someone reintroduced per-round checkpoints and the ~20-scheduler-
+    // round shape this fuse deleted (5.61 → 1.61 s at sf0.1)
+    val p = plan("e13_mmr_rerank")
+    val corpusScans = "FileScan".r.findAllIn(p).length
+    assert(corpusScans == 3,
+      s"e13 must scan parquet exactly 3 times (2 corpus streams + pushed q-side), found $corpusScans:\n$p")
+    assert(!p.contains("ExistingRDD") && !p.contains("LocalTableScan"),
+      s"e13 must not contain checkpoint remnants — greedy rounds are one expression:\n$p")
+  }
+
   test("sql12 decorrelates both subqueries: LeftSemi + LeftAnti joins, no per-row subquery, no cartesian, top-k without global sort") {
     val p = plan("sql12_waiting_suppliers")
     assert(p.contains("LeftSemi"),
