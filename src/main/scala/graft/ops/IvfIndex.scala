@@ -1038,7 +1038,11 @@ object IvfIndex {
     * have committed its own rebalance during THIS call. The idempotence
     * contract is therefore one call deep: after any maintain() returns
     * (0,0), the NEXT call commits nothing at either level (both bands
-    * verified clean; spec-pinned via version stability). Callers
+    * verified clean; spec-pinned via version stability). Passing
+    * `retainVersions = Some(n)` additionally runs [[vacuumIndex]] at
+    * every call's tail — the production posture where the sweep loop IS
+    * the retention scheduler and the artifact's version history stays
+    * bounded at n per table. Callers
     * loop sweeps to convergence (each sweep's cleanup deletes owe a
     * compact before the next sweep's appends — the entry guard pays it
     * only when deletes are actually pending; at 100 TB that compact
@@ -1047,7 +1051,8 @@ object IvfIndex {
     * forever; dedup them (d1) before indexing, don't loop maintain. */
   def maintain(spark: SparkSession, root: String,
       hiNum: Int = MaintainHiNum, hiDen: Int = MaintainHiDen,
-      loNum: Int = MaintainLoNum, loDen: Int = MaintainLoDen): (Int, Int) = {
+      loNum: Int = MaintainLoNum, loDen: Int = MaintainLoDen,
+      retainVersions: Option[Int] = None): (Int, Int) = {
     require(hiNum > 0 && hiDen > 0 && loDen > 0 && loNum >= 0,
       "maintain bands must be positive rationals (loNum 0 disables merges)")
     val cellsT = new VersionedTable(spark, s"$root/cells")
@@ -1083,6 +1088,7 @@ object IvfIndex {
       // convergence, so "maintain returned (0,0)" means the WHOLE index
       // (both levels) is in band and nothing further will ever commit
       maintainGroups(spark, root)
+      retainVersions.foreach(vacuumIndex(spark, root, _))
       return (0, 0)
     }
     val kAfter = k + heavy.size - small.size
@@ -1180,6 +1186,11 @@ object IvfIndex {
     // one atomic single-table commit, so a crash between rounds leaves a
     // consistent (merely less-balanced) index — no debris to retire
     maintainGroups(spark, root)
+    // retention rides the sweep when asked (reference cadence: the
+    // compliance window applied at every maintenance pass) — an
+    // always-on sweep loop then bounds the artifact's version history
+    // without a separate scheduler
+    retainVersions.foreach(vacuumIndex(spark, root, _))
     (heavy.size, small.size)
   }
 

@@ -998,15 +998,20 @@ class IvfIndexSpec extends SparkSpec {
         .filter($"gen" <= 0L).select($"cid", $"vec_id", $"ne")) == preSnap,
       "time travel inside the retention window must audit the pre-maintenance index")
 
-    // tight retention: history physically dropped, serve unchanged,
-    // dropped version fails loudly
-    val dropped = IvfIndex.vacuumIndex(spark, root, keepLast = 1)
-    assert(dropped("cells").nonEmpty && dropped("centroids").nonEmpty,
-      s"tight retention must drop maintenance history: $dropped")
+    // tight retention, in the SELF-APPLYING form: retention rides every
+    // sweep (even this no-op (0,0) one), so an always-on sweep loop IS
+    // the retention scheduler — history physically dropped, serve
+    // unchanged, a dropped version fails loudly
+    IvfIndex.maintain(spark, root, IvfIndex.MaintainHiNum,
+      IvfIndex.MaintainHiDen, 0, 1, retainVersions = Some(1))
     assert(serve() == before, "retention must never change what the head serves")
     val err = intercept[Exception](cellsT.read(versionAsOf = Some(vPre)).count())
     assert(err.getMessage.toLowerCase.contains("vacuum"),
       s"a dropped version must fail loudly, got: ${err.getMessage}")
+    // NOTE deliberately NOT asserted: vacuum's removed-list is "outside
+    // the window", not "newly deleted" — a second pass re-reports the
+    // same versions (idempotent dir deletion). The riding pass's effect
+    // is proven by the failing vPre read + unchanged serve above.
   }
 
   test("cellstats artifact matches a recount after every lifecycle transition") {
