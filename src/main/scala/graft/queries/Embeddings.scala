@@ -574,6 +574,35 @@ object Embeddings extends QueryGroup {
           UNION ALL SELECT vec_id, cid FROM rs$i
           UNION ALL SELECT vec_id, cid FROM rm$i)"""
 
+  /** e22's oracle: the e14 probe chain over a ONCE-maintained index —
+    * ONE generic policy round unrolled from the shared index CTEs.
+    * This is the twin-gate form of e21: the two-round oracle spills
+    * ~80 GB of DuckDB state at the 10× hot-cell twin's 20k vectors
+    * (SCALE.md round 13), while one round keeps the CTE tree bounded,
+    * so MAINTENANCE itself is hash-checked under real skew instead of
+    * structurally argued. Identical bands, identical policy SQL —
+    * [[sqlMaintainRound]] is shared verbatim with e21's oracle. */
+  private[graft] val sqlIvfMaintainOnceTop5: String = s"""
+        WITH $sqlIvfIndexCtes,
+        ${sqlMaintainRound(1, "c", "assign", E21HiNum, E21HiDen, E21LoNum, E21LoDen)},
+        q AS (SELECT vec_id AS q_id, ne AS qe FROM n WHERE vec_id % 10 = 0),
+        qcf AS (
+          SELECT q.q_id, c2.cid,
+                 list_sum(list_transform(range(1, len(qe)+1), x -> qe[x] * ce[x])) AS cos
+          FROM q CROSS JOIN c_m1 c2),
+        probes AS (
+          SELECT q_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cid ASC) AS rnk
+            FROM qcf) WHERE rnk <= ${graft.ops.IvfIndex.NProbe}),
+        scored AS (
+          SELECT p.q_id, a.vec_id,
+                 list_sum(list_transform(range(1, len(q.qe)+1), x -> q.qe[x] * n.ne[x])) AS cos
+          FROM probes p
+          JOIN a_m1 a ON a.cid = p.cid AND a.vec_id <> p.q_id
+          JOIN q ON q.q_id = p.q_id
+          JOIN n ON n.vec_id = a.vec_id)
+        $sqlScoredTop5Tail"""
+
   /** e21's oracle: the e14 probe chain over a TWICE-MAINTAINED index —
     * two generic policy rounds unrolled from the shared index CTEs,
     * then probe selection against the final centroid set and the exact
@@ -1128,6 +1157,34 @@ object Embeddings extends QueryGroup {
             (col("pos") + 1).cast("long").as("rn"))
       },
       oracle = Some(sqlIvfMaintainTop5)),
+
+    // E22: e21's TWIN-GATE variant — the identical automatic-maintenance
+    // policy, ONE sweep instead of two. Exists so the maintenance path
+    // itself is ORACLE-CHECKED on the 10× hot-cell skew twin: e21's
+    // two-round unrolled oracle spills ~80 GB of DuckDB state at 20k
+    // vectors (an oracle-cost limit — SCALE.md round 13), which kept
+    // maintenance out of the twin hash gate; the one-round form bounds
+    // the CTE tree and passes the same type-strict selfcheck everywhere,
+    // twin included. Same bands, same policy code, same serve tail.
+    "e22_ann_maintain_single_sweep" -> QueryDef(
+      build = (s, d) => {
+        val root = graft.ops.IvfIndex.deriveTwin(s, d,
+          s"maintain-1sweep-$E21HiNum-$E21HiDen-$E21LoNum-$E21LoDen") { tmp =>
+          graft.ops.IvfIndex.maintain(s, tmp, E21HiNum, E21HiDen, E21LoNum, E21LoDen)
+        }
+        val q = graft.ops.IvfIndex.cells(s, root)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("q_ne"))
+          .localCheckpoint(true)
+        graft.ops.IvfIndex.probeCandidates(s, root, q)
+          .groupBy(col("q_id"))
+          .agg(graft.functions.BoundedTopK.topK(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.id").as("vec_id"),
+            (floor(col("col.score") * 1000000) / 1000000.0).as("score"),
+            (col("pos") + 1).cast("long").as("rn"))
+      },
+      oracle = Some(sqlIvfMaintainOnceTop5)),
 
     // E8: pre-flight corpus-contract validation — the one-scan gate a
     // pipeline runs BEFORE launching the embedding family (e1/e2/e4/e5/e7,

@@ -362,6 +362,69 @@ class IvfIndexSpec extends SparkSpec {
     assert(pairsRepaired * 4 < pairsDecayed,
       s"group repair must collapse the two-level scoring volume: "
         + s"$pairsRepaired vs decayed $pairsDecayed")
+
+    // SHRINK MODE, then repair — the MERGE direction (round 15): heavy
+    // retirement / cell-merges drop k 16× (two compounded 4× epochs —
+    // a single uniform 4× lands groups exactly ON the ½× band edge,
+    // which the band deliberately tolerates, symmetric with a 2×-over
+    // group not splitting) while the group set stays sized for the old
+    // k: stage-1 probe cost (|groups| dots per query) drifts above the
+    // √k structural optimum. Simulated by merge()'s own retirement
+    // protocol: survivors keep their rows, retired cids leave
+    // centroids, groups, and cells.
+    val kept = 256L
+    new VersionedTable(spark, s"$root/centroids")
+      .write(cents.filter($"cid" <= kept).withColumn("gen", lit(0L)),
+        "spec-shrink")
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    groupsT.deleteWhere(s"cid > $kept")
+    // members re-home across the surviving cells (what the cell merges
+    // that retired those centroids would have done)
+    new VersionedTable(spark, s"$root/cells").write(
+      cellRows.select((($"vec_id" - 1) % kept + 1).as("cid"), $"vec_id",
+        $"label", $"ne", $"codes", $"gen"),
+      "spec-shrink",
+      // same logical schema; the fresh array(lit(1),...) literal differs
+      // from the parquet head only in containsNull, which strict
+      // enforcement treats as a retype
+      overwriteSchema = true)
+    val groupsBefore = new VersionedTable(spark, s"$root/groups").read()
+      .select($"gid").distinct().count()
+    val targetG2 = math.min(math.ceil(math.sqrt(kept.toDouble)).toLong,
+      IvfIndex.MaxCoarse) // 16
+    val target2 = (kept + targetG2 - 1) / targetG2 // 16
+    assert(groupsBefore * 1 > targetG2 * IvfIndex.GroupHiNum,
+      s"the shrunken level must start ABOVE the structural count band: "
+        + s"$groupsBefore groups over $kept centroids (band ${2 * targetG2})")
+    val merges = IvfIndex.maintainGroups(spark, root)
+    assert(merges > 0, s"$groupsBefore groups over $kept centroids must merge")
+    val g2 = new VersionedTable(spark, s"$root/groups").read()
+      .select($"cid", $"gid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g2.map(_._1).toSet == (1L to kept).toSet && g2.length == kept,
+      "every surviving centroid must stay reachable through exactly one group")
+    val occ2 = g2.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(occ2.values.min * IvfIndex.GroupLoDen >= target2 * IvfIndex.GroupLoNum,
+      s"post-merge occupancies must clear the lo band: min ${occ2.values.min}"
+        + s" vs target $target2")
+    assert(occ2.values.max * IvfIndex.GroupHiDen <= target2 * IvfIndex.GroupHiNum,
+      s"post-merge occupancies must stay under the hi band: max ${occ2.values.max}")
+    // stage-1 volume — |groups| dots per query, THE cost the merge
+    // direction exists to bound — collapses back inside the √k band
+    assert(occ2.size <= 2 * targetG2 && occ2.size < groupsBefore,
+      s"group count must return to the √k regime: $groupsBefore -> ${occ2.size}"
+        + s" (band ${2 * targetG2})")
+    assert(IvfIndex.maintainGroups(spark, root) == 0,
+      "a merged-in-band level must make the next group sweep a strict no-op")
+    // serve still healthy through the merged level: every query answered,
+    // and the two-level selection stays cheaper than the flat scan
+    val servedShrunk = IvfIndex.probeCandidatesTwoLevel(spark, root, q)
+      .groupBy($"q_id").count()
+    assert(servedShrunk.count() == q.count(),
+      "the two-level probe must answer every query through the merged level")
+    val flatS = time(IvfIndex.probeCandidates(spark, root, q).count())
+    val twoS = time(IvfIndex.probeCandidatesTwoLevel(spark, root, q).count())
+    info(f"post-shrink $kept-cell probe: flat $flatS%.2f s, two-level $twoS%.2f s, "
+      + s"$groupsBefore -> ${occ2.size} groups")
   }
 
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
@@ -947,6 +1010,89 @@ class IvfIndexSpec extends SparkSpec {
     val keys = stats.keySet ++ counted.keySet
     assert(keys.forall(c => stats.getOrElse(c, 0L) == counted.getOrElse(c, 0L)),
       "stats artifact diverged from a recount after the composition")
+  }
+
+  test("st20: erasure refuses a mid-flight restructuring window and composes cleanly between sweeps") {
+    // The erase×maintain production pair (e17's GDPR erasure racing the
+    // always-on sweep loop st19 proves for appends): inside a staged
+    // sequence the moved members' gen+1 copies are RE-KEYED (fresh cid),
+    // so an erase predicate landing mid-window can miss them entirely —
+    // resurrection at the flip — and even a matching predicate leaves
+    // the sequence's trailing stats commit counting erased rows. The
+    // contract is an enforced writer lock on the restructuring WAL
+    // marker: LOUD refusal mid-window (nothing committed), clean
+    // composition between sweeps (erased members absent from the serve
+    // before the next flip AND after it, member set otherwise exactly
+    // preserved, stats matching a recount).
+    import spark.implicits._
+    val ids = 1L to 400L
+    val base = vec(7L)
+    val sampled = graft.queries.Embeddings.sqrtSample(
+      ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      ids.map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val dir = Files.createTempDirectory("graft_ivf_st20_").toString
+    ids.map { i =>
+      val v = if (i <= 300 && !sampled(i))
+        base.zip(vec(i)).map { case (b, p) => b + 0.02f * p } else vec(i)
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val root = IvfIndex.ensure(spark, dir)
+    val cellsT = new VersionedTable(spark, s"$root/cells")
+    val statsT = new VersionedTable(spark, s"$root/cellstats")
+
+    // (1) the LOCK: a staged sequence is in flight — delete must refuse
+    // loudly BEFORE committing anything (cells and stats versions pinned)
+    val vCells = cellsT.versions.max
+    val vStats = statsT.versions.max
+    IvfIndex.beginRestructure(root)
+    val err = intercept[IllegalArgumentException](
+      IvfIndex.delete(spark, root, "vec_id % 7 = 3"))
+    assert(err.getMessage.contains("restructuring sequence is in flight"),
+      s"the refusal must name the in-flight window, got: ${err.getMessage}")
+    assert(cellsT.versions.max == vCells && statsT.versions.max == vStats,
+      "a refused erase must not have committed to any index table")
+    IvfIndex.endRestructure(root)
+
+    // (2) the COMPOSITION: erase between sweeps, then let maintenance
+    // flip — erased members absent from both serves, nothing else lost
+    // or duplicated, stats honest after the whole pair
+    val erased = IvfIndex.delete(spark, root, "vec_id % 7 = 3")
+    assert(erased > 0, "the erase predicate must match members")
+    val isErased = (id: Long) => id % 7 == 3
+    val liveAfterErase = assignmentsOf(IvfIndex.cells(spark, root)).map(_._2)
+    assert(liveAfterErase == ids.filterNot(isErased).toSet,
+      "erase must remove exactly the matching members")
+    val q = IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne")).localCheckpoint(true)
+    def servedIds(): Set[Long] =
+      IvfIndex.probeCandidates(spark, root, q).select($"vec_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(!servedIds().exists(isErased),
+      "pre-sweep serve must never return an erased member")
+    val centsT = new VersionedTable(spark, s"$root/centroids")
+    val vCent = centsT.versions.max
+    var acted = true
+    var sweeps = 0
+    while (acted && sweeps < 10) {
+      val (s, m) = IvfIndex.maintain(spark, root,
+        IvfIndex.MaintainHiNum, IvfIndex.MaintainHiDen, 0, 1)
+      acted = s + m > 0; if (acted) sweeps += 1
+    }
+    assert(sweeps >= 1 && centsT.versions.max > vCent,
+      "the planted cluster must force at least one post-erase flip")
+    assert(assignmentsOf(IvfIndex.cells(spark, root)).map(_._2) == liveAfterErase,
+      "the flip must neither resurrect an erased member nor lose a live one")
+    assert(!servedIds().exists(isErased),
+      "post-flip serve must never return an erased member")
+    val stats = statsT.read()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counted = IvfIndex.cells(spark, root).groupBy($"cid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keys = stats.keySet ++ counted.keySet
+    assert(keys.forall(c => stats.getOrElse(c, 0L) == counted.getOrElse(c, 0L)),
+      "stats artifact must match a recount after the erase×maintain pair")
   }
 
   test("vacuumIndex bounds the maintenance history; time travel works inside the window, serve is unchanged") {

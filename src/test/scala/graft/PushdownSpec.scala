@@ -269,11 +269,36 @@ class PushdownSpec extends SparkSpec {
     // someone reintroduced per-round checkpoints and the ~20-scheduler-
     // round shape this fuse deleted (5.61 → 1.61 s at sf0.1)
     val p = plan("e13_mmr_rerank")
-    val corpusScans = "FileScan".r.findAllIn(p).length
-    assert(corpusScans == 3,
-      s"e13 must scan parquet exactly 3 times (2 corpus streams + pushed q-side), found $corpusScans:\n$p")
+    // PRIMARY guard: no materialized-RDD scans (a reappearing
+    // ExistingRDD means per-round checkpoints came back). The scan
+    // count is an UPPER bound, not an exact match — plan-string
+    // formatting, AQE, or a benign extra metadata scan must not trip
+    // the wire that exists to catch the checkpoint shape
     assert(!p.contains("ExistingRDD") && !p.contains("LocalTableScan"),
       s"e13 must not contain checkpoint remnants — greedy rounds are one expression:\n$p")
+    val corpusScans = "FileScan".r.findAllIn(p).length
+    assert(corpusScans <= 3,
+      s"e13 must scan parquet at most 3 times (2 corpus streams + pushed q-side), found $corpusScans:\n$p")
+  }
+
+  test("e15's two-level probe scans parquet ONLY for the pruned lists — the validated metadata pair serves as local relations") {
+    // the v8 probe-shape tripwire: probeCandidatesTwoLevel collects the
+    // version-pinned (groups, centroids) pair ONCE for covering
+    // validation and reuses those exact rows as local relations, so the
+    // served plan must show (a) exactly one FileScan — the cell-pruned
+    // inverted lists, (b) zero parquet re-reads of the metadata tables,
+    // and (c) no shuffle exchange keyed on the groups join (the local
+    // metadata side broadcasts). A second groups scan or a
+    // gid-partitioned exchange means a refactor silently un-collapsed
+    // the metadata side.
+    val p = plan("e15_ann_ivf_two_level")
+    val fileScans = "FileScan".r.findAllIn(p).length
+    assert(fileScans <= 1,
+      s"e15 must scan parquet once (the pruned cells scan), found $fileScans:\n$p")
+    assert(p.contains("graft_ivf") && p.contains("In(cid"),
+      s"e15's one scan must be the persisted index's lists with the pushed cell prune:\n$p")
+    assert(!p.contains("hashpartitioning(gid"),
+      s"the groups-side join must broadcast the local relation, never shuffle on gid:\n$p")
   }
 
   test("sql12 decorrelates both subqueries: LeftSemi + LeftAnti joins, no per-row subquery, no cartesian, top-k without global sort") {
