@@ -820,6 +820,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * `table_changes(...)` equivalent; also consumable as a file stream for
     * the streaming-CDC path). */
   def changeFeed(fromVersion: Long = 0L): DataFrame = {
+    // a resume point inside the retention-dropped range is a LOUD
+    // contract failure naming the gap — silently listing only the
+    // surviving dirs would hand the consumer a feed with an invisible
+    // hole (the lagging-consumer×retention composition, spec-pinned)
+    val dropped = VersionedTable.feedVacuumedThrough(root)
+    require(fromVersion > dropped,
+      s"change feed of $root from version $fromVersion is beyond " +
+        s"retention: feed versions <= $dropped were dropped by vacuum — " +
+        s"re-sync from a snapshot, then resume from ${dropped + 1}")
     val vs = versions.filter(_ >= fromVersion)
       .filter(v => Files.exists(Paths.get(s"$root/_changes/v=$v")))
     require(vs.nonEmpty, s"no change-feed versions >= $fromVersion at $root")
@@ -1399,6 +1408,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
         deleteTree(Paths.get(s"$root/_bloom/$c/v=$v"))
       }
     }
+    // retention applies to the CHANGE FEED too (the Delta posture: CDC
+    // reads beyond the retention window THROW rather than silently
+    // skip): drop removed versions' feed dirs and tombstone the
+    // high-water mark, so a lagging consumer — changeFeed, the shared
+    // CDF batch read, or the graftSharingCdc stream — fails loudly
+    // naming the gap instead of resuming across an invisible hole.
+    val droppedFeeds = removed
+      .filter(v => Files.isDirectory(Paths.get(s"$root/_changes/v=$v")))
+    if (droppedFeeds.nonEmpty) {
+      droppedFeeds.foreach(v => deleteTree(Paths.get(s"$root/_changes/v=$v")))
+      val tomb = Paths.get(s"$root/_changes/_vacuumed_through")
+      Files.createDirectories(tomb.getParent)
+      val prev = VersionedTable.feedVacuumedThrough(root)
+      Files.writeString(tomb, math.max(prev, droppedFeeds.max).toString)
+    }
     // crashed writers' leftover staging — but never an IN-FLIGHT writer's:
     // staging happens outside the commit lock by design, so only reclaim
     // dirs whose ENTIRE subtree is untouched for over an hour. The
@@ -1441,6 +1465,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
 }
 
 object VersionedTable {
+  /** Highest change-feed version DROPPED by [[VersionedTable.vacuum]]'s
+    * feed retention at `root` (-1: nothing dropped). Static because the
+    * sharing layer reads provider roots by path, without constructing a
+    * table — the one definition every lagging-consumer check shares. */
+  private[graft] def feedVacuumedThrough(root: String): Long = {
+    val tomb = Paths.get(root, "_changes", "_vacuumed_through")
+    if (Files.isRegularFile(tomb)) Files.readString(tomb).trim.toLong else -1L
+  }
+
   /** Recursive dir copy into a fresh destination — THE tree copy for
     * version/index artifacts (shallow clones, deleteWhere stats carries,
     * IvfIndex twins): one definition, so the copy semantics can't drift

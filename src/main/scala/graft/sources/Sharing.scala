@@ -71,6 +71,17 @@ class SharingSource extends TableProvider with DataSourceRegister {
     // feed is parquet under `_changes/v=N` — the CDF resolve is just a
     // different path listing, the scan stays the native parquet table
     if (cdf) {
+      // same lagging-consumer × retention contract as the streaming CDC
+      // source: a startingVersion inside the provider's vacuumed range
+      // must fail naming the gap, never return the surviving suffix as
+      // if it were the whole feed
+      paths.foreach { root =>
+        val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
+        if (starting <= vacuumed) sys.error(
+          s"shared change feed '$fqn': startingVersion $starting is beyond " +
+            s"retention — the provider dropped feed versions <= $vacuumed; " +
+            s"re-sync from a snapshot, then read from ${vacuumed + 1}")
+      }
       val feedDirs = paths.flatMap(root =>
         SharingProtocol.committedFeedDirs(fqn, root, starting))
       if (feedDirs.isEmpty) sys.error(
@@ -280,6 +291,16 @@ object SharingProtocol {
     import org.apache.spark.sql.functions.col
     val (fqn, paths) = resolve(url)
     val root = paths.head
+    // lagging-consumer × provider-retention contract (the Delta CDF
+    // posture: a read beyond the retention window THROWS): a
+    // startingVersion at or below the provider's vacuumed high-water
+    // mark must fail naming the gap — the glob below sees only
+    // surviving dirs and would silently stream a feed with a hole
+    val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
+    if (startingVersion <= vacuumed) sys.error(
+      s"shared change feed '$fqn': startingVersion $startingVersion is " +
+        s"beyond retention — the provider dropped feed versions <= " +
+        s"$vacuumed; re-sync from a snapshot, then stream from ${vacuumed + 1}")
     val committed = committedFeedDirs(fqn, root, 0L)
     if (committed.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
     // merge schemas across ALL committed feed versions: a mergeSchema
@@ -323,6 +344,19 @@ object SharingProtocol {
     val watermark =
       if (Files.isRegularFile(offsetFile)) Files.readString(offsetFile).trim.toLong
       else Long.MinValue
+    // lagging-consumer × provider-retention contract: this pass resumes
+    // at max(startingVersion, watermark+1); if that falls at or below
+    // the provider's vacuumed high-water mark, versions this consumer
+    // never saw are GONE — the committed listing below would silently
+    // hand `f` the surviving suffix as if it were contiguous. Fail
+    // loudly naming the gap instead (the Delta CDF retention posture).
+    val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
+    val resume = math.max(startingVersion, watermark + 1L)
+    if (resume <= vacuumed) sys.error(
+      s"shared change feed '$fqn': this consumer resumes at version " +
+        s"$resume but the provider's retention dropped feed versions <= " +
+        s"$vacuumed — re-sync the sink from a shared snapshot, then " +
+        s"restart from ${vacuumed + 1} with a fresh checkpoint")
     val due = committedFeedVersions(fqn, root, startingVersion)
       .filter(_._1 > watermark)
     Files.createDirectories(Paths.get(checkpointDir))

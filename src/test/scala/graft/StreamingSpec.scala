@@ -799,4 +799,96 @@ class StreamingSpec extends SparkSpec {
     assert(versions(out2) == directCounts.filter(_._1 >= 1L),
       s"startingVersion=1 must skip the v0 seed: ${versions(out2)}")
   }
+
+  test("provider retention outrunning a lagging shared-CDF consumer fails loudly on every consumer path") {
+    // the compliance retention window meeting a lagging recipient: the
+    // provider vacuums feed versions a checkpointed consumer has not yet
+    // seen. Every shared consumer path — the graftSharingCdc streaming
+    // source, the DSv2 batch CDF read, the committed-batch watermark
+    // loop, and the glob change stream — must fail LOUDLY naming the
+    // dropped range and the resume point, never serve the surviving
+    // suffix as if the feed were contiguous.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.SharingProtocol
+    val root = java.nio.file.Files.createTempDirectory("graft_ret_tbl_").toString + "/t"
+    val t = new graft.maint.VersionedTable(spark, root)
+    t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      commitTs = "2001-09-01 00:00:00")
+    t.appendWithChangeFeed(Seq((11L, "x1")).toDF("id", "v"),
+      commitTs = "2001-09-02 00:00:00")
+    val endpoint = java.nio.file.Files.createTempDirectory("graft_ret_ep_").toString
+    val profile = SharingProtocol.publishLocal(
+      endpoint, "s", "db", "lag_cdf", root, "tok")
+    val url = s"$profile#s.db.lag_cdf"
+
+    // consumer 1 (stream) and consumer 2 (watermark loop) both consume
+    // v0..v1 and checkpoint, then go idle — the lagging recipients
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ret_ck_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ret_out_").toString + "/sink"
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graftSharingCdc").option("url", url).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runStream()
+    assert(spark.read.parquet(out).count() == 3, "stream consumed v0+v1")
+    val ckptWm = java.nio.file.Files.createTempDirectory("graft_ret_wm_").toString
+    val seen0 = SharingProtocol.committedChangeBatches(spark, url, ckptWm)((_, _) => ())
+    assert(seen0 == Seq(0L, 1L))
+
+    // the provider moves on: two more commits, then retention drops
+    // everything but the head — feed versions <= 2 are gone, and both
+    // checkpointed consumers now resume at 2, inside the hole
+    t.appendWithChangeFeed(Seq((12L, "x2")).toDF("id", "v"),
+      commitTs = "2001-09-03 00:00:00")
+    t.appendWithChangeFeed(Seq((13L, "x3")).toDF("id", "v"),
+      commitTs = "2001-09-04 00:00:00")
+    t.vacuum(keepLast = 1)
+    assert(graft.maint.VersionedTable.feedVacuumedThrough(root) == 2L)
+    def msgs(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+
+    // (1) streaming source: the checkpointed restart fails naming the gap
+    val eStream = intercept[Exception](runStream())
+    assert(msgs(eStream).contains("retention") && msgs(eStream).contains("<= 2"),
+      s"stream restart must name the dropped range: ${msgs(eStream)}")
+
+    // (2) watermark loop: the lagging checkpoint fails the same way
+    val eWm = intercept[RuntimeException](
+      SharingProtocol.committedChangeBatches(spark, url, ckptWm)((_, _) => ()))
+    assert(eWm.getMessage.contains("resumes at version 2") &&
+      eWm.getMessage.contains("<= 2"),
+      s"watermark loop must name the gap: ${eWm.getMessage}")
+
+    // (3) DSv2 batch CDF: startingVersion inside the hole fails;
+    // resuming past it serves exactly the surviving feed
+    val eBatch = intercept[RuntimeException](
+      spark.read.format("graftSharing").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(url).collect())
+    assert(eBatch.getMessage.contains("beyond retention") &&
+      eBatch.getMessage.contains("<= 2"),
+      s"batch CDF must name the gap: ${eBatch.getMessage}")
+    val survived = spark.read.format("graftSharing").option("readChangeFeed", "true")
+      .option("startingVersion", "3").load(url)
+    assert(survived.select("id").collect().map(_.getLong(0)).toSeq == Seq(13L),
+      "resuming past the gap serves exactly the surviving feed version")
+
+    // (4) glob change stream: construction inside the hole fails; a
+    // fresh consumer from past the gap constructs fine
+    val eGlob = intercept[RuntimeException](SharingProtocol.changeStream(spark, url))
+    assert(eGlob.getMessage.contains("beyond retention"),
+      s"glob stream must name the gap: ${eGlob.getMessage}")
+    assert(SharingProtocol.changeStream(spark, url, startingVersion = 3L).isStreaming)
+
+    // (5) fresh-checkpoint recovery path: the loop from past the gap
+    // delivers exactly the surviving version — the documented re-sync
+    val ckptWm2 = java.nio.file.Files.createTempDirectory("graft_ret_wm2_").toString
+    val seen1 = SharingProtocol.committedChangeBatches(
+      spark, url, ckptWm2, startingVersion = 3L)((df, v) =>
+        assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(13L) && v == 3L))
+    assert(seen1 == Seq(3L))
+  }
 }

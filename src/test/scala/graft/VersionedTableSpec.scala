@@ -1272,6 +1272,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(te.changeFeed(0).count() == 1)
   }
 
+  test("vacuum retention reaches the change feed; a lagging changeFeed read fails loudly naming the gap") {
+    // the retention × lagging-consumer composition (compliance retention
+    // window meeting a CDC consumer): vacuum drops removed versions'
+    // FEED dirs too and tombstones the high-water mark, so a consumer
+    // resuming inside the dropped range gets a loud contract failure
+    // naming the gap — never a silently-holed feed built from whatever
+    // dirs survived (the Delta posture: CDF beyond retention THROWS)
+    val root = Files.createTempDirectory("graft_vt_feed_").toString + "/t"
+    val t = new VersionedTable(spark, root)
+    t.writeWithChangeFeed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      commitTs = "2001-09-01 00:00:00")
+    (1 to 3).foreach { i =>
+      t.appendWithChangeFeed(Seq((10L + i, s"x$i")).toDF("id", "v"),
+        commitTs = s"2001-09-0${i + 1} 00:00:00")
+    }
+    assert(t.changeFeed(0).count() == 5, "pre-vacuum feed: v0 seed + 3 appends")
+    val removed = t.vacuum(keepLast = 1)
+    assert(removed == Seq(0L, 1L, 2L))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/_changes/v=2")),
+      "dropped versions' feed dirs must go with their data")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/_changes/v=3")),
+      "the surviving head's feed dir must remain")
+    assert(VersionedTable.feedVacuumedThrough(root) == 2L,
+      "the tombstone must record the high-water dropped feed version")
+    // a resume point anywhere inside the dropped range fails loudly,
+    // naming the gap AND the earliest valid resume point
+    Seq(0L, 1L, 2L).foreach { from =>
+      val err = intercept[IllegalArgumentException](t.changeFeed(from))
+      assert(err.getMessage.contains("beyond") &&
+        err.getMessage.contains("<= 2") && err.getMessage.contains("3"),
+        s"changeFeed($from) must name the dropped range and the resume " +
+          s"point, got: ${err.getMessage}")
+    }
+    // resuming past the gap serves exactly the surviving feed
+    val survived = t.changeFeed(3).collect()
+    assert(survived.length == 1 && survived.head.getAs[Long]("id") == 13L)
+    // a second vacuum with nothing to drop must not regress the tombstone
+    t.vacuum(keepLast = 1)
+    assert(VersionedTable.feedVacuumedThrough(root) == 2L)
+  }
+
   test("clusterIncremental rewrites only files appended since the last clustering") {
     val t = freshTable()
     val rnd = new scala.util.Random(31)
