@@ -122,7 +122,10 @@ object Bench {
     // remaining queries follow in name order, as before.
     val headlineOrder = SparkEntry.headlineQueries.filter(benchSet.contains)
     val restOrder = benchSet.keySet.diff(headlineOrder.toSet).toSeq.sorted
-    val results = (headlineOrder ++ restOrder).map { name =>
+    // ordered Seq, not a Map: the emitted per-query JSON keys stay in
+    // run order (headline basket first, then name order), so bench
+    // artifacts diff cleanly across runs
+    val ordered = (headlineOrder ++ restOrder).map { name =>
       val fn = benchSet(name)
       // drain accumulated state BETWEEN queries, outside the timed
       // section: prior queries' checkpoint/broadcast blocks are freed by
@@ -132,13 +135,27 @@ object Bench {
       // 7× on a loaded box
       System.gc()
       name -> Seq.fill(3)(timeOnce(fn)).min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val results = ordered.toMap
+    val qs = ordered.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (ordered.nonEmpty) ordered.map(_._2).sum else 0.0
     val headlineTotal = headlineOrder.map(results).sum
+    // sentinel classes (SCALE.md quiet-box protocol iii): one reading per
+    // drift class — scan-dominated (t5/j10/a1), shuffle-heavy (d5), and
+    // tiny-window (w3, added round 15 after the r14 driver session read
+    // w3/t5 at 2.6-2.9× with shuffle sentinels on floor) — surfaced in
+    // the artifact header so a box phase is classified IN-SESSION
+    // instead of post-hoc across rounds
+    val sentinelNames =
+      Seq("t5_token_topk", "j10_asof_join", "a1_customer_order_profile",
+        "d5_simhash_pairs", "w3_sessionize")
+        .filter(results.contains)
+    val sentinels = sentinelNames
+      .map(n => s"\"" + n + "\":" + results(n)).mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""headline_total":$headlineTotal,"headline_n":${headlineOrder.length},""" +
+      s""""sentinels":$sentinels,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a fixed path: sbt/Spark log noise buries the stdout
