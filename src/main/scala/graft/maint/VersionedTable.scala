@@ -1417,11 +1417,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val droppedFeeds = removed
       .filter(v => Files.isDirectory(Paths.get(s"$root/_changes/v=$v")))
     if (droppedFeeds.nonEmpty) {
-      droppedFeeds.foreach(v => deleteTree(Paths.get(s"$root/_changes/v=$v")))
+      // tombstone FIRST, atomically (temp + move — the watermark-write
+      // pattern): a crash between the two steps must leave the
+      // CONSERVATIVE state — mark advanced while dirs still exist, so
+      // consumers refuse and a vacuum re-run finishes the deletes —
+      // never deleted dirs with no mark, which would reopen the exact
+      // silent hole the consumer guards close. And a torn non-atomic
+      // write would NumberFormatException every consumer and every
+      // future vacuum (feedVacuumedThrough parses the file).
       val tomb = Paths.get(s"$root/_changes/_vacuumed_through")
       Files.createDirectories(tomb.getParent)
       val prev = VersionedTable.feedVacuumedThrough(root)
-      Files.writeString(tomb, math.max(prev, droppedFeeds.max).toString)
+      val tmp = Files.createTempFile(tomb.getParent, ".vacuumed", ".tmp")
+      Files.writeString(tmp, math.max(prev, droppedFeeds.max).toString)
+      Files.move(tmp, tomb,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      droppedFeeds.foreach(v => deleteTree(Paths.get(s"$root/_changes/v=$v")))
     }
     // crashed writers' leftover staging — but never an IN-FLIGHT writer's:
     // staging happens outside the commit lock by design, so only reclaim

@@ -1273,7 +1273,9 @@ object IvfIndex {
     * members re-assign, to their nearest seed (by cosine, ties to the
     * lower gid — O(group), never a global re-clustering).
     *
-    * MERGE — when no group is over band, detect every group below the
+    * MERGE — when the split pass did not act this round (no over-band
+    * group, or the over-band groups are stuck: lacking two eligible
+    * seeds, or the duplicate-vector rename corner), detect every group below the
     * [[GroupLoNum]] band and DISSOLVE it: its member centroids re-assign
     * to their nearest KEEPER group (an in-band survivor; by cosine of
     * member ce against keeper ge, ties to the lower gid). In the corner
@@ -1331,6 +1333,13 @@ object IvfIndex {
       val over = occ.collect {
         case (g, c) if c * GroupHiDen > target * GroupHiNum => g
       }.toSeq.sorted
+      // a stuck split must NOT exit the sweep: an over-band group that
+      // cannot progress (no 2 eligible seeds, or the duplicate-vector
+      // rename corner) would otherwise permanently starve the merge
+      // direction while under-band groups keep stage-1 cost drifted —
+      // the split pass records whether it ACTED, and the merge pass
+      // runs whenever it did not
+      var splitActed = false
       if (over.nonEmpty) {
         val membC = memb.filter(col("gid").isin(over: _*))
           .join(centroids(spark, root), "cid") // + ce for the seed argmax
@@ -1353,35 +1362,40 @@ object IvfIndex {
         val splittable = seeds.groupBy(col("parent")).count()
           .collect().collect { case r if r.getLong(1) >= 2L => r.getLong(0) }
           .toSeq.sorted // groups lacking 2 eligible seeds skip this round
-        if (splittable.isEmpty) return total
-        val seedsS = seeds.filter(col("parent").isin(splittable: _*))
-        val reassigned = membC.filter(col("gid").isin(splittable: _*))
-          .join(broadcast(seedsS.select(col("parent"), col("sgid"), col("sge"))),
-            col("gid") === col("parent"))
-          .select(col("cid"),
-            struct(
-              call_function("vec_dot", col("ce"), col("sge")).as("cos"),
-              (-col("sgid")).as("negg")).as("sc"))
-          .groupBy(col("cid")).agg(max(col("sc")).as("best"))
-          .select(col("cid"), (-col("best.negg")).as("gid"))
-          .join(broadcast(seedsS.select(col("sgid").as("gid"), col("sge").as("ge"))),
-            "gid")
-          .select(col("cid"), col("gid"), col("ge"))
-          .localCheckpoint(true) // feeds the rename check AND the write
-        // degenerate-split check BEFORE the commit: if the candidate
-        // post-split occupancy multiset equals the current one, this
-        // round is a pure rename (identical centroid vectors tied every
-        // member to one seed) — exit without the wasted table rewrite
-        val fragOcc = reassigned.groupBy(col("gid")).count()
-          .collect().map(_.getLong(1)) // ≤ groups-sized
-        val candVals = (occ.view.filterKeys(g => !splittable.contains(g))
-          .values ++ fragOcc).toSeq.sorted
-        if (candVals == occVals) return total
-        groupsT.write(
-          memb.filter(!col("gid").isin(splittable: _*)).unionByName(reassigned),
-          "ivf-maintain-groups")
-        total += splittable.size
-      } else {
+        if (splittable.nonEmpty) {
+          val seedsS = seeds.filter(col("parent").isin(splittable: _*))
+          val reassigned = membC.filter(col("gid").isin(splittable: _*))
+            .join(broadcast(seedsS.select(col("parent"), col("sgid"), col("sge"))),
+              col("gid") === col("parent"))
+            .select(col("cid"),
+              struct(
+                call_function("vec_dot", col("ce"), col("sge")).as("cos"),
+                (-col("sgid")).as("negg")).as("sc"))
+            .groupBy(col("cid")).agg(max(col("sc")).as("best"))
+            .select(col("cid"), (-col("best.negg")).as("gid"))
+            .join(broadcast(seedsS.select(col("sgid").as("gid"), col("sge").as("ge"))),
+              "gid")
+            .select(col("cid"), col("gid"), col("ge"))
+            .localCheckpoint(true) // feeds the rename check AND the write
+          // degenerate-split check BEFORE the commit: if the candidate
+          // post-split occupancy multiset equals the current one, this
+          // round is a pure rename (identical centroid vectors tied
+          // every member to one seed) — skip the wasted table rewrite
+          // and let the merge pass below have the round instead
+          val fragOcc = reassigned.groupBy(col("gid")).count()
+            .collect().map(_.getLong(1)) // ≤ groups-sized
+          val candVals = (occ.view.filterKeys(g => !splittable.contains(g))
+            .values ++ fragOcc).toSeq.sorted
+          if (candVals != occVals) {
+            groupsT.write(
+              memb.filter(!col("gid").isin(splittable: _*)).unionByName(reassigned),
+              "ivf-maintain-groups")
+            total += splittable.size
+            splitActed = true
+          }
+        }
+      }
+      if (!splitActed) {
         val under = occ.collect {
           case (g, c) if c * GroupLoDen < target * GroupLoNum => g
         }.toSeq.sorted
@@ -1505,6 +1519,15 @@ object IvfIndex {
     var snapSchema: org.apache.spark.sql.types.StructType = null
     var centSchema: org.apache.spark.sql.types.StructType = null
     var covering = false
+    // broken-vs-storm discriminator: every STEADY state is covering
+    // (build/append/sweep-complete, and every crash-debris state —
+    // debris only ADDS groups rows), so a non-covering pair under
+    // version numbers that did NOT advance between two attempts is an
+    // index invariant break, not an in-flight flip — THROW with the
+    // diagnosis rather than degrade, or real corruption would hide
+    // behind the storm path forever. The degrade below is reserved for
+    // a live storm (versions advancing every attempt).
+    var lastPair: (Option[Long], Option[Long]) = null
     while (!covering) {
       attempt += 1
       if (attempt > 8) {
@@ -1514,10 +1537,13 @@ object IvfIndex {
             "restructuring storm; degrading to the flat probe path")
         return probeCandidates(spark, root, q, nProbe)
       }
-      if (attempt > 1) Thread.sleep(25L << math.min(attempt, 6)) // ≤ 1.6 s
-      val cents = centsT.read(versionAsOf = centsT.latestVersion)
+      // per-attempt backoff 50 ms → 1.6 s (≈ 6.3 s summed worst case)
+      if (attempt > 1) Thread.sleep(25L << math.min(attempt, 6))
+      val cv = centsT.latestVersion
+      val gv = groupsT.latestVersion
+      val cents = centsT.read(versionAsOf = cv)
         .select(col("cid"), col("ce"))
-      val snap = groupsT.read(versionAsOf = groupsT.latestVersion)
+      val snap = groupsT.read(versionAsOf = gv)
         .select(col("cid"), col("gid"), col("ge"))
       centSchema = cents.schema
       snapSchema = snap.schema
@@ -1525,6 +1551,16 @@ object IvfIndex {
       snapRows = snap.collect() // metadata-sized
       covering = centRows.map(_.getLong(0)).toSet
         .subsetOf(snapRows.map(_.getLong(0)).toSet)
+      if (!covering) {
+        val pair = (cv, gv)
+        if (pair == lastPair) sys.error(
+          s"two-level probe of $root: centroid(s) with no groups row " +
+            s"under a STABLE (centroids v$cv, groups v$gv) pair — the " +
+            "covering invariant is broken in steady state (not an " +
+            "in-flight flip); the groups table lost members. Run " +
+            "maintainGroups() / rebuild the index.")
+        lastPair = pair
+      }
     }
     val snap = spark.createDataFrame(
       java.util.Arrays.asList(snapRows: _*), snapSchema)

@@ -71,17 +71,12 @@ class SharingSource extends TableProvider with DataSourceRegister {
     // feed is parquet under `_changes/v=N` — the CDF resolve is just a
     // different path listing, the scan stays the native parquet table
     if (cdf) {
-      // same lagging-consumer × retention contract as the streaming CDC
-      // source: a startingVersion inside the provider's vacuumed range
-      // must fail naming the gap, never return the surviving suffix as
-      // if it were the whole feed
-      paths.foreach { root =>
-        val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
-        if (starting <= vacuumed) sys.error(
-          s"shared change feed '$fqn': startingVersion $starting is beyond " +
-            s"retention — the provider dropped feed versions <= $vacuumed; " +
-            s"re-sync from a snapshot, then read from ${vacuumed + 1}")
-      }
+      // the one shared lagging-consumer × retention check: a
+      // startingVersion inside the provider's vacuumed range must fail
+      // naming the gap, never return the surviving suffix as if it
+      // were the whole feed
+      paths.foreach(root =>
+        SharingProtocol.requireFeedWithinRetention(fqn, root, starting))
       val feedDirs = paths.flatMap(root =>
         SharingProtocol.committedFeedDirs(fqn, root, starting))
       if (feedDirs.isEmpty) sys.error(
@@ -220,6 +215,25 @@ object SharingProtocol {
       starting: Long): Seq[String] =
     committedFeedVersions(fqn, root, starting).map(_._2)
 
+  /** The lagging-consumer × provider-retention contract, shared by EVERY
+    * shared-feed consumer path (the DSv2 batch CDF read, the
+    * graftSharingCdc streaming source, the committed-batch watermark
+    * loop, the glob changeStream): a resume point at or below the
+    * provider's vacuumed high-water mark fails LOUDLY naming the gap
+    * and the earliest valid resume — never a silently-holed feed
+    * assembled from whatever dirs survived (the Delta posture: CDF
+    * beyond retention THROWS). One definition so a new consumer path
+    * cannot reopen the hole with a drifted copy of the check. */
+  private[sources] def requireFeedWithinRetention(fqn: String, root: String,
+      resume: Long): Unit = {
+    val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
+    if (resume <= vacuumed) sys.error(
+      s"shared change feed '$fqn' resumes at version $resume — beyond " +
+        s"retention: the provider dropped feed versions <= $vacuumed; " +
+        s"re-sync from a snapshot, then resume from ${vacuumed + 1} " +
+        "(with a fresh checkpoint if streaming)")
+  }
+
   /** Same listing WITH the version numbers — consumers that need both
     * (the CDC offset log, the watermark loop) take the pairs directly
     * instead of regex-re-parsing `v=N` out of paths the listing itself
@@ -291,16 +305,9 @@ object SharingProtocol {
     import org.apache.spark.sql.functions.col
     val (fqn, paths) = resolve(url)
     val root = paths.head
-    // lagging-consumer × provider-retention contract (the Delta CDF
-    // posture: a read beyond the retention window THROWS): a
-    // startingVersion at or below the provider's vacuumed high-water
-    // mark must fail naming the gap — the glob below sees only
-    // surviving dirs and would silently stream a feed with a hole
-    val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
-    if (startingVersion <= vacuumed) sys.error(
-      s"shared change feed '$fqn': startingVersion $startingVersion is " +
-        s"beyond retention — the provider dropped feed versions <= " +
-        s"$vacuumed; re-sync from a snapshot, then stream from ${vacuumed + 1}")
+    // the shared retention check — the glob below sees only surviving
+    // dirs and would otherwise silently stream a feed with a hole
+    requireFeedWithinRetention(fqn, root, startingVersion)
     val committed = committedFeedDirs(fqn, root, 0L)
     if (committed.isEmpty) sys.error(s"shared table '$fqn' has no committed change feed")
     // merge schemas across ALL committed feed versions: a mergeSchema
@@ -344,19 +351,12 @@ object SharingProtocol {
     val watermark =
       if (Files.isRegularFile(offsetFile)) Files.readString(offsetFile).trim.toLong
       else Long.MinValue
-    // lagging-consumer × provider-retention contract: this pass resumes
-    // at max(startingVersion, watermark+1); if that falls at or below
-    // the provider's vacuumed high-water mark, versions this consumer
-    // never saw are GONE — the committed listing below would silently
-    // hand `f` the surviving suffix as if it were contiguous. Fail
-    // loudly naming the gap instead (the Delta CDF retention posture).
-    val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
-    val resume = math.max(startingVersion, watermark + 1L)
-    if (resume <= vacuumed) sys.error(
-      s"shared change feed '$fqn': this consumer resumes at version " +
-        s"$resume but the provider's retention dropped feed versions <= " +
-        s"$vacuumed — re-sync the sink from a shared snapshot, then " +
-        s"restart from ${vacuumed + 1} with a fresh checkpoint")
+    // the shared retention check on this pass's ACTUAL resume point,
+    // max(startingVersion, watermark+1): versions a lagging consumer
+    // never saw may be gone, and the committed listing below would
+    // silently hand `f` the surviving suffix as if it were contiguous
+    requireFeedWithinRetention(fqn, root,
+      math.max(startingVersion, watermark + 1L))
     val due = committedFeedVersions(fqn, root, startingVersion)
       .filter(_._1 > watermark)
     Files.createDirectories(Paths.get(checkpointDir))

@@ -128,17 +128,10 @@ private[sources] class SharingCdcSource(sqlContext: SQLContext, url: String,
     // regex re-parse of paths that could silently drop a version.
     val lo = start.map(ver(_) + 1L).getOrElse(startingVersion)
     val hi = ver(end)
-    // lagging-consumer × provider-retention contract: if this stream's
-    // resume point falls inside the range the provider's vacuum dropped,
-    // fail LOUDLY with the gap named — the committed listing below only
-    // sees surviving dirs, and serving it would hand the sink a feed
-    // with an invisible hole
-    val vacuumed = graft.maint.VersionedTable.feedVacuumedThrough(root)
-    if (lo <= vacuumed) sys.error(
-      s"shared change feed '$fqn': this stream resumes at version $lo " +
-        s"but the provider's retention dropped feed versions <= $vacuumed" +
-        " — re-sync the sink from a shared snapshot, then restart with " +
-        s"startingVersion ${vacuumed + 1} and a fresh checkpoint")
+    // the shared retention check on this stream's checkpointed resume
+    // point — the committed listing below only sees surviving dirs, and
+    // serving it would hand the sink a feed with an invisible hole
+    SharingProtocol.requireFeedWithinRetention(fqn, root, lo)
     val dirs = SharingProtocol.committedFeedVersions(fqn, root, lo)
       .filter(_._1 <= hi).map(_._2)
     val session = sqlContext.sparkSession

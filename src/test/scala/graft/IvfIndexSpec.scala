@@ -427,6 +427,57 @@ class IvfIndexSpec extends SparkSpec {
       + s"$groupsBefore -> ${occ2.size} groups")
   }
 
+  test("a stuck split must not starve the merge direction; a degenerate rename burns no commit") {
+    // the starvation corner: one over-band group CANNOT split (identical
+    // centroid vectors — the duplicate-vector rename case the stall
+    // guard exists for) while under-band groups need dissolving. The
+    // split pass must SKIP (without committing a pure-rename rewrite)
+    // and hand the round to the merge pass, not exit the sweep — else
+    // stage-1 cost stays drifted forever on exactly the indexes that
+    // need repair most.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ivf_starve_").toString
+    // the index stores vectors as array<double> (vec_dot's input type)
+    val u = vec(1).map(_.toDouble)
+    val w = vec(100).map(_.toDouble)
+    def nearW(seed: Long): Seq[Double] =
+      w.zip(vec(seed)).map { case (a, b) => a + 0.05 * b }
+    // k=23 -> targetG=5, target=5, hi band >10, lo band <2.5:
+    // gid 1 over-band (13 members, ALL ce identical -> split is a pure
+    // rename), gid 20 in-band (8), gids 30/31 under-band singletons
+    // whose vectors sit near w, so their keeper argmax is decidable
+    val cents =
+      (1L to 13L).map(c => (c, u, 0L)) ++
+        (20L to 27L).map(c => (c, nearW(c), 0L)) ++
+        Seq((30L, nearW(30L), 0L), (31L, nearW(31L), 0L))
+    new VersionedTable(spark, s"$root/centroids")
+      .write(cents.toDF("cid", "ce", "gen"), "spec-starve")
+    val groups =
+      (1L to 13L).map(c => (c, 1L, u)) ++
+        (20L to 27L).map(c => (c, 20L, w)) ++
+        Seq((30L, 30L, nearW(30L)), (31L, 31L, nearW(31L)))
+    val groupsT = new VersionedTable(spark, s"$root/groups")
+    groupsT.write(groups.toDF("cid", "gid", "ge"), "spec-starve")
+    val v0 = groupsT.versions.max
+
+    val acted = IvfIndex.maintainGroups(spark, root)
+    assert(acted == 2, s"both under-band singletons must dissolve, got $acted")
+    val g = new VersionedTable(spark, s"$root/groups").read()
+      .select($"cid", $"gid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.length == 23 && g.map(_._1).toSet.size == 23,
+      "every centroid must stay reachable through exactly one group")
+    val occ = g.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(occ == Map(1L -> 13, 20L -> 10),
+      s"singletons must merge into the near keeper while the stuck group " +
+        s"is left intact, got $occ")
+    // the rename round must NOT have committed: exactly ONE new version
+    // (the merge write) on the whole sweep
+    assert(new VersionedTable(spark, s"$root/groups").versions.max == v0 + 1,
+      "a degenerate rename split must skip its table rewrite")
+    assert(IvfIndex.maintainGroups(spark, root) == 0,
+      "with the merges done and the split still stuck, the sweep is a no-op")
+  }
+
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
     val dir = writeCorpus(1L to 120L)
     val root1 = IvfIndex.ensure(spark, dir)
