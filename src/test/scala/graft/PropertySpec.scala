@@ -779,4 +779,109 @@ class PropertySpec extends SparkSpec {
     assert(got(2L)._2 == 4L && math.abs(got(2L)._3) < 1e-9,
       s"rank 2 must be the orthogonal doc 4: $got")
   }
+
+  test("maintainGroups invariants hold over seeded random decayed group states") {
+    // the group sweep's CONTRACT, independent of any particular decay
+    // shape: whatever state it starts from — over-band hoarders,
+    // under-band shards, duplicate-vector (unsplittable) groups, any
+    // mix — after a sweep (and after the sweep that follows it) the
+    // unified groups table must still (1) partition the centroid set
+    // exactly (no member lost, duplicated, or resurrected), (2) carry
+    // ONE group vector per gid (a torn ge would split a group's
+    // identity across rows), (3) use only live centroid cids as gids
+    // (a phantom gid would weld probe stage 1 to a vector with no
+    // centroid), and (4) reach a fixpoint: once a sweep reports
+    // no-action, the next sweep must also be a no-op on the unchanged
+    // state. Catches lost-member merges, half-committed renames, and
+    // cross-call livelock — the failure classes a single crafted
+    // scenario can miss.
+    import graft.ops.IvfIndex
+    import graft.maint.VersionedTable
+    val dim = 16
+    def vecD(seed: Long): Seq[Double] =
+      Seq.tabulate(dim)(i =>
+        (((seed * 2654435761L + i * 40503L) % 1000L).toDouble / 501d) + 0.001)
+    for (seed <- Seq(3, 17, 29)) {
+      val rnd = new Random(seed)
+      val k = 20L + rnd.nextInt(80)
+      val dupVec = vecD(9999L + seed)
+      val dupShare = rnd.nextDouble() * 0.5
+      val ce = (1L to k).map(c =>
+        c -> (if (rnd.nextDouble() < dupShare) dupVec else vecD(c * 31 + seed))).toMap
+      val leaders = rnd.shuffle((1L to k).toList)
+        .take(1 + rnd.nextInt(math.max(1, (k / 2).toInt)))
+      val rows = (1L to k).map { c =>
+        val g = if (leaders.contains(c)) c else leaders(rnd.nextInt(leaders.size))
+        (c, g, ce(g))
+      }
+      val root = java.nio.file.Files.createTempDirectory(s"graft_prop_grp_$seed").toString
+      new VersionedTable(spark, s"$root/centroids")
+        .write(ce.toSeq.map { case (c, v) => (c, v, 0L) }.toDF("cid", "ce", "gen"),
+          "prop-seed")
+      new VersionedTable(spark, s"$root/groups")
+        .write(rows.toDF("cid", "gid", "ge"), "prop-seed")
+
+      def state(): Seq[(Long, Long, Seq[Double])] =
+        new VersionedTable(spark, s"$root/groups").read()
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+      def checkInvariants(label: String): Unit = {
+        val st = state()
+        assert(st.map(_._1).sorted == (1L to k),
+          s"[$seed/$label] groups rows must partition the centroid set exactly")
+        val gesPerGid = st.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+        assert(gesPerGid.values.forall(_ == 1),
+          s"[$seed/$label] every gid must carry exactly one group vector")
+        assert(st.map(_._2).toSet.subsetOf(st.map(_._1).toSet),
+          s"[$seed/$label] every gid must be a live centroid cid")
+      }
+      checkInvariants("initial-sanity")
+      IvfIndex.maintainGroups(spark, root)
+      checkInvariants("after-sweep-1")
+      val acted2 = IvfIndex.maintainGroups(spark, root)
+      checkInvariants("after-sweep-2")
+      if (acted2 == 0)
+        assert(IvfIndex.maintainGroups(spark, root) == 0,
+          s"[$seed] a no-op sweep must stay a no-op on the unchanged state")
+    }
+  }
+
+  test("feed retention never serves a holed change feed: every resume point either throws or is contiguous") {
+    // the retention × consumer contract as a property over random
+    // version counts, retention windows, and resume points: after ANY
+    // vacuum, changeFeed(from) either fails loudly (resume at or below
+    // the tombstone) or returns EXACTLY the contiguous versions
+    // from..head — never a feed with a silent gap, never a spurious
+    // refusal above the tombstone.
+    import graft.maint.VersionedTable
+    for (seed <- Seq(11, 23)) {
+      val rnd = new Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"graft_prop_feed_$seed").toString + "/t"
+      val t = new VersionedTable(spark, root)
+      val n = 3 + rnd.nextInt(3) // versions 0..n-1, one feed row each
+      t.writeWithChangeFeed(Seq((0L, "v0")).toDF("id", "v"), Seq("id"),
+        commitTs = "2001-09-01 00:00:00")
+      (1 until n).foreach(i =>
+        t.appendWithChangeFeed(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+          commitTs = f"2001-09-${i + 1}%02d 00:00:00"))
+      t.vacuum(keepLast = 1 + rnd.nextInt(n))
+      val dropped = VersionedTable.feedVacuumedThrough(root)
+      for (from <- 0L until n) {
+        try {
+          val vs = t.changeFeed(from).select("_commit_version")
+            .distinct().collect().map(_.getLong(0)).toSet
+          assert(from > dropped,
+            s"[$seed] changeFeed($from) served inside the dropped range <= $dropped")
+          assert(vs == (from until n).map(_.toLong).toSet,
+            s"[$seed] changeFeed($from) must be contiguous to head: got $vs")
+        } catch {
+          case e: IllegalArgumentException =>
+            assert(from <= dropped,
+              s"[$seed] spurious refusal above the tombstone: from=$from " +
+                s"dropped=$dropped: ${e.getMessage}")
+            assert(e.getMessage.contains("dropped by vacuum"),
+              s"[$seed] refusal must name the cause: ${e.getMessage}")
+        }
+      }
+    }
+  }
 }
