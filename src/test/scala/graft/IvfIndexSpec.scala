@@ -478,6 +478,38 @@ class IvfIndexSpec extends SparkSpec {
       "with the merges done and the split still stuck, the sweep is a no-op")
   }
 
+  test("a steady-state covering break throws the invariant diagnosis; it is not masked by the storm degrade") {
+    // the broken-vs-storm discriminator: every steady and crash-debris
+    // state is covering by construction, so a centroid with no groups
+    // row under version numbers that do not advance between attempts is
+    // CORRUPTION — the probe must throw naming it, not burn the full
+    // backoff ladder and silently serve the flat plan the tripwire
+    // forbids.
+    import spark.implicits._
+    val dir = writeCorpus(1L to 137L)
+    val root = IvfIndex.ensure(spark, dir)
+    val centsT = new VersionedTable(spark, s"$root/centroids")
+    val head = centsT.read()
+    val phantomCid = head.agg(max($"cid")).collect()(0).getLong(0) + 1000L
+    val phantom = head.limit(1)
+      .select(lit(phantomCid).as("cid"), $"ce",
+        $"gen") // steady-state shape: same schema, no matching groups row
+    centsT.write(head.unionByName(phantom), "spec-corrupt")
+    val q = IvfIndex.cells(spark, root).filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"ne".as("q_ne")).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val err = intercept[RuntimeException](
+      IvfIndex.probeCandidatesTwoLevel(spark, root, q).count())
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(err.getMessage.contains("covering invariant is broken"),
+      s"the stable-pair failure must carry the corruption diagnosis: ${err.getMessage}")
+    assert(err.getMessage.contains("STABLE"),
+      s"the diagnosis must name the stable version pair: ${err.getMessage}")
+    // two attempts (one 100 ms backoff), not the full 8-attempt ladder
+    assert(sec < 4.0,
+      f"a stable break must be diagnosed on the second attempt, took $sec%.1f s")
+  }
+
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
     val dir = writeCorpus(1L to 120L)
     val root1 = IvfIndex.ensure(spark, dir)

@@ -1313,6 +1313,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.feedVacuumedThrough(root) == 2L)
   }
 
+  test("a crash between feed tombstone and dir deletion leaves the conservative state; re-vacuum completes it") {
+    // vacuum writes the tombstone atomically BEFORE deleting feed dirs,
+    // so the only possible crash window is mark-advanced-dirs-present:
+    // consumers must refuse (conservative — never a silent hole even
+    // though the data still exists), and a vacuum re-run must finish
+    // the interrupted deletes without moving the mark again.
+    val root = Files.createTempDirectory("graft_vt_crash_").toString + "/t"
+    val t = new VersionedTable(spark, root)
+    t.writeWithChangeFeed(Seq((1L, "a")).toDF("id", "v"), Seq("id"),
+      commitTs = "2001-09-01 00:00:00")
+    (1 to 2).foreach(i =>
+      t.appendWithChangeFeed(Seq((10L + i, s"x$i")).toDF("id", "v"),
+        commitTs = s"2001-09-0${i + 1} 00:00:00"))
+    // simulate the torn state: tombstone says v<=1 dropped, dirs remain
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_changes/_vacuumed_through"), "1")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/_changes/v=0")))
+    Seq(0L, 1L).foreach { from =>
+      val err = intercept[IllegalArgumentException](t.changeFeed(from))
+      assert(err.getMessage.contains("dropped by vacuum"),
+        s"the torn state must read as already-vacuumed: ${err.getMessage}")
+    }
+    assert(t.changeFeed(2).count() == 1, "reads above the mark still serve")
+    // the re-run finishes the deletes; the mark does not regress or jump
+    t.vacuum(keepLast = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/_changes/v=0")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$root/_changes/v=1")),
+      "re-vacuum must complete the interrupted feed deletes")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/_changes/v=2")),
+      "the surviving head feed stays")
+    assert(VersionedTable.feedVacuumedThrough(root) == 1L,
+      "the mark reflects the dropped range, monotone through the re-run")
+  }
+
   test("clusterIncremental rewrites only files appended since the last clustering") {
     val t = freshTable()
     val rnd = new scala.util.Random(31)
