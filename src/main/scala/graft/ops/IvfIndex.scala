@@ -1521,16 +1521,28 @@ object IvfIndex {
     var covering = false
     // broken-vs-storm discriminator: every STEADY state is covering
     // (build/append/sweep-complete, and every crash-debris state —
-    // debris only ADDS groups rows), so a non-covering pair under
-    // version numbers that did NOT advance between two attempts is an
-    // index invariant break, not an in-flight flip — THROW with the
+    // debris only ADDS groups rows), so a non-covering pair whose
+    // version numbers never advanced across the WHOLE retry ladder
+    // (~6 s of backoff) is an index invariant break — THROW with the
     // diagnosis rather than degrade, or real corruption would hide
-    // behind the storm path forever. The degrade below is reserved for
-    // a live storm (versions advancing every attempt).
-    var lastPair: (Option[Long], Option[Long]) = null
+    // behind the storm path forever. The window must be the full
+    // ladder, not two adjacent attempts: a LIVE sweep's centroids and
+    // groups commits are two separate table writes whose gap can
+    // exceed any single backoff step, and a throw on one repeated pair
+    // would fail probes racing a merely-slow writer. Any version
+    // movement during the ladder routes to the storm degrade instead.
+    var firstPair: (Option[Long], Option[Long]) = null
+    var sawMovement = false
     while (!covering) {
       attempt += 1
       if (attempt > 8) {
+        if (!sawMovement) sys.error(
+          s"two-level probe of $root: centroid(s) with no groups row " +
+            s"under a version pair (centroids ${firstPair._1}, groups " +
+            s"${firstPair._2}) that stayed STABLE across the full retry " +
+            "ladder — the covering invariant is broken in steady state " +
+            "(not an in-flight flip); the groups table lost members. " +
+            "Run maintainGroups() / rebuild the index.")
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"two-level probe of $root could not obtain a covering " +
             "(centroids, groups) pair after 8 attempts — sustained " +
@@ -1553,13 +1565,8 @@ object IvfIndex {
         .subsetOf(snapRows.map(_.getLong(0)).toSet)
       if (!covering) {
         val pair = (cv, gv)
-        if (pair == lastPair) sys.error(
-          s"two-level probe of $root: centroid(s) with no groups row " +
-            s"under a STABLE (centroids v$cv, groups v$gv) pair — the " +
-            "covering invariant is broken in steady state (not an " +
-            "in-flight flip); the groups table lost members. Run " +
-            "maintainGroups() / rebuild the index.")
-        lastPair = pair
+        if (firstPair == null) firstPair = pair
+        else if (pair != firstPair) sawMovement = true
       }
     }
     val snap = spark.createDataFrame(

@@ -481,10 +481,13 @@ class IvfIndexSpec extends SparkSpec {
   test("a steady-state covering break throws the invariant diagnosis; it is not masked by the storm degrade") {
     // the broken-vs-storm discriminator: every steady and crash-debris
     // state is covering by construction, so a centroid with no groups
-    // row under version numbers that do not advance between attempts is
-    // CORRUPTION — the probe must throw naming it, not burn the full
-    // backoff ladder and silently serve the flat plan the tripwire
-    // forbids.
+    // row under version numbers that stayed STABLE across the whole
+    // retry ladder is CORRUPTION — the probe must throw naming it, not
+    // silently serve the flat plan the tripwire forbids. The ladder IS
+    // the discriminating window (a live sweep's two table commits can
+    // straddle any single backoff step), so the diagnosis must arrive
+    // only after the full ~6 s of backoff has given a slow writer its
+    // chance.
     import spark.implicits._
     val dir = writeCorpus(1L to 137L)
     val root = IvfIndex.ensure(spark, dir)
@@ -505,9 +508,10 @@ class IvfIndexSpec extends SparkSpec {
       s"the stable-pair failure must carry the corruption diagnosis: ${err.getMessage}")
     assert(err.getMessage.contains("STABLE"),
       s"the diagnosis must name the stable version pair: ${err.getMessage}")
-    // two attempts (one 100 ms backoff), not the full 8-attempt ladder
-    assert(sec < 4.0,
-      f"a stable break must be diagnosed on the second attempt, took $sec%.1f s")
+    // the full ladder must have run first: throwing earlier would race
+    // a live writer whose two commits straddle a backoff step
+    assert(sec >= 6.0,
+      f"the diagnosis must wait out the full retry ladder, took $sec%.1f s")
   }
 
   test("ensure() caches by corpus fingerprint — no rebuild on second call") {
