@@ -87,13 +87,19 @@ object Triangles {
       .select(col("src"), col("dst"),
         array_intersect(col("sn"), col("dn")).as("tw"))
       .filter(size(col("tw")) > 0)
-      .localCheckpoint(true) // base-endpoint counts + third-vertex explode
-    val baseCounts = common
-      .select(explode(array(col("src"), col("dst"))).as("node"),
-        size(col("tw")).cast("long").as("c"))
-    val thirdCounts = common
-      .select(explode(col("tw")).as("node"), lit(1L).as("c"))
-    baseCounts.unionByName(thirdCounts)
-      .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
+    // All three per-triangle contributions (both base endpoints at the
+    // edge's triangle count, each third vertex at 1) emitted in ONE
+    // row-local explode — the previous two-branch union consumed
+    // `common` twice, which forced a checkpoint barrier between the
+    // intersection pass and the count agg; fused, the wedge intersection
+    // streams straight into the count's map-side partial (r15, guide
+    // §2.4: one pass, one exchange, no materialization).
+    common
+      .select(explode(concat(
+        array(
+          struct(col("src").as("node"), size(col("tw")).cast("long").as("c")),
+          struct(col("dst").as("node"), size(col("tw")).cast("long").as("c"))),
+        transform(col("tw"), w => struct(w.as("node"), lit(1L).as("c"))))).as("nc"))
+      .groupBy(col("nc.node").as("node")).agg(sum(col("nc.c")).as("tri_cnt"))
   }
 }

@@ -214,8 +214,15 @@ object Graph extends QueryGroup {
           .groupBy(col("p").as("p1"), col("p2"))
           .agg(count(lit(1)).as("co"))
           .filter(col("co") >= 2)
-        val sym = co.select(col("p1").as("part"), col("p2").as("rec"), col("co"))
-          .unionByName(co.select(col("p2").as("part"), col("p1").as("rec"), col("co")))
+        // one-pass two-orientation emission (the linkPrediction sym
+        // rationale: the union form re-ran the un-checkpointed co
+        // pipeline per branch)
+        val sym = co
+          .select(explode(array(
+              struct(col("p1").as("part"), col("p2").as("rec")),
+              struct(col("p2").as("part"), col("p1").as("rec")))).as("pr"),
+            col("co"))
+          .select(col("pr.part"), col("pr.rec"), col("co"))
         val scored = sym
           .join(freq.select(col("p").as("part"), col("np").as("na")), "part")
           .join(freq.select(col("p").as("rec"), col("np").as("nb")), "rec")
@@ -361,11 +368,22 @@ object Graph extends QueryGroup {
             count(lit(1)).as("common_nbrs"))
           .join(e.select(col("a").as("x"), col("b").as("y")),
             Seq("x", "y"), "left_anti")
+        // Both orientations emitted ROW-LOCALLY from one pass: the
+        // previous two-branch union rebuilt the entire un-checkpointed
+        // wedge pipeline (self-join, score agg, anti-join) once per
+        // branch — AQE reuses the identical exchanges, but every
+        // post-shuffle operator (the final HashAggregates, both
+        // SortMergeJoin merges) still ran twice (r15 plan audit:
+        // plans/r15/gr4r_link_scout_before.txt shows the duplicated
+        // subtree). explode of a 2-struct array is the union's exact
+        // row multiset at zero extra passes.
         val sym = scored
-          .select(col("x").as("part"), col("y").as("rec"),
+          .select(explode(array(
+              struct(col("x").as("part"), col("y").as("rec")),
+              struct(col("y").as("part"), col("x").as("rec")))).as("pr"),
             col("ra_micro"), col("common_nbrs"))
-          .unionByName(scored.select(col("y").as("part"), col("x").as("rec"),
-            col("ra_micro"), col("common_nbrs")))
+          .select(col("pr.part"), col("pr.rec"),
+            col("ra_micro"), col("common_nbrs"))
         val w = Window.partitionBy("part")
           .orderBy(col("ra_micro").desc, col("common_nbrs").desc, col("rec"))
         sym.withColumn("rn", row_number().over(w))
