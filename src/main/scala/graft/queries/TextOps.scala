@@ -711,9 +711,9 @@ object TextOps extends QueryGroup {
         val c = bm25Corpus(s, d)
         val qterms = broadcast(c.dfTab.filter(length(col("token")) >= 6)
           .orderBy(col("df").desc, col("token").asc).limit(3))
-        val tf = c.tok.join(qterms, "token")
-          .groupBy(col("doc_id"), col("token"), col("df"))
-          .agg(count(lit(1)).as("tf"))
+        // tf is pre-aggregated in the corpus hub — the probe join's
+        // output IS the per-(doc, term) frequency row
+        val tf = c.tf.join(qterms, "token")
         tf.join(c.dl, "doc_id")
           .crossJoin(c.totals)
           .withColumn("micro", bm25Micro)
@@ -1670,29 +1670,38 @@ object TextOps extends QueryGroup {
   private val VocabK = 16
 
   /** Shared Okapi BM25 corpus scaffolding — ONE definition for t16
-    * (corpus-driven retrieval) and t20 (hybrid fusion), the
-    * winnowIndex/qualityScore convention: tokenized corpus
-    * (checkpointed — it feeds lengths, document frequencies AND the
-    * probe join), per-doc lengths, broadcast (avgdl, nd) totals,
-    * per-token document frequency. */
+    * (corpus-driven retrieval) and t20/t30 (hybrid fusion).
+    *
+    * The hub is `tf`: the (doc_id, token) → occurrence-count table,
+    * aggregated ONCE from the token stream and checkpointed — every
+    * other corpus statistic derives from it with strictly fewer rows
+    * than the raw occurrence stream the previous layout shuffled:
+    * dl = Σ tf per doc (value-identical to counting occurrences),
+    * dfTab = one count per token (replacing a distinct-pairs shuffle
+    * PLUS a token groupBy over the full occurrence stream with one
+    * groupBy over the already-distinct tf pairs), and the probe joins
+    * match against tf rows instead of raw occurrences, so their
+    * post-join per-(q, doc, token) grouping disappears entirely
+    * (r15, guide §2.3 "aggregate before you shuffle"). */
   private final case class Bm25Corpus(
-      tok: org.apache.spark.sql.DataFrame,
+      tf: org.apache.spark.sql.DataFrame,
       dl: org.apache.spark.sql.DataFrame,
       totals: org.apache.spark.sql.DataFrame,
       dfTab: org.apache.spark.sql.DataFrame)
 
   private def bm25Corpus(
       s: org.apache.spark.sql.SparkSession, d: String): Bm25Corpus = {
-    val tok = Tables.documents(s, d)
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val totals = broadcast(dl.agg(
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("nd")))
-    val dfTab = tok.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    Bm25Corpus(tok, dl, totals, dfTab)
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    Bm25Corpus(tf, dl, totals, dfTab)
   }
 
   /** The per-(doc, term) Okapi BM25 partial (k1 = 1.2, b = 0.75,
@@ -1793,18 +1802,18 @@ object TextOps extends QueryGroup {
       qIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val c = bm25Corpus(s, d)
+    // tf rows are one-per-(doc, token), so the query-doc slice is
+    // distinct by construction — no distinct shuffle
     val qtok = broadcast(
-      c.tok.join(qIds, col("doc_id") === col("q_id"))
-        .select(col("q_id"), col("token")).distinct()
+      c.tf.join(qIds, col("doc_id") === col("q_id"))
+        .select(col("q_id"), col("token"))
         .join(c.dfTab, "token")
         .withColumn("trn", row_number().over(
           w.partitionBy(col("q_id")).orderBy(col("df").asc, col("token").asc)))
         .filter(col("trn") <= 8)
         .select("q_id", "token", "df"))
-    c.tok.join(qtok, "token")
+    c.tf.join(qtok, "token")
       .filter(col("doc_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("doc_id"), col("token"), col("df"))
-      .agg(count(lit(1)).as("tf"))
       .join(c.dl, "doc_id").crossJoin(c.totals)
       .withColumn("micro", bm25Micro)
       .groupBy("q_id", "doc_id").agg(sum(col("micro")).as("bm25"))
