@@ -47,10 +47,20 @@ object Triangles {
     */
   def participation(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
-    val deg = e.select(col("a").as("node"))
+    val degRaw = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true) // probed once per endpoint side
+    // Broadcast the degree table under the same materialized-size budget
+    // as the adjacency below (two flat longs per node — cheaper per row
+    // than adj's arrays): both orientation joins then run map-side over
+    // the checkpointed edge list instead of shuffling it twice by each
+    // endpoint (r15, guide §2.4/§3.1 — the count is free on the
+    // checkpointed frame, so this is an informed runtime choice, not a
+    // stats guess). Above the cap, node-keyed shuffle joins that AQE
+    // skew-splits, as before.
+    val deg =
+      if (degRaw.count() <= 4000000L) broadcast(degRaw) else degRaw
     // (deg, id) total order; a < b already, so the tie case keeps a
     val aFirst = col("da") < col("db") || (col("da") === col("db"))
     val oriented = e

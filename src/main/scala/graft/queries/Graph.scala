@@ -359,8 +359,21 @@ object Graph extends QueryGroup {
         val deg = und.groupBy(col("z")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") <= cap)
           .withColumn("contrib", expr("1000000 div deg"))
-        val wedges = und.join(deg.select(col("z"), col("contrib")), "z")
-          .join(und.select(col("z"), col("n").as("n2")), "z")
+        // The eligible-center table is bounded by the node count and
+        // usually far smaller (the cap excludes hubs; gr4r's scout cap
+        // keeps 148 of 20k nodes at sf0.1) — broadcast it under a
+        // metadata-size guard and join it to und ONCE, so both wedge
+        // self-join sides are the center-PRUNED rows: und rows whose z
+        // the cap excluded previously rode the full exchange just to be
+        // dropped by the join (r15, guide §3.2 — prune the big side
+        // before it shuffles). The count is one agg job over the
+        // checkpointed und. Above the cap the original z-keyed shuffle
+        // plan stands.
+        val wi = (if (deg.count() <= 4000000L)
+            und.join(broadcast(deg.select(col("z"), col("contrib"))), "z")
+          else und.join(deg.select(col("z"), col("contrib")), "z"))
+        val wedges = wi
+          .join(wi.select(col("z"), col("n").as("n2")), "z")
           .filter(col("n") < col("n2"))
         val scored = wedges
           .groupBy(col("n").as("x"), col("n2").as("y"))
