@@ -540,6 +540,12 @@ object Dedup extends QueryGroup {
               (-col("cid")).as("negcid")).as("sc"))
           .groupBy("vec_id").agg(max(col("sc")).as("best"), first(col("ne")).as("ne"))
           .select(col("vec_id"), (-col("best.negcid")).as("cid"), col("ne"))
+          // three consumers (both self-join sides + the final cid
+          // projection) with differing downstream keys — the d4/e5
+          // ReusedExchange lesson: without the cut the centroid-sample
+          // broadcast and the N·k_cent scoring pass rebuild per consumer
+          // (r15 plan audit counted 18 scans / 6 broadcast builds)
+          .localCheckpoint(true)
         val a = assign.select(col("cid"), col("vec_id").as("a_id"), col("ne").as("a_ne"))
         val b = assign.select(col("cid"), col("vec_id").as("b_id"), col("ne").as("b_ne"))
         val near = a.join(b, "cid")
