@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * Truncation loss per node per iteration is < out-degree micro-units —
   * bounded and deterministic, the documented price of exactness.
   *
-  * Scale: each iteration is ONE src-keyed broadcast-free join
-  * (edges ⋈ ranks) plus one dst-keyed sum — both AQE-skew-splittable; the
+  * Scale: each iteration is one edges ⋈ ranks join (broadcast of the
+  * node-sized rank table under [[BroadcastNodeCap]], so the edge list
+  * crosses no exchange; src-keyed and AQE-skew-splittable above the
+  * guard) plus one dst-keyed partially-aggregated sum; the
   * edge list (with precomputed out-weights) is checkpointed once and
   * reused every round, and ranks are localCheckpoint'd per round so plan
   * depth stays O(1) instead of O(iterations) (the classic Spark iteration
@@ -64,7 +66,17 @@ object PageRank {
           lit("PageRank: null/non-positive/non-integral edge weight w="),
           col("w").cast("string"))))
         .otherwise(col("w").cast("long")).as("w"))
-    val ew = e.join(e.groupBy("src").agg(sum(col("w")).as("ow")), "src")
+    // The out-weight table is one (src, ow) row per source node — node-
+    // sized, not edge-sized. Materialize it once and, when it fits the
+    // same metadata-size budget as the graph-side broadcasts (two flat
+    // longs per node), ship it map-side so the edge list is NEVER
+    // shuffled by src to attach its out-weights; above the guard the
+    // original keyed join stands (AQE-skew-splittable).
+    val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
+      .localCheckpoint(true)
+    val nodeSidedFits = ow.count() <= BroadcastNodeCap
+    val ew = (if (nodeSidedFits) e.join(broadcast(ow), "src")
+              else e.join(ow, "src"))
       .localCheckpoint(true) // reused every iteration — one materialization
     // derive nodes from the CHECKPOINTED frame (ew preserves every e row),
     // not from e: e's upstream would otherwise re-run a second time just
@@ -76,10 +88,19 @@ object PageRank {
     val base = (100L - dampingPct) * microInit / 100L
     var ranks = nodes.select(col("node"), lit(microInit).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+      // ranks is node-sized (two longs per node): under the guard each
+      // round's edge⋈ranks is a broadcast hash join, so the EDGE table —
+      // the frame that actually scales — crosses no exchange at all; the
+      // round's one shuffle is the partially-aggregated dst sum, and the
+      // rank update joins two node-sized frames broadcast-side. Above
+      // the guard every join falls back to the original keyed shuffle.
+      val contrib = (if (nodeSidedFits)
+          ew.join(broadcast(ranks), ew("src") === ranks("node"))
+        else ew.join(ranks, ew("src") === ranks("node")))
         .select(ew("dst").as("node"), expr("(r * w) div ow").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = (if (nodeSidedFits) nodes.join(broadcast(contrib), Seq("node"), "left")
+               else nodes.join(contrib, Seq("node"), "left"))
         .select(col("node"),
           (lit(base) + coalesce(expr(s"($dampingPct * m) div 100"), lit(0L)))
             .as("r"))
@@ -87,4 +108,11 @@ object PageRank {
     }
     ranks
   }
+
+  /** Node-sided frames (out-weights, ranks, per-round contributions — two
+    * flat longs per node) broadcast below this row count: ≈64 MB of
+    * payload before hash-relation overhead, the same budget the graph
+    * queries use for their degree/center tables. Edge-sided frames are
+    * never broadcast. */
+  private val BroadcastNodeCap = 4000000L
 }

@@ -1457,30 +1457,42 @@ object Embeddings extends QueryGroup {
     // map-side topK as e1 (|Q|·partitions·50 rows shuffle, never a
     // global window); exact re-rank moves |Q|·50 vectors. Compose with
     // e4's IVF routing when the scan itself must go sub-linear. The
-    // exploded (vec_id, pos, x) frame feeds the stats agg AND the code
-    // build with different projections — checkpointed once (d4/e5
-    // lesson); ADC integer ties break on vec_id ASC in both engines.
+    // quantize step is an indexed transform over the stored embedding
+    // against the broadcast pos-sorted stats array — nothing wider than
+    // the 64-row stats ever shuffles; ADC integer ties break on vec_id
+    // ASC in both engines.
     "e10_sq_rescore" -> QueryDef(
       build = (s, d) => {
         val v = Tables.embeddings(s, d).transform(Tables.spread)
           .localCheckpoint(true) // feeds the code pipeline + both rescore sides
-        val ex = v
+        // dim stats: explode streams straight into the 64-group map-side
+        // partial (single consumer — no checkpoint, no wide shuffle)
+        val stats = v
           .select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
-          .localCheckpoint(true) // feeds dim stats AND the code join
-        val stats = ex.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
-        val codes = ex.join(broadcast(stats), "pos")
-          .select(col("vec_id"), col("pos"),
-            when(col("mx") === col("mn"), lit(0.0))
-              .otherwise(least(
-                floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0),
-                lit(255.0))).as("q"))
-          .groupBy("vec_id")
-          .agg(collect_list(struct(col("pos"), col("q"))).as("pq"))
+          .select(col("pos"), col("col").cast("double").as("x"))
+          .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        // ONE row carrying the pos-sorted (mn, mx) array — broadcast it
+        // and quantize ROW-LOCALLY with an indexed transform over the
+        // stored embedding. The former explode→per-(vec,pos) stats join→
+        // groupBy(vec_id) collect_list round-trip shuffled |V|·64 struct
+        // rows twice (plus a per-row array_sort) only to reassemble an
+        // array this computes in place (r15, guide §2.3/§2.4: the stats
+        // are 64 rows of metadata — decide row-locally, shuffle nothing).
+        val statsRow = stats
+          .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("st"))
+        val codes = v.crossJoin(broadcast(statsRow))
           .select(col("vec_id"),
-            transform(array_sort(col("pq")), x => x.getField("q")).as("qv"))
+            transform(col("embedding"), (x, i) => {
+              val st = element_at(col("st"), i + 1)
+              val mn = st.getField("mn")
+              val mx = st.getField("mx")
+              when(mx === mn, lit(0.0))
+                .otherwise(least(
+                  floor((x.cast("double") - mn) / (mx - mn) * 255.0),
+                  lit(255.0)))
+            }).as("qv"))
           // feeds the query filter AND the corpus scan side — without the
-          // cut the whole stats+quantize pipeline runs twice
+          // cut the stats agg + quantize transform run per consumer
           .localCheckpoint(true)
         val qs = codes.filter(col("vec_id") % 10 === 0)
           .select(col("vec_id").as("q_id"), col("qv").as("qc"))
