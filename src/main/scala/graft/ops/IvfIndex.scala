@@ -227,9 +227,9 @@ object IvfIndex {
     * residual distribution is centered and low-variance, so the frozen
     * 16-subspace codebook spends its 16×k_cent budget on the part of the
     * vector the coarse quantizer did NOT already explain. The output
-    * column is named `ne` so [[subspacesOf]]/[[codebookOf]]/
-    * [[encodeCodes]] apply verbatim. One broadcast join — the centroid
-    * table is metadata-sized by construction. */
+    * column is named `ne` so [[subspacesOf]] (codebook sampling) and the
+    * row-local [[encodeCodes]] apply verbatim. One broadcast join — the
+    * centroid table is metadata-sized by construction. */
   private[graft] def residualsOf(vn: DataFrame, assign: DataFrame,
       cents: DataFrame): DataFrame =
     vn.join(assign, "vec_id")
@@ -267,18 +267,43 @@ object IvfIndex {
       (element_at(a, i) - element_at(b, i)) * (element_at(a, i) - element_at(b, i))
     }.reduce(_ + _)
 
+  /** One-row nested codebook [s][rnk] → cv — the broadcastable form the
+    * row-local encoder and the per-query LUT fold over. Two tiny
+    * aggregations over the NSub × k_cb codebook rows; the codebook is
+    * metadata-sized by construction (the √N sample law, [[MaxCentroids]]
+    * cap), the same budget the previous per-row broadcast join paid. */
+  private def cbNested(cb: DataFrame): DataFrame =
+    cb.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("rnk"), col("cv")))).as("rc"))
+      .select(col("s"), transform(col("rc"), x => x.getField("cv")).as("cvs"))
+      .agg(array_sort(collect_list(struct(col("s"), col("cvs")))).as("sc"))
+      .select(transform(col("sc"), x => x.getField("cvs")).as("cbs"))
+
   /** PQ encode: per (vector, subspace) argmin squared-L2 over the
-    * codebook — struct min ties to the lowest centroid index. Output
-    * (vec_id, codes: array of NSub 1-based code indices). */
-  private[graft] def encodeCodes(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("s"),
-        struct(l2sq(col("sv"), col("cv")).as("d2"), col("rnk")).as("sc"))
-      .groupBy("vec_id", "s").agg(min("sc").as("best"))
-      .groupBy("vec_id")
-      .agg(collect_list(struct(col("s"), col("best.rnk").as("code"))).as("sc"))
+    * codebook — struct min ties to the lowest centroid index, exactly
+    * as before. The d2 compute stays a codegen'd broadcast join (a
+    * row-local HOF fold was measured 1.7× WORSE: ArrayAggregate is
+    * CodegenFallback, so 5.6M interpreted l2sq evaluations lost more
+    * than the shuffle they saved); what changed (r15, guide §2.3) is
+    * the aggregation shape — ONE statically-unrolled groupBy(vec_id)
+    * with NSub per-subspace min(struct) aggregates replaces the former
+    * (vec,s) argmin + vec_id collect_list/array_sort re-assembly pair,
+    * so one exchange of |V| pre-combined rows does the work of two
+    * |V|·NSub ones and the per-row array_sort disappears.
+    *
+    * @param v (vec_id, ne) — full vectors (raw-normalized or residual).
+    * @return (vec_id, codes: array of NSub 1-based code indices). */
+  private[graft] def encodeCodes(v: DataFrame, cb: DataFrame): DataFrame = {
+    val aggs = (1 to NSub).map { si =>
+      min(when(col("s") === si,
+        struct(l2sq(col("sv"), col("cv")).as("d2"), col("rnk")))).as(s"c$si")
+    }
+    subspacesOf(v).join(broadcast(cb), "s")
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"),
-        transform(array_sort(col("sc")), x => x.getField("code")).as("codes"))
+        array((1 to NSub).map(si => col(s"c$si").getField("rnk")): _*).as("codes"))
+  }
 
   /** ADC approximation of cos(q, v): Σ_s lut[s][codes[s]] — 16 array
     * lookups per (query, vector) pair, left-to-right adds (the oracle's
@@ -290,20 +315,20 @@ object IvfIndex {
     }.reduce(_ + _)
 
   /** Per-query ADC lookup table: dot(query subvector, codebook centroid)
-    * for every (subspace, centroid), nested array ordered [s][rnk].
-    * Input qsub(q_id, s, qv); output (q_id, lut). */
-  private[graft] def queryLut(qsub: DataFrame, cb: DataFrame): DataFrame =
-    qsub.join(broadcast(cb), "s")
-      .select(col("q_id"), col("s"), col("rnk"),
-        call_function("vec_dot", col("qv"), col("cv")).as("dp"))
-      .groupBy("q_id", "s")
-      .agg(collect_list(struct(col("rnk"), col("dp"))).as("rd"))
-      .select(col("q_id"), col("s"),
-        transform(array_sort(col("rd")), x => x.getField("dp")).as("dps"))
-      .groupBy("q_id")
-      .agg(collect_list(struct(col("s"), col("dps"))).as("sd"))
+    * for every (subspace, centroid), nested array ordered [s][rnk] —
+    * computed ROW-LOCALLY from the full query vector against the
+    * broadcast nested codebook (same dots, same order, zero shuffles;
+    * the former shape exploded query slices and re-assembled the nested
+    * array through two keyed collect_list shuffles — r15, guide §2.4).
+    * Input q(q_id, qe = full normalized query vector); output (q_id, lut). */
+  private[graft] def queryLut(q: DataFrame, cb: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cbNested(cb)))
       .select(col("q_id"),
-        transform(array_sort(col("sd")), x => x.getField("dps")).as("lut"))
+        transform(sequence(lit(1), lit(NSub)), s => {
+          val qv = slice(col("qe"), ((s - 1) * SubDim + 1).cast("int"), lit(SubDim))
+          transform(element_at(col("cbs"), s),
+            cv => call_function("vec_dot", qv, cv))
+        }).as("lut"))
 
   // ------------------------------------------------------------ lifecycle
 
@@ -443,12 +468,16 @@ object IvfIndex {
     // must come first, and the assign frame feeds both the residuals and
     // the cells rows — checkpoint it once
     val assign = assignCells(vn, cents).localCheckpoint(true)
-    val rsub = subspacesOf(residualsOf(vn, assign, cents)).localCheckpoint(true)
-    val cb = codebookOf(rsub, vn, seed = "pq:").localCheckpoint(true)
+    // residual FULL vectors checkpoint once (they feed the codebook
+    // sample and the row-local encoder); the former |V|·NSub exploded
+    // slice materialization is gone — only the √N codebook sample is
+    // ever sliced
+    val res = residualsOf(vn, assign, cents).localCheckpoint(true)
+    val cb = codebookOf(subspacesOf(res), vn, seed = "pq:").localCheckpoint(true)
     new VersionedTable(spark, s"$root/codebook").write(cb, "ivf-build")
     val cellRows = assign
       .join(vn, "vec_id")
-      .join(encodeCodes(rsub, cb), "vec_id")
+      .join(encodeCodes(res, cb), "vec_id")
       .join(labelsOf(emb), "vec_id")
       .select(col("cid"), col("vec_id"), col("label"), col("ne"), col("codes"),
         lit(0L).as("gen"))
@@ -812,7 +841,7 @@ object IvfIndex {
     // pinned-artifact rule as the centroid assignment (FAISS
     // IndexIVFPQ.add semantics — by_residual, never a re-train)
     val codes = encodeCodes(
-      subspacesOf(residualsOf(vn, assign, cents)), codebook(spark, root))
+      residualsOf(vn, assign, cents), codebook(spark, root))
     val newRows = assign
       .join(vn, "vec_id")
       .join(codes, "vec_id")
@@ -906,8 +935,8 @@ object IvfIndex {
     // moved members' residuals changed with their centroid — re-encode
     // against the frozen codebook (O(cell), rides the same append)
     val codes = encodeCodes(
-      subspacesOf(residualsOf(members.select(col("vec_id"), col("ne")),
-        reassigned, newCents)),
+      residualsOf(members.select(col("vec_id"), col("ne")),
+        reassigned, newCents),
       codebook(spark, root))
     // Commit order is load-bearing for LIVE maintenance (per-table
     // commits are atomic, cross-table transactions don't exist here —
@@ -999,8 +1028,8 @@ object IvfIndex {
     // re-homed members' residuals changed with their centroid — re-encode
     // against the frozen codebook (split's rule; O(cell))
     val codes = encodeCodes(
-      subspacesOf(residualsOf(members.select(col("vec_id"), col("ne")),
-        reassigned, remaining)),
+      residualsOf(members.select(col("vec_id"), col("ne")),
+        reassigned, remaining),
       codebook(spark, root))
     val g = publishedGen(spark, root)
     beginRestructure(root)
@@ -1182,8 +1211,8 @@ object IvfIndex {
     // moved members' residuals changed with their centroid — re-encode
     // against the frozen codebook (the split/merge rule, batched)
     val movedCodes = encodeCodes(
-      subspacesOf(residualsOf(movedMembers.select(col("vec_id"), col("ne")),
-        movedAssign, targetCents)),
+      residualsOf(movedMembers.select(col("vec_id"), col("ne")),
+        movedAssign, targetCents),
       codebook(spark, root))
 
     // ---- the staged commit sequence (split's protocol, one flip for
@@ -1818,9 +1847,8 @@ object IvfIndex {
     // ONE regime-matched prune shared by both index scans (the ADC
     // codes pass and the full-precision re-rank)
     val prune = cidPruner(probes, counts)
-    val qsub = subspacesOf(q.select(col("q_id").as("vec_id"), col("q_ne").as("ne")))
-      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-    val lut = queryLut(qsub, codebook(spark, root))
+    val lut = queryLut(
+      q.select(col("q_id"), col("q_ne").as("qe")), codebook(spark, root))
     val short = probeJoin(spark, root, probes, cellCodes(spark, root), counts, prune)
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")

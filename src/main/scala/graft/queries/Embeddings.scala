@@ -906,22 +906,23 @@ object Embeddings extends QueryGroup {
         // query LUT, ADC fold) is IvfIndex's — the same machinery the
         // persisted IVFPQ side (e16) runs, here over RAW subvectors
         // (IndexPQ: no cell, so no residual; e16 feeds residualsOf
-        // through the identical functions). sub feeds the codebook,
-        // the encoder, and the LUT — three consumers with differing
-        // projections, which blocks ReusedExchange (the d4 prefix-table
-        // lesson): materialize the normalize→explode→slice pipeline once
-        // or it runs per consumer. vn itself stays lineage-visible (NOT
-        // checkpointed) so the column-pruned parquet scan under the
-        // re-rank joins remains auditable in the final plan (PushdownSpec
-        // reads its ReadSchema).
+        // through the identical functions). Encode and LUT are row-local
+        // folds over the broadcast nested codebook (r15): only the √N
+        // codebook SAMPLE is ever sliced into subspace rows, so the
+        // former |V|·NSub exploded checkpoint is gone. The tiny codebook
+        // checkpoints once (it feeds the encoder and the LUT). vn itself
+        // stays lineage-visible (NOT checkpointed) so the column-pruned
+        // parquet scan under the re-rank joins remains auditable in the
+        // final plan (PushdownSpec reads its ReadSchema).
         val vn = graft.ops.IvfIndex.normalized(
           Tables.embeddings(s, d).transform(Tables.spread))
-        val sub = graft.ops.IvfIndex.subspacesOf(vn).localCheckpoint(true)
-        val cents = graft.ops.IvfIndex.codebookOf(sub, vn)
-        val codes = graft.ops.IvfIndex.encodeCodes(sub, cents)
+        val cents = graft.ops.IvfIndex
+          .codebookOf(graft.ops.IvfIndex.subspacesOf(vn), vn)
+          .localCheckpoint(true)
+        val codes = graft.ops.IvfIndex.encodeCodes(vn, cents)
         val lut = graft.ops.IvfIndex.queryLut(
-          sub.filter(col("vec_id") % 10 === 0)
-            .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv")),
+          vn.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("q_id"), col("ne").as("qe")),
           cents)
         // ADC: approx cos(q, v) = Σ_s LUT[s][code_v[s]] — 16 lookups per
         // pair, corpus vectors reduced to their codes; keep a top-50

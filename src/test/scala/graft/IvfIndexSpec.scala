@@ -77,16 +77,15 @@ class IvfIndexSpec extends SparkSpec {
     val vn = IvfIndex.normalized(
       graft.core.Tables.embeddings(spark, dir).transform(graft.core.Tables.spread))
     val cents = IvfIndex.centroids(spark, root)
-    val rsub = IvfIndex.subspacesOf(
-      IvfIndex.residualsOf(vn, IvfIndex.assignCells(vn, cents), cents))
-    val cb = IvfIndex.codebookOf(rsub, vn, seed = "pq:")
+    val res = IvfIndex.residualsOf(vn, IvfIndex.assignCells(vn, cents), cents)
+    val cb = IvfIndex.codebookOf(IvfIndex.subspacesOf(res), vn, seed = "pq:")
     def cbMap(df: DataFrame): Map[(Int, Int), Seq[Double]] =
       df.select($"s", $"rnk", $"cv").collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
     assert(cbMap(IvfIndex.codebook(spark, root)) == cbMap(cb),
       "persisted codebook must equal codebookOf over residual slices")
     assert(codesOf(IvfIndex.cellCodes(spark, root))
-        == codesOf(IvfIndex.encodeCodes(rsub, cb)),
+        == codesOf(IvfIndex.encodeCodes(res, cb)),
       "persisted codes must equal the residual encode")
   }
 
@@ -148,17 +147,15 @@ class IvfIndexSpec extends SparkSpec {
       .localCheckpoint(true)
     val cents = IvfIndex.centroids(spark, root)
     val assign = IvfIndex.assignCells(vn, cents)
-    val sub = IvfIndex.subspacesOf(vn).localCheckpoint(true)
-    val rawCb = IvfIndex.codebookOf(sub, vn).localCheckpoint(true)
+    val rawCb = IvfIndex.codebookOf(IvfIndex.subspacesOf(vn), vn)
+      .localCheckpoint(true)
     val lut = IvfIndex.queryLut(
-      IvfIndex.subspacesOf(q.select($"q_id".as("vec_id"), $"q_ne".as("ne")))
-        .select($"vec_id".as("q_id"), $"s", $"sv".as("qv")),
-      rawCb)
+      q.select($"q_id", $"q_ne".as("qe")), rawCb)
     def shortlist(depth: Int): (Map[Long, Set[Long]], Map[Long, Set[Long]]) = {
       val raw = toSets(IvfIndex.probeSelect(q, cents, IvfIndex.NProbe)
         .join(assign, "cid")
         .filter($"vec_id" =!= $"q_id")
-        .join(IvfIndex.encodeCodes(sub, rawCb), "vec_id")
+        .join(IvfIndex.encodeCodes(vn, rawCb), "vec_id")
         .join(broadcast(lut), "q_id")
         .select($"q_id", $"vec_id",
           IvfIndex.adcScore($"lut", $"codes").as("adc"))
@@ -637,8 +634,7 @@ class IvfIndexSpec extends SparkSpec {
     // codebook (FAISS IndexIVFPQ.add never re-trains) — the stored codes
     // must equal encoding the whole corpus at once against that codebook
     val wantCodes = IvfIndex.encodeCodes(
-      IvfIndex.subspacesOf(
-        IvfIndex.residualsOf(full, IvfIndex.assignCells(full, cents), cents)),
+      IvfIndex.residualsOf(full, IvfIndex.assignCells(full, cents), cents),
       IvfIndex.codebook(spark, root))
     assert(codesOf(IvfIndex.cellCodes(spark, root)) == codesOf(wantCodes),
       "append codes must equal a whole-corpus residual encode against the frozen codebook")
@@ -781,8 +777,8 @@ class IvfIndexSpec extends SparkSpec {
     val movedAssign = IvfIndex.cells(spark, root)
       .filter($"cid".isin(s1, s2)).select($"vec_id", $"cid")
     val wantMovedCodes = IvfIndex.encodeCodes(
-      IvfIndex.subspacesOf(IvfIndex.residualsOf(
-        members, movedAssign, IvfIndex.centroids(spark, root))),
+      IvfIndex.residualsOf(
+        members, movedAssign, IvfIndex.centroids(spark, root)),
       IvfIndex.codebook(spark, root))
     assert(codesOf(IvfIndex.cellCodes(spark, root)
         .filter($"vec_id".isin(parentMembers.toSeq: _*)))
@@ -1420,8 +1416,8 @@ class IvfIndexSpec extends SparkSpec {
     val movedAssign = IvfIndex.cells(spark, root)
       .filter($"vec_id".isin(parentMembers.toSeq: _*)).select($"vec_id", $"cid")
     val wantMovedCodes = IvfIndex.encodeCodes(
-      IvfIndex.subspacesOf(IvfIndex.residualsOf(
-        members, movedAssign, IvfIndex.centroids(spark, root))),
+      IvfIndex.residualsOf(
+        members, movedAssign, IvfIndex.centroids(spark, root)),
       IvfIndex.codebook(spark, root))
     assert(codesOf(IvfIndex.cellCodes(spark, root)
         .filter($"vec_id".isin(parentMembers.toSeq: _*)))
