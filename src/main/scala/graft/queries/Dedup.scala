@@ -900,18 +900,42 @@ object Dedup extends QueryGroup {
     var index = fpAll.filter(col("doc_id") % 5 =!= 0)
       .select("h").distinct().localCheckpoint(true)
     val admitted = (0 until AdmissionEpochs).map { e =>
+      // Per-epoch posture (r15, guide §2.4/§3.1): the INDEX — the frame
+      // that grows with the corpus — is never re-shuffled, re-distinct'd,
+      // or re-materialized. The epoch batch (micro-batch-sized, st15's
+      // streaming-admission premise) broadcasts into one map-side probe
+      // of the index scan; everything downstream is batch-sized. The
+      // index itself advances by UNION of per-epoch checkpointed DELTAS
+      // (new fingerprints only, deduped against the probe's own match
+      // set), which is set-identical to the previous
+      // union-then-distinct-then-rewrite but costs O(delta) per epoch
+      // instead of an O(index) shuffle + full rewrite per epoch.
       val efps = inc.filter(col("epoch") === e).select("doc_id", "h")
-      val rejected = efps.join(index, Seq("h"))
-        .groupBy("doc_id").agg(count(lit(1)).as("shared"))
-        .join(nf, Seq("doc_id"))
+      // one map-side probe of the index; feeds the rejection counts AND
+      // the already-indexed fingerprint set — checkpoint the (small)
+      // match set once
+      val matches = index.join(broadcast(efps), Seq("h"))
+        .select("doc_id", "h")
+        .localCheckpoint(true)
+      // nf spans every epoch (corpus-growth-sized at scale) — broadcast
+      // the batch-sized shared-count side into it, not the reverse
+      val rejected = nf
+        .join(broadcast(matches.groupBy("doc_id").agg(count(lit(1)).as("shared"))),
+          Seq("doc_id"))
         .filter(col("shared") * 2 >= col("n_fp"))
         .select("doc_id")
       val adm = incDocs.filter(col("epoch") === e)
-        .join(rejected, Seq("doc_id"), "left_anti")
+        .join(broadcast(rejected), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      index = index
-        .union(efps.join(adm.select("doc_id"), Seq("doc_id"), "left_semi").select("h"))
-        .distinct().localCheckpoint(true)
+      // the epoch's NEW fingerprints: admitted docs' fps minus the ones
+      // the probe already found in the index — h ∈ index ⟺ h ∈ matches
+      // for every efps row, so the subtraction never touches the index
+      val newH = efps
+        .join(broadcast(adm.select("doc_id")), Seq("doc_id"), "left_semi")
+        .join(broadcast(matches.select("h").distinct()), Seq("h"), "left_anti")
+        .select("h").distinct()
+        .localCheckpoint(true)
+      index = index.unionByName(newH)
       adm
     }
     admitted.reduce(_ unionByName _)
