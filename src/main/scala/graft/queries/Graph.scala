@@ -375,11 +375,21 @@ object Graph extends QueryGroup {
         val wedges = wi
           .join(wi.select(col("z"), col("n").as("n2")), "z")
           .filter(col("n") < col("n2"))
+        // the closing anti-join: `scored` already sits on the score
+        // agg's (x, y) partitioning, so the keyed anti costs only a
+        // sort of scored plus the edge side's exchange — broadcasting
+        // the edge set beats that ONLY when the edge set is genuinely
+        // tiny (gr5's support-thresholded 3.6k edges: measured −21%);
+        // at gr4/gr4r's full 1.2M-edge set the broadcast build/ship was
+        // measured +71%, so the guard here is an order of magnitude
+        // tighter than deg's (whose broadcast removes full exchanges of
+        // the wedge volume, a different trade).
+        val eXY = e.select(col("a").as("x"), col("b").as("y"))
         val scored = wedges
           .groupBy(col("n").as("x"), col("n2").as("y"))
           .agg(sum(col("contrib")).as("ra_micro"),
             count(lit(1)).as("common_nbrs"))
-          .join(e.select(col("a").as("x"), col("b").as("y")),
+          .join(if (e.count() <= 250000L) broadcast(eXY) else eXY,
             Seq("x", "y"), "left_anti")
         // Both orientations emitted ROW-LOCALLY from one pass: the
         // previous two-branch union rebuilt the entire un-checkpointed

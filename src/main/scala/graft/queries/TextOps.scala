@@ -1695,6 +1695,13 @@ object TextOps extends QueryGroup {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      // key the materialized hub by doc_id (localCheckpoint preserves
+      // outputPartitioning): dl's groupBy and every consumer's
+      // probe-matches ⋈ dl attach then reuse THIS exchange instead of
+      // re-shuffling per consumer (guide §2.4 — two operations keyed the
+      // same way share one exchange; the repartition moves the compact
+      // post-agg hub once, at build)
+      .repartition(col("doc_id"))
       .localCheckpoint(true)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val totals = broadcast(dl.agg(
