@@ -47,56 +47,77 @@ object Triangles {
     */
   def participation(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    // ONE guard for both the degree and adjacency broadcasts, read off
+    // the already-materialized edge list (free — no extra aggregation
+    // job): adjacency payload is exactly one long per oriented edge;
+    // deg rows are bounded by 2·edges. The threshold budgets the
+    // MATERIALIZED broadcast, not raw payload: 4M edges is ~32 MB of
+    // neighbor longs (deg worst case ~128 MB of flat longs), and each
+    // broadcast copy pays UnsafeRow/array headers plus the
+    // HashedRelation table — a conservative ~4-6× multiplier puts the
+    // resident structure near the ~200 MB per-executor ceiling. Above
+    // it, node-keyed shuffle joins that AQE skew-splits, exactly the
+    // pre-r15 plan. (A checkpointed LogicalRDD has no size stats, so
+    // Catalyst alone would default everything below to sort-merge and
+    // ship each edge row's two ~√m-long neighbor arrays through BOTH
+    // shuffles — measured 2× the whole op's cost at 1.2M edges.)
+    val fits = e.count() <= 4000000L
     val degRaw = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // probed once per endpoint side
-    // Broadcast the degree table under the same materialized-size budget
-    // as the adjacency below (two flat longs per node — cheaper per row
-    // than adj's arrays): both orientation joins then run map-side over
-    // the checkpointed edge list instead of shuffling it twice by each
-    // endpoint (r15, guide §2.4/§3.1 — the count is free on the
-    // checkpointed frame, so this is an informed runtime choice, not a
-    // stats guess). Above the cap, node-keyed shuffle joins that AQE
-    // skew-splits, as before.
-    val deg =
-      if (degRaw.count() <= 4000000L) broadcast(degRaw) else degRaw
     // (deg, id) total order; a < b already, so the tie case keeps a
     val aFirst = col("da") < col("db") || (col("da") === col("db"))
-    val oriented = e
+    def orientedVia(deg: DataFrame): DataFrame = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true) // feeds the adjacency build AND the edge probe
-    val adjRaw = oriented.groupBy(col("src"))
+    def adjOf(oriented: DataFrame): DataFrame = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint(true) // probed once per endpoint side
-    // The adjacency payload is exactly ONE long per oriented edge, and
-    // the edge count is free on the checkpointed frame — so the join
-    // strategy is an informed runtime choice, not a stats guess (a
-    // checkpointed LogicalRDD has no size stats, so Catalyst would
-    // default these to sort-merge and ship each edge row's two ~√m-long
-    // neighbor arrays through BOTH shuffles — measured 2× the whole
-    // op's cost at 1.2M edges). The threshold budgets the MATERIALIZED
-    // broadcast, not raw payload: 4M edges is ~32 MB of neighbor longs,
-    // but each broadcast copy pays UnsafeRow + array headers and the
-    // HashedRelation table on top — a conservative ~4-6× multiplier
-    // puts the resident structure near ~150-200 MB, the sane ceiling
-    // for a per-executor broadcast. Above it, plain node-keyed shuffle
-    // joins that AQE skew-splits.
-    val adj =
-      if (oriented.count() <= 4000000L) broadcast(adjRaw) else adjRaw
     // triangle {u,v,w} (u<v<w under the order) is found exactly once: at
     // its base edge u→v, as w ∈ N+(u) ∩ N+(v). An endpoint missing from
     // adj has no out-edges — the inner join drops the edge, which is
     // exact (its intersection would be empty).
-    val common = oriented
-      .join(adj.select(col("src"), col("nbrs").as("sn")), "src")
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("dn")), "dst")
-      .select(col("src"), col("dst"),
-        array_intersect(col("sn"), col("dn")).as("tw"))
-      .filter(size(col("tw")) > 0)
+    val common = (if (fits) {
+      // Broadcast regime (r15, guide §2.4/§3.1): the degree table ships
+      // map-side into both orientation joins and the adjacency into both
+      // probe sides — and because each pair of joins consumes the SAME
+      // un-renamed broadcast subtree (disambiguated by alias, not by a
+      // projection inside the broadcast), ReuseExchange builds each
+      // broadcast once. That makes the intermediate checkpoints
+      // redundant: re-deriving `oriented` for the probe side is two
+      // map-side hash joins over the checkpointed edge list, far cheaper
+      // than materializing it — the whole operator is ONE job instead of
+      // the shuffle regime's checkpoint-per-stage ladder (measured: the
+      // barrier jobs, not the compute, dominated gr2 at bench scale).
+      val degB = broadcast(degRaw)
+      val oriented = e.as("e0")
+        .join(degB.as("dga"), col("e0.a") === col("dga.node"))
+        .join(degB.as("dgb"), col("e0.b") === col("dgb.node"))
+        .select(col("e0.a").as("a"), col("e0.b").as("b"),
+          col("dga.deg").as("da"), col("dgb.deg").as("db"))
+        .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      val adjB = broadcast(adjOf(oriented))
+      oriented.as("o")
+        .join(adjB.as("na"), col("o.src") === col("na.src"))
+        .join(adjB.as("nb"), col("o.dst") === col("nb.src"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst"),
+          array_intersect(col("na.nbrs"), col("nb.nbrs")).as("tw"))
+    } else {
+      // Shuffle regime (unchanged pre-r15 plan): checkpoint each frame
+      // that feeds two differently-projected keyed joins (the d4/e5
+      // ReusedExchange lesson), AQE splits skewed node keys.
+      val deg = degRaw.localCheckpoint(true)
+      val oriented = orientedVia(deg)
+        .localCheckpoint(true) // feeds the adjacency build AND the probe
+      val adj = adjOf(oriented).localCheckpoint(true)
+      oriented
+        .join(adj.select(col("src"), col("nbrs").as("sn")), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("dn")), "dst")
+        .select(col("src"), col("dst"),
+          array_intersect(col("sn"), col("dn")).as("tw"))
+    }).filter(size(col("tw")) > 0)
     // All three per-triangle contributions (both base endpoints at the
     // edge's triangle count, each third vertex at 1) emitted in ONE
     // row-local explode — the previous two-branch union consumed
