@@ -159,10 +159,12 @@ object Graph extends QueryGroup {
     "gr2_copurchase_triangles" -> QueryDef(
       build = (s, d) => {
         val po = basketItems(s, d)
-        val edges = po
-          .join(po.select(col("ok"), col("p").as("p2")), "ok")
-          .filter(col("p") < col("p2"))
-          .select(col("p").as("a"), col("p2").as("b"))
+        // alias self-join: both ok-keyed exchanges canonicalize equal →
+        // ReuseExchange writes the basket shuffle once (guide §2.4)
+        val edges = po.as("pa")
+          .join(po.as("pb"), col("pa.ok") === col("pb.ok"))
+          .filter(col("pa.p") < col("pb.p"))
+          .select(col("pa.p").as("a"), col("pb.p").as("b"))
           .distinct()
         Triangles.participation(edges)
           .join(Tables.part(s, d).select(col("p_partkey"), col("p_name")),
@@ -208,10 +210,11 @@ object Graph extends QueryGroup {
         import org.apache.spark.sql.expressions.Window
         val op = basketItems(s, d)
         val freq = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
-        val co = op
-          .join(op.select(col("ok"), col("p").as("p2")), "ok")
-          .filter(col("p") < col("p2"))
-          .groupBy(col("p").as("p1"), col("p2"))
+        // alias self-join — one shared ok-keyed exchange (guide §2.4)
+        val co = op.as("oa")
+          .join(op.as("ob"), col("oa.ok") === col("ob.ok"))
+          .filter(col("oa.p") < col("ob.p"))
+          .groupBy(col("oa.p").as("p1"), col("ob.p").as("p2"))
           .agg(count(lit(1)).as("co"))
           .filter(col("co") >= 2)
         // one-pass two-orientation emission (the linkPrediction sym
@@ -329,13 +332,14 @@ object Graph extends QueryGroup {
       minSupport: Int = 1): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val po = basketItems(s, d)
-        val pairs = po
-          .join(po.select(col("ok"), col("p").as("p2")), "ok")
-          .filter(col("p") < col("p2"))
+        // alias self-join — one shared ok-keyed exchange (guide §2.4)
+        val pairs = po.as("pa")
+          .join(po.as("pb"), col("pa.ok") === col("pb.ok"))
+          .filter(col("pa.p") < col("pb.p"))
         val e = (if (minSupport <= 1)
-            pairs.select(col("p").as("a"), col("p2").as("b")).distinct()
+            pairs.select(col("pa.p").as("a"), col("pb.p").as("b")).distinct()
           else
-            pairs.groupBy(col("p").as("a"), col("p2").as("b"))
+            pairs.groupBy(col("pa.p").as("a"), col("pb.p").as("b"))
               .agg(count(lit(1)).as("co"))
               .filter(col("co") >= minSupport)
               .select(col("a"), col("b")))
@@ -372,9 +376,21 @@ object Graph extends QueryGroup {
         val wi = (if (deg.count() <= 4000000L)
             und.join(broadcast(deg.select(col("z"), col("contrib"))), "z")
           else und.join(deg.select(col("z"), col("contrib")), "z"))
-        val wedges = wi
-          .join(wi.select(col("z"), col("n").as("n2")), "z")
-          .filter(col("n") < col("n2"))
+        // self-join via ALIASES of the identical un-projected subtree, so
+        // both z-keyed exchanges canonicalize equal and ReuseExchange
+        // writes the shuffle once (the former rename-projection sides
+        // defeated that and paid the wi exchange twice — r15, guide
+        // §2.4). The coalesce is load-bearing: contrib is the CENTER's
+        // value (identical on both sides, never null on inner-join
+        // rows), and referencing both sides keeps column pruning from
+        // projecting the two exchange inputs differently — one asymmetric
+        // column is enough to break canonical equality and bring the
+        // second exchange back.
+        val wedges = wi.as("w1")
+          .join(wi.as("w2"), col("w1.z") === col("w2.z"))
+          .filter(col("w1.n") < col("w2.n"))
+          .select(col("w1.n").as("n"), col("w2.n").as("n2"),
+            coalesce(col("w1.contrib"), col("w2.contrib")).as("contrib"))
         // the closing anti-join: `scored` already sits on the score
         // agg's (x, y) partitioning, so the keyed anti costs only a
         // sort of scored plus the edge side's exchange — broadcasting
