@@ -78,18 +78,13 @@ object SimilarityJoin {
       .localCheckpoint(true)
     // required overlap α = ceil(p·(na+nb) / (p+q))
     val alpha = s"((na + nb) * $p + ${p + q - 1}) div ${p + q}"
-    // alias self-join of the identical checkpointed prefix subtree: both
-    // (block, token)-keyed exchanges canonicalize equal, so ReuseExchange
-    // writes the prefix shuffle once instead of once per renamed
-    // projection side (r15, guide §2.4)
-    val candidates = prefix.as("fa")
-      .join(prefix.as("fb"),
-        col(s"fa.$blockCol") === col(s"fb.$blockCol") &&
-          col("fa._tok") === col("fb._tok"))
-      .select(col(s"fa.$blockCol").as(blockCol),
-        col("fa._id").as("a_id"), col("fb._id").as("b_id"),
-        col("fa._n").as("na"), col("fb._n").as("nb"),
-        col("fa._pos").as("pa"), col("fb._pos").as("pb"))
+    val candidates = prefix
+      .select(col(blockCol), col("_id").as("a_id"), col("_tok"),
+        col("_n").as("na"), col("_pos").as("pa"))
+      .join(prefix
+        .select(col(blockCol), col("_id").as("b_id"), col("_tok"),
+          col("_n").as("nb"), col("_pos").as("pb")),
+        Seq(blockCol, "_tok"))
       .filter(col("a_id") < col("b_id") &&
         col("nb") * q >= col("na") * p && col("na") * q >= col("nb") * p &&
         lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= expr(alpha))
