@@ -305,14 +305,14 @@ object IvfIndex {
         array((1 to NSub).map(si => col(s"c$si").getField("rnk")): _*).as("codes"))
   }
 
-  /** ADC approximation of cos(q, v): Σ_s lut[s][codes[s]] — 16 array
-    * lookups per (query, vector) pair, left-to-right adds (the oracle's
-    * list_sum fold order). Shared by e5's full-corpus ADC and the
-    * IVF-restricted [[probeCandidatesPq]]. */
+  /** ADC approximation of cos(q, v): Σ_s lut[s][codes[s]] — one native
+    * codegen'd loop per (query, vector) pair ([[graft.functions.AdcScore]],
+    * left-to-right adds — the oracle's list_sum fold order; r16). The
+    * former NSub chained element_at terms allocated 16 nested-array views
+    * per scored pair in the hottest scan of e5/e16. Shared by e5's
+    * full-corpus ADC and the IVF-restricted [[probeCandidatesPq]]. */
   private[graft] def adcScore(lut: Column, codes: Column): Column =
-    (1 to NSub).map { s =>
-      element_at(element_at(lut, s), element_at(codes, s))
-    }.reduce(_ + _)
+    call_function("adc_score", lut, codes)
 
   /** Per-query ADC lookup table: dot(query subvector, codebook centroid)
     * for every (subspace, centroid), nested array ordered [s][rnk] —
