@@ -1832,11 +1832,31 @@ object TextOps extends QueryGroup {
   }
 
   /** The t20/t30 RRF fusion: integer micro contributions, a missing
-    * list contributes 0; top-10 per query with a total tiebreak. */
+    * list contributes 0; top-10 per query with a total tiebreak.
+    *
+    * The full-outer join of the two ranked lists is merged as
+    * union + groupBy instead (r16, guide §2.4/§3.1): a full outer cannot
+    * broadcast either side, so the join form always plans as a
+    * SortMergeJoin — two (q_id, doc_id)-keyed exchanges plus two sorts,
+    * followed by a third exchange for the per-query window. Each side
+    * holds at most one row per (q_id, doc_id) (lex is a (q_id, doc_id)
+    * groupBy's rank, sem a per-query top-k over unique doc ids), so
+    * outer-merging them is exactly max-ignoring-nulls per key over the
+    * union. The union is exchange-free, and repartitioning it by q_id
+    * alone both satisfies the groupBy's (q_id, doc_id) clustering and
+    * leaves the window's q_id partitioning in place — ONE exchange end
+    * to end, no sorts before the window's own. */
   private def rrfFuse(lex: org.apache.spark.sql.DataFrame,
       sem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+    lex.select(col("q_id"), col("doc_id"), col("lex_rank"),
+        lit(null).cast("long").as("sem_rank"))
+      .unionByName(sem.select(col("q_id"), col("doc_id"),
+        lit(null).cast("long").as("lex_rank"), col("sem_rank")))
+      .repartition(col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("sem_rank")).as("sem_rank"))
       .withColumn("rrf_micro",
         coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
           coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
