@@ -49,7 +49,8 @@ object PageRank {
     * @return (node, r) — micro-rank per node after `iterations` rounds;
     *         nodes with no in-edges hold the damping base. */
   def run(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
-      microInit: Long = 1000000L): DataFrame = {
+      microInit: Long = 1000000L,
+      broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100: $dampingPct")
@@ -74,8 +75,10 @@ object PageRank {
     // original keyed join stands (AQE-skew-splittable).
     val ow = e.groupBy("src").agg(sum(col("w")).as("ow"))
       .localCheckpoint(true)
-    val nodeSidedFits = ow.count() <= BroadcastNodeCap
-    val ew = (if (nodeSidedFits) e.join(broadcast(ow), "src")
+    // this guard covers ONLY the ew build join: ow is the frame being
+    // broadcast there, and it is SOURCE-node-sized
+    val owFits = ow.count() <= broadcastNodeCap
+    val ew = (if (owFits) e.join(broadcast(ow), "src")
               else e.join(ow, "src"))
       .localCheckpoint(true) // reused every iteration — one materialization
     // derive nodes from the CHECKPOINTED frame (ew preserves every e row),
@@ -85,6 +88,13 @@ object PageRank {
       .union(ew.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // The per-round broadcasts (ranks, contrib) are sized by the FULL node
+    // universe (src ∪ dst), not by source nodes: a sink-heavy graph (few
+    // sources, many dst-only nodes) passes the ow guard with an
+    // arbitrarily larger rank table — so they get their own guard on the
+    // universe count (one count over the already-checkpointed nodes frame;
+    // r16, the round-15 advisory).
+    val nodeSidedFits = nodes.count() <= broadcastNodeCap
     val base = (100L - dampingPct) * microInit / 100L
     var ranks = nodes.select(col("node"), lit(microInit).as("r"))
     for (_ <- 1 to iterations) {

@@ -888,8 +888,14 @@ object Dedup extends QueryGroup {
     * sequential semantics are hash-checked end to end. */
   private val AdmissionEpochs = 4
 
-  private def sequentialAdmission(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  /** Per-epoch batch-sided frames (two flat longs per fingerprint row)
+    * broadcast below this incoming-slice row count — the repo's standard
+    * node-sided broadcast budget. Above it: keyed joins, AQE-splittable. */
+  private val BatchBroadcastCap = 4000000L
+
+  private[graft] def sequentialAdmission(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      batchBroadcastCap: Long = BatchBroadcastCap): org.apache.spark.sql.DataFrame = {
     val fpAll = winnowIndex(s, d).fp
     val incDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"),
@@ -899,6 +905,18 @@ object Dedup extends QueryGroup {
     val nf = inc.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     var index = fpAll.filter(col("doc_id") % 5 =!= 0)
       .select("h").distinct().localCheckpoint(true)
+    // Batch-side broadcast guard (r16, the round-15 advisory): every
+    // per-epoch broadcast below (efps, matches, rejected, adm, newH) is
+    // bounded by the INCOMING slice's fingerprint rows — a fixed fraction
+    // of the corpus, i.e. linear in corpus size, not micro-batch-bounded
+    // — so they get the same row-count guard as every other broadcast
+    // site (one filter-count over the checkpointed fp table, once for
+    // all epochs). Above the cap each epoch falls back to the keyed-join
+    // plan: the probe/semi/anti joins shuffle on h / doc_id and AQE
+    // skew-splits, which is the pre-r15 shape.
+    val batchFits = inc.count() <= batchBroadcastCap
+    def bcast(df: org.apache.spark.sql.DataFrame) =
+      if (batchFits) broadcast(df) else df
     val admitted = (0 until AdmissionEpochs).map { e =>
       // Per-epoch posture (r15, guide §2.4/§3.1): the INDEX — the frame
       // that grows with the corpus — is never re-shuffled, re-distinct'd,
@@ -914,25 +932,25 @@ object Dedup extends QueryGroup {
       // one map-side probe of the index; feeds the rejection counts AND
       // the already-indexed fingerprint set — checkpoint the (small)
       // match set once
-      val matches = index.join(broadcast(efps), Seq("h"))
+      val matches = index.join(bcast(efps), Seq("h"))
         .select("doc_id", "h")
         .localCheckpoint(true)
       // nf spans every epoch (corpus-growth-sized at scale) — broadcast
       // the batch-sized shared-count side into it, not the reverse
       val rejected = nf
-        .join(broadcast(matches.groupBy("doc_id").agg(count(lit(1)).as("shared"))),
+        .join(bcast(matches.groupBy("doc_id").agg(count(lit(1)).as("shared"))),
           Seq("doc_id"))
         .filter(col("shared") * 2 >= col("n_fp"))
         .select("doc_id")
       val adm = incDocs.filter(col("epoch") === e)
-        .join(broadcast(rejected), Seq("doc_id"), "left_anti")
+        .join(bcast(rejected), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       // the epoch's NEW fingerprints: admitted docs' fps minus the ones
       // the probe already found in the index — h ∈ index ⟺ h ∈ matches
       // for every efps row, so the subtraction never touches the index
       val newH = efps
-        .join(broadcast(adm.select("doc_id")), Seq("doc_id"), "left_semi")
-        .join(broadcast(matches.select("h").distinct()), Seq("h"), "left_anti")
+        .join(bcast(adm.select("doc_id")), Seq("doc_id"), "left_semi")
+        .join(bcast(matches.select("h").distinct()), Seq("h"), "left_anti")
         .select("h").distinct()
         .localCheckpoint(true)
       index = index.unionByName(newH)

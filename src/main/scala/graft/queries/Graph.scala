@@ -329,7 +329,9 @@ object Graph extends QueryGroup {
     * distinct co-purchasing orders and keeps only edges at the floor. */
   private[graft] def linkPrediction(s: org.apache.spark.sql.SparkSession,
       d: String, cap: Int,
-      minSupport: Int = 1): org.apache.spark.sql.DataFrame = {
+      minSupport: Int = 1,
+      degBroadcastCap: Long = 4000000L,
+      antiBroadcastCap: Long = 250000L): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         val po = basketItems(s, d)
         // alias self-join — one shared ok-keyed exchange (guide §2.4)
@@ -373,7 +375,7 @@ object Graph extends QueryGroup {
         // before it shuffles). The count is one agg job over the
         // checkpointed und. Above the cap the original z-keyed shuffle
         // plan stands.
-        val wi = (if (deg.count() <= 4000000L)
+        val wi = (if (deg.count() <= degBroadcastCap)
             und.join(broadcast(deg.select(col("z"), col("contrib"))), "z")
           else und.join(deg.select(col("z"), col("contrib")), "z"))
         // self-join via ALIASES of the identical un-projected subtree, so
@@ -405,7 +407,7 @@ object Graph extends QueryGroup {
           .groupBy(col("n").as("x"), col("n2").as("y"))
           .agg(sum(col("contrib")).as("ra_micro"),
             count(lit(1)).as("common_nbrs"))
-          .join(if (e.count() <= 250000L) broadcast(eXY) else eXY,
+          .join(if (e.count() <= antiBroadcastCap) broadcast(eXY) else eXY,
             Seq("x", "y"), "left_anti")
         // Both orientations emitted ROW-LOCALLY from one pass: the
         // previous two-branch union rebuilt the entire un-checkpointed
