@@ -113,7 +113,11 @@ object IncrementalAgg {
         max(when(isAdd, v)).as("_ins_max"),
         min(when(isDel, v)).as("_del_min"),
         max(when(isDel, v)).as("_del_max"))
-    val joined = state.join(delta, keys, "full_outer")
+    // the state×delta merge feeds TWO consumers (the clean-group update
+    // and the dirty-key extraction) whose differing projections defeat
+    // ReuseExchange — checkpoint it once (the d4/e5 lesson), which also
+    // makes the dirty-key count below a cheap map-side filter job
+    val joined = state.join(delta, keys, "full_outer").localCheckpoint(true)
     val dirty = col("_del_min").isNotNull &&
       (col("agg_min").isNull ||
         col("_del_min") <= col("agg_min") || col("_del_max") >= col("agg_max"))
@@ -127,7 +131,20 @@ object IncrementalAgg {
         greatest(col("agg_max"), col("_ins_max")).cast("decimal(18,2)").as("agg_max")): _*)
       .filter(col("cnt") > 0)
     val dirtyKeys = joined.filter(dirty).select(keys.map(col): _*)
+    // The dirty set is the FEW groups whose boundary a delete hit —
+    // broadcasting it into the semi keeps `base` (the table-sized side)
+    // from shuffling by key at all (guide §3.1/§3.2: prune the big side
+    // before it moves). Above the cap: the keyed semi, AQE-splittable.
+    // (Without the hint the join is a SortMergeJoin — dirtyKeys descends
+    // from a checkpoint, so Catalyst has no stats to auto-broadcast on.)
+    val dkFits = dirtyKeys.count() <= DirtyBroadcastCap
     clean.unionByName(
-      initMinMax(base.join(dirtyKeys, keys, "left_semi"), keys, valueCol))
+      initMinMax(base.join(
+        if (dkFits) broadcast(dirtyKeys) else dirtyKeys,
+        keys, "left_semi"), keys, valueCol))
   }
+
+  /** Dirty-key rows (group keys only) broadcast below this count — the
+    * repo's standard node-sided broadcast budget. */
+  private val DirtyBroadcastCap = 4000000L
 }
