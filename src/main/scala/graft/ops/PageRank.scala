@@ -97,7 +97,7 @@ object PageRank {
     val nodeSidedFits = nodes.count() <= broadcastNodeCap
     val base = (100L - dampingPct) * microInit / 100L
     var ranks = nodes.select(col("node"), lit(microInit).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // ranks is node-sized (two longs per node): under the guard each
       // round's edge⋈ranks is a broadcast hash join, so the EDGE table —
       // the frame that actually scales — crosses no exchange at all; the
@@ -109,15 +109,32 @@ object PageRank {
         else ew.join(ranks, ew("src") === ranks("node")))
         .select(ew("dst").as("node"), expr("(r * w) div ow").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      ranks = (if (nodeSidedFits) nodes.join(broadcast(contrib), Seq("node"), "left")
+      val next = (if (nodeSidedFits) nodes.join(broadcast(contrib), Seq("node"), "left")
                else nodes.join(contrib, Seq("node"), "left"))
         .select(col("node"),
           (lit(base) + coalesce(expr(s"($dampingPct * m) div 100"), lit(0L)))
             .as("r"))
-        .localCheckpoint(true) // cut lineage: O(1) plan depth per round
+      // Lineage policy (r16, the Triangles one-job lesson: sequential
+      // checkpoint barriers, not compute, dominated the broadcast regime
+      // at bench scale). Each round's rank table is consumed exactly ONCE
+      // (the next round's broadcast), so the chain is linear — nothing
+      // recomputes without a checkpoint; the cut exists only to bound
+      // plan depth. Broadcast regime: cut every [[CheckpointEveryRounds]]
+      // rounds, so a short run (gr1's 3 iterations) is ONE job instead of
+      // a materialization barrier per round. Shuffle regime (above the
+      // guard): per-round cut, unchanged — there each round is
+      // exchange-bound anyway and the barrier is noise.
+      ranks =
+        if (!nodeSidedFits || i % CheckpointEveryRounds == 0)
+          next.localCheckpoint(true)
+        else next
     }
     ranks
   }
+
+  /** Broadcast-regime lineage cut cadence: plan depth stays bounded for
+    * deep runs while short runs pay zero mid-run materializations. */
+  private val CheckpointEveryRounds = 8
 
   /** Node-sided frames (out-weights, ranks, per-round contributions — two
     * flat longs per node) broadcast below this row count: ≈64 MB of
