@@ -280,20 +280,29 @@ object IvfIndex {
       .select(transform(col("sc"), x => x.getField("cvs")).as("cbs"))
 
   /** PQ encode: per (vector, subspace) argmin squared-L2 over the
-    * codebook — struct min ties to the lowest centroid index, exactly
-    * as before. The d2 compute stays a codegen'd broadcast join (a
-    * row-local HOF fold was measured 1.7× WORSE: ArrayAggregate is
-    * CodegenFallback, so 5.6M interpreted l2sq evaluations lost more
-    * than the shuffle they saved); what changed (r15, guide §2.3) is
-    * the aggregation shape — ONE statically-unrolled groupBy(vec_id)
-    * with NSub per-subspace min(struct) aggregates replaces the former
-    * (vec,s) argmin + vec_id collect_list/array_sort re-assembly pair,
-    * so one exchange of |V| pre-combined rows does the work of two
-    * |V|·NSub ones and the per-row array_sort disappears.
+    * codebook — ties to the lowest centroid index, exactly as before.
+    * Fully ROW-LOCAL since r16: the native [[graft.functions.PqEncode]]
+    * kernel folds all NSub argmins over the broadcast nested codebook in
+    * one codegen'd loop nest, so the former broadcast join (|V|·NSub·k
+    * joined rows through a 16-aggregate hash aggregate plus a |V|-row
+    * exchange) disappears — encode is now a map over the vectors, zero
+    * exchanges. (Round 15's DataFrame-level row-local fold measured 1.7×
+    * WORSE because ArrayAggregate is CodegenFallback; the native
+    * expression keeps the loop inside whole-stage codegen, and
+    * PqEncodeSpec pins bit-parity against the join form, tie-breaks and
+    * NaN ordering included.)
     *
     * @param v (vec_id, ne) — full vectors (raw-normalized or residual).
     * @return (vec_id, codes: array of NSub 1-based code indices). */
-  private[graft] def encodeCodes(v: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def encodeCodes(v: DataFrame, cb: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cbNested(cb)))
+      .select(col("vec_id"),
+        call_function("pq_encode", col("ne"), col("cbs")).as("codes"))
+
+  /** The join-based encode the kernel replaced — kept as the spec's
+    * bit-parity reference (PqEncodeSpec runs both over the same corpus
+    * sample and asserts identical codes). */
+  private[graft] def encodeCodesJoinForm(v: DataFrame, cb: DataFrame): DataFrame = {
     val aggs = (1 to NSub).map { si =>
       min(when(col("s") === si,
         struct(l2sq(col("sv"), col("cv")).as("d2"), col("rnk")))).as(s"c$si")
