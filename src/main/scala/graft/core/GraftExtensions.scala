@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, PqEncode, SigAgree, TokenizeWs, VecDot, WinnowFps, WordShingles, XxMinhash64, XxWinnowFps}
+import graft.functions.{AdcScore, ArrayMaxCount, BpeClassCounts, PortableHash60Expr, PortableMinhash60, PortableSimhash60, PqEncode, SigAgree, SortedIntersect, TokenizeWs, VecDot, WinnowFps, WordShingles, XxMinhash64, XxWinnowFps}
 
 /** Engine extension point (the `SparkSessionExtensions` registration path
   * for custom Catalyst surface): native functions injected into the
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "pq_encode expects exactly 2 arguments: (ne, cbs)")
         PqEncode(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect expects exactly 2 arguments: (a, b)")
+        SortedIntersect(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("portable_hash60"),

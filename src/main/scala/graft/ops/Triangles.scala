@@ -102,11 +102,16 @@ object Triangles {
         .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
           when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       val adjB = broadcast(adjOf(oriented))
+      // sorted_intersect, not array_intersect: both adjacency lists are
+      // sort_array outputs, so the two-pointer native merge replaces a
+      // per-edge boxed hash-set build — this is the operator's hottest
+      // loop (r16, guide: expressions/codegen)
       oriented.as("o")
         .join(adjB.as("na"), col("o.src") === col("na.src"))
         .join(adjB.as("nb"), col("o.dst") === col("nb.src"))
         .select(col("o.src").as("src"), col("o.dst").as("dst"),
-          array_intersect(col("na.nbrs"), col("nb.nbrs")).as("tw"))
+          call_function("sorted_intersect",
+            col("na.nbrs"), col("nb.nbrs")).as("tw"))
     } else {
       // Shuffle regime (unchanged pre-r15 plan): checkpoint each frame
       // that feeds two differently-projected keyed joins (the d4/e5
@@ -119,7 +124,7 @@ object Triangles {
         .join(adj.select(col("src"), col("nbrs").as("sn")), "src")
         .join(adj.select(col("src").as("dst"), col("nbrs").as("dn")), "dst")
         .select(col("src"), col("dst"),
-          array_intersect(col("sn"), col("dn")).as("tw"))
+          call_function("sorted_intersect", col("sn"), col("dn")).as("tw"))
     }).filter(size(col("tw")) > 0)
     // All three per-triangle contributions (both base endpoints at the
     // edge's triangle count, each third vertex at 1) emitted in ONE
